@@ -1,0 +1,58 @@
+package graft.ta
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Generic distributed executor for per-series recurrence kernels.
+  *
+  * `overSeries` groups the frame by `symbol`, sorts each group by `ord`,
+  * hands the input columns to an array kernel, and emits
+  * `(symbol, ord, outCols…)` rows. This is the idiomatic Spark shape for
+  * order-dependent state machines (SURVEY.md §7.2): one shuffle on the
+  * series key, then embarrassingly parallel sequential folds.
+  *
+  * Scale: one series' full history is materialized on one executor —
+  * correct for daily/bar-level data (thousands of rows per key, millions of
+  * keys on a cluster). For tick-scale series that exceed executor memory,
+  * the documented hardening path is `repartitionByRange(symbol, ord)` +
+  * `mapPartitions` with carried state across chunk boundaries.
+  */
+object SeriesOps {
+
+  /** @param df   input with `symbol` (string), `ord` (castable to long) and `in` numeric columns
+    * @param in   input column names fed to the kernel (cast to double; null → NaN)
+    * @param out  output column names
+    * @param f    kernel: per-series column arrays → output column arrays (NaN → null)
+    */
+  def overSeries(df: DataFrame, in: Seq[String], out: Seq[String])
+                (f: Array[Array[Double]] => Array[Array[Double]]): DataFrame = {
+    val proj = df.select(
+      col("symbol").cast(StringType) +:
+      col("ord").cast(LongType) +:
+      in.map(c => col(c).cast(DoubleType)): _*)
+    val outSchema = StructType(
+      StructField("symbol", StringType) ::
+      StructField("ord", LongType) ::
+      out.toList.map(StructField(_, DoubleType)))
+    val nIn = in.length
+    proj
+      .groupByKey(_.getString(0))(Encoders.STRING)
+      .flatMapGroups { (sym: String, it: Iterator[Row]) =>
+        val rows = it.toArray
+        java.util.Arrays.sort(rows, Ordering.by((r: Row) => r.getLong(1)))
+        val ins = Array.tabulate(nIn) { j =>
+          Array.tabulate(rows.length) { i =>
+            if (rows(i).isNullAt(j + 2)) Double.NaN else rows(i).getDouble(j + 2)
+          }
+        }
+        val outs = f(ins)
+        require(outs.length == out.length, s"kernel returned ${outs.length} cols, expected ${out.length}")
+        rows.indices.iterator.map { i =>
+          Row.fromSeq(
+            sym +: rows(i).getLong(1) +:
+            outs.indices.map(j => if (java.lang.Double.isNaN(outs(j)(i))) null else outs(j)(i)))
+        }
+      }(Encoders.row(outSchema))
+  }
+}
