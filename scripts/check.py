@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run after
+`sbt "runMain graft.Verify <sfDir> <outDir>"`, compares each dumped
+parquet against its DuckDB oracle (columns sorted by name, exact value
+match including nulls). Usage: check.py [outDir] [sfDir]."""
+import duckdb, json, sys, glob, os
+import pandas as pd
+import numpy as np
+
+outdir = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_out'
+sfdir = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
+con = duckdb.connect()
+for p in glob.glob(f'{sfdir}/*.parquet'):
+    name = os.path.basename(p)[:-len('.parquet')]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f'{outdir}/oracle_sql.json'))
+n_ok, fails = 0, []
+for name, sql in sorted(oracle.items()):
+    try:
+        spark_df = pd.read_parquet(f'{outdir}/{name}')
+    except Exception as e:
+        fails.append((name, 'spark-dump-missing', str(e)[:200])); continue
+    try:
+        duck_df = con.execute(sql).df()
+    except Exception as e:
+        fails.append((name, 'oracle-sql-error', str(e)[:300])); continue
+    spark_df = spark_df[sorted(spark_df.columns)]
+    duck_df = duck_df[sorted(duck_df.columns)]
+    if list(spark_df.columns) != list(duck_df.columns):
+        fails.append((name, 'schema', list(spark_df.columns), list(duck_df.columns))); continue
+    if len(spark_df) != len(duck_df):
+        fails.append((name, 'rowcount', len(spark_df), len(duck_df))); continue
+    bad_col = None
+    for c in spark_df.columns:
+        a, b = spark_df[c].to_numpy(), duck_df[c].to_numpy()
+        if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+            a = a.astype(float); b = b.astype(float)
+            eq = (np.isnan(a) & np.isnan(b)) | (a == b)
+        else:
+            eq = (pd.isna(a) & pd.isna(b)) | (a == b)
+        if not eq.all():
+            idx = np.nonzero(~eq)[0][:5]
+            bad_col = (name, 'values', c, int((~eq).sum()),
+                       [(int(i), a[i], b[i]) for i in idx])
+            break
+    if bad_col: fails.append(bad_col)
+    else: n_ok += 1
+
+# rows-only queries (no oracle): check dump exists and is non-empty
+dumps = {os.path.basename(d) for d in glob.glob(f'{outdir}/*') if os.path.isdir(d)}
+rows_only = dumps - set(oracle)
+ro_fail = []
+for name in sorted(rows_only):
+    try:
+        n = len(pd.read_parquet(f'{outdir}/{name}'))
+        if n == 0: ro_fail.append((name, 'empty'))
+    except Exception as e:
+        ro_fail.append((name, str(e)[:120]))
+
+print(f"oracle: {n_ok}/{len(oracle)} ok; rows-only: {len(rows_only)-len(ro_fail)}/{len(rows_only)} ok")
+for f in fails + ro_fail:
+    print('FAIL', f)
+sys.exit(1 if (fails or ro_fail) else 0)

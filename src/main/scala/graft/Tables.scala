@@ -20,13 +20,33 @@ import org.apache.spark.sql.functions._
   * reused by every downstream indicator in the same plan.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS); Spark 4 rejects it unless mapped to
+    // long. Runtime-settable, and set here (not only in our mains) because
+    // the driver smoke-runs entry() with its own SparkSession.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
-  /** events projected to (symbol, ord, close). */
+  /** Number of user-hash buckets folded into the series key. 80 series
+    * (5 event types × 16 buckets) at every scale factor — enough to keep
+    * local[32] saturated; on a real cluster the key would be an actual
+    * instrument id with unbounded cardinality, which this layout models.
+    */
+  val SymbolBuckets = 16
+
+  /** events projected to (symbol, ord, close).
+    *
+    * The series key is `event_type × (user_id mod 16)`, NOT bare
+    * `event_type`: event_type has cardinality 5, which would cap every
+    * window/groupByKey plan at 5-way parallelism forever (the round-1
+    * scale-killer). The DuckDB oracle (Sql.bars) mirrors this derivation
+    * exactly.
+    */
   def series(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events").select(
-      col("event_type").as("symbol"),
+      concat(col("event_type"), lit("_"),
+        (col("user_id") % SymbolBuckets).cast("string")).as("symbol"),
       col("event_id").as("ord"),
       col("value").as("close"))
 

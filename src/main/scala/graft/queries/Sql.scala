@@ -12,13 +12,18 @@ package graft.queries
   */
 object Sql {
 
-  /** The canonical bar-frame prelude — must mirror Tables.bars exactly. */
+  /** The canonical bar-frame prelude — must mirror Tables.bars exactly
+    * (incl. the event_type × user_id%16 series key of Tables.series). */
   val bars: String =
-    """WITH b0 AS (
-      |  SELECT event_type AS symbol, event_id AS ord, value AS close,
-      |         lag(value, 1) OVER (PARTITION BY event_type ORDER BY event_id) AS p1,
-      |         lag(value, 2) OVER (PARTITION BY event_type ORDER BY event_id) AS p2
+    """WITH ser AS (
+      |  SELECT event_type || '_' || CAST(user_id % 16 AS VARCHAR) AS symbol,
+      |         event_id AS ord, value AS close
       |  FROM events
+      |), b0 AS (
+      |  SELECT symbol, ord, close,
+      |         lag(close, 1) OVER (PARTITION BY symbol ORDER BY ord) AS p1,
+      |         lag(close, 2) OVER (PARTITION BY symbol ORDER BY ord) AS p2
+      |  FROM ser
       |), bars AS (
       |  SELECT symbol, ord, close,
       |         coalesce(p1, close) AS open,
@@ -28,16 +33,25 @@ object Sql {
       |  FROM b0
       |)""".stripMargin
 
-  /** WINDOW clause: w = plain per-series; wn = trailing n-row frame. */
-  def windows(n: Int): String =
-    s"WINDOW w AS (PARTITION BY symbol ORDER BY ord), " +
-      s"wn AS (PARTITION BY symbol ORDER BY ord ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)"
+  /** Named window-frame definitions. `w` = plain per-series ordering;
+    * `wn{n}` = trailing n-row frame; `wc` = cumulative. */
+  val wDef: String = "w AS (PARTITION BY symbol ORDER BY ord)"
+  def wnDef(n: Int): String =
+    s"wn$n AS (PARTITION BY symbol ORDER BY ord ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)"
+  val wcDef: String =
+    "wc AS (PARTITION BY symbol ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
 
-  /** Warm-up gate + round, the standard output shape. */
+  /** WINDOW clause declaring `w` plus a trailing frame per requested n. */
+  def windows(ns: Int*): String =
+    "WINDOW " + (wDef +: ns.distinct.map(wnDef)).mkString(", ")
+
+  /** Warm-up gate + round, the standard output shape. `+ 0.0` normalizes
+    * IEEE −0.0 to 0.0 on both engines so hashes can't differ on sign of
+    * zero (Spark side mirrors with `round(c, 6) + lit(0.0)`). */
   def gatedR6(x: String, n: Int, expr: String, as: String): String =
-    s"round(CASE WHEN count($x) OVER wn >= $n THEN $expr END, 6) AS $as"
+    s"round(CASE WHEN count($x) OVER wn$n >= $n THEN $expr END, 6) + 0.0 AS $as"
 
-  def r6(expr: String, as: String): String = s"round($expr, 6) AS $as"
+  def r6(expr: String, as: String): String = s"round($expr, 6) + 0.0 AS $as"
 
   val tail: String = "ORDER BY symbol, ord"
 }

@@ -1,0 +1,405 @@
+package graft.queries
+
+import graft.Tables
+import graft.ta.{Frames, Recursive}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract query registrations for the TA indicator library
+  * (SURVEY.md §2.1–§2.3). Every frame-expressible operator carries a DuckDB
+  * oracle; recursive (loop-op) operators are registered rows-only and get
+  * their numeric coverage from the golden scalatests instead
+  * (SURVEY.md §5.3).
+  *
+  * Output contract per query: columns `(symbol, ord, <outputs>)`, values
+  * `round(x, 6) + 0.0` (−0.0 normalized), rows ordered by (symbol, ord) —
+  * mirrored exactly in each oracle so the driver's hash compare is stable.
+  */
+object TaQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def r6(c: Column): Column = round(c, 6) + lit(0.0)
+  private def W: WindowSpec = Window.partitionBy("symbol").orderBy("ord")
+
+  /** Frame-op query over bars: one select, one window exchange. */
+  private def frameQ(outs: (String, WindowSpec => Column)*): Q = (spark, dir) => {
+    val w = W
+    Tables.bars(spark, dir)
+      .select(col("symbol") +: col("ord") +: outs.map { case (n, f) => r6(f(w)).as(n) }: _*)
+      .orderBy("symbol", "ord")
+  }
+
+  /** Loop-op query: overSeries output (inputs carried) → rounded outputs. */
+  private def recQ(outs: String*)(f: DataFrame => DataFrame): Q = (spark, dir) =>
+    f(Tables.bars(spark, dir))
+      .select(col("symbol") +: col("ord") +: outs.map(n => r6(col(n)).as(n)): _*)
+      .orderBy("symbol", "ord")
+
+  private val B = Sql.bars
+  private val T = Sql.tail
+
+  // ---------------------------------------------------------------- entries
+
+  final case class Entry(name: String, q: Q, oracle: Option[String])
+
+  val entries: Seq[Entry] = Seq(
+
+    // ---- overlap studies, frame-expressible (oracle-checked) ----
+
+    Entry("sma_20",
+      frameQ("sma" -> (w => Frames.sma(col("close"), 20)(w))),
+      Some(s"""$B SELECT symbol, ord, ${Sql.gatedR6("close", 20, "avg(close) OVER wn20", "sma")}
+        |FROM bars ${Sql.windows(20)} $T""".stripMargin)),
+
+    Entry("wma_10",
+      frameQ("wma" -> (w => Frames.wma(col("close"), 10)(w))),
+      Some {
+        val n = 10
+        val terms = (0 until n).map(k =>
+          if (k == 0) s"close * $n" else s"lag(close, $k) OVER w * ${n - k}").mkString(" + ")
+        s"""$B SELECT symbol, ord, ${Sql.gatedR6("close", n, s"($terms) / ${n * (n + 1) / 2}.0", "wma")}
+          |FROM bars ${Sql.windows(n)} $T""".stripMargin
+      }),
+
+    Entry("trima_10",
+      frameQ("trima" -> (w => Frames.trima(col("close"), 10)(w))),
+      // n=10 → inner SMA(5), outer SMA(6) (overlap.rs:1313-1326)
+      Some(s"""$B, s1 AS (
+        |  SELECT symbol, ord,
+        |         CASE WHEN count(close) OVER wn5 >= 5 THEN avg(close) OVER wn5 END AS s
+        |  FROM bars WINDOW ${Sql.wnDef(5)}
+        |)
+        |SELECT symbol, ord, ${Sql.gatedR6("s", 6, "avg(s) OVER wn6", "trima")}
+        |FROM s1 WINDOW ${Sql.wnDef(6)} $T""".stripMargin)),
+
+    Entry("bbands_20_2",
+      frameQ(
+        "bb_upper"  -> (w => Frames.bbandsUpper(col("close"), 20, 2.0)(w)),
+        "bb_middle" -> (w => Frames.bbandsMiddle(col("close"), 20)(w)),
+        "bb_lower"  -> (w => Frames.bbandsLower(col("close"), 20, 2.0)(w))),
+      Some(s"""$B, t AS (
+        |  SELECT symbol, ord, avg(close) OVER wn20 AS m,
+        |         stddev_pop(close) OVER wn20 AS sd, count(close) OVER wn20 AS cnt
+        |  FROM bars WINDOW ${Sql.wnDef(20)}
+        |)
+        |SELECT symbol, ord,
+        |  ${Sql.r6("CASE WHEN cnt >= 20 THEN m + 2*sd END", "bb_upper")},
+        |  ${Sql.r6("CASE WHEN cnt >= 20 THEN m END", "bb_middle")},
+        |  ${Sql.r6("CASE WHEN cnt >= 20 THEN m - 2*sd END", "bb_lower")}
+        |FROM t $T""".stripMargin)),
+
+    Entry("midpoint_14",
+      frameQ("midpoint" -> (w => Frames.midpoint(col("close"), 14)(w))),
+      Some(s"""$B SELECT symbol, ord,
+        |${Sql.gatedR6("close", 14, "(max(close) OVER wn14 + min(close) OVER wn14)/2", "midpoint")}
+        |FROM bars ${Sql.windows(14)} $T""".stripMargin)),
+
+    Entry("midprice_14",
+      frameQ("midprice" -> (w => Frames.midprice(col("high"), col("low"), 14)(w))),
+      Some(s"""$B SELECT symbol, ord,
+        |${Sql.gatedR6("high", 14, "(max(high) OVER wn14 + min(low) OVER wn14)/2", "midprice")}
+        |FROM bars ${Sql.windows(14)} $T""".stripMargin)),
+
+    // ---- momentum, frame-expressible (oracle-checked) ----
+
+    Entry("mom_10",
+      frameQ("mom" -> (w => Frames.mom(col("close"), 10)(w))),
+      Some(s"""$B SELECT symbol, ord, ${Sql.r6("close - lag(close, 10) OVER w", "mom")}
+        |FROM bars ${Sql.windows()} $T""".stripMargin)),
+
+    Entry("roc_10",
+      frameQ("roc" -> (w => Frames.roc(col("close"), 10)(w))),
+      Some(s"""$B SELECT symbol, ord, ${Sql.r6("100 * (close / lag(close, 10) OVER w - 1)", "roc")}
+        |FROM bars ${Sql.windows()} $T""".stripMargin)),
+
+    Entry("rocp_10",
+      frameQ("rocp" -> (w => Frames.rocp(col("close"), 10)(w))),
+      Some(s"""$B SELECT symbol, ord,
+        |${Sql.r6("(close - lag(close, 10) OVER w) / lag(close, 10) OVER w", "rocp")}
+        |FROM bars ${Sql.windows()} $T""".stripMargin)),
+
+    Entry("rocr_10",
+      frameQ("rocr" -> (w => Frames.rocr(col("close"), 10)(w))),
+      Some(s"""$B SELECT symbol, ord, ${Sql.r6("close / lag(close, 10) OVER w", "rocr")}
+        |FROM bars ${Sql.windows()} $T""".stripMargin)),
+
+    Entry("rocr100_10",
+      frameQ("rocr100" -> (w => Frames.rocr100(col("close"), 10)(w))),
+      Some(s"""$B SELECT symbol, ord, ${Sql.r6("100 * close / lag(close, 10) OVER w", "rocr100")}
+        |FROM bars ${Sql.windows()} $T""".stripMargin)),
+
+    Entry("cmo_14",
+      frameQ("cmo" -> (w => Frames.cmo(col("close"), 14)(w))),
+      Some(s"""$B, t AS (
+        |  SELECT symbol, ord, close - lag(close, 1) OVER w AS d FROM bars WINDOW ${Sql.wDef}
+        |), t2 AS (
+        |  SELECT symbol, ord,
+        |    CASE WHEN d > 0 THEN d WHEN d IS NULL THEN NULL ELSE 0.0 END AS up,
+        |    CASE WHEN d < 0 THEN -d WHEN d IS NULL THEN NULL ELSE 0.0 END AS dn
+        |  FROM t
+        |)
+        |SELECT symbol, ord, ${Sql.gatedR6("up", 14,
+           "CASE WHEN sum(up) OVER wn14 + sum(dn) OVER wn14 = 0 THEN 0.0 " +
+           "ELSE 100.0 * (sum(up) OVER wn14 - sum(dn) OVER wn14) / (sum(up) OVER wn14 + sum(dn) OVER wn14) END",
+           "cmo")}
+        |FROM t2 ${Sql.windows(14)} $T""".stripMargin)),
+
+    Entry("willr_14",
+      frameQ("willr" -> (w => Frames.willr(col("high"), col("low"), col("close"), 14)(w))),
+      Some(s"""$B SELECT symbol, ord, ${Sql.gatedR6("high", 14,
+           "CASE WHEN max(high) OVER wn14 = min(low) OVER wn14 THEN 0.0 " +
+           "ELSE -100.0 * (max(high) OVER wn14 - close) / (max(high) OVER wn14 - min(low) OVER wn14) END",
+           "willr")}
+        |FROM bars ${Sql.windows(14)} $T""".stripMargin)),
+
+    Entry("bop",
+      frameQ("bop" -> (_ => Frames.bop(col("open"), col("high"), col("low"), col("close")))),
+      Some(s"""$B SELECT symbol, ord,
+        |${Sql.r6("CASE WHEN high = low THEN 0.0 ELSE (close - open) / (high - low) END", "bop")}
+        |FROM bars $T""".stripMargin)),
+
+    Entry("cci_14",
+      frameQ("cci" -> (w => Frames.cci(col("high"), col("low"), col("close"), 14)(w))),
+      Some(s"""$B, t AS (
+        |  SELECT symbol, ord, (high + low + close)/3 AS tp FROM bars
+        |), t2 AS (
+        |  SELECT symbol, ord, tp, avg(tp) OVER wn14 AS m, count(tp) OVER wn14 AS cnt,
+        |         list(tp) OVER wn14 AS arr
+        |  FROM t WINDOW ${Sql.wnDef(14)}
+        |), t3 AS (
+        |  SELECT symbol, ord, tp, m, cnt,
+        |         list_sum(list_transform(arr, x -> abs(x - m))) / 14 AS mad
+        |  FROM t2
+        |)
+        |SELECT symbol, ord, ${Sql.r6(
+           "CASE WHEN cnt >= 14 THEN (CASE WHEN mad = 0 THEN 0.0 ELSE (tp - m) / (0.015 * mad) END) END",
+           "cci")}
+        |FROM t3 $T""".stripMargin)),
+
+    Entry("mfi_14",
+      frameQ("mfi" -> (w => Frames.mfi(col("high"), col("low"), col("close"), col("volume"), 14)(w))),
+      Some(s"""$B, t AS (
+        |  SELECT symbol, ord, (high + low + close)/3 AS tp, volume FROM bars
+        |), t2 AS (
+        |  SELECT symbol, ord, tp - lag(tp, 1) OVER w AS d, tp, volume
+        |  FROM t WINDOW ${Sql.wDef}
+        |), t3 AS (
+        |  SELECT symbol, ord,
+        |    CASE WHEN d > 0 THEN tp * volume WHEN d IS NULL THEN NULL ELSE 0.0 END AS pos,
+        |    CASE WHEN d < 0 THEN tp * volume WHEN d IS NULL THEN NULL ELSE 0.0 END AS neg
+        |  FROM t2
+        |)
+        |SELECT symbol, ord, ${Sql.gatedR6("pos", 14,
+           "CASE WHEN sum(neg) OVER wn14 = 0 THEN 100.0 " +
+           "ELSE 100.0 - 100.0 / (1.0 + sum(pos) OVER wn14 / sum(neg) OVER wn14) END",
+           "mfi")}
+        |FROM t3 ${Sql.windows(14)} $T""".stripMargin)),
+
+    Entry("ultosc_7_14_28",
+      frameQ("ultosc" -> (w => Frames.ultosc(col("high"), col("low"), col("close"), 7, 14, 28)(w))),
+      Some(s"""$B, t AS (
+        |  SELECT symbol, ord,
+        |    close - least(low, lag(close, 1) OVER w) AS bp,
+        |    greatest(high, lag(close, 1) OVER w) - least(low, lag(close, 1) OVER w) AS tr
+        |  FROM bars WINDOW ${Sql.wDef}
+        |)
+        |SELECT symbol, ord, ${Sql.gatedR6("bp", 28,
+           "(100.0/7.0) * (4 * (sum(bp) OVER wn7 / sum(tr) OVER wn7) " +
+           "+ 2 * (sum(bp) OVER wn14 / sum(tr) OVER wn14) " +
+           "+ (sum(bp) OVER wn28 / sum(tr) OVER wn28))",
+           "ultosc")}
+        |FROM t ${Sql.windows(7, 14, 28)} $T""".stripMargin)),
+
+    Entry("aroon_14",
+      frameQ(
+        "aroon_up"   -> (w => Frames.aroonUp(col("high"), 14)(w)),
+        "aroon_down" -> (w => Frames.aroonDown(col("low"), 14)(w))),
+      Some(s"""$B, t AS (
+        |  SELECT symbol, ord, count(high) OVER wn15 AS cnt,
+        |         list(high) OVER wn15 AS ah, list(low) OVER wn15 AS al
+        |  FROM bars WINDOW ${Sql.wnDef(15)}
+        |)
+        |SELECT symbol, ord,
+        |  ${Sql.r6("CASE WHEN cnt >= 15 THEN 100.0 * (14 - (list_position(list_reverse(ah), list_max(ah)) - 1)) / 14 END", "aroon_up")},
+        |  ${Sql.r6("CASE WHEN cnt >= 15 THEN 100.0 * (14 - (list_position(list_reverse(al), list_min(al)) - 1)) / 14 END", "aroon_down")}
+        |FROM t $T""".stripMargin)),
+
+    Entry("aroonosc_14",
+      frameQ("aroonosc" -> (w => Frames.aroonosc(col("high"), col("low"), 14)(w))),
+      Some(s"""$B, t AS (
+        |  SELECT symbol, ord, count(high) OVER wn15 AS cnt,
+        |         list(high) OVER wn15 AS ah, list(low) OVER wn15 AS al
+        |  FROM bars WINDOW ${Sql.wnDef(15)}
+        |)
+        |SELECT symbol, ord,
+        |  ${Sql.r6("CASE WHEN cnt >= 15 THEN " +
+           "100.0 * (14 - (list_position(list_reverse(ah), list_max(ah)) - 1)) / 14 " +
+           "- 100.0 * (14 - (list_position(list_reverse(al), list_min(al)) - 1)) / 14 END", "aroonosc")}
+        |FROM t $T""".stripMargin)),
+
+    // ---- APO/PPO/MACDEXT with SMA legs are pure windows → oracle-checked ----
+
+    Entry("apo_12_26",
+      recQ("apo")(df => Recursive.apo(df, "close", 12, 26, 0)),
+      Some(s"""$B, t AS (
+        |  SELECT symbol, ord,
+        |    CASE WHEN count(close) OVER wn12 >= 12 THEN avg(close) OVER wn12 END AS f,
+        |    CASE WHEN count(close) OVER wn26 >= 26 THEN avg(close) OVER wn26 END AS s
+        |  FROM bars WINDOW ${Sql.wnDef(12)}, ${Sql.wnDef(26)}
+        |)
+        |SELECT symbol, ord, ${Sql.r6("f - s", "apo")} FROM t $T""".stripMargin)),
+
+    Entry("ppo_12_26",
+      recQ("ppo")(df => Recursive.ppo(df, "close", 12, 26, 0)),
+      Some(s"""$B, t AS (
+        |  SELECT symbol, ord,
+        |    CASE WHEN count(close) OVER wn12 >= 12 THEN avg(close) OVER wn12 END AS f,
+        |    CASE WHEN count(close) OVER wn26 >= 26 THEN avg(close) OVER wn26 END AS s
+        |  FROM bars WINDOW ${Sql.wnDef(12)}, ${Sql.wnDef(26)}
+        |)
+        |SELECT symbol, ord, ${Sql.r6("CASE WHEN s = 0 THEN NULL ELSE 100.0 * (f - s) / s END", "ppo")}
+        |FROM t $T""".stripMargin)),
+
+    Entry("macdext_sma",
+      recQ("macd", "macd_signal", "macd_hist")(df =>
+        Recursive.macdext(df, "close", 12, 0, 26, 0, 9, 0)),
+      Some(s"""$B, t AS (
+        |  SELECT symbol, ord,
+        |    (CASE WHEN count(close) OVER wn12 >= 12 THEN avg(close) OVER wn12 END) -
+        |    (CASE WHEN count(close) OVER wn26 >= 26 THEN avg(close) OVER wn26 END) AS dif
+        |  FROM bars WINDOW ${Sql.wnDef(12)}, ${Sql.wnDef(26)}
+        |), t2 AS (
+        |  SELECT symbol, ord, dif,
+        |    CASE WHEN count(dif) OVER wn9 >= 9 THEN avg(dif) OVER wn9 END AS sig
+        |  FROM t WINDOW ${Sql.wnDef(9)}
+        |)
+        |SELECT symbol, ord, ${Sql.r6("dif", "macd")}, ${Sql.r6("sig", "macd_signal")},
+        |  ${Sql.r6("dif - sig", "macd_hist")}
+        |FROM t2 $T""".stripMargin)),
+
+    // ---- STOCH family (kernel path; SMA matype → oracle-checked) ----
+
+    Entry("stochf_5_3",
+      recQ("fastk", "fastd")(df => Recursive.stochf(df, fastkN = 5, fastdN = 3, fastdType = 0)),
+      Some(s"""$B, t AS (
+        |  SELECT symbol, ord, CASE WHEN count(high) OVER wn5 >= 5 THEN
+        |    (CASE WHEN max(high) OVER wn5 = min(low) OVER wn5 THEN 0.0
+        |     ELSE 100.0 * (close - min(low) OVER wn5) / (max(high) OVER wn5 - min(low) OVER wn5) END)
+        |  END AS fastk
+        |  FROM bars WINDOW ${Sql.wnDef(5)}
+        |)
+        |SELECT symbol, ord, ${Sql.r6("fastk", "fastk")},
+        |  ${Sql.gatedR6("fastk", 3, "avg(fastk) OVER wn3", "fastd")}
+        |FROM t ${Sql.windows(3)} $T""".stripMargin)),
+
+    Entry("stoch_5_3_3",
+      recQ("slowk", "slowd")(df =>
+        Recursive.stoch(df, fastkN = 5, slowkN = 3, slowkType = 0, slowdN = 3, slowdType = 0)),
+      Some(s"""$B, t AS (
+        |  SELECT symbol, ord, CASE WHEN count(high) OVER wn5 >= 5 THEN
+        |    (CASE WHEN max(high) OVER wn5 = min(low) OVER wn5 THEN 0.0
+        |     ELSE 100.0 * (close - min(low) OVER wn5) / (max(high) OVER wn5 - min(low) OVER wn5) END)
+        |  END AS fastk
+        |  FROM bars WINDOW ${Sql.wnDef(5)}
+        |), t2 AS (
+        |  SELECT symbol, ord,
+        |    CASE WHEN count(fastk) OVER wn3 >= 3 THEN avg(fastk) OVER wn3 END AS slowk
+        |  FROM t WINDOW ${Sql.wnDef(3)}
+        |)
+        |SELECT symbol, ord, ${Sql.r6("slowk", "slowk")},
+        |  ${Sql.gatedR6("slowk", 3, "avg(slowk) OVER wn3", "slowd")}
+        |FROM t2 ${Sql.windows(3)} $T""".stripMargin)),
+
+    Entry("stoch_ema",
+      recQ("slowk", "slowd")(df =>
+        Recursive.stoch(df, fastkN = 5, slowkN = 3, slowkType = 1, slowdN = 3, slowdType = 1)),
+      None), // EMA legs — recursive, covered by golden tests
+
+    // ---- volume / volatility / price transforms (oracle-checked) ----
+
+    Entry("trange",
+      frameQ("trange" -> (w => Frames.trange(col("high"), col("low"), col("close"))(w))),
+      Some(s"""$B, t AS (
+        |  SELECT symbol, ord, high, low, lag(close, 1) OVER w AS pc FROM bars WINDOW ${Sql.wDef}
+        |)
+        |SELECT symbol, ord, ${Sql.r6(
+           "CASE WHEN pc IS NULL THEN NULL ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END",
+           "trange")}
+        |FROM t $T""".stripMargin)),
+
+    Entry("ad",
+      frameQ("ad" -> (w => Frames.ad(col("high"), col("low"), col("close"), col("volume"))(w))),
+      Some(s"""$B SELECT symbol, ord, ${Sql.r6(
+           "sum(CASE WHEN high = low THEN 0.0 ELSE ((close - low) - (high - close)) / (high - low) * volume END) OVER wc",
+           "ad")}
+        |FROM bars WINDOW ${Sql.wcDef} $T""".stripMargin)),
+
+    Entry("obv",
+      frameQ("obv" -> (w => Frames.obv(col("close"), col("volume"))(w))),
+      Some(s"""$B, t AS (
+        |  SELECT symbol, ord, volume, close, lag(close, 1) OVER w AS pc FROM bars WINDOW ${Sql.wDef}
+        |)
+        |SELECT symbol, ord, ${Sql.r6(
+           "sum(CASE WHEN pc IS NULL THEN volume WHEN close > pc THEN volume " +
+           "WHEN close < pc THEN -volume ELSE 0.0 END) OVER wc",
+           "obv")}
+        |FROM t WINDOW ${Sql.wcDef} $T""".stripMargin)),
+
+    Entry("avgprice",
+      frameQ("avgprice" -> (_ => Frames.avgprice(col("open"), col("high"), col("low"), col("close")))),
+      Some(s"""$B SELECT symbol, ord, ${Sql.r6("(open + high + low + close) / 4", "avgprice")}
+        |FROM bars $T""".stripMargin)),
+
+    Entry("medprice",
+      frameQ("medprice" -> (_ => Frames.medprice(col("high"), col("low")))),
+      Some(s"""$B SELECT symbol, ord, ${Sql.r6("(high + low) / 2", "medprice")}
+        |FROM bars $T""".stripMargin)),
+
+    Entry("typprice",
+      frameQ("typprice" -> (_ => Frames.typprice(col("high"), col("low"), col("close")))),
+      Some(s"""$B SELECT symbol, ord, ${Sql.r6("(high + low + close) / 3", "typprice")}
+        |FROM bars $T""".stripMargin)),
+
+    Entry("wclprice",
+      frameQ("wclprice" -> (_ => Frames.wclprice(col("high"), col("low"), col("close")))),
+      Some(s"""$B SELECT symbol, ord, ${Sql.r6("(high + low + close * 2) / 4", "wclprice")}
+        |FROM bars $T""".stripMargin)),
+
+    // ---- recursive family (loop ops; rows-only check + golden scalatests) ----
+
+    Entry("ema_20",   recQ("ema")(df => Recursive.ema(df, "close", 20)), None),
+    Entry("rma_14",   recQ("rma")(df => Recursive.rma(df, "close", 14)), None),
+    Entry("dema_20",  recQ("dema")(df => Recursive.dema(df, "close", 20)), None),
+    Entry("tema_10",  recQ("tema")(df => Recursive.tema(df, "close", 10)), None),
+    Entry("t3_5",     recQ("t3")(df => Recursive.t3(df, "close", 5)), None),
+    Entry("kama_10",  recQ("kama")(df => Recursive.kama(df, "close", 10)), None),
+    Entry("mavp_5_15",
+      recQ("mavp")(df => Recursive.mavp(
+        df.withColumn("periods", (col("ord") % 11 + 5).cast("double")), "close", "periods", 5, 15, 0)),
+      None),
+    Entry("rsi_14",   recQ("rsi")(df => Recursive.rsi(df, "close", 14)), None),
+    Entry("macd_12_26_9",
+      recQ("macd", "macd_signal", "macd_hist")(df => Recursive.macd(df, "close")), None),
+    Entry("macdfix_9",
+      recQ("macd", "macd_signal", "macd_hist")(df => Recursive.macdfix(df, "close")), None),
+    Entry("trix_10",  recQ("trix")(df => Recursive.trix(df, "close", 10)), None),
+    Entry("atr_14",   recQ("atr")(df => Recursive.atr(df)), None),
+    Entry("natr_14",  recQ("natr")(df => Recursive.natr(df)), None),
+    Entry("adosc_3_10", recQ("adosc")(df => Recursive.adosc(df)), None),
+    Entry("adx_14",   recQ("adx")(df => Recursive.adx(df)), None),
+    Entry("adxr_14",  recQ("adxr")(df => Recursive.adxr(df)), None),
+    Entry("dx_14",    recQ("dx")(df => Recursive.dx(df)), None),
+    Entry("plus_di_14",  recQ("plus_di")(df => Recursive.plusDi(df)), None),
+    Entry("minus_di_14", recQ("minus_di")(df => Recursive.minusDi(df)), None),
+    Entry("plus_dm_14",  recQ("plus_dm")(df => Recursive.plusDm(df)), None),
+    Entry("minus_dm_14", recQ("minus_dm")(df => Recursive.minusDm(df)), None),
+    Entry("sar",      recQ("sar")(df => Recursive.sar(df)), None),
+    Entry("sarext",   recQ("sarext")(df => Recursive.sarext(df)), None),
+    Entry("stochrsi_14_5_3",
+      recQ("fastk_rsi", "fastd_rsi")(df => Recursive.stochrsi(df, "close")), None)
+  )
+
+  val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap
+  val oracle: Map[String, String] = entries.flatMap(e => e.oracle.map(e.name -> _)).toMap
+}

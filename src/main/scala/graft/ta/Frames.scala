@@ -137,11 +137,12 @@ object Frames {
     gated(bp, n3, lit(100.0 / 7.0) * (lit(4) * ratio(n1) + lit(2) * ratio(n2) + ratio(n3)))
   }
 
-  /** Fast %K = 100·(c−LL)/(HH−LL) — python momentum.py:178-195. */
+  /** Fast %K = 100·(c−LL)/(HH−LL); flat window → 0 (mirrors willr/stochrsi
+    * so the three siblings agree on degenerate frames) — momentum.py:178-195. */
   def stochFastK(h: Column, l: Column, c: Column, n: Int)(implicit w: WindowSpec): Column = {
     val hh = max(h).over(W(n))
     val ll = min(l).over(W(n))
-    gated(h, n, lit(100) * (c - ll) / (hh - ll))
+    gated(h, n, when(hh === ll, 0.0).otherwise(lit(100) * (c - ll) / (hh - ll)))
   }
 
   /** AROON up/down = 100·(n − bars-since-extreme)/n over n+1 rows; latest

@@ -429,6 +429,33 @@ object Kernels {
     out
   }
 
+  /** Raw fast %K = 100·(c−LL)/(HH−LL) over the last n valid bars; flat
+    * window → 0 (matches willr/stochrsi) — momentum.py:178-186. */
+  def stochFastK(h: Array[Double], l: Array[Double], c: Array[Double], n: Int): Array[Double] = {
+    val hh = rollMax(h, n); val ll = rollMin(l, n)
+    Array.tabulate(c.length) { i =>
+      if (ok(hh(i)) && ok(ll(i)) && ok(c(i))) {
+        if (hh(i) == ll(i)) 0.0 else 100.0 * (c(i) - ll(i)) / (hh(i) - ll(i))
+      } else NA
+    }
+  }
+
+  /** STOCH (slow) = {slowK = MA(fastK), slowD = MA(slowK)} with per-leg
+    * matype dispatch — momentum.py:178-186. */
+  def stoch(h: Array[Double], l: Array[Double], c: Array[Double],
+            fastkN: Int, slowkN: Int, slowkType: Int, slowdN: Int, slowdType: Int)
+      : (Array[Double], Array[Double]) = {
+    val slowk = ma(stochFastK(h, l, c, fastkN), slowkN, slowkType)
+    (slowk, ma(slowk, slowdN, slowdType))
+  }
+
+  /** STOCHF (fast) = {fastK, fastD = MA(fastK)} — momentum.py:188-195. */
+  def stochf(h: Array[Double], l: Array[Double], c: Array[Double],
+             fastkN: Int, fastdN: Int, fastdType: Int): (Array[Double], Array[Double]) = {
+    val fastk = stochFastK(h, l, c, fastkN)
+    (fastk, ma(fastk, fastdN, fastdType))
+  }
+
   /** STOCHRSI — stochastic of RSI — momentum.py:197-205. Returns (fastk, fastd). */
   def stochrsi(x: Array[Double], n: Int, fastkN: Int, fastdN: Int)
       : (Array[Double], Array[Double]) = {

@@ -131,6 +131,23 @@ object Recursive {
     one(df, Seq(h, l), out)(a => Kernels.sarext(a(0), a(1), startValue, offsetOnReverse,
       accelInitLong, accelLong, accelMaxLong, accelInitShort, accelShort, accelMaxShort))
 
+  /** STOCH (slow) → (slowk, slowd) with matype dispatch — momentum.py:178-186. */
+  def stoch(df: DataFrame, h: String = "high", l: String = "low", c: String = "close",
+            fastkN: Int = 5, slowkN: Int = 3, slowkType: Int = 0,
+            slowdN: Int = 3, slowdType: Int = 0): DataFrame =
+    SeriesOps.overSeries(df, Seq(h, l, c), Seq("slowk", "slowd")) { a =>
+      val (k, d) = Kernels.stoch(a(0), a(1), a(2), fastkN, slowkN, slowkType, slowdN, slowdType)
+      Array(k, d)
+    }
+
+  /** STOCHF (fast) → (fastk, fastd) — momentum.py:188-195. */
+  def stochf(df: DataFrame, h: String = "high", l: String = "low", c: String = "close",
+             fastkN: Int = 5, fastdN: Int = 3, fastdType: Int = 0): DataFrame =
+    SeriesOps.overSeries(df, Seq(h, l, c), Seq("fastk", "fastd")) { a =>
+      val (k, d) = Kernels.stochf(a(0), a(1), a(2), fastkN, fastdN, fastdType)
+      Array(k, d)
+    }
+
   /** STOCHRSI → (fastk_rsi, fastd_rsi) — momentum.py:197-205. */
   def stochrsi(df: DataFrame, x: String, n: Int = 14, fastkN: Int = 5, fastdN: Int = 3): DataFrame =
     SeriesOps.overSeries(df, Seq(x), Seq("fastk_rsi", "fastd_rsi")) { a =>

@@ -24,26 +24,32 @@ object SeriesOps {
     * @param in   input column names fed to the kernel (cast to double; null → NaN)
     * @param out  output column names
     * @param f    kernel: per-series column arrays → output column arrays (NaN → null)
+    *
+    * Input columns are CARRIED THROUGH to the output (distinct names, in
+    * order), so computing an indicator does not force a join back to the
+    * source frame — the round-1 design cost k shuffles + k joins for k
+    * indicators; this costs one shuffle total and zero joins.
     */
   def overSeries(df: DataFrame, in: Seq[String], out: Seq[String])
                 (f: Array[Array[Double]] => Array[Array[Double]]): DataFrame = {
+    val carried = in.distinct
     val proj = df.select(
       col("symbol").cast(StringType) +:
       col("ord").cast(LongType) +:
-      in.map(c => col(c).cast(DoubleType)): _*)
+      carried.map(c => col(c).cast(DoubleType)): _*)
     val outSchema = StructType(
       StructField("symbol", StringType) ::
       StructField("ord", LongType) ::
-      out.toList.map(StructField(_, DoubleType)))
-    val nIn = in.length
+      (carried.toList ++ out.toList).map(StructField(_, DoubleType)))
+    val inIdx = in.map(c => carried.indexOf(c) + 2)
     proj
       .groupByKey(_.getString(0))(Encoders.STRING)
       .flatMapGroups { (sym: String, it: Iterator[Row]) =>
         val rows = it.toArray
         java.util.Arrays.sort(rows, Ordering.by((r: Row) => r.getLong(1)))
-        val ins = Array.tabulate(nIn) { j =>
+        val ins = inIdx.toArray.map { j =>
           Array.tabulate(rows.length) { i =>
-            if (rows(i).isNullAt(j + 2)) Double.NaN else rows(i).getDouble(j + 2)
+            if (rows(i).isNullAt(j)) Double.NaN else rows(i).getDouble(j)
           }
         }
         val outs = f(ins)
@@ -51,7 +57,8 @@ object SeriesOps {
         rows.indices.iterator.map { i =>
           Row.fromSeq(
             sym +: rows(i).getLong(1) +:
-            outs.indices.map(j => if (java.lang.Double.isNaN(outs(j)(i))) null else outs(j)(i)))
+            (carried.indices.map(j => if (rows(i).isNullAt(j + 2)) null else rows(i).getDouble(j + 2)) ++
+             outs.indices.map(j => if (java.lang.Double.isNaN(outs(j)(i))) null else outs(j)(i))))
         }
       }(Encoders.row(outSchema))
   }
