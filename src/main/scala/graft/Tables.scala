@@ -51,20 +51,26 @@ object Tables {
       col("value").as("close"))
 
   /** Deterministic synthetic OHLCV bars from `events` — the shared input of
-    * every indicator query. open = previous close; high/low bracket the last
-    * three closes; volume is a deterministic function of ord. The DuckDB
-    * oracle (Sql.barsCte) recomputes the identical derivation.
+    * every indicator query. Body, upper/lower shadow, and open gap are
+    * deterministic pseudo-random functions of `ord` (co-prime multipliers),
+    * chosen so every candlestick-shape class occurs: dojis (|body| ≤ 0.25%),
+    * long bodies (up to ±20%), zero and long shadows, and up/down gaps
+    * versus the (i.i.d.) previous close. The DuckDB oracle (Sql.bars)
+    * recomputes the identical derivation with the same IEEE expression
+    * structure, so comparisons are bit-exact.
     */
   def bars(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("symbol").orderBy("ord")
+    // Prime denominators keep derived prices non-terminating in decimal, so
+    // round(x, 6) never lands on an exact half — Spark (BigDecimal HALF_UP on
+    // the binary expansion) and DuckDB (scaled multiply) disagree there.
+    val g  = (col("ord") * 7919 % 4000 - 2000).cast("double") / 9973.0  // body ±20%
+    val us = (col("ord") * 104729 % 7).cast("double") / 401.0           // upper shadow 0–1.5%
+    val ls = (col("ord") * 15485863 % 5).cast("double") / 499.0         // lower shadow 0–0.8%
     series(spark, dir)
-      .withColumn("p1", lag("close", 1).over(w))
-      .withColumn("p2", lag("close", 2).over(w))
-      .withColumn("open", coalesce(col("p1"), col("close")))
-      .withColumn("high", greatest(col("open"), col("close"), coalesce(col("p2"), col("close"))))
-      .withColumn("low", least(col("open"), col("close"), coalesce(col("p2"), col("close"))))
+      .withColumn("open", col("close") * (lit(1.0) + g))
+      .withColumn("high", greatest(col("open"), col("close")) * (lit(1.0) + us))
+      .withColumn("low", least(col("open"), col("close")) * (lit(1.0) - ls))
       .withColumn("volume", (col("ord") % 1000 + 10).cast("double"))
-      .drop("p1", "p2")
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame =

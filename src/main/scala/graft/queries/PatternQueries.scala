@@ -1,0 +1,31 @@
+package graft.queries
+
+import graft.Tables
+import graft.ta.Patterns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver-contract registration for all 61 candlestick patterns
+  * (SURVEY.md §2.5). Implementation and oracle SQL both derive from the
+  * same PatternDsl definition, so every pattern is oracle-checked.
+  */
+object PatternQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def patternQ(p: graft.ta.PatternDsl.Pattern): Q = (spark, dir) => {
+    implicit val w = Window.partitionBy("symbol").orderBy("ord")
+    Tables.bars(spark, dir)
+      .select(col("symbol"), col("ord"), p.column)
+      .orderBy("symbol", "ord")
+  }
+
+  private def patternSql(p: graft.ta.PatternDsl.Pattern): String =
+    s"""${Sql.bars}
+      |SELECT symbol, ord, ${p.sqlExpr}
+      |FROM bars WINDOW ${Sql.wDef}
+      |${Sql.tail}""".stripMargin
+
+  val queries: Map[String, Q] = Patterns.all.map(p => p.name -> patternQ(p)).toMap
+  val oracle: Map[String, String] = Patterns.all.map(p => p.name -> patternSql(p)).toMap
+}

@@ -13,7 +13,7 @@ package graft.queries
 object Sql {
 
   /** The canonical bar-frame prelude — must mirror Tables.bars exactly
-    * (incl. the event_type × user_id%16 series key of Tables.series). */
+    * (series key, gap/body/shadow derivation, IEEE expression structure). */
   val bars: String =
     """WITH ser AS (
       |  SELECT event_type || '_' || CAST(user_id % 16 AS VARCHAR) AS symbol,
@@ -21,15 +21,13 @@ object Sql {
       |  FROM events
       |), b0 AS (
       |  SELECT symbol, ord, close,
-      |         lag(close, 1) OVER (PARTITION BY symbol ORDER BY ord) AS p1,
-      |         lag(close, 2) OVER (PARTITION BY symbol ORDER BY ord) AS p2
+      |         close * (1.0 + (CAST(((ord * 7919) % 4000) - 2000 AS DOUBLE) / 9973.0)) AS open
       |  FROM ser
       |), bars AS (
-      |  SELECT symbol, ord, close,
-      |         coalesce(p1, close) AS open,
-      |         greatest(coalesce(p1, close), close, coalesce(p2, close)) AS high,
-      |         least(coalesce(p1, close), close, coalesce(p2, close)) AS low,
-      |         CAST(ord % 1000 + 10 AS DOUBLE) AS volume
+      |  SELECT symbol, ord, close, open,
+      |         greatest(open, close) * (1.0 + (CAST((ord * 104729) % 7 AS DOUBLE) / 401.0)) AS high,
+      |         least(open, close) * (1.0 - (CAST((ord * 15485863) % 5 AS DOUBLE) / 499.0)) AS low,
+      |         CAST((ord % 1000) + 10 AS DOUBLE) AS volume
       |  FROM b0
       |)""".stripMargin
 
