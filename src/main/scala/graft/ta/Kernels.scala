@@ -120,26 +120,42 @@ object Kernels {
   }
 
   /** KAMA — efficiency ratio → squared smoothing constant (fast 2/3, slow
-    * 2/31) → recursion seeded with the last pre-window price —
-    * overlap.rs:732-855. First valid at index n. */
+    * 2/31) → recursion seeded with the previous valid price —
+    * overlap.rs:732-855. First valid at the (n+1)-th valid value; interior
+    * NaNs are skipped without advancing window state (rolling sum of the
+    * last n valid-to-valid diffs + a value ring for the direction term). */
   def kama(x: Array[Double], n: Int): Array[Double] = {
     val out  = Array.fill(x.length)(NA)
     val fast = 2.0 / (2 + 1); val slow = 2.0 / (30 + 1)
-    var prev = NA
+    val vals  = new Array[Double](n + 1)  // last n+1 valid values
+    val diffs = new Array[Double](n)      // |diff| of last n valid pairs
+    var vcnt = 0; var vpos = 0            // value ring state
+    var dcnt = 0; var dpos = 0; var vol = 0.0
+    var prevVal = NA; var prevK = NA
     var i = 0
-    // assumes a NaN-free interior (leading NaN prefix allowed)
-    var start = 0
-    while (start < x.length && !ok(x(start))) start += 1
-    i = start + n
-    if (i <= x.length && i - 1 >= start && i - 1 < x.length) prev = x(i - 1)
     while (i < x.length) {
-      var vol = 0.0; var k = i - n + 1
-      while (k <= i) { vol += math.abs(x(k) - x(k - 1)); k += 1 }
-      val dir = math.abs(x(i) - x(i - n))
-      val er  = if (vol == 0.0) 0.0 else dir / vol
-      val sc  = { val s = er * (fast - slow) + slow; s * s }
-      prev = prev + sc * (x(i) - prev)
-      out(i) = prev
+      val v = x(i)
+      if (ok(v)) {
+        if (ok(prevVal)) {
+          val d = math.abs(v - prevVal)
+          if (dcnt == n) vol -= diffs(dpos)
+          diffs(dpos) = d; dpos = (dpos + 1) % n
+          if (dcnt < n) dcnt += 1
+          vol += d
+        }
+        vals(vpos) = v; vpos = (vpos + 1) % (n + 1)
+        if (vcnt < n + 1) vcnt += 1
+        if (dcnt == n) {
+          val oldest = vals(if (vcnt == n + 1) vpos else 0)
+          val dir = math.abs(v - oldest)
+          val er  = if (vol == 0.0) 0.0 else dir / vol
+          val sc  = { val s = er * (fast - slow) + slow; s * s }
+          if (!ok(prevK)) prevK = prevVal
+          prevK = prevK + sc * (v - prevK)
+          out(i) = prevK
+        }
+        prevVal = v
+      }
       i += 1
     }
     out
@@ -191,25 +207,40 @@ object Kernels {
   @inline private def rs(ag: Double, al: Double): Double =
     if (al == 0.0) 100.0 else 100.0 - 100.0 / (1.0 + ag / al)
 
-  /** True range; index 0 NaN — volatility.rs:50-84. */
-  def trange(h: Array[Double], l: Array[Double], c: Array[Double]): Array[Double] =
-    Array.tabulate(h.length) { i =>
-      if (i == 0) NA
-      else math.max(h(i) - l(i), math.max(math.abs(h(i) - c(i - 1)), math.abs(l(i) - c(i - 1))))
+  /** True range vs the previous VALID close; rows before the first valid
+    * close (or with NaN inputs) emit NaN without advancing state —
+    * volatility.rs:50-84 + the skip-don't-poison convention. */
+  def trange(h: Array[Double], l: Array[Double], c: Array[Double]): Array[Double] = {
+    val out = Array.fill(h.length)(NA)
+    var pc = NA
+    var i = 0
+    while (i < h.length) {
+      if (ok(h(i)) && ok(l(i)) && ok(c(i))) {
+        if (ok(pc))
+          out(i) = math.max(h(i) - l(i), math.max(math.abs(h(i) - pc), math.abs(l(i) - pc)))
+        pc = c(i)
+      }
+      i += 1
     }
+    out
+  }
 
   /** ATR = RMA(TR, n) — volatility.rs:17-31. */
   def atr(h: Array[Double], l: Array[Double], c: Array[Double], n: Int): Array[Double] =
     rma(trange(h, l, c), n)
 
-  /** Chaikin A/D line (running CLV·V sum; h=l adds 0) — volume.rs:100-126. */
+  /** Chaikin A/D line (running CLV·V sum; h=l adds 0). NaN rows emit NaN
+    * without advancing the running sum — volume.rs:100-126, null skip at
+    * :113-118. */
   def adline(h: Array[Double], l: Array[Double], c: Array[Double], v: Array[Double]): Array[Double] = {
     val out = Array.fill(h.length)(NA)
     var s = 0.0
     var i = 0
     while (i < h.length) {
-      if (h(i) != l(i)) s += ((c(i) - l(i)) - (h(i) - c(i))) / (h(i) - l(i)) * v(i)
-      out(i) = s
+      if (ok(h(i)) && ok(l(i)) && ok(c(i)) && ok(v(i))) {
+        if (h(i) != l(i)) s += ((c(i) - l(i)) - (h(i) - c(i))) / (h(i) - l(i)) * v(i)
+        out(i) = s
+      }
       i += 1
     }
     out
@@ -233,25 +264,33 @@ object Kernels {
     val pdi = Array.fill(len)(NA); val mdi = Array.fill(len)(NA)
     val dx = Array.fill(len)(NA); val spdmA = Array.fill(len)(NA); val smdmA = Array.fill(len)(NA)
     var str = 0.0; var spdm = 0.0; var smdm = 0.0
-    var i = 1
+    var ph = NA; var pl = NA; var pc = NA  // previous VALID bar (skip-don't-poison)
+    var step = 0                          // count of valid transitions
+    var i = 0
     while (i < len) {
-      val up = h(i) - h(i - 1)
-      val dn = l(i - 1) - l(i)
-      val pdm = if (up > dn && up > 0) up else 0.0
-      val mdm = if (dn > up && dn > 0) dn else 0.0
-      val tr = math.max(h(i) - l(i), math.max(math.abs(h(i) - c(i - 1)), math.abs(l(i) - c(i - 1))))
-      if (i <= n) { str += tr; spdm += pdm; smdm += mdm }
-      else {
-        str = str - str / n + tr
-        spdm = spdm - spdm / n + pdm
-        smdm = smdm - smdm / n + mdm
-      }
-      if (i >= n) {
-        spdmA(i) = spdm; smdmA(i) = smdm
-        val p = if (str == 0) 0.0 else 100.0 * spdm / str
-        val m = if (str == 0) 0.0 else 100.0 * smdm / str
-        pdi(i) = p; mdi(i) = m
-        dx(i) = if (p + m == 0) 0.0 else 100.0 * math.abs(p - m) / (p + m)
+      if (ok(h(i)) && ok(l(i)) && ok(c(i))) {
+        if (ok(ph)) {
+          step += 1
+          val up = h(i) - ph
+          val dn = pl - l(i)
+          val pdm = if (up > dn && up > 0) up else 0.0
+          val mdm = if (dn > up && dn > 0) dn else 0.0
+          val tr = math.max(h(i) - l(i), math.max(math.abs(h(i) - pc), math.abs(l(i) - pc)))
+          if (step <= n) { str += tr; spdm += pdm; smdm += mdm }
+          else {
+            str = str - str / n + tr
+            spdm = spdm - spdm / n + pdm
+            smdm = smdm - smdm / n + mdm
+          }
+          if (step >= n) {
+            spdmA(i) = spdm; smdmA(i) = smdm
+            val p = if (str == 0) 0.0 else 100.0 * spdm / str
+            val m = if (str == 0) 0.0 else 100.0 * smdm / str
+            pdi(i) = p; mdi(i) = m
+            dx(i) = if (p + m == 0) 0.0 else 100.0 * math.abs(p - m) / (p + m)
+          }
+        }
+        ph = h(i); pl = l(i); pc = c(i)
       }
       i += 1
     }
@@ -283,46 +322,57 @@ object Kernels {
   }
 
   /** Parabolic SAR (Wilder) — overlap.rs:436-454 (kernel absent from the
-    * snapshot; standard definition). First valid at index 1. */
+    * snapshot; standard definition). First valid at the second valid bar;
+    * NaN bars emit NaN without advancing the state machine. */
   def sar(h: Array[Double], l: Array[Double], accel: Double, maxA: Double): Array[Double] = {
     val len = h.length
     val out = Array.fill(len)(NA)
-    if (len < 2) return out
-    // initial trend from first bar's +DM vs −DM (TA-Lib convention)
-    var long = (h(1) - h(0)) >= (l(0) - l(1))
-    var af = accel
-    var sarV = if (long) l(0) else h(0)
-    var ep = if (long) h(1) else l(1)
-    var i = 1
+    var ph = NA; var pl = NA            // previous valid bar
+    var haveState = false
+    var long = false; var af = accel; var sarV = NA; var ep = NA
+    var i = 0
     while (i < len) {
-      if (long) {
-        if (l(i) < sarV) { // flip to short
-          long = false; sarV = ep; ep = l(i); af = accel
-          out(i) = sarV
-          sarV = sarV + af * (ep - sarV)
-          if (sarV < h(i)) sarV = h(i)
-          if (i >= 1 && sarV < h(i - 1)) sarV = h(i - 1)
-        } else {
-          out(i) = sarV
-          if (h(i) > ep) { ep = h(i); af = math.min(af + accel, maxA) }
-          sarV = sarV + af * (ep - sarV)
-          if (sarV > l(i)) sarV = l(i)
-          if (i >= 1 && sarV > l(i - 1)) sarV = l(i - 1)
+      if (ok(h(i)) && ok(l(i))) {
+        if (ok(ph)) {
+          if (!haveState) {
+            // initial trend from first valid pair's +DM vs −DM (TA-Lib)
+            long = (h(i) - ph) >= (pl - l(i))
+            af = accel
+            sarV = if (long) pl else ph
+            ep = if (long) h(i) else l(i)
+            haveState = true
+          }
+          if (long) {
+            if (l(i) < sarV) { // flip to short
+              long = false; sarV = ep; ep = l(i); af = accel
+              out(i) = sarV
+              sarV = sarV + af * (ep - sarV)
+              if (sarV < h(i)) sarV = h(i)
+              if (sarV < ph) sarV = ph
+            } else {
+              out(i) = sarV
+              if (h(i) > ep) { ep = h(i); af = math.min(af + accel, maxA) }
+              sarV = sarV + af * (ep - sarV)
+              if (sarV > l(i)) sarV = l(i)
+              if (sarV > pl) sarV = pl
+            }
+          } else {
+            if (h(i) > sarV) { // flip to long
+              long = true; sarV = ep; ep = h(i); af = accel
+              out(i) = sarV
+              sarV = sarV + af * (ep - sarV)
+              if (sarV > l(i)) sarV = l(i)
+              if (sarV > pl) sarV = pl
+            } else {
+              out(i) = sarV
+              if (l(i) < ep) { ep = l(i); af = math.min(af + accel, maxA) }
+              sarV = sarV + af * (ep - sarV)
+              if (sarV < h(i)) sarV = h(i)
+              if (sarV < ph) sarV = ph
+            }
+          }
         }
-      } else {
-        if (h(i) > sarV) { // flip to long
-          long = true; sarV = ep; ep = h(i); af = accel
-          out(i) = sarV
-          sarV = sarV + af * (ep - sarV)
-          if (sarV > l(i)) sarV = l(i)
-          if (i >= 1 && sarV > l(i - 1)) sarV = l(i - 1)
-        } else {
-          out(i) = sarV
-          if (l(i) < ep) { ep = l(i); af = math.min(af + accel, maxA) }
-          sarV = sarV + af * (ep - sarV)
-          if (sarV < h(i)) sarV = h(i)
-          if (i >= 1 && sarV < h(i - 1)) sarV = h(i - 1)
-        }
+        ph = h(i); pl = l(i)
       }
       i += 1
     }
@@ -338,46 +388,56 @@ object Kernels {
              accelInitShort: Double, accelShort: Double, accelMaxShort: Double): Array[Double] = {
     val len = h.length
     val out = Array.fill(len)(NA)
-    if (len < 2) return out
-    var long =
-      if (startValue > 0) true
-      else if (startValue < 0) false
-      else (h(1) - h(0)) >= (l(0) - l(1))
-    var af = if (long) accelInitLong else accelInitShort
-    var sarV =
-      if (startValue != 0.0) math.abs(startValue)
-      else if (long) l(0) else h(0)
-    var ep = if (long) h(1) else l(1)
-    var i = 1
+    var ph = NA; var pl = NA            // previous valid bar
+    var haveState = false
+    var long = false; var af = 0.0; var sarV = NA; var ep = NA
+    var i = 0
     while (i < len) {
-      if (long) {
-        if (l(i) < sarV) {
-          long = false; sarV = ep * (1 + offsetOnReverse); ep = l(i); af = accelInitShort
-          out(i) = -sarV
-          sarV = sarV + af * (ep - sarV)
-          if (sarV < h(i)) sarV = h(i)
-          if (sarV < h(i - 1)) sarV = h(i - 1)
-        } else {
-          out(i) = sarV
-          if (h(i) > ep) { ep = h(i); af = math.min(af + accelLong, accelMaxLong) }
-          sarV = sarV + af * (ep - sarV)
-          if (sarV > l(i)) sarV = l(i)
-          if (sarV > l(i - 1)) sarV = l(i - 1)
+      if (ok(h(i)) && ok(l(i))) {
+        if (ok(ph)) {
+          if (!haveState) {
+            long =
+              if (startValue > 0) true
+              else if (startValue < 0) false
+              else (h(i) - ph) >= (pl - l(i))
+            af = if (long) accelInitLong else accelInitShort
+            sarV =
+              if (startValue != 0.0) math.abs(startValue)
+              else if (long) pl else ph
+            ep = if (long) h(i) else l(i)
+            haveState = true
+          }
+          if (long) {
+            if (l(i) < sarV) {
+              long = false; sarV = ep * (1 + offsetOnReverse); ep = l(i); af = accelInitShort
+              out(i) = -sarV
+              sarV = sarV + af * (ep - sarV)
+              if (sarV < h(i)) sarV = h(i)
+              if (sarV < ph) sarV = ph
+            } else {
+              out(i) = sarV
+              if (h(i) > ep) { ep = h(i); af = math.min(af + accelLong, accelMaxLong) }
+              sarV = sarV + af * (ep - sarV)
+              if (sarV > l(i)) sarV = l(i)
+              if (sarV > pl) sarV = pl
+            }
+          } else {
+            if (h(i) > sarV) {
+              long = true; sarV = ep * (1 - offsetOnReverse); ep = h(i); af = accelInitLong
+              out(i) = sarV
+              sarV = sarV + af * (ep - sarV)
+              if (sarV > l(i)) sarV = l(i)
+              if (sarV > pl) sarV = pl
+            } else {
+              out(i) = -sarV
+              if (l(i) < ep) { ep = l(i); af = math.min(af + accelShort, accelMaxShort) }
+              sarV = sarV + af * (ep - sarV)
+              if (sarV < h(i)) sarV = h(i)
+              if (sarV < ph) sarV = ph
+            }
+          }
         }
-      } else {
-        if (h(i) > sarV) {
-          long = true; sarV = ep * (1 - offsetOnReverse); ep = h(i); af = accelInitLong
-          out(i) = sarV
-          sarV = sarV + af * (ep - sarV)
-          if (sarV > l(i)) sarV = l(i)
-          if (sarV > l(i - 1)) sarV = l(i - 1)
-        } else {
-          out(i) = -sarV
-          if (l(i) < ep) { ep = l(i); af = math.min(af + accelShort, accelMaxShort) }
-          sarV = sarV + af * (ep - sarV)
-          if (sarV < h(i)) sarV = h(i)
-          if (sarV < h(i - 1)) sarV = h(i - 1)
-        }
+        ph = h(i); pl = l(i)
       }
       i += 1
     }

@@ -13,6 +13,16 @@ object Recursive {
   private def one(df: DataFrame, in: Seq[String], out: String)(k: Array[Array[Double]] => Array[Double]): DataFrame =
     SeriesOps.overSeries(df, in, Seq(out))(a => Array(k(a)))
 
+  /** Compute ANY number of recursive kernels in ONE shuffle pass.
+    * Each kernel sees the `in` columns as arrays (indexed by position) and
+    * emits one output column; input columns are carried through, so k
+    * indicators cost one shuffle and zero join-backs (the round-1 design
+    * cost k shuffles + k joins — VERDICT.md "What's wrong" #3).
+    */
+  def multi(df: DataFrame, in: Seq[String],
+            kernels: Seq[(String, Array[Array[Double]] => Array[Double])]): DataFrame =
+    SeriesOps.overSeries(df, in, kernels.map(_._1))(a => kernels.map(_._2(a)).toArray)
+
   def ema(df: DataFrame, x: String, n: Int, out: String = "ema"): DataFrame =
     one(df, Seq(x), out)(a => Kernels.ema(a(0), n))
   def rma(df: DataFrame, x: String, n: Int, out: String = "rma"): DataFrame =

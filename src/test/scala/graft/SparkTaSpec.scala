@@ -1,0 +1,154 @@
+package graft
+
+import graft.ta._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-level tests: Frames vs Kernels agreement, overSeries mechanics,
+  * and candlestick patterns on crafted bars that exercise specific firing
+  * branches (the synthetic driver data cannot reach every pattern). */
+class SparkTaSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ohlcDf(rows: Seq[(Double, Double, Double, Double)]): DataFrame = {
+    val data = rows.zipWithIndex.map { case ((o, h, l, c), i) =>
+      ("s", i.toLong, o, h, l, c)
+    }
+    spark.createDataFrame(data).toDF("symbol", "ord", "open", "high", "low", "close")
+  }
+
+  private def patternValues(p: PatternDsl.Pattern, rows: Seq[(Double, Double, Double, Double)]): Seq[Int] = {
+    implicit val w = Window.partitionBy("symbol").orderBy("ord")
+    ohlcDf(rows).select(col("ord"), p.column).orderBy("ord")
+      .collect().map(_.getInt(1)).toSeq
+  }
+
+  // ---- crafted pattern firings ----
+
+  test("cdlhammer fires on a hammer after a down bar") {
+    // bar0: bearish; bar1: small body, long lower shadow, zero upper shadow
+    val rows = Seq(
+      (100.0, 101.0, 95.0, 96.0),        // bear
+      (100.0, 100.0, 90.0, 99.9)         // body .1, lower shadow 9.9, upper 0
+    )
+    assert(patternValues(Patterns.cdlhammer, rows) == Seq(0, 100))
+  }
+
+  test("cdlengulfing fires both directions") {
+    val bullish = Seq((100.0, 101.0, 94.0, 95.0), (94.0, 103.0, 93.0, 102.0))
+    val bearish = Seq((95.0, 101.0, 94.0, 100.0), (101.0, 102.0, 93.0, 94.0))
+    assert(patternValues(Patterns.cdlengulfing, bullish) == Seq(0, 100))
+    assert(patternValues(Patterns.cdlengulfing, bearish) == Seq(0, -100))
+  }
+
+  test("cdldoji fires on near-zero body") {
+    val rows = Seq((100.0, 101.0, 99.0, 100.1))  // body .1 ≤ 0.5% of ~100
+    assert(patternValues(Patterns.cdldoji, rows) == Seq(100))
+  }
+
+  test("cdlkicking fires on opposing marubozus with a gap") {
+    val rows = Seq(
+      (110.0, 110.2, 99.9, 100.0),   // bear marubozu (body 10, shadows .2/.1)
+      (120.0, 130.3, 119.8, 130.0)   // bull marubozu, opens above prior open
+    )
+    assert(patternValues(Patterns.cdlkicking, rows) == Seq(0, 100))
+    assert(patternValues(Patterns.cdlkickingbylength, rows) == Seq(0, 100))
+  }
+
+  test("cdlmorningstar fires on the classic three-bar reversal") {
+    val rows = Seq(
+      (110.0, 111.0, 99.0, 100.0),     // long bear
+      (95.0, 96.0, 93.0, 94.0),        // short body gapping below c1
+      (96.0, 109.0, 95.0, 108.0)       // bull closing well into bar1 body
+    )
+    assert(patternValues(Patterns.cdlmorningstar, rows) == Seq(0, 0, 100))
+  }
+
+  test("cdl3whitesoldiers fires on three long advancing bulls") {
+    val rows = Seq(
+      (100.0, 110.2, 99.9, 110.0),
+      (105.0, 115.2, 104.9, 115.0),
+      (110.0, 120.2, 109.9, 120.0)
+    )
+    assert(patternValues(Patterns.cdl3whitesoldiers, rows) == Seq(0, 0, 100))
+  }
+
+  test("patterns are scale-invariant (thresholds are price-relative)") {
+    val rows = Seq(
+      (110.0, 111.0, 99.0, 100.0),
+      (95.0, 96.0, 93.0, 94.0),
+      (96.0, 109.0, 95.0, 108.0)
+    )
+    val scaled = rows.map { case (o, h, l, c) => (o * 250, h * 250, l * 250, c * 250) }
+    assert(patternValues(Patterns.cdlmorningstar, scaled) == Seq(0, 0, 100))
+  }
+
+  test("pattern outputs are always in {-100, 0, 100} on real bars") {
+    implicit val w = Window.partitionBy("symbol").orderBy("ord")
+    val bars = Tables.bars(spark, "/root/testdata/sf0.001")
+    val cols = Seq(Patterns.cdlbelthold, Patterns.cdlhighwave, Patterns.cdlengulfing)
+    val vals = bars.select(cols.map(_.column): _*).collect()
+    vals.foreach(r => (0 until 3).foreach(j => assert(Set(-100, 0, 100)(r.getInt(j)))))
+  }
+
+  // ---- Frames vs Kernels agreement on real data ----
+
+  test("Frames.sma/wma/stoch agree with kernel-space counterparts") {
+    implicit val w = Window.partitionBy("symbol").orderBy("ord")
+    val bars = Tables.bars(spark, "/root/testdata/sf0.001").cache()
+    val frames = bars.select(col("symbol"), col("ord"),
+        Frames.sma(col("close"), 7).as("f_sma"),
+        Frames.wma(col("close"), 7).as("f_wma"),
+        Frames.stochFastK(col("high"), col("low"), col("close"), 5).as("f_k"))
+    val kern = Recursive.multi(bars, Seq("high", "low", "close"), Seq(
+      "k_sma" -> (a => Kernels.sma(a(2), 7)),
+      "k_wma" -> (a => Kernels.wma(a(2), 7)),
+      "k_k"   -> (a => Kernels.stochFastK(a(0), a(1), a(2), 5))))
+    val joined = frames.join(kern.select("symbol", "ord", "k_sma", "k_wma", "k_k"),
+      Seq("symbol", "ord")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      Seq(("f_sma", "k_sma"), ("f_wma", "k_wma"), ("f_k", "k_k")).foreach { case (f, k) =>
+        val fv = Option(r.getAs[java.lang.Double](f)).map(_.doubleValue)
+        val kv = Option(r.getAs[java.lang.Double](k)).map(_.doubleValue)
+        assert(fv.isDefined == kv.isDefined, s"$f null mismatch at ${r.get(1)}")
+        for (a <- fv; b <- kv) assert(math.abs(a - b) < 1e-9, s"$f $a != $b")
+      }
+    }
+  }
+
+  // ---- overSeries mechanics ----
+
+  test("overSeries sorts by ord within series and carries inputs") {
+    import scala.util.Random
+    val rnd = new Random(7)
+    val rows = rnd.shuffle((0 until 100).map(i => ("a", i.toLong, i + 1.0)).toList)
+    val df = spark.createDataFrame(rows).toDF("symbol", "ord", "close")
+    val out = SeriesOps.overSeries(df, Seq("close"), Seq("sma"))(a => Array(Kernels.sma(a(0), 3)))
+      .orderBy("ord").collect()
+    assert(out.length == 100)
+    assert(out(0).schema.fieldNames.toSeq == Seq("symbol", "ord", "close", "sma"))
+    // input carried: close at ord i is i+1; sma at i>=2 is i (avg of i-1,i,i+1)
+    assert(out(50).getDouble(2) == 51.0)
+    assert(math.abs(out(50).getDouble(3) - 50.0) < 1e-12)
+    assert(out(0).isNullAt(3) && out(1).isNullAt(3))
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
