@@ -397,7 +397,34 @@ object TaQueries {
     Entry("sar",      recQ("sar")(df => Recursive.sar(df)), None),
     Entry("sarext",   recQ("sarext")(df => Recursive.sarext(df)), None),
     Entry("stochrsi_14_5_3",
-      recQ("fastk_rsi", "fastd_rsi")(df => Recursive.stochrsi(df, "close")), None)
+      recQ("fastk_rsi", "fastd_rsi")(df => Recursive.stochrsi(df, "close")), None),
+
+    // ---- cycle / Hilbert family (one mesa pass; trendline+trendmode are
+    //      window-expressible → oracle-checked, the rest golden-tested) ----
+
+    Entry("ht_dcperiod", recQ("ht_dcperiod")(df => Recursive.htAll(df)), None),
+    Entry("ht_dcphase",  recQ("ht_dcphase")(df => Recursive.htAll(df)), None),
+    Entry("ht_phasor",   recQ("inphase", "quadrature")(df => Recursive.htAll(df)), None),
+    Entry("ht_sine",     recQ("sine", "leadsine")(df => Recursive.htAll(df)), None),
+    Entry("ht_trendline",
+      recQ("ht_trendline")(df => Recursive.htAll(df)),
+      Some(s"""$B SELECT symbol, ord, ${Sql.r6(
+           "CASE WHEN row_number() OVER w >= 32 THEN " +
+           "(((close + lag(close, 1) OVER w) + lag(close, 2) OVER w) + lag(close, 3) OVER w) * 0.25 END",
+           "ht_trendline")}
+        |FROM bars ${Sql.windows()} $T""".stripMargin)),
+    Entry("ht_trendmode",
+      recQ("ht_trendmode")(df => Recursive.htAll(df)),
+      Some(s"""$B, t AS (
+        |  SELECT symbol, ord, close, row_number() OVER w AS rn,
+        |    (((close + lag(close, 1) OVER w) + lag(close, 2) OVER w) + lag(close, 3) OVER w) * 0.25 AS tl
+        |  FROM bars WINDOW ${Sql.wDef}
+        |)
+        |SELECT symbol, ord, ${Sql.r6(
+           "CASE WHEN rn >= 32 THEN (CASE WHEN abs(close - tl) > (0.01 * tl) THEN 1.0 ELSE 0.0 END) END",
+           "ht_trendmode")}
+        |FROM t $T""".stripMargin)),
+    Entry("mama_05_005", recQ("mama", "fama")(df => Recursive.mama(df)), None)
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap

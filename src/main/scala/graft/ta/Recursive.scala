@@ -158,6 +158,24 @@ object Recursive {
       Array(k, d)
     }
 
+  /** All six HT_* cycle outputs + MAMA/FAMA in ONE pass over each series
+    * (shared MesaState — SURVEY.md §2.4, reference cycle.rs:9-448). */
+  def htAll(df: DataFrame, x: String = "close",
+            fast: Double = 0.5, slow: Double = 0.05): DataFrame =
+    SeriesOps.overSeries(df, Seq(x),
+      Seq("ht_dcperiod", "ht_dcphase", "inphase", "quadrature", "sine",
+        "leadsine", "ht_trendline", "ht_trendmode", "mama", "fama"))(
+      a => Cycle.mesa(a(0), fast, slow))
+
+  /** MAMA → (mama, fama) — overlap.rs:155-177 (kernel absent from snapshot;
+    * standard Ehlers definition sharing the MESA machinery). */
+  def mama(df: DataFrame, x: String = "close",
+           fast: Double = 0.5, slow: Double = 0.05): DataFrame =
+    SeriesOps.overSeries(df, Seq(x), Seq("mama", "fama")) { a =>
+      val m = Cycle.mesa(a(0), fast, slow)
+      Array(m(Cycle.MAMA), m(Cycle.FAMA))
+    }
+
   /** STOCHRSI → (fastk_rsi, fastd_rsi) — momentum.py:197-205. */
   def stochrsi(df: DataFrame, x: String, n: Int = 14, fastkN: Int = 5, fastdN: Int = 3): DataFrame =
     SeriesOps.overSeries(df, Seq(x), Seq("fastk_rsi", "fastd_rsi")) { a =>
