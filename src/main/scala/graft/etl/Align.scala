@@ -1,0 +1,85 @@
+package graft.etl
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-file market-data alignment ETL — port of reference
+  * `python/polars_quant/backtest/sequential.py:7-93`, Spark-first:
+  *
+  *   - scan every CSV/Parquet in a directory (schema inferred)
+  *   - inject `symbol` from the file stem when the column is absent
+  *   - union with `unionByName(allowMissingColumns=true)`
+  *     (= Polars `concat(how="diagonal_relaxed")`)
+  *   - dates × symbols grid via crossJoin (symbols side broadcast — it is
+  *     small by construction; the grid never materializes on the driver)
+  *   - left-join the data onto the grid, sort, per-symbol forward/backward/
+  *     zero fill via `last/first(ignoreNulls)` windows, then default fill
+  *
+  * Scale: the only shuffles are the distinct()s and the grid join; fills
+  * are windows over the (symbol) partitioning the join already produced.
+  */
+object Align {
+
+  def readDir(spark: SparkSession, folder: String, symbolCol: String = "symbol"): DataFrame = {
+    // Accept both plain files and Spark-style parquet output directories.
+    val files = Option(new File(folder).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile || (f.isDirectory &&
+        f.getName.toLowerCase.matches(".*\\.(parquet|pqt)$"))).sortBy(_.getName)
+    val frames = files.flatMap { f =>
+      val name = f.getName.toLowerCase
+      val stem = f.getName.replaceAll("\\.[^.]+$", "")
+      val df =
+        if (f.isFile && name.endsWith(".csv"))
+          Some(spark.read.option("header", "true").option("inferSchema", "true").csv(f.getPath))
+        else if (name.endsWith(".parquet") || name.endsWith(".pqt"))
+          Some(spark.read.parquet(f.getPath))
+        else None
+      df.map(d => if (d.columns.contains(symbolCol)) d else d.withColumn(symbolCol, lit(stem)))
+    }
+    require(frames.nonEmpty, s"No valid CSV or Parquet files found in '$folder'.")
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  def prepareSequentialData(spark: SparkSession, folder: String,
+                            dateCol: String = "date", symbolCol: String = "symbol",
+                            fillNullStrategy: String = "forward",
+                            defaultFillValue: Double = 0.0): DataFrame = {
+    val master = readDir(spark, folder, symbolCol)
+    align(master, dateCol, symbolCol, fillNullStrategy, defaultFillValue)
+  }
+
+  /** Grid + fill on an already-loaded long frame. */
+  def align(master: DataFrame, dateCol: String = "date", symbolCol: String = "symbol",
+            fillNullStrategy: String = "forward", defaultFillValue: Double = 0.0): DataFrame = {
+    val valueCols = master.columns.filterNot(c => c == dateCol || c == symbolCol).toSeq
+
+    val dates = master.select(dateCol).distinct()
+    val symbols = master.select(symbolCol).distinct()
+    val grid = dates.crossJoin(broadcast(symbols))
+    var aligned = grid.join(master, Seq(dateCol, symbolCol), "left")
+
+    if (valueCols.nonEmpty) {
+      val wFwd = Window.partitionBy(symbolCol).orderBy(dateCol)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wBwd = Window.partitionBy(symbolCol).orderBy(dateCol)
+        .rowsBetween(0, Window.unboundedFollowing)
+      fillNullStrategy match {
+        case "forward" =>
+          aligned = aligned.select(col(dateCol) +: col(symbolCol) +:
+            valueCols.map(c => last(col(c), ignoreNulls = true).over(wFwd).as(c)): _*)
+        case "backward" =>
+          aligned = aligned.select(col(dateCol) +: col(symbolCol) +:
+            valueCols.map(c => first(col(c), ignoreNulls = true).over(wBwd).as(c)): _*)
+        case "zero" =>
+          aligned = aligned.select(col(dateCol) +: col(symbolCol) +:
+            valueCols.map(c => coalesce(col(c), lit(0.0)).as(c)): _*)
+        case other => throw new IllegalArgumentException(s"fill strategy: $other")
+      }
+      aligned = aligned.select(col(dateCol) +: col(symbolCol) +:
+        valueCols.map(c => coalesce(col(c), lit(defaultFillValue)).as(c)): _*)
+    }
+    aligned.orderBy(dateCol, symbolCol)
+  }
+}

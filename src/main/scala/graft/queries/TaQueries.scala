@@ -424,8 +424,38 @@ object TaQueries {
            "CASE WHEN rn >= 32 THEN (CASE WHEN abs(close - tl) > (0.01 * tl) THEN 1.0 ELSE 0.0 END) END",
            "ht_trendmode")}
         |FROM t $T""".stripMargin)),
-    Entry("mama_05_005", recQ("mama", "fama")(df => Recursive.mama(df)), None)
+    Entry("mama_05_005", recQ("mama", "fama")(df => Recursive.mama(df)), None),
+
+    // ---- backtests (recursive folds; rows-only + scripted scalatests) ----
+
+    Entry("bt_vectorized",
+      (spark, dir) => {
+        val sig = btSignals(spark, dir)
+        graft.bt.Vectorized.run(sig)
+          .select(col("symbol"), col("ord"), r6(col("position")).as("position"),
+            r6(col("cash")).as("cash"), r6(col("equity")).as("equity"))
+          .orderBy("symbol", "ord")
+      }, None),
+    Entry("bt_summary",
+      (spark, dir) => {
+        val sig = btSignals(spark, dir)
+        val cols = graft.bt.Metrics.columns
+        graft.bt.Vectorized.summary(sig)
+          .select(col("symbol") +: cols.map(c => r6(col(c)).as(c)): _*)
+          .orderBy("symbol")
+      }, None)
   )
+
+  /** Deterministic momentum signals for the backtest demo queries:
+    * buy after two consecutive down closes, sell after two up closes. */
+  private def btSignals(spark: SparkSession, dir: String): DataFrame = {
+    val w = W
+    Tables.bars(spark, dir).select(col("symbol"), col("ord"), col("close").as("price"),
+      (col("close") < lag("close", 1).over(w) &&
+        lag("close", 1).over(w) < lag("close", 2).over(w)).as("buy_sig"),
+      (col("close") > lag("close", 1).over(w) &&
+        lag("close", 1).over(w) > lag("close", 2).over(w)).as("sell_sig"))
+  }
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap
   val oracle: Map[String, String] = entries.flatMap(e => e.oracle.map(e.name -> _)).toMap
