@@ -30,12 +30,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.TaQueries.queries ++ graft.queries.PatternQueries.queries
+    graft.queries.TaQueries.queries ++ graft.queries.PatternQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible (recursive)
     * ops → driver records a rows-only check; those are covered by golden
     * scalatests instead. */
   def oracleSql: Map[String, String] =
-    graft.queries.TaQueries.oracle ++ graft.queries.PatternQueries.oracle
+    graft.queries.TaQueries.oracle ++ graft.queries.PatternQueries.oracle ++
+      graft.queries.PipelineQueries.oracle
 }

@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines: exact (hash groupBy),
+  * MinHash+LSH banded near-dup, and SimHash near-dup.
+  *
+  * 100 TB design notes (the math that keeps this bucketed, never all-pairs):
+  *
+  *   - EXACT: sha2 → the shuffle is by 256-bit hash, perfectly uniform, so
+  *     1000 executors each see ~1/1000 of the corpus. No skew possible.
+  *   - MINHASH-LSH: `numPerms` minhashes split into `bands` bands of
+  *     `rows = numPerms/bands` each. Candidate-pair probability for true
+  *     Jaccard j is 1−(1−j^rows)^bands (S-curve). With 32/16×2 the 50%
+  *     threshold sits near j≈0.17; tune rows up for precision. The ONLY
+  *     join is an equi-join on (band, bucket): at 10B docs and b buckets a
+  *     bucket holds ~10B·16/b docs; with 2^20 buckets that's ~150k docs/
+  *     bucket worst case ⇒ pairs within a bucket stay bounded, and a
+  *     skewed bucket (all-identical spam) is exactly the case where
+  *     pairing is the desired output. Never a cartesian across buckets.
+  *   - SIMHASH: 64-bit signature; Hamming-≤k search uses the pigeonhole
+  *     principle — split 64 bits into `chunks` chunks; any pair within
+  *     Hamming k < chunks must agree on ≥1 whole chunk, so an equi-join
+  *     per chunk finds all candidates. 4 chunks of 16 bits ⇒ k ≤ 3
+  *     guaranteed recall, candidates verified by exact bit_count(xor).
+  */
+object Dedup {
+
+  /** Exact dedup annotation: hash, duplicate-group size, canonical flag
+    * (lowest id in the group wins). */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val byHash = Window.partitionBy("text_hash")
+    docs.select(col(idCol), sha2(col(textCol), 256).as("text_hash"))
+      .withColumn("dup_count", count(lit(1)).over(byHash))
+      .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(byHash))
+  }
+
+  /** Word k-shingles of the normalized text. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val words = split(trim(lower(text)), "\\s+")
+    when(size(words) < k, array(concat_ws(" ", words)))
+      .otherwise(transform(sequence(lit(0), size(words) - k),
+        i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+  }
+
+  /** (id, h0..h{p-1}) minhash signatures — p independent permutations
+    * approximated by seeding xxhash64 with the permutation index. One
+    * explode + one groupBy: shuffle volume is O(docs·shingles), reduced
+    * map-side by the min partial aggregate. */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                        numPerms: Int = 32, shingleK: Int = 3): DataFrame = {
+    val exploded = docs.select(col(idCol), explode(shingles(col(textCol), shingleK)).as("shingle"))
+    exploded.groupBy(col(idCol))
+      .agg(
+        min(xxhash64(col("shingle"), lit(0))).as("h0"),
+        (1 until numPerms).map(p => min(xxhash64(col("shingle"), lit(p))).as(s"h$p")): _*)
+  }
+
+  /** LSH banding: (id, band, bucket) — one row per band per doc. */
+  def lshBuckets(signatures: DataFrame, idCol: String = "doc_id",
+                 numPerms: Int = 32, bands: Int = 16): DataFrame = {
+    val rows = numPerms / bands
+    require(rows * bands == numPerms, "bands must divide numPerms")
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    signatures.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Candidate near-dup pairs from bucket collisions, with the MinHash
+    * Jaccard estimate (fraction of agreeing signature components).
+    * The join key is (band, bucket) — bounded buckets, never all-pairs. */
+  def minhashCandidates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                        numPerms: Int = 32, bands: Int = 16, shingleK: Int = 3): DataFrame = {
+    val sig = minhashSignatures(docs, textCol, idCol, numPerms, shingleK).cache()
+    val buckets = lshBuckets(sig, idCol, numPerms, bands)
+    val a = buckets.toDF("a_id", "band", "bucket")
+    val b = buckets.toDF("b_id", "band", "bucket")
+    val pairs = a.join(b, Seq("band", "bucket")).where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sa = sig.toDF("a_id" +: sig.columns.tail.map(c => s"a_$c"): _*)
+    val sb = sig.toDF("b_id" +: sig.columns.tail.map(c => s"b_$c"): _*)
+    val agree = (0 until numPerms)
+      .map(p => when(col(s"a_h$p") === col(s"b_h$p"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"), (agree.cast("double") / numPerms).as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard for given candidate pairs (verification step —
+    * only runs on candidates, never the full cross product). */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", shingleK: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+    pairs
+      .join(sh.toDF("a_id", "a_sh"), "a_id")
+      .join(sh.toDF("b_id", "b_sh"), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
+      .withColumn("uni", size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
+      .select(col("a_id"), col("b_id"),
+        when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")).as("jaccard"))
+  }
+
+  /** 64-bit SimHash: sign of the per-bit weighted sum of token hashes.
+    * One explode + one groupBy with 64 conditional-sum aggregates. */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming ≤ maxHamming via the pigeonhole
+    * chunk join (guaranteed recall for maxHamming < 4 with 4 chunks). */
+  def simhashCandidates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                        maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs, textCol, idCol)
+    val chunks = sig.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("ck"))
+      .select(col(idCol), col("simhash"), col("ck.chunk"), col("ck.key"))
+    val a = chunks.toDF("a_id", "a_sim", "chunk", "key")
+    val b = chunks.toDF("b_id", "b_sim", "chunk", "key")
+    a.join(b, Seq("chunk", "key")).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Scale design: queries are broadcast (they are the small side by
+  * definition); the corpus is never shuffled for brute force — each
+  * partition scores its slice and the only exchange is the per-query top-k
+  * (a window over k·|queries| rows after per-partition pruning by rank).
+  * The LSH path buckets the corpus by random-hyperplane signature so each
+  * query only scores its own bucket — the 100 TB path where brute force
+  * would read everything per query.
+  */
+object Similarity {
+
+  /** Cosine similarity between two double arrays (zip_with + aggregate —
+    * pure codegen'd Columns, no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
+    when(na === 0 || nb === 0, 0.0).otherwise(dot / (na * nb))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self-match excluded). Queries side is broadcast. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("c_vec"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Random-hyperplane signature for one LSH table: bit p =
+    * sign(v · h_p) with deterministic ±1 hyperplane components derived
+    * from xxhash64(table, plane, dim). Pure Columns — computed inside the
+    * scan. */
+  def lshSignature(vec: Column, planes: Int = 6, table: Int = 0): Column = {
+    val v = asDouble(vec)
+    (0 until planes).map { p =>
+      val dot = aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, i) => x * when(xxhash64(lit(table), lit(p), i).bitwiseAND(1) === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k via multi-table hyperplane LSH (OR-amplified):
+    * each of `tables` independent signatures buckets the corpus; a pair is
+    * scored if it collides in ANY table. Collision probability for angle θ
+    * is 1−(1−(1−θ/π)^planes)^tables — raise `tables` for recall, `planes`
+    * for precision. Candidates are deduped before scoring, so each pair is
+    * scored once regardless of how many tables it collides in. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, planes: Int = 6,
+              tables: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def sigs(df: DataFrame, id: String, vecOut: String) =
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vecOut),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"), lshSignature(col(vecCol), planes, t).as("sig"))): _*)).as("ts"))
+        .select(col(id), col(vecOut), col("ts.tbl"), col("ts.sig"))
+    val c = sigs(corpus, "corpus_id", "c_vec")
+    val q = sigs(queries, "query_id", "q_vec")
+    val candidates = c.select("corpus_id", "tbl", "sig")
+      .join(broadcast(q.select("query_id", "tbl", "sig")), Seq("tbl", "sig"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "corpus_id").distinct()
+    val cv = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("c_vec"))
+    val qv = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+    val scored = candidates.join(cv, "corpus_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
+    * buckets (within-bucket pairs only — never all-pairs). */
+  def cosineNearDup(corpus: DataFrame, threshold: Double = 0.95, planes: Int = 8,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"),
+      lshSignature(col(vecCol), planes).as("sig"))
+    val a = c.toDF("a_id", "a_v", "sig")
+    val b = c.toDF("b_id", "b_v", "sig")
+    a.join(b, "sig").where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, n-gram language ID, and content
+  * fingerprinting. All pure Column expressions (codegen'd, no UDFs) —
+  * at 100 TB these run entirely inside the parquet scan stage with no
+  * shuffle at all.
+  */
+object TextStats {
+
+  /** Whitespace tokens of the raw text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and single
+    * punctuation marks each count as one token (a cheap stand-in for a
+    * real tokenizer's granularity). */
+  def bpeishTokens(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => trim(t) =!= ""))
+
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text)
+
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") / length(text)
+
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") / nTokens(text)
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language
+    * heuristic. Deliberately small: language ID at pipeline scale is a
+    * cheap filter, not a classifier. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "que", "y", "es", "un", "una", "de", "por"))
+
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val sw = array(stopwords(lang).map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(sw, t))).cast("double") / nTokens(text)
+  }
+
+  /** Language ID: per-language stopword hit ratio + a CJK character ratio
+    * for zh; argmax with 'und' fallback when nothing scores. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks).cast("double")
+    val scores: Seq[(String, Column)] =
+      stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+        val sw = array(words.map(lit): _*)
+        lang -> size(filter(toks, t => array_contains(sw, t))).cast("double") / n
+      } :+ ("zh" -> length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("double") / length(text))
+    val best = scores.map(_._2).reduce((a, b) => when(a >= b, a).otherwise(b))
+    scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, alpha ratio,
+    * moderate punctuation, plausible mean token length. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
+    val alpha = alphaRatio(text)
+    val punct = punctRatio(text)
+    val mtl = meanTokenLen(text)
+    val mtlScore = when(mtl.between(3.0, 10.0), 1.0).otherwise(0.5)
+    greatest(least((lenScore + alpha + (lit(1.0) - least(punct * 5, lit(1.0))) + mtlScore) / 4.0,
+      lit(1.0)), lit(0.0))
+  }
+
+  /** 64-bit content fingerprint over whitespace-normalized lowercase text
+    * (xxhash64 — stable across Spark versions and partitions). */
+  def fingerprint(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Convenience: attach the standard stats columns. */
+  def withStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tokens", nTokens(t))
+      .withColumn("n_tokens_bpeish", bpeishTokens(t))
+      .withColumn("alpha_ratio", alphaRatio(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("mean_token_len", meanTokenLen(t))
+      .withColumn("stopword_ratio_en", stopwordRatio(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

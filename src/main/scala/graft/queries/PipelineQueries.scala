@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract registrations for the LLM-training-data pipeline
+  * operators (dedup, similarity search, text analysis, multimodal
+  * plumbing) over the `documents` and `embeddings` tables.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def r6(c: Column): Column = round(c, 6) + lit(0.0)
+
+  final case class Entry(name: String, q: Q, oracle: Option[String])
+
+  val entries: Seq[Entry] = Seq(
+
+    Entry("exact_dedup",
+      (spark, dir) => Dedup.exact(Tables.documents(spark, dir)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, sha256(text) AS text_hash FROM documents)
+        |SELECT doc_id, text_hash,
+        |  count(*) OVER (PARTITION BY text_hash) AS dup_count,
+        |  doc_id = min(doc_id) OVER (PARTITION BY text_hash) AS is_canonical
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
+    Entry("doc_stats",
+      (spark, dir) => {
+        val t = col("text")
+        Tables.documents(spark, dir).select(col("doc_id"),
+          TextStats.nTokens(t).cast("long").as("n_tokens"),
+          length(t).cast("long").as("n_chars_calc"),
+          r6(TextStats.alphaRatio(t)).as("alpha_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6) + 0.0 AS alpha_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Entry("text_quality",
+      (spark, dir) => {
+        val t = col("text")
+        Tables.documents(spark, dir).select(col("doc_id"),
+          TextStats.langId(t).as("lang_pred"),
+          r6(TextStats.qualityScore(t)).as("quality_score"),
+          r6(TextStats.stopwordRatio(t)).as("stopword_ratio_en"),
+          r6(TextStats.meanTokenLen(t)).as("mean_token_len"),
+          TextStats.fingerprint(t).as("fingerprint"),
+          TextStats.bpeishTokens(t).cast("long").as("n_tokens_bpeish"))
+          .orderBy("doc_id")
+      }, None),
+
+    Entry("minhash_buckets",
+      (spark, dir) => {
+        val sig = Dedup.minhashSignatures(Tables.documents(spark, dir))
+        Dedup.lshBuckets(sig).orderBy("doc_id", "band")
+      }, None),
+
+    Entry("minhash_pairs",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val cand = Dedup.minhashCandidates(docs)
+        Dedup.ngramJaccard(cand.select("a_id", "b_id"), docs)
+          .join(cand, Seq("a_id", "b_id"))
+          .select(col("a_id"), col("b_id"), r6(col("est_jaccard")).as("est_jaccard"),
+            r6(col("jaccard")).as("jaccard"))
+          .orderBy("a_id", "b_id")
+      }, None),
+
+    Entry("simhash64",
+      (spark, dir) => Dedup.simhash(Tables.documents(spark, dir)).orderBy("doc_id"),
+      None),
+
+    Entry("simhash_pairs",
+      (spark, dir) => Dedup.simhashCandidates(Tables.documents(spark, dir), maxHamming = 16)
+        .orderBy("a_id", "b_id"),
+      None),
+
+    Entry("ann_brute_top5",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+          .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |        FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT query_id, corpus_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM c, q WHERE corpus_id != query_id),
+        |r AS (SELECT query_id, corpus_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rnk
+        |      FROM s)
+        |SELECT query_id, corpus_id, round(cos, 6) + 0.0 AS cosine, CAST(rnk AS INTEGER) AS rank
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Entry("ann_lsh_top5",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+          .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      }, None),
+
+    Entry("cosine_bucket_pairs",
+      (spark, dir) => Similarity.cosineNearDup(Tables.embeddings(spark, dir), threshold = -1.0)
+        .select(col("a_id"), col("b_id"), r6(col("cosine")).as("cosine"))
+        .orderBy("a_id", "b_id"),
+      None),
+
+    Entry("multimodal_features",
+      (spark, dir) => {
+        val withBin = Multimodal.demoBinary(Tables.documents(spark, dir))
+        Multimodal.withFeatures(withBin)
+          .select(col("doc_id"), col("n_bytes"),
+            r6(aggregate(col("features"), lit(0.0), (a, v) => a + v.cast("double") * v.cast("double"))).as("feature_sq_norm"))
+          .orderBy("doc_id")
+      }, None)
+  )
+
+  val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap
+  val oracle: Map[String, String] = entries.flatMap(e => e.oracle.map(e.name -> _)).toMap
+}

@@ -1,0 +1,116 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pipeline operators on crafted corpora with known duplicates/neighbors
+  * (the synthetic driver docs contain no true near-dups). */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-pipeline-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(texts: (Long, String)*) =
+    spark.createDataFrame(texts).toDF("doc_id", "text")
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+
+  test("exact dedup: groups, counts, canonical flags") {
+    val df = Dedup.exact(docs(1L -> "aaa", 2L -> "bbb", 3L -> "aaa", 4L -> "aaa"))
+    val rows = df.collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(rows(1L) == (3L, true))
+    assert(rows(3L) == (3L, false))
+    assert(rows(4L) == (3L, false))
+    assert(rows(2L) == (1L, true))
+  }
+
+  test("minhash LSH finds a near-duplicate pair, skips unrelated docs") {
+    val nearDup = base.replace("tonight", "today") // 1-word edit
+    val other = "completely different content about spark catalyst optimizer rules and physical plans here"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val cand = Dedup.minhashCandidates(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cand.contains((1L, 2L)), s"expected (1,2) among ${cand.keys}")
+    assert(cand((1L, 2L)) > 0.5)
+    assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)))
+    // exact verification: jaccard of the pair is high and exceeds none for others
+    val j = Dedup.ngramJaccard(
+      spark.createDataFrame(Seq((1L, 2L))).toDF("a_id", "b_id"), d).collect()
+    assert(j.head.getDouble(2) > 0.7)
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
+    val d = docs(1L -> base, 2L -> base, 3L -> "spark catalyst tungsten codegen shuffle partitions broadcast join")
+    val sig = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) > 10)
+    val pairs = Dedup.simhashCandidates(d, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+  }
+
+  test("brute-force ANN ranks an identical vector first with cosine 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.7f, 0.7f, 0.0f)))
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, df.where(col("vec_id") === 0), k = 3).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(top.head.getAs[Long]("corpus_id") == 1L)
+    assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+    assert(top.last.getAs[Long]("corpus_id") == 2L) // orthogonal ranks last
+  }
+
+  test("LSH ANN buckets identical vectors together") {
+    val vecs = Seq((0L, Array.fill(16)(0.5f)), (1L, Array.fill(16)(0.5f)),
+      (2L, Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val top = Similarity.lshTopK(df, df.where(col("vec_id") === 0), k = 2).collect()
+    assert(top.exists(r => r.getAs[Long]("corpus_id") == 1L &&
+      math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9))
+  }
+
+  test("langId picks the dominant stopword language") {
+    val d = docs(
+      1L -> "the cat is on the mat and it is happy for now",
+      2L -> "der hund ist nicht mit der katze und das ist gut",
+      3L -> "el perro es un animal que vive en la casa por aqui")
+    val out = d.select(col("doc_id"), TextStats.langId(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "es")
+  }
+
+  test("text stats: token counts and ratios") {
+    val d = docs(1L -> "Hello, world! 42 times.")
+    val r = d.select(
+      TextStats.nTokens(col("text")),
+      TextStats.bpeishTokens(col("text")),
+      TextStats.alphaRatio(col("text")),
+      TextStats.fingerprint(col("text")),
+      TextStats.fingerprint(concat(col("text"), lit("  ")))).head()
+    assert(r.getInt(0) == 4)
+    assert(r.getInt(1) == 7) // Hello , world ! 42 times .
+    assert(r.getDouble(2) > 0.5 && r.getDouble(2) < 0.8)
+    assert(r.getLong(3) == r.getLong(4)) // fingerprint ignores trailing whitespace
+  }
+
+  test("multimodal plumbing: deterministic features, schema, byte counts") {
+    val d = Multimodal.demoBinary(docs(1L -> "hello", 2L -> "hello", 3L -> "other"))
+    val out = Multimodal.withFeatures(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Float](2))).toMap
+    assert(out(1L)._1 == 5)
+    assert(out(1L)._2 == out(2L)._2)     // identical payload → identical features
+    assert(out(1L)._2 != out(3L)._2)
+    assert(out(1L)._2.length == Multimodal.FeatureDim)
+  }
+}
