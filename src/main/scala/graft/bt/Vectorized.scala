@@ -34,48 +34,49 @@ object Vectorized {
     positions: Array[Double], cash: Array[Double], equity: Array[Double],
     trades: Int, wins: Int)
 
+  /** Per-symbol running state of the fold (also the streaming state —
+    * graft.streaming reuses [[step]] inside flatMapGroupsWithState). */
+  final case class State(position: Double, cash: Double, entryCost: Double,
+                         trades: Int, wins: Int)
+  def initialState(cfg: Config): State = State(0.0, cfg.initialCapital, 0.0, 0, 0)
+
+  /** One bar of the reference scan; returns the post-bar state. The
+    * emitted (position, cash, equity) for the bar is read off the state. */
+  def step(s: State, price: Double, buy: Boolean, sell: Boolean, cfg: Config): State = {
+    if (price.isNaN || price <= 0.0) s  // mark-to-market only (vectorized.rs:141-144)
+    else if (buy && s.position == 0.0) {
+      val execPrice = price + cfg.buySlippage
+      val equity = s.cash + s.position * price
+      val qty = math.floor(equity * cfg.positionSize / execPrice)
+      if (qty > 0.0) {
+        val cost = qty * execPrice
+        val fee = math.max(cost * cfg.buyCommissionRate, cfg.minCommission)
+        State(s.position + qty, s.cash - cost - fee, (s.position + qty) * price,
+          s.trades + 1, s.wins)
+      } else s
+    } else if (sell && s.position > 0.0) {
+      val execPrice = price - cfg.sellSlippage
+      val revenue = s.position * execPrice
+      val fee = math.max(revenue * cfg.sellCommissionRate, cfg.minCommission)
+      val net = revenue - fee
+      State(0.0, s.cash + net, s.entryCost, s.trades,
+        if (net > s.entryCost) s.wins + 1 else s.wins)
+    } else s
+  }
+
   /** The single-series fold (pure; exactly the reference scan). */
   def runSeries(prices: Array[Double], buys: Array[Boolean], sells: Array[Boolean],
                 cfg: Config): SeriesResult = {
     val n = prices.length
     val posA = new Array[Double](n); val cashA = new Array[Double](n); val eqA = new Array[Double](n)
-    var position = 0.0; var cash = cfg.initialCapital
-    var entryCost = 0.0
-    var trades = 0; var wins = 0
+    var s = initialState(cfg)
     var i = 0
     while (i < n) {
-      val price = prices(i)
-      if (price.isNaN || price <= 0.0) {
-        // mark-to-market only (vectorized.rs:141-144)
-        posA(i) = position; cashA(i) = cash; eqA(i) = cash + position * price
-      } else {
-        if (buys(i) && position == 0.0) {
-          val execPrice = price + cfg.buySlippage
-          val equity = cash + position * price
-          val deploy = equity * cfg.positionSize
-          val qty = math.floor(deploy / execPrice)
-          if (qty > 0.0) {
-            val cost = qty * execPrice
-            val fee = math.max(cost * cfg.buyCommissionRate, cfg.minCommission)
-            position += qty
-            cash -= cost + fee
-            entryCost = position * price
-            trades += 1
-          }
-        } else if (sells(i) && position > 0.0) {
-          val execPrice = price - cfg.sellSlippage
-          val revenue = position * execPrice
-          val fee = math.max(revenue * cfg.sellCommissionRate, cfg.minCommission)
-          val net = revenue - fee
-          if (net > entryCost) wins += 1
-          cash += net
-          position = 0.0
-        }
-        posA(i) = position; cashA(i) = cash; eqA(i) = cash + position * price
-      }
+      s = step(s, prices(i), buys(i), sells(i), cfg)
+      posA(i) = s.position; cashA(i) = s.cash; eqA(i) = s.cash + s.position * prices(i)
       i += 1
     }
-    SeriesResult(posA, cashA, eqA, trades, wins)
+    SeriesResult(posA, cashA, eqA, s.trades, s.wins)
   }
 
   private def foldGroups[T](df: DataFrame, outSchema: StructType, cfg: Config)

@@ -1,0 +1,115 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{BarIn, SigBarIn}
+import graft.bt.Vectorized
+import graft.ta.Kernels
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream == batch equivalence: the streaming recurrences must reproduce
+  * the batch kernels exactly, including across micro-batch boundaries
+  * (state carry). Driven through MemoryStream + memory sink. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-streaming-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmpCheckpoint() =
+    java.nio.file.Files.createTempDirectory("ckpt").toString
+
+  test("streaming EMA equals the batch kernel across micro-batch boundaries") {
+    implicit val enc = Encoders.product[BarIn]
+    val ms = MemoryStream[BarIn](spark)
+    val q = StreamingOps.emaStream(ms.toDF(), 3)
+      .writeStream.format("memory").queryName("ema_stream")
+      .outputMode("update").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      val closes = Array.tabulate(20)(i => 100.0 + (i * 37 % 11))
+      // batch 1: first 8 bars of two symbols; batch 2: the rest
+      ms.addData((0 until 8).flatMap(i =>
+        Seq(BarIn("x", i, closes(i)), BarIn("y", i, closes(i) * 2))))
+      q.processAllAvailable()
+      ms.addData((8 until 20).flatMap(i =>
+        Seq(BarIn("x", i, closes(i)), BarIn("y", i, closes(i) * 2))))
+      q.processAllAvailable()
+
+      val got = spark.sql("SELECT symbol, ord, ema FROM ema_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+      val expX = Kernels.ema(closes, 3)
+      val expY = Kernels.ema(closes.map(_ * 2), 3)
+      (0 until 20).foreach { i =>
+        def check(sym: String, exp: Double): Unit = {
+          val g = got((sym, i.toLong))
+          assert(g.isNaN == exp.isNaN && (exp.isNaN || math.abs(g - exp) < 1e-9),
+            s"$sym@$i: $g != $exp")
+        }
+        check("x", expX(i)); check("y", expY(i))
+      }
+    } finally q.stop()
+  }
+
+  test("streaming backtest equals the batch fold across micro-batches") {
+    implicit val enc = Encoders.product[SigBarIn]
+    val cfg = Vectorized.Config(initialCapital = 1000.0, minCommission = 1.0,
+      buyCommissionRate = 0.001, sellCommissionRate = 0.001)
+    val ms = MemoryStream[SigBarIn](spark)
+    val q = StreamingOps.backtestStream(
+        ms.toDF().withColumnRenamed("buy", "buy_sig").withColumnRenamed("sell", "sell_sig"), cfg)
+      .writeStream.format("memory").queryName("bt_stream")
+      .outputMode("update").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      val prices = Array(10.0, 12.0, 9.0, 15.0, 14.0, 11.0)
+      val buys = Array(true, false, true, false, false, true)
+      val sells = Array(false, true, false, true, false, false)
+      def bars(r: Range) = r.map(i => SigBarIn("s", i, prices(i), buys(i), sells(i)))
+      ms.addData(bars(0 until 3)); q.processAllAvailable()
+      ms.addData(bars(3 until 6)); q.processAllAvailable()
+
+      val got = spark.sql("SELECT ord, position, cash, equity FROM bt_stream").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      val exp = Vectorized.runSeries(prices, buys, sells, cfg)
+      (0 until 6).foreach { i =>
+        val (p, c, e) = got(i.toLong)
+        assert(math.abs(p - exp.positions(i)) < 1e-9, s"pos@$i")
+        assert(math.abs(c - exp.cash(i)) < 1e-9, s"cash@$i")
+        assert(math.abs(e - exp.equity(i)) < 1e-9, s"eq@$i")
+      }
+    } finally q.stop()
+  }
+
+  test("watermarked windowed stats over an event stream") {
+    implicit val enc = Encoders.product[Ev]
+    val ms = MemoryStream[Ev](spark)
+    val q = StreamingOps.windowedStats(
+        ms.toDF().selectExpr("CAST(ts AS TIMESTAMP) ts", "event_type", "value"),
+        windowDur = "1 hour")
+      .writeStream.format("memory").queryName("win_stream")
+      .outputMode("update").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      ms.addData(
+        Ev("2024-01-01 00:10:00", "click", 10.0),
+        Ev("2024-01-01 00:40:00", "click", 20.0),
+        Ev("2024-01-01 01:10:00", "click", 30.0),
+        Ev("2024-01-01 00:20:00", "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_type, n_events, avg_value FROM win_stream ORDER BY event_type, n_events")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.contains(("click", 2L, 15.0))) // 00:00 window
+      assert(rows.contains(("click", 1L, 30.0))) // 01:00 window
+      assert(rows.contains(("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+  case class Ev(ts: String, event_type: String, value: Double)
+}
