@@ -62,6 +62,19 @@ object TaQueries {
           |FROM bars ${Sql.windows(n)} $T""".stripMargin
       }),
 
+    Entry("ma_10_2",
+      // MA dispatcher with matype 2 (WMA): kernel path, same math as the
+      // Frames wma_10 oracle (valid-window == physical-window on null-free
+      // bars), so the dispatcher itself is oracle-checked.
+      recQ("ma")(df => Recursive.ma(df, "close", 10, 2, out = "ma")),
+      Some {
+        val n = 10
+        val terms = (0 until n).map(k =>
+          if (k == 0) s"close * $n" else s"lag(close, $k) OVER w * ${n - k}").mkString(" + ")
+        s"""$B SELECT symbol, ord, ${Sql.gatedR6("close", n, s"($terms) / ${n * (n + 1) / 2}.0", "ma")}
+          |FROM bars ${Sql.windows(n)} $T""".stripMargin
+      }),
+
     Entry("trima_10",
       frameQ("trima" -> (w => Frames.trima(col("close"), 10)(w))),
       // n=10 → inner SMA(5), outer SMA(6) (overlap.rs:1313-1326)

@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   * partition in sort order — O(n) per series for running frames; sliding
   * min/max are O(n·w). Series are distributed across executors; a single
   * series' history only needs to fit one executor's working set.
+  *
+  * Null semantics vs Kernels (documented divergence): Frames gates on "the
+  * last n PHYSICAL rows hold n non-null values", while Kernels compacts
+  * over "the last n VALID values" (the reference's skip semantics). The two
+  * agree whenever nulls form a prefix (true of all testdata and of
+  * indicator-over-indicator warmups); they diverge on interior nulls —
+  * prefer the Kernels path for null-bearing data.
   */
 object Frames {
 

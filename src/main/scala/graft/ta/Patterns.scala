@@ -19,7 +19,10 @@ object Patterns {
   private def pBull(name: String, k: Int, e: BE): Pattern = Pattern(name, k, Some(e), None)
   private def pBear(name: String, k: Int, e: BE): Pattern = Pattern(name, k, None, Some(e))
 
-  // pattern.rs:10-40
+  // pattern.rs:10-40 — NOTE faithful quirk: `open_in2` demands
+  // o > o2 && o < c2 on a bear bar 2 (o2 > c2), which is unsatisfiable,
+  // so the reference's cdl2crows never fires (classic TA-Lib wants
+  // o < o2 && o > c2). Kept as written; pinned by a test.
   val cdl2crows: Pattern = { val b1 = Bar(2); val b2 = Bar(1)
     pBear("cdl2crows", 2,
       bull(b1) && longBody(b1) && bear(b2) && (b2.o > b1.c) && bear(cur) &&

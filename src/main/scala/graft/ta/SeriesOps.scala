@@ -20,6 +20,10 @@ import org.apache.spark.sql.types._
   */
 object SeriesOps {
 
+  /** Hard cap on rows materialized per series inside one task (~50M rows
+    * ≈ a few GB of doubles — a comfortable executor working set). */
+  val MaxRowsPerSeries: Int = 50_000_000
+
   /** @param df   input with `symbol` (string), `ord` (castable to long) and `in` numeric columns
     * @param in   input column names fed to the kernel (cast to double; null → NaN)
     * @param out  output column names
@@ -46,6 +50,13 @@ object SeriesOps {
       .groupByKey(_.getString(0))(Encoders.STRING)
       .flatMapGroups { (sym: String, it: Iterator[Row]) =>
         val rows = it.toArray
+        // One series' history is materialized on one executor. Guard the
+        // assumption instead of OOMing opaquely: beyond this bound, use the
+        // streaming layer (graft.streaming — state machines carry across
+        // chunks) or pre-aggregate to coarser bars.
+        require(rows.length <= MaxRowsPerSeries,
+          s"series '$sym' has ${rows.length} rows (> $MaxRowsPerSeries); " +
+            "use graft.streaming state machines or coarser bars for unbounded series")
         java.util.Arrays.sort(rows, Ordering.by((r: Row) => r.getLong(1)))
         val ins = inIdx.toArray.map { j =>
           Array.tabulate(rows.length) { i =>

@@ -87,6 +87,59 @@ class SparkTaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(patternValues(Patterns.cdl3whitesoldiers, rows) == Seq(0, 0, 100))
   }
 
+  test("cdl2crows is unsatisfiable (faithful reference quirk)") {
+    // pattern.rs:32 requires o > o2 && o < c2 on a BEAR second bar, where
+    // o2 > c2 — contradictory, so the reference's cdl2crows can never
+    // fire. We transcribe faithfully; this pins the quirk.
+    val rows = Seq(
+      (100.0, 111.0, 99.0, 110.0),   // long bull
+      (113.0, 114.0, 111.5, 112.0),  // bear gapping above c1
+      (112.5, 113.0, 104.0, 105.0))  // classic two-crows third bar
+    assert(patternValues(Patterns.cdl2crows, rows) == Seq(0, 0, 0))
+  }
+
+  test("cdlidentical3crows fires on three equal-open crows") {
+    val rows = Seq(
+      (110.0, 111.0, 99.0, 100.0),
+      (100.0, 101.0, 89.0, 90.0),    // opens ≈ c1
+      (90.0, 91.0, 79.0, 80.0))      // opens ≈ c2
+    assert(patternValues(Patterns.cdlidentical3crows, rows) == Seq(0, 0, -100))
+  }
+
+  test("cdlrisefall3methods fires on the rising three methods") {
+    val rows = Seq(
+      (100.0, 120.5, 99.5, 120.0),   // long bull, wide range
+      (118.0, 119.0, 112.0, 113.0),  // three short bodies inside bar1's range
+      (113.5, 115.0, 109.0, 110.0),
+      (110.5, 112.0, 106.0, 107.0),
+      (108.0, 125.5, 107.5, 125.0))  // long bull closing above c1
+    assert(patternValues(Patterns.cdlrisefall3methods, rows) == Seq(0, 0, 0, 0, 100))
+  }
+
+  test("cdlseparatinglines fires on equal-open opposing long bodies") {
+    val rows = Seq(
+      (110.0, 111.0, 99.0, 100.0),   // long bear
+      (110.05, 122.0, 109.5, 121.0)) // long bull opening at bar1's open
+    assert(patternValues(Patterns.cdlseparatinglines, rows) == Seq(0, 100))
+  }
+
+  test("cdlsticksandwich fires on the bear-bull-bear sandwich") {
+    val rows = Seq(
+      (110.0, 111.0, 99.0, 100.0),    // long bear closing at 100
+      (103.0, 116.0, 102.5, 115.0),   // long bull opening above c1
+      (116.0, 117.0, 99.5, 100.05))   // long bear closing ≈ c1
+    assert(patternValues(Patterns.cdlsticksandwich, rows) == Seq(0, 0, 100))
+  }
+
+  test("cdlhikkakemod fires on the double-inside breakout") {
+    val rows = Seq(
+      (100.0, 120.0, 90.0, 110.0),
+      (105.0, 115.0, 95.0, 100.0),    // inside bar1
+      (102.0, 110.0, 98.0, 104.0),    // inside bar2
+      (105.0, 125.0, 104.0, 124.0))   // bull close above h1
+    assert(patternValues(Patterns.cdlhikkakemod, rows) == Seq(0, 0, 0, 100))
+  }
+
   test("patterns are scale-invariant (thresholds are price-relative)") {
     val rows = Seq(
       (110.0, 111.0, 99.0, 100.0),
