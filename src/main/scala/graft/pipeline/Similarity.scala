@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two double arrays (zip_with + aggregate —
-    * pure codegen'd Columns, no UDF). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two double arrays — the native fused-loop
+    * Catalyst expression (graft.functions.CosineSim, with doGenCode). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosineSim(a, b)
+
+  /** The composed-builtins formulation (zip_with + aggregate), kept as the
+    * reference implementation the native expression is tested against. */
+  def cosineComposed(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
     val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))

@@ -104,6 +104,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(3) == r.getLong(4)) // fingerprint ignores trailing whitespace
   }
 
+  test("native CosineSim expression agrees with the composed built-ins formulation") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map(i => (i.toLong,
+      Array.fill(32)(rnd.nextDouble() - 0.5),
+      if (i == 7) Array.fill(32)(0.0) else Array.fill(32)(rnd.nextDouble() - 0.5)))
+    val df = spark.createDataFrame(rows).toDF("id", "a", "b")
+    val out = df.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineComposed(col("a"), col("b")).as("composed")).collect()
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+        s"${r.getDouble(0)} != ${r.getDouble(1)}")
+    }
+    // null input → null out (BinaryExpression default null handling)
+    val n = df.select(Similarity.cosine(lit(null).cast("array<double>"), col("b"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("multimodal plumbing: deterministic features, schema, byte counts") {
     val d = Multimodal.demoBinary(docs(1L -> "hello", 2L -> "hello", 3L -> "other"))
     val out = Multimodal.withFeatures(d).collect()
