@@ -90,6 +90,57 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) index: a small set of coarse centroids partitions
+    * the corpus into lists; queries probe only the `nprobe` nearest lists.
+    *
+    * Centroids are a deterministic stride sample of the corpus (production
+    * would run k-means‖ — the index contract is identical). At 100 TB the
+    * centroid table stays tiny (k ≈ √N) and is broadcast; the corpus is
+    * scanned ONCE to assign lists (a map-side argmax against broadcast
+    * centroids — no shuffle of the vectors beyond the final list
+    * partitioning), and a query touches nprobe/k of the data instead of
+    * all of it. */
+  def ivfAssign(corpus: DataFrame, numCentroids: Int = 16,
+                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val w = Window.orderBy(col(idCol))
+    val stride = c.withColumn("rn", row_number().over(w))
+    val total = stride.agg(max("rn")).head.getInt(0)
+    val step = math.max(total / numCentroids, 1)
+    val centroids = stride.where(col("rn") % step === 1).limit(numCentroids)
+      .select(col("rn").as("cid"), col("v").as("centroid"))
+    val assignW = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cid").asc)
+    val assignments = c.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine(col("v"), col("centroid")))
+      .withColumn("rk", row_number().over(assignW))
+      .where(col("rk") === 1)
+      .select(col(idCol), col("cid"), col("v"))
+    (centroids, assignments)
+  }
+
+  /** IVF approximate top-k: probe the `nprobe` closest centroid lists per
+    * query and score only those lists. Recall grows with nprobe
+    * (nprobe == numCentroids ⇒ exact brute force). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              numCentroids: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (centroids, assignments) = ivfAssign(corpus, numCentroids, idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("q_vec"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= nprobe)
+      .select("query_id", "q_vec", "cid")
+    val scored = assignments.join(broadcast(probes), "cid")
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("corpus_id"),
+        cosine(col("q_vec"), col("v")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (within-bucket pairs only — never all-pairs). */
   def cosineNearDup(corpus: DataFrame, threshold: Double = 0.95, planes: Int = 8,

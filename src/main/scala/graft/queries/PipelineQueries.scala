@@ -108,6 +108,15 @@ object PipelineQueries {
           .orderBy("query_id", "rank")
       }, None),
 
+    Entry("ann_ivf_top5",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+          .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      }, None),
+
     Entry("cosine_bucket_pairs",
       (spark, dir) => Similarity.cosineNearDup(Tables.embeddings(spark, dir), threshold = -1.0)
         .select(col("a_id"), col("b_id"), r6(col("cosine")).as("cosine"))

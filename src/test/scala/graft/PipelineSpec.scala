@@ -104,6 +104,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(3) == r.getLong(4)) // fingerprint ignores trailing whitespace
   }
 
+  test("IVF ANN: exact when nprobe == numCentroids, finds identical vector when probed") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f))) :+
+      (60L, Array.fill(16)(0.25f)) :+ (61L, Array.fill(16)(0.25f)) // identical pair
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") === 60)
+    // full probe == brute force
+    val full = Similarity.ivfTopK(df, q, k = 3, numCentroids = 8, nprobe = 8).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    val brute = Similarity.bruteForceTopK(df, q, k = 3).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(full.map(_.getAs[Long]("corpus_id")).toSeq == brute.map(_.getAs[Long]("corpus_id")).toSeq)
+    assert(full.head.getAs[Long]("corpus_id") == 61L &&
+      math.abs(full.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+    // narrow probe still finds the identical vector (same list as the query)
+    val narrow = Similarity.ivfTopK(df, q, k = 3, numCentroids = 8, nprobe = 1).collect()
+    assert(narrow.exists(r => r.getAs[Long]("corpus_id") == 61L))
+  }
+
   test("native CosineSim expression agrees with the composed built-ins formulation") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 200).map(i => (i.toLong,
