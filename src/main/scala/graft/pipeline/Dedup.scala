@@ -45,27 +45,23 @@ object Dedup {
         i => concat_ws(" ", slice(words, i + 1, lit(k)))))
   }
 
-  /** (id, h0..h{p-1}) minhash signatures — p independent permutations
-    * approximated by seeding xxhash64 with the permutation index. One
-    * explode + one groupBy: shuffle volume is O(docs·shingles), reduced
-    * map-side by the min partial aggregate. */
+  /** (id, sig: array<long>[numPerms]) minhash signatures via the native
+    * MinhashSig expression — computed entirely inside the scan stage
+    * (map-side only; the round-1 formulation exploded shingles and
+    * shuffled O(docs·shingles) rows through 32 min-aggregates). */
   def minhashSignatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                        numPerms: Int = 32, shingleK: Int = 3): DataFrame = {
-    val exploded = docs.select(col(idCol), explode(shingles(col(textCol), shingleK)).as("shingle"))
-    exploded.groupBy(col(idCol))
-      .agg(
-        min(xxhash64(col("shingle"), lit(0))).as("h0"),
-        (1 until numPerms).map(p => min(xxhash64(col("shingle"), lit(p))).as(s"h$p")): _*)
-  }
+                        numPerms: Int = 32, shingleK: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.TextHashes.minhashSig(shingles(col(textCol), shingleK), numPerms).as("sig"))
 
-  /** LSH banding: (id, band, bucket) — one row per band per doc. */
+  /** LSH banding: (id, band, bucket) — one row per band per doc; the
+    * bucket key is xxhash64 of the band's signature slice. */
   def lshBuckets(signatures: DataFrame, idCol: String = "doc_id",
                  numPerms: Int = 32, bands: Int = 16): DataFrame = {
     val rows = numPerms / bands
     require(rows * bands == numPerms, "bands must divide numPerms")
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => col(s"h${b * rows + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+      struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
     }
     signatures.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
@@ -82,12 +78,9 @@ object Dedup {
     val b = buckets.toDF("b_id", "band", "bucket")
     val pairs = a.join(b, Seq("band", "bucket")).where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val sa = sig.toDF("a_id" +: sig.columns.tail.map(c => s"a_$c"): _*)
-    val sb = sig.toDF("b_id" +: sig.columns.tail.map(c => s"b_$c"): _*)
-    val agree = (0 until numPerms)
-      .map(p => when(col(s"a_h$p") === col(s"b_h$p"), 1).otherwise(0))
-      .reduce(_ + _)
-    pairs.join(sa, "a_id").join(sb, "b_id")
+    val agree = size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), p => p))
+    pairs.join(sig.toDF("a_id", "a_sig"), "a_id")
+      .join(sig.toDF("b_id", "b_sig"), "b_id")
       .select(col("a_id"), col("b_id"), (agree.cast("double") / numPerms).as("est_jaccard"))
   }
 
@@ -105,21 +98,13 @@ object Dedup {
         when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")).as("jaccard"))
   }
 
-  /** 64-bit SimHash: sign of the per-bit weighted sum of token hashes.
-    * One explode + one groupBy with 64 conditional-sum aggregates. */
-  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col(idCol), sig.as("simhash"))
-  }
+  /** 64-bit SimHash via the native SimHash64 expression — one pass over
+    * the token array inside the scan (map-side only; the round-1
+    * formulation exploded tokens into a 64-aggregate groupBy). */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.TextHashes.simhash64(
+        split(trim(lower(col(textCol))), "\\s+")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming ≤ maxHamming via the pigeonhole
     * chunk join (guaranteed recall for maxHamming < 4 with 4 chunks). */
