@@ -68,8 +68,52 @@ object TextHashes {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Random-hyperplane LSH signatures for ALL tables in one pass: output
+    * array<int>[tables], bit p of table t = sign(Σ_d v[d]·h(t,p,d)) with
+    * deterministic ±1 hyperplane components from a splitmix64 of
+    * (t, p, d). Replaces planes×tables aggregate-over-array loops. */
+  case class HyperplaneSigs(child: Expression, planes: Int, tables: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def prettyName: String = "hyperplane_sigs"
+    @inline private def mix(z0: Long): Long = {
+      var z = z0 + -7046029254386353131L // 0x9E3779B97F4A7C15
+      z = (z ^ (z >>> 30)) * -4658895280553007687L
+      z = (z ^ (z >>> 27)) * -7723592293110705685L
+      z ^ (z >>> 31)
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sigs = new Array[Int](tables)
+      var t = 0
+      while (t < tables) {
+        var sig = 0
+        var p = 0
+        while (p < planes) {
+          var dot = 0.0
+          var d = 0
+          while (d < n) {
+            val sign = if ((mix(t.toLong * 1000003L + p.toLong * 7919L + d) & 1L) == 0L) 1.0 else -1.0
+            dot += arr.getDouble(d) * sign
+            d += 1
+          }
+          if (dot >= 0) sig |= (1 << p)
+          p += 1
+        }
+        sigs(t) = sig
+        t += 1
+      }
+      new GenericArrayData(sigs)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def minhashSig(shingles: Column, numPerms: Int): Column =
     GraftBridge.column(MinhashSig(GraftBridge.expression(shingles), numPerms))
+
+  def hyperplaneSigs(vec: Column, planes: Int, tables: Int): Column =
+    GraftBridge.column(HyperplaneSigs(GraftBridge.expression(vec), planes, tables))
 
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))

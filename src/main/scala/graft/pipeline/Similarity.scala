@@ -47,19 +47,14 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Random-hyperplane signature for one LSH table: bit p =
-    * sign(v · h_p) with deterministic ±1 hyperplane components derived
-    * from xxhash64(table, plane, dim). Pure Columns — computed inside the
-    * scan. */
-  def lshSignature(vec: Column, planes: Int = 6, table: Int = 0): Column = {
-    val v = asDouble(vec)
-    (0 until planes).map { p =>
-      val dot = aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, i) => x * when(xxhash64(lit(table), lit(p), i).bitwiseAND(1) === 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** Random-hyperplane signature for one LSH table (native expression;
+    * see TextHashes.HyperplaneSigs — all tables in one fused loop). */
+  def lshSignature(vec: Column, planes: Int = 6, table: Int = 0): Column =
+    element_at(graft.functions.TextHashes.hyperplaneSigs(asDouble(vec), planes, table + 1), table + 1)
+
+  /** All-tables signatures as one array column (the hot path). */
+  private def lshSignatures(vec: Column, planes: Int, tables: Int): Column =
+    graft.functions.TextHashes.hyperplaneSigs(asDouble(vec), planes, tables)
 
   /** Approximate top-k via multi-table hyperplane LSH (OR-amplified):
     * each of `tables` independent signatures buckets the corpus; a pair is
@@ -71,9 +66,7 @@ object Similarity {
               tables: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def sigs(df: DataFrame, id: String, vecOut: String) =
       df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vecOut),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("tbl"), lshSignature(col(vecCol), planes, t).as("sig"))): _*)).as("ts"))
-        .select(col(id), col(vecOut), col("ts.tbl"), col("ts.sig"))
+        posexplode(lshSignatures(col(vecCol), planes, tables)).as(Seq("tbl", "sig")))
     val c = sigs(corpus, "corpus_id", "c_vec")
     val q = sigs(queries, "query_id", "q_vec")
     val candidates = c.select("corpus_id", "tbl", "sig")
@@ -146,7 +139,7 @@ object Similarity {
   def cosineNearDup(corpus: DataFrame, threshold: Double = 0.95, planes: Int = 8,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"),
-      lshSignature(col(vecCol), planes).as("sig"))
+      element_at(lshSignatures(col(vecCol), planes, 1), 1).as("sig"))
     val a = c.toDF("a_id", "a_v", "sig")
     val b = c.toDF("b_id", "b_v", "sig")
     a.join(b, "sig").where(col("a_id") < col("b_id"))
