@@ -456,6 +456,29 @@ object TaQueries {
         graft.bt.Vectorized.summary(sig)
           .select(col("symbol") +: cols.map(c => r6(col(c)).as(c)): _*)
           .orderBy("symbol")
+      }, None),
+
+    Entry("bt_sequential",
+      // The event-driven engine is inherently serial per portfolio
+      // (SURVEY.md §3.3); the demo runs one symbol's bar stream through a
+      // scripted momentum strategy. Only that single series is collected —
+      // the engine itself is driver-side by design, like the reference.
+      (spark, dir) => {
+        val bars = Tables.bars(spark, dir)
+          .where(col("symbol") === "click_0")
+          .select("ord", "close").orderBy("ord").collect()
+        val closes = bars.map(_.getDouble(1))
+        val r = graft.bt.Sequential.run(closes.length, { (ctx, p) =>
+          if (p >= 2 && closes(p) < closes(p - 1) && closes(p - 1) < closes(p - 2))
+            ctx.buy("X", 10, closes(p))
+          else if (p >= 2 && closes(p) > closes(p - 1) && closes(p - 1) > closes(p - 2))
+            ctx.sell("X", 10, closes(p))
+        })
+        import spark.implicits._
+        r.equity.zipWithIndex.toSeq.map { case (e, i) => (bars(i).getLong(0), e) }
+          .toDF("ord", "equity")
+          .select(col("ord"), r6(col("equity")).as("equity"))
+          .orderBy("ord")
       }, None)
   )
 

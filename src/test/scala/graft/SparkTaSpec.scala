@@ -140,6 +140,48 @@ class SparkTaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(patternValues(Patterns.cdlhikkakemod, rows) == Seq(0, 0, 0, 100))
   }
 
+  test("cdl3linestrike fires on three crows + bull strike") {
+    val rows = Seq(
+      (110.0, 111.0, 99.0, 100.0),      // bear 1
+      (105.0, 106.0, 94.0, 95.0),       // bear 2: opens inside body1, closes lower
+      (100.0, 101.0, 89.0, 90.0),       // bear 3: opens inside body2, closes lower
+      (88.0, 113.0, 87.0, 112.0))       // bull opens below c3, closes above o1
+    assert(patternValues(Patterns.cdl3linestrike, rows) == Seq(0, 0, 0, 100))
+  }
+
+  test("cdl3starsinsouth fires on the shrinking-bear sequence") {
+    val rows = Seq(
+      (110.0, 110.2, 79.0, 100.0),      // long bear, lower shadow 21 > 2·body
+      (106.0, 107.0, 95.0, 101.0),      // bear, higher low, higher close
+      (104.0, 105.0, 96.0, 102.5))      // short bear inside bar2's range
+    assert(patternValues(Patterns.cdl3starsinsouth, rows) == Seq(0, 0, 100))
+  }
+
+  test("cdladvanceblock fires on stalling advance with shrinking body") {
+    val rows = Seq(
+      (100.0, 110.5, 99.5, 110.0),      // long bull
+      (105.0, 117.5, 104.5, 117.0),     // bull, opens within body1, closes higher
+      (112.0, 119.5, 111.5, 119.0))     // bull, shrinking body (7 < 12)
+    assert(patternValues(Patterns.cdladvanceblock, rows) == Seq(0, 0, -100))
+  }
+
+  test("cdlgapsidesidewhite fires on gapping twin whites") {
+    val rows = Seq(
+      (100.0, 111.0, 99.0, 110.0),      // bull
+      (115.0, 121.5, 114.5, 121.0),     // bull gapping above c1
+      (115.05, 121.6, 114.6, 121.1))    // near-identical white beside it
+    assert(patternValues(Patterns.cdlgapsidesidewhite, rows) == Seq(0, 0, 100))
+  }
+
+  test("cdlconcealbabyswall fires on the concealing swallow") {
+    val rows = Seq(
+      (110.0, 110.1, 99.95, 100.0),     // bear marubozu
+      (100.0, 100.05, 89.97, 90.0),     // bear marubozu closing lower
+      (89.0, 92.0, 85.0, 86.0),         // bear with high above c2
+      (93.0, 93.5, 84.0, 84.5))         // long bear engulfing: opens above h3, closes below l2
+    assert(patternValues(Patterns.cdlconcealbabyswall, rows) == Seq(0, 0, 0, 100))
+  }
+
   test("patterns are scale-invariant (thresholds are price-relative)") {
     val rows = Seq(
       (110.0, 111.0, 99.0, 100.0),
