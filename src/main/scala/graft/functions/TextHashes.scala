@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -12,13 +12,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * whole signature in one pass over the array INSIDE the scan stage —
   * map-side only, no explode, no shuffle. At 100 TB that converts the
   * dedup signature step from a full-corpus shuffle into a projection.
+  *
+  * All three implement `doGenCode` (same treatment as CosineSim) so the
+  * dedup scan stays inside whole-stage codegen — no boxed per-row eval on
+  * the hot path. The interpreted `nullSafeEval` twins are kept for
+  * non-codegen contexts and are what the unit tests pin.
   */
 object TextHashes {
 
+  private val M1 = -7046029254386353131L // 0x9E3779B97F4A7C15 (splitmix64 inc)
+  private val M2 = -4658895280553007687L
+  private val M3 = -7723592293110705685L
+
   /** MinHash signature: for each permutation p, min over shingles of
     * XXH64(shingle bytes, seed=p). Output array<long>[numPerms]. */
-  case class MinhashSig(child: Expression, numPerms: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class MinhashSig(child: Expression, numPerms: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_sig"
     override def nullSafeEval(v: Any): Any = {
@@ -38,11 +46,31 @@ object TextHashes {
       }
       new GenericArrayData(mins)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val mins = ctx.freshName("mins"); val n = ctx.freshName("n")
+        val i = ctx.freshName("i"); val p = ctx.freshName("p")
+        val s = ctx.freshName("s"); val h = ctx.freshName("h")
+        s"""
+           |long[] $mins = new long[$numPerms];
+           |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+           |int $n = $arr.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  UTF8String $s = $arr.getUTF8String($i);
+           |  for (int $p = 0; $p < $numPerms; $p++) {
+           |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+           |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), (long) $p);
+           |    if ($h < $mins[$p]) $mins[$p] = $h;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         """.stripMargin
+      })
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** 64-bit SimHash: sign of the per-bit ±1 sums of token hashes. */
-  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
     override def nullSafeEval(v: Any): Any = {
@@ -65,6 +93,30 @@ object TextHashes {
       while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
       java.lang.Long.valueOf(sig)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val counts = ctx.freshName("counts"); val n = ctx.freshName("n")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val s = ctx.freshName("s"); val h = ctx.freshName("h")
+        val sig = ctx.freshName("sig")
+        s"""
+           |int[] $counts = new int[64];
+           |int $n = $arr.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  UTF8String $s = $arr.getUTF8String($i);
+           |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+           |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 0L);
+           |  for (int $j = 0; $j < 64; $j++) {
+           |    if ((($h >>> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
+           |  }
+           |}
+           |long $sig = 0L;
+           |for (int $j = 0; $j < 64; $j++) {
+           |  if ($counts[$j] > 0) $sig |= (1L << $j);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -73,13 +125,13 @@ object TextHashes {
     * deterministic ±1 hyperplane components from a splitmix64 of
     * (t, p, d). Replaces planes×tables aggregate-over-array loops. */
   case class HyperplaneSigs(child: Expression, planes: Int, tables: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
     override def prettyName: String = "hyperplane_sigs"
     @inline private def mix(z0: Long): Long = {
-      var z = z0 + -7046029254386353131L // 0x9E3779B97F4A7C15
-      z = (z ^ (z >>> 30)) * -4658895280553007687L
-      z = (z ^ (z >>> 27)) * -7723592293110705685L
+      var z = z0 + M1
+      z = (z ^ (z >>> 30)) * M2
+      z = (z ^ (z >>> 27)) * M3
       z ^ (z >>> 31)
     }
     override def nullSafeEval(v: Any): Any = {
@@ -106,6 +158,33 @@ object TextHashes {
       }
       new GenericArrayData(sigs)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val sigs = ctx.freshName("sigs"); val n = ctx.freshName("n")
+        val t = ctx.freshName("t"); val p = ctx.freshName("p"); val d = ctx.freshName("d")
+        val sig = ctx.freshName("sig"); val dot = ctx.freshName("dot")
+        val z = ctx.freshName("z")
+        s"""
+           |int $n = $arr.numElements();
+           |int[] $sigs = new int[$tables];
+           |for (int $t = 0; $t < $tables; $t++) {
+           |  int $sig = 0;
+           |  for (int $p = 0; $p < $planes; $p++) {
+           |    double $dot = 0.0;
+           |    for (int $d = 0; $d < $n; $d++) {
+           |      long $z = (long) $t * 1000003L + (long) $p * 7919L + (long) $d + ${M1}L;
+           |      $z = ($z ^ ($z >>> 30)) * ${M2}L;
+           |      $z = ($z ^ ($z >>> 27)) * ${M3}L;
+           |      $z = $z ^ ($z >>> 31);
+           |      $dot += $arr.getDouble($d) * ((($z & 1L) == 0L) ? 1.0 : -1.0);
+           |    }
+           |    if ($dot >= 0) $sig |= (1 << $p);
+           |  }
+           |  $sigs[$t] = $sig;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+         """.stripMargin
+      })
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 

@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   *     skewed bucket (all-identical spam) is exactly the case where
   *     pairing is the desired output. Never a cartesian across buckets.
   *   - SIMHASH: 64-bit signature; Hamming-≤k search uses the pigeonhole
-  *     principle — split 64 bits into `chunks` chunks; any pair within
-  *     Hamming k < chunks must agree on ≥1 whole chunk, so an equi-join
-  *     per chunk finds all candidates. 4 chunks of 16 bits ⇒ k ≤ 3
-  *     guaranteed recall, candidates verified by exact bit_count(xor).
+  *     principle — split 64 bits into `numChunks` chunks; any pair within
+  *     Hamming k < numChunks must agree on ≥1 whole chunk, so an equi-join
+  *     per chunk finds all candidates. 8 chunks of 8 bits ⇒ k ≤ 7
+  *     guaranteed recall, candidates verified by exact bit_count(xor);
+  *     the code refuses k ≥ numChunks rather than silently under-recall.
   */
 object Dedup {
 
@@ -85,7 +86,9 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for given candidate pairs (verification step —
-    * only runs on candidates, never the full cross product). */
+    * only runs on candidates, never the full cross product). Extra columns
+    * on `pairs` (e.g. the MinHash `est_jaccard`) are carried through, so
+    * estimate + exact verification is one plan with no re-join. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", shingleK: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol), array_distinct(shingles(col(textCol), shingleK)).as("sh"))
@@ -94,8 +97,9 @@ object Dedup {
       .join(sh.toDF("b_id", "b_sh"), "b_id")
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
       .withColumn("uni", size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
-      .select(col("a_id"), col("b_id"),
-        when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")).as("jaccard"))
+      .withColumn("jaccard",
+        when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")))
+      .drop("a_sh", "b_sh", "inter", "uni")
   }
 
   /** 64-bit SimHash via the native SimHash64 expression — one pass over
@@ -107,14 +111,24 @@ object Dedup {
         split(trim(lower(col(textCol))), "\\s+")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming ≤ maxHamming via the pigeonhole
-    * chunk join (guaranteed recall for maxHamming < 4 with 4 chunks). */
+    * chunk join. With `numChunks` chunks any pair within Hamming
+    * `numChunks − 1` must agree on ≥1 whole chunk, so the equi-join per
+    * chunk has FULL recall only for maxHamming < numChunks — the
+    * `require` keeps the query contract and the guarantee in agreement
+    * (a looser threshold would silently miss pairs whose differing bits
+    * spread across every chunk). Default 8×8-bit chunks ⇒ k ≤ 7. */
   def simhashCandidates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 7, numChunks: Int = 8): DataFrame = {
+    require(64 % numChunks == 0, s"numChunks must divide 64, got $numChunks")
+    require(maxHamming < numChunks,
+      s"pigeonhole recall guarantee needs maxHamming < numChunks ($maxHamming !< $numChunks)")
+    val bits = 64 / numChunks
+    val mask = (1L << bits) - 1
     val sig = simhash(docs, textCol, idCol)
     val chunks = sig.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(c =>
+      explode(array((0 until numChunks).map(c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("ck"))
+          shiftright(col("simhash"), c * bits).bitwiseAND(mask).as("key"))): _*)).as("ck"))
       .select(col(idCol), col("simhash"), col("ck.chunk"), col("ck.key"))
     val a = chunks.toDF("a_id", "a_sim", "chunk", "key")
     val b = chunks.toDF("b_id", "b_sim", "chunk", "key")

@@ -83,31 +83,63 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Per-row nearest-centroid id (1-based) against a LITERAL centroid
+    * array: k fused CosineSim loops + argmax, entirely inside the scan
+    * projection — no window, no shuffle, no exchange of the corpus.
+    * Ties break to the lowest cid (array_position returns the first max),
+    * matching the probe side's (csim desc, cid asc) ordering. */
+  private def nearestCid(v: Column, cents: Array[Array[Double]]): Column = {
+    val sims = array(cents.map(ct => cosine(v, typedlit(ct))): _*)
+    array_position(sims, array_max(sims)).cast("int")
+  }
+
+  /** Build the IVF coarse quantizer: deterministic hash-ordered seed of
+    * `numCentroids` corpus vectors, refined with `lloydIters` Lloyd
+    * (k-means) iterations over a hash sample of the corpus.
+    *
+    * This is the index-BUILD phase and runs Spark actions (like writing
+    * an index file would): the seed is a TakeOrderedAndProject of k rows
+    * (per-partition top-k, driver merge — never a SinglePartition
+    * exchange), and each Lloyd step is a map-side argmax + a
+    * (cid, dim)-keyed partial-aggregated mean, so shuffle volume per
+    * iteration is bounded by partitions × k × dim regardless of corpus
+    * size. The sample cap keeps the refinement cost fixed at 100 TB. */
+  def ivfBuild(corpus: DataFrame, numCentroids: Int = 16, lloydIters: Int = 3,
+               sampleMod: Int = 1, idCol: String = "vec_id",
+               vecCol: String = "embedding"): Array[Array[Double]] = {
+    val c = corpus.select(xxhash64(col(idCol)).as("h"), asDouble(col(vecCol)).as("v"))
+    var cents: Array[Array[Double]] = c.orderBy("h").limit(numCentroids)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val sample = if (sampleMod <= 1) c else c.where(pmod(col("h"), lit(sampleMod)) === 0)
+    for (_ <- 1 to lloydIters) {
+      val means = sample.select(nearestCid(col("v"), cents).as("cid"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .groupBy("cid").agg(map_from_arrays(collect_list("pos"), collect_list("m")).as("byPos"))
+        .collect().map { r =>
+          val m = r.getMap[Int, Double](1)
+          r.getInt(0) -> Array.tabulate(cents(0).length)(d => m(d))
+        }.toMap
+      cents = cents.indices.map(i => means.getOrElse(i + 1, cents(i))).toArray
+    }
+    cents
+  }
+
   /** IVF (inverted-file) index: a small set of coarse centroids partitions
     * the corpus into lists; queries probe only the `nprobe` nearest lists.
     *
-    * Centroids are a deterministic stride sample of the corpus (production
-    * would run k-means‖ — the index contract is identical). At 100 TB the
-    * centroid table stays tiny (k ≈ √N) and is broadcast; the corpus is
-    * scanned ONCE to assign lists (a map-side argmax against broadcast
-    * centroids — no shuffle of the vectors beyond the final list
-    * partitioning), and a query touches nprobe/k of the data instead of
-    * all of it. */
-  def ivfAssign(corpus: DataFrame, numCentroids: Int = 16,
-                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
-    val w = Window.orderBy(col(idCol))
-    val stride = c.withColumn("rn", row_number().over(w))
-    val total = stride.agg(max("rn")).head.getInt(0)
-    val step = math.max(total / numCentroids, 1)
-    val centroids = stride.where(col("rn") % step === 1).limit(numCentroids)
-      .select(col("rn").as("cid"), col("v").as("centroid"))
-    val assignW = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cid").asc)
-    val assignments = c.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosine(col("v"), col("centroid")))
-      .withColumn("rk", row_number().over(assignW))
-      .where(col("rk") === 1)
-      .select(col(idCol), col("cid"), col("v"))
+    * At 100 TB the centroid set stays tiny (k ≈ √N) and rides into every
+    * task as literals in the generated code; the corpus is scanned ONCE to
+    * assign lists — a map-side argmax projection, zero shuffles — and a
+    * query touches nprobe/k of the data instead of all of it. */
+  def ivfAssign(corpus: DataFrame, cents: Array[Array[Double]],
+                idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = cents.zipWithIndex.map { case (v, i) => (i + 1, v) }.toSeq
+      .toDF("cid", "centroid")
+    val assignments = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("cid", nearestCid(col("v"), cents))
     (centroids, assignments)
   }
 
@@ -115,9 +147,10 @@ object Similarity {
     * query and score only those lists. Recall grows with nprobe
     * (nprobe == numCentroids ⇒ exact brute force). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-              numCentroids: Int = 16, nprobe: Int = 4,
+              numCentroids: Int = 16, nprobe: Int = 4, lloydIters: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (centroids, assignments) = ivfAssign(corpus, numCentroids, idCol, vecCol)
+    val cents = ivfBuild(corpus, numCentroids, lloydIters, 1, idCol, vecCol)
+    val (centroids, assignments) = ivfAssign(corpus, cents, idCol, vecCol)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
     val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
     val probes = q.crossJoin(broadcast(centroids))
@@ -134,12 +167,22 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Planes needed so the EXPECTED bucket holds ≤ targetBucketSize vectors
+    * (2^planes ≥ n/target): within-bucket pairing is O(n²/2^planes), so a
+    * fixed plane count goes quadratic as the corpus grows — the bucket
+    * count must scale with N. */
+  def planesForCorpus(n: Long, targetBucketSize: Long = 4096): Int =
+    math.max(4, math.ceil(math.log(math.max(n.toDouble / targetBucketSize, 1.0)) / math.log(2.0)).toInt)
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
-    * buckets (within-bucket pairs only — never all-pairs). */
-  def cosineNearDup(corpus: DataFrame, threshold: Double = 0.95, planes: Int = 8,
+    * buckets (within-bucket pairs only — never all-pairs). `planes <= 0`
+    * derives the bucket count from the corpus size (one count() action)
+    * so the within-bucket pair blow-up is bounded at any scale. */
+  def cosineNearDup(corpus: DataFrame, threshold: Double = 0.95, planes: Int = 0,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = if (planes > 0) planes else planesForCorpus(corpus.count())
     val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"),
-      element_at(lshSignatures(col(vecCol), planes, 1), 1).as("sig"))
+      element_at(lshSignatures(col(vecCol), p, 1), 1).as("sig"))
     val a = c.toDF("a_id", "a_v", "sig")
     val b = c.toDF("b_id", "b_v", "sig")
     a.join(b, "sig").where(col("a_id") < col("b_id"))

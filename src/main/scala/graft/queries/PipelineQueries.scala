@@ -63,9 +63,8 @@ object PipelineQueries {
     Entry("minhash_pairs",
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
-        val cand = Dedup.minhashCandidates(docs)
-        Dedup.ngramJaccard(cand.select("a_id", "b_id"), docs)
-          .join(cand, Seq("a_id", "b_id"))
+        // est_jaccard rides through the verify join — no re-join with cand
+        Dedup.ngramJaccard(Dedup.minhashCandidates(docs), docs)
           .select(col("a_id"), col("b_id"), r6(col("est_jaccard")).as("est_jaccard"),
             r6(col("jaccard")).as("jaccard"))
           .orderBy("a_id", "b_id")
@@ -76,7 +75,9 @@ object PipelineQueries {
       None),
 
     Entry("simhash_pairs",
-      (spark, dir) => Dedup.simhashCandidates(Tables.documents(spark, dir), maxHamming = 16)
+      // maxHamming = 7 with 8×8-bit chunks: the registered threshold now
+      // MATCHES the pigeonhole recall guarantee (round-2 verdict #2).
+      (spark, dir) => Dedup.simhashCandidates(Tables.documents(spark, dir), maxHamming = 7)
         .orderBy("a_id", "b_id"),
       None),
 
@@ -118,7 +119,7 @@ object PipelineQueries {
       }, None),
 
     Entry("cosine_bucket_pairs",
-      (spark, dir) => Similarity.cosineNearDup(Tables.embeddings(spark, dir), threshold = -1.0)
+      (spark, dir) => Similarity.cosineNearDup(Tables.embeddings(spark, dir), threshold = -1.0, planes = 8)
         .select(col("a_id"), col("b_id"), r6(col("cosine")).as("cosine"))
         .orderBy("a_id", "b_id"),
       None),

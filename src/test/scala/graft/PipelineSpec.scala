@@ -123,6 +123,54 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(narrow.exists(r => r.getAs[Long]("corpus_id") == 61L))
   }
 
+  test("simhash pigeonhole recall: every Hamming<=7 pair found (vs brute force)") {
+    val words = base.split(" ")
+    val variants = (0 until 30).map { i =>
+      val w = words.clone(); w(i % w.length) = s"tok$i"; (i.toLong, w.mkString(" "))
+    } :+ (100L -> base) :+ (101L -> base) // guaranteed Hamming-0 pair
+    val d = docs(variants: _*)
+    val sigs = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 7
+    } yield (a, b)).toSet
+    val got = Dedup.simhashCandidates(d, maxHamming = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    assert(got == expected, s"missed: ${expected -- got}, spurious: ${got -- expected}")
+    // thresholds beyond the pigeonhole guarantee are refused, not silently under-recalled
+    intercept[IllegalArgumentException](Dedup.simhashCandidates(d, maxHamming = 8))
+  }
+
+  test("IVF Lloyd refinement: recall@5 at fixed nprobe >= unrefined seed centroids") {
+    val rnd = new scala.util.Random(13)
+    // three gaussian-ish clusters in 8-d
+    val centers = Seq(Array.fill(8)(1.0f), Array.fill(8)(-1.0f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    val vecs = (0L until 120L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.6f))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 6)
+    def recall(iters: Int): Double = {
+      val approx = Similarity.ivfTopK(df, q, k = 5, numCentroids = 6, nprobe = 2,
+        lloydIters = iters).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Similarity.bruteForceTopK(df, q, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (approx & exact).size.toDouble / exact.size
+    }
+    val r0 = recall(0); val r3 = recall(3)
+    assert(r3 >= r0, s"Lloyd refinement degraded recall: $r3 < $r0")
+    assert(r3 > 0.8, s"refined recall@5 too low: $r3")
+  }
+
+  test("cosineNearDup bucket count scales with corpus size") {
+    assert(Similarity.planesForCorpus(1000) == 4)
+    assert(Similarity.planesForCorpus(1L << 30, 4096) == 18) // 2^30/2^12
+    assert(Similarity.planesForCorpus(1L << 40) > Similarity.planesForCorpus(1L << 30))
+  }
+
   test("native CosineSim expression agrees with the composed built-ins formulation") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 200).map(i => (i.toLong,
