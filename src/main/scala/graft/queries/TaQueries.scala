@@ -39,6 +39,76 @@ object TaQueries {
   private val B = Sql.bars
   private val T = Sql.tail
 
+  // -- shared CTE fragments for the list-fold oracles (recursive family).
+  //    Each replays the kernel's sequential IEEE arithmetic via
+  //    list_reduce folds so hashes match bit-for-bit (Sql.foldList). --
+
+  /** Per-series cumulative close list. */
+  private val closeList =
+    s"l AS (SELECT symbol, ord, list(close) OVER wc AS xs FROM bars WINDOW ${Sql.wcDef})"
+
+  /** True range (NULL on each series' first row) + filtered list (Kernels.trange). */
+  private val trList =
+    s"""t AS (
+       |  SELECT symbol, ord, close, CASE WHEN lag(close, 1) OVER w IS NULL THEN NULL
+       |    ELSE greatest(high - low, abs(high - lag(close, 1) OVER w), abs(low - lag(close, 1) OVER w)) END AS tr
+       |  FROM bars WINDOW ${Sql.wDef}
+       |), l AS (SELECT symbol, ord, close, ${Sql.filt("tr")} AS ys FROM t WINDOW ${Sql.wcDef})""".stripMargin
+
+  /** Wilder up/down averages (Kernels.rsi seed + recurrence). */
+  private val rsiCtes =
+    s"""t AS (
+       |  SELECT symbol, ord, close - lag(close, 1) OVER w AS d FROM bars WINDOW ${Sql.wDef}
+       |), u AS (
+       |  SELECT symbol, ord,
+       |    CASE WHEN d IS NULL THEN NULL WHEN d > 0 THEN d ELSE 0.0 END AS up,
+       |    CASE WHEN d IS NULL THEN NULL WHEN d < 0 THEN -d ELSE 0.0 END AS dn
+       |  FROM t
+       |), lu AS (SELECT symbol, ord, ${Sql.filt("up")} AS ups, ${Sql.filt("dn")} AS dns FROM u WINDOW ${Sql.wcDef}),
+       |g AS (SELECT symbol, ord, ${Sql.wilderFold("ups", 14)} AS ag, ${Sql.wilderFold("dns", 14)} AS al FROM lu)""".stripMargin
+  private val rsiExpr =
+    "CASE WHEN ag IS NULL THEN NULL WHEN al = 0.0 THEN 100.0 ELSE 100.0 - 100.0 / (1.0 + ag / al) END"
+
+  /** ±DM/TR → Wilder-sum-smoothed → DI/DX pipeline (Kernels.dmPipeline). */
+  private val dmCtes =
+    s"""t AS (
+       |  SELECT symbol, ord, high - lag(high, 1) OVER w AS up, lag(low, 1) OVER w - low AS dn,
+       |    CASE WHEN lag(close, 1) OVER w IS NULL THEN NULL
+       |      ELSE greatest(high - low, abs(high - lag(close, 1) OVER w), abs(low - lag(close, 1) OVER w)) END AS tr
+       |  FROM bars WINDOW ${Sql.wDef}
+       |), dm AS (
+       |  SELECT symbol, ord,
+       |    CASE WHEN up IS NULL THEN NULL WHEN up > dn AND up > 0 THEN up ELSE 0.0 END AS pdm,
+       |    CASE WHEN dn IS NULL THEN NULL WHEN dn > up AND dn > 0 THEN dn ELSE 0.0 END AS mdm,
+       |    tr
+       |  FROM t
+       |), dl AS (SELECT symbol, ord, ${Sql.filt("pdm")} AS pdms, ${Sql.filt("mdm")} AS mdms, ${Sql.filt("tr")} AS trs FROM dm WINDOW ${Sql.wcDef}),
+       |sm AS (SELECT symbol, ord, ${Sql.wilderSumFold("pdms", 14)} AS spdm, ${Sql.wilderSumFold("mdms", 14)} AS smdm, ${Sql.wilderSumFold("trs", 14)} AS str FROM dl),
+       |di AS (SELECT symbol, ord, spdm, smdm,
+       |  CASE WHEN spdm IS NULL THEN NULL WHEN str = 0 THEN 0.0 ELSE 100.0 * spdm / str END AS pdi,
+       |  CASE WHEN smdm IS NULL THEN NULL WHEN str = 0 THEN 0.0 ELSE 100.0 * smdm / str END AS mdi
+       |  FROM sm),
+       |dxt AS (SELECT symbol, ord, spdm, smdm, pdi, mdi,
+       |  CASE WHEN pdi IS NULL THEN NULL WHEN pdi + mdi = 0 THEN 0.0 ELSE 100.0 * abs(pdi - mdi) / (pdi + mdi) END AS dx
+       |  FROM di)""".stripMargin
+
+  private def dmQ(c: String, out: String): String =
+    s"$B, $dmCtes SELECT symbol, ord, ${Sql.r6(c, out)} FROM dxt $T"
+
+  /** ADX = Wilder average of DX (Kernels.adx). */
+  private val adxCtes =
+    s"""$dmCtes, xl AS (SELECT symbol, ord, ${Sql.filt("dx")} AS dxs FROM dxt WINDOW ${Sql.wcDef}),
+       |ax AS (SELECT symbol, ord, ${Sql.wilderFold("dxs", 14)} AS adx FROM xl)""".stripMargin
+
+  /** MACD line + signal + hist via EMA folds (Kernels.macd, 12/26/9). */
+  private lazy val macdSql =
+    s"""$B, l AS (SELECT symbol, ord, list(close) OVER wc AS xs FROM bars WINDOW ${Sql.wcDef}),
+       |m AS (SELECT symbol, ord, ${Sql.emaList("xs", 12)} - ${Sql.emaList("xs", 26)} AS macd FROM l),
+       |ml AS (SELECT symbol, ord, macd, ${Sql.filt("macd")} AS ys FROM m WINDOW ${Sql.wcDef}),
+       |s AS (SELECT symbol, ord, macd, ${Sql.emaList("ys", 9)} AS sig FROM ml)
+       |SELECT symbol, ord, ${Sql.r6("macd", "macd")}, ${Sql.r6("sig", "macd_signal")},
+       |  ${Sql.r6("macd - sig", "macd_hist")} FROM s $T""".stripMargin
+
   // ---------------------------------------------------------------- entries
 
   final case class Entry(name: String, q: Q, oracle: Option[String])
@@ -327,7 +397,18 @@ object TaQueries {
     Entry("stoch_ema",
       recQ("slowk", "slowd")(df =>
         Recursive.stoch(df, fastkN = 5, slowkN = 3, slowkType = 1, slowdN = 3, slowdType = 1)),
-      None), // EMA legs — recursive, covered by golden tests
+      // EMA legs via list folds over the window-expressible fastK
+      Some(s"""$B, t AS (
+        |  SELECT symbol, ord, CASE WHEN count(high) OVER wn5 >= 5 THEN
+        |    (CASE WHEN max(high) OVER wn5 = min(low) OVER wn5 THEN 0.0
+        |     ELSE 100.0 * (close - min(low) OVER wn5) / (max(high) OVER wn5 - min(low) OVER wn5) END)
+        |  END AS fastk
+        |  FROM bars WINDOW ${Sql.wnDef(5)}
+        |), kl AS (SELECT symbol, ord, ${Sql.filt("fastk")} AS ys FROM t WINDOW ${Sql.wcDef}),
+        |k AS (SELECT symbol, ord, ${Sql.emaList("ys", 3)} AS slowk FROM kl),
+        |dl AS (SELECT symbol, ord, slowk, ${Sql.filt("slowk")} AS zs FROM k WINDOW ${Sql.wcDef})
+        |SELECT symbol, ord, ${Sql.r6("slowk", "slowk")}, ${Sql.r6(Sql.emaList("zs", 3), "slowd")}
+        |FROM dl $T""".stripMargin)),
 
     // ---- volume / volatility / price transforms (oracle-checked) ----
 
@@ -381,36 +462,139 @@ object TaQueries {
 
     // ---- recursive family (loop ops; rows-only check + golden scalatests) ----
 
-    Entry("ema_20",   recQ("ema")(df => Recursive.ema(df, "close", 20)), None),
-    Entry("rma_14",   recQ("rma")(df => Recursive.rma(df, "close", 14)), None),
-    Entry("dema_20",  recQ("dema")(df => Recursive.dema(df, "close", 20)), None),
-    Entry("tema_10",  recQ("tema")(df => Recursive.tema(df, "close", 10)), None),
-    Entry("t3_5",     recQ("t3")(df => Recursive.t3(df, "close", 5)), None),
-    Entry("kama_10",  recQ("kama")(df => Recursive.kama(df, "close", 10)), None),
+    Entry("ema_20",   recQ("ema")(df => Recursive.ema(df, "close", 20)),
+      Some(s"""$B, $closeList
+        |SELECT symbol, ord, ${Sql.r6(Sql.emaList("xs", 20), "ema")} FROM l $T""".stripMargin)),
+    Entry("rma_14",   recQ("rma")(df => Recursive.rma(df, "close", 14)),
+      Some(s"""$B, $closeList
+        |SELECT symbol, ord, ${Sql.r6(Sql.rmaList("xs", 14), "rma")} FROM l $T""".stripMargin)),
+    Entry("dema_20",  recQ("dema")(df => Recursive.dema(df, "close", 20)),
+      Some {
+        val (ctes, last) = Sql.emaCascade(2, 20)
+        s"""$B, $ctes
+          |SELECT symbol, ord, ${Sql.r6("CASE WHEN e2 IS NOT NULL THEN 2 * e1 - e2 END", "dema")}
+          |FROM $last $T""".stripMargin
+      }),
+    Entry("tema_10",  recQ("tema")(df => Recursive.tema(df, "close", 10)),
+      Some {
+        val (ctes, last) = Sql.emaCascade(3, 10)
+        s"""$B, $ctes
+          |SELECT symbol, ord, ${Sql.r6("CASE WHEN e3 IS NOT NULL THEN 3 * e1 - 3 * e2 + e3 END", "tema")}
+          |FROM $last $T""".stripMargin
+      }),
+    Entry("t3_5",     recQ("t3")(df => Recursive.t3(df, "close", 5)),
+      Some {
+        // coefficients recomputed with the kernel's own expressions so the
+        // embedded literals are the identical IEEE doubles (Kernels.t3)
+        val a = 0.7
+        val c1 = -a * a * a
+        val c2 = 3 * a * a + 3 * a * a * a
+        val c3 = -6 * a * a - 3 * a - 3 * a * a * a
+        val c4 = 1 + 3 * a + a * a * a + 3 * a * a
+        val (ctes, last) = Sql.emaCascade(6, 5)
+        s"""$B, $ctes
+          |SELECT symbol, ord, ${Sql.r6(
+             s"CASE WHEN e6 IS NOT NULL THEN ${Sql.dlit(c1)} * e6 + ${Sql.dlit(c2)} * e5 + " +
+             s"${Sql.dlit(c3)} * e4 + ${Sql.dlit(c4)} * e3 END", "t3")}
+          |FROM $last $T""".stripMargin
+      }),
+    Entry("kama_10",  recQ("kama")(df => Recursive.kama(df, "close", 10)),
+      Some {
+        // vol replays the kernel's rolling (−oldest, +newest) order via a
+        // zip fold; the smoothing-constant column then drives the KAMA
+        // recursion seeded with the previous value (Kernels.kama)
+        val fast = 2.0 / (2 + 1); val slow = 2.0 / (30 + 1)
+        val fs = Sql.dlit(fast - slow); val sl = Sql.dlit(slow)
+        val er = "CASE WHEN vol = 0.0 THEN 0.0 ELSE dir / vol END"
+        s"""$B, t AS (
+          |  SELECT symbol, ord, close, abs(close - lag(close, 1) OVER w) AS d,
+          |    abs(close - lag(close, 10) OVER w) AS dir
+          |  FROM bars WINDOW ${Sql.wDef}
+          |), l AS (
+          |  SELECT symbol, ord, close, dir, list(close) OVER wc AS xs, ${Sql.filt("d")} AS ds FROM t WINDOW ${Sql.wcDef}
+          |), v AS (
+          |  SELECT symbol, ord, close, dir, xs,
+          |    CASE WHEN len(ds) >= 10 THEN ${Sql.zipFold(Sql.seqSum("ds", 10), "ds[11:]", "ds[1:len(ds)-10]", "(acc.list_1 - z.list_2) + z.list_1")} END AS vol
+          |  FROM l
+          |), sc AS (
+          |  SELECT symbol, ord, xs,
+          |    CASE WHEN vol IS NULL THEN NULL ELSE ($er * $fs + $sl) * ($er * $fs + $sl) END AS sc
+          |  FROM v
+          |), scl AS (SELECT symbol, ord, xs, ${Sql.filt("sc")} AS scs FROM sc WINDOW ${Sql.wcDef})
+          |SELECT symbol, ord, ${Sql.r6(s"CASE WHEN len(xs) >= 11 THEN ${Sql.zipFold("xs[10]", "xs[11:]", "scs", "acc.list_1 + z.list_2 * (z.list_1 - acc.list_1)")} END", "kama")}
+          |FROM scl $T""".stripMargin
+      }),
     Entry("mavp_5_15",
       recQ("mavp")(df => Recursive.mavp(
         df.withColumn("periods", (col("ord") % 11 + 5).cast("double")), "close", "periods", 5, 15, 0)),
-      None),
-    Entry("rsi_14",   recQ("rsi")(df => Recursive.rsi(df, "close", 14)), None),
+      Some {
+        // one gated SMA window per distinct period, dispatched by the
+        // periods expression (valid window == physical on null-free bars)
+        val branches = (5 to 15).map(p =>
+          s"WHEN $p THEN CASE WHEN count(close) OVER wn$p >= $p THEN avg(close) OVER wn$p END").mkString(" ")
+        val wins = (5 to 15).map(Sql.wnDef).mkString(", ")
+        s"""$B
+          |SELECT symbol, ord, ${Sql.r6(s"CASE CAST(ord % 11 + 5 AS INT) $branches END", "mavp")}
+          |FROM bars WINDOW $wins $T""".stripMargin
+      }),
+    Entry("rsi_14",   recQ("rsi")(df => Recursive.rsi(df, "close", 14)),
+      Some(s"""$B, $rsiCtes
+        |SELECT symbol, ord, ${Sql.r6(rsiExpr, "rsi")} FROM g $T""".stripMargin)),
     Entry("macd_12_26_9",
-      recQ("macd", "macd_signal", "macd_hist")(df => Recursive.macd(df, "close")), None),
+      recQ("macd", "macd_signal", "macd_hist")(df => Recursive.macd(df, "close")),
+      Some(macdSql)),
     Entry("macdfix_9",
-      recQ("macd", "macd_signal", "macd_hist")(df => Recursive.macdfix(df, "close")), None),
-    Entry("trix_10",  recQ("trix")(df => Recursive.trix(df, "close", 10)), None),
-    Entry("atr_14",   recQ("atr")(df => Recursive.atr(df)), None),
-    Entry("natr_14",  recQ("natr")(df => Recursive.natr(df)), None),
-    Entry("adosc_3_10", recQ("adosc")(df => Recursive.adosc(df)), None),
-    Entry("adx_14",   recQ("adx")(df => Recursive.adx(df)), None),
-    Entry("adxr_14",  recQ("adxr")(df => Recursive.adxr(df)), None),
-    Entry("dx_14",    recQ("dx")(df => Recursive.dx(df)), None),
-    Entry("plus_di_14",  recQ("plus_di")(df => Recursive.plusDi(df)), None),
-    Entry("minus_di_14", recQ("minus_di")(df => Recursive.minusDi(df)), None),
-    Entry("plus_dm_14",  recQ("plus_dm")(df => Recursive.plusDm(df)), None),
-    Entry("minus_dm_14", recQ("minus_dm")(df => Recursive.minusDm(df)), None),
+      recQ("macd", "macd_signal", "macd_hist")(df => Recursive.macdfix(df, "close")),
+      Some(macdSql)), // MACDFIX ≡ MACD(12, 26, sig) — same oracle
+    Entry("trix_10",  recQ("trix")(df => Recursive.trix(df, "close", 10)),
+      Some {
+        val (ctes, last) = Sql.emaCascade(3, 10)
+        s"""$B, $ctes,
+          |tr AS (SELECT symbol, ord, e3, lag(e3, 1) OVER w AS p3 FROM $last WINDOW ${Sql.wDef})
+          |SELECT symbol, ord, ${Sql.r6("CASE WHEN e3 IS NOT NULL AND p3 IS NOT NULL AND p3 != 0 THEN 100.0 * (e3 / p3 - 1.0) END", "trix")}
+          |FROM tr $T""".stripMargin
+      }),
+    Entry("atr_14",   recQ("atr")(df => Recursive.atr(df)),
+      Some(s"""$B, $trList
+        |SELECT symbol, ord, ${Sql.r6(Sql.rmaList("ys", 14), "atr")} FROM l $T""".stripMargin)),
+    Entry("natr_14",  recQ("natr")(df => Recursive.natr(df)),
+      Some(s"""$B, $trList, a AS (SELECT symbol, ord, close, ${Sql.rmaList("ys", 14)} AS atr FROM l)
+        |SELECT symbol, ord, ${Sql.r6("CASE WHEN atr IS NOT NULL AND close != 0 THEN 100.0 * atr / close END", "natr")}
+        |FROM a $T""".stripMargin)),
+    Entry("adosc_3_10", recQ("adosc")(df => Recursive.adosc(df)),
+      Some(s"""$B, t AS (
+        |  SELECT symbol, ord, CASE WHEN high = low THEN 0.0 ELSE ((close - low) - (high - close)) / (high - low) * volume END AS clv
+        |  FROM bars
+        |), l AS (SELECT symbol, ord, list(clv) OVER wc AS cs FROM t WINDOW ${Sql.wcDef}),
+        |a AS (SELECT symbol, ord, list_reduce(list_prepend(0.0, cs), (acc, x) -> acc + x) AS adl FROM l),
+        |al AS (SELECT symbol, ord, list(adl) OVER wc AS xs FROM a WINDOW ${Sql.wcDef})
+        |SELECT symbol, ord, ${Sql.r6(s"${Sql.emaList("xs", 3)} - ${Sql.emaList("xs", 10)}", "adosc")} FROM al $T""".stripMargin)),
+    Entry("adx_14",   recQ("adx")(df => Recursive.adx(df)),
+      Some(s"""$B, $adxCtes
+        |SELECT symbol, ord, ${Sql.r6("adx", "adx")} FROM ax $T""".stripMargin)),
+    Entry("adxr_14",  recQ("adxr")(df => Recursive.adxr(df)),
+      Some(s"""$B, $adxCtes,
+        |ar AS (SELECT symbol, ord, adx, lag(adx, 13) OVER w AS padx FROM ax WINDOW ${Sql.wDef})
+        |SELECT symbol, ord, ${Sql.r6("CASE WHEN adx IS NOT NULL AND padx IS NOT NULL THEN (adx + padx) / 2 END", "adxr")}
+        |FROM ar $T""".stripMargin)),
+    Entry("dx_14",    recQ("dx")(df => Recursive.dx(df)), Some(dmQ("dx", "dx"))),
+    Entry("plus_di_14",  recQ("plus_di")(df => Recursive.plusDi(df)), Some(dmQ("pdi", "plus_di"))),
+    Entry("minus_di_14", recQ("minus_di")(df => Recursive.minusDi(df)), Some(dmQ("mdi", "minus_di"))),
+    Entry("plus_dm_14",  recQ("plus_dm")(df => Recursive.plusDm(df)), Some(dmQ("spdm", "plus_dm"))),
+    Entry("minus_dm_14", recQ("minus_dm")(df => Recursive.minusDm(df)), Some(dmQ("smdm", "minus_dm"))),
     Entry("sar",      recQ("sar")(df => Recursive.sar(df)), None),
     Entry("sarext",   recQ("sarext")(df => Recursive.sarext(df)), None),
     Entry("stochrsi_14_5_3",
-      recQ("fastk_rsi", "fastd_rsi")(df => Recursive.stochrsi(df, "close")), None),
+      recQ("fastk_rsi", "fastd_rsi")(df => Recursive.stochrsi(df, "close")),
+      Some(s"""$B, $rsiCtes,
+        |r AS (SELECT symbol, ord, $rsiExpr AS rsi FROM g),
+        |fk AS (SELECT symbol, ord, CASE WHEN count(rsi) OVER wn5 >= 5 THEN
+        |    (CASE WHEN max(rsi) OVER wn5 = min(rsi) OVER wn5 THEN 0.0
+        |     ELSE 100.0 * (rsi - min(rsi) OVER wn5) / (max(rsi) OVER wn5 - min(rsi) OVER wn5) END)
+        |  END AS fastk FROM r WINDOW ${Sql.wnDef(5)})
+        |SELECT symbol, ord, ${Sql.r6("fastk", "fastk_rsi")},
+        |  ${Sql.gatedR6("fastk", 3, "avg(fastk) OVER wn3", "fastd_rsi")}
+        |FROM fk WINDOW ${Sql.wnDef(3)} $T""".stripMargin)),
 
     // ---- cycle / Hilbert family (one mesa pass; trendline+trendmode are
     //      window-expressible → oracle-checked, the rest golden-tested) ----
