@@ -100,6 +100,72 @@ object TaQueries {
     s"""$dmCtes, xl AS (SELECT symbol, ord, ${Sql.filt("dx")} AS dxs FROM dxt WINDOW ${Sql.wcDef}),
        |ax AS (SELECT symbol, ord, ${Sql.wilderFold("dxs", 14)} AS adx FROM xl)""".stripMargin
 
+  /** SAR / SAREXT oracle via a RECURSIVE CTE that replays the kernel's
+    * per-bar state machine (long?, sar, ep, af) one row at a time —
+    * list_reduce struct accumulators are unusable here (DuckDB 1.0
+    * evaluates later struct fields against a partially-updated
+    * accumulator), and the recursion is O(rows), not O(rows²).
+    * `signed` = SAREXT's emit-short-as-negative convention (Kernels.sar /
+    * Kernels.sarext; plain SAR ≡ SAREXT with symmetric accel and the
+    * unsigned output). Lateral column aliases keep each state component
+    * written once. */
+  private def sarOracle(signed: Boolean, outName: String,
+                        aIL: Double, aL: Double, aML: Double,
+                        aIS: Double, aS: Double, aMS: Double, oor: Double): String = {
+    import Sql.dlit
+    val (ail, al, aml, ais, as_, ams) = (dlit(aIL), dlit(aL), dlit(aML), dlit(aIS), dlit(aS), dlit(aMS))
+    val op = s"(1.0 + ${dlit(oor)})"; val om = s"(1.0 - ${dlit(oor)})"
+    val outExpr =
+      if (signed)
+        s"""CASE WHEN lng0 = 1 THEN (CASE WHEN flip = 1 THEN -(ep0 * $op) ELSE sar0 END)
+           |         ELSE (CASE WHEN flip = 1 THEN ep0 * $om ELSE -sar0 END) END AS out,""".stripMargin
+      else "CASE WHEN flip = 1 THEN ep0 ELSE sar0 END AS out,"
+    def step(init: Boolean): String = {
+      val enter =
+        if (init)
+          s"""CASE WHEN (h - ph) >= (pl - l) THEN ${dlit(1.0)} ELSE ${dlit(0.0)} END AS lng0,
+             |    CASE WHEN lng0 = 1 THEN pl ELSE ph END AS sar0,
+             |    CASE WHEN lng0 = 1 THEN h ELSE l END AS ep0,
+             |    CASE WHEN lng0 = 1 THEN $ail ELSE $ais END AS af0,""".stripMargin
+        else "plng AS lng0, psar AS sar0, pep AS ep0, paf AS af0,"
+      s"""SELECT symbol, ord, rn, h, l, $enter
+         |    CASE WHEN lng0 = 1 THEN (CASE WHEN l < sar0 THEN 1 ELSE 0 END)
+         |         ELSE (CASE WHEN h > sar0 THEN 1 ELSE 0 END) END AS flip,
+         |    $outExpr
+         |    CASE WHEN flip = 1 THEN 1.0 - lng0 ELSE lng0 END AS lng,
+         |    CASE WHEN flip = 1 THEN (CASE WHEN lng0 = 1 THEN l ELSE h END)
+         |         WHEN lng0 = 1 THEN (CASE WHEN h > ep0 THEN h ELSE ep0 END)
+         |         ELSE (CASE WHEN l < ep0 THEN l ELSE ep0 END) END AS ep,
+         |    CASE WHEN flip = 1 THEN (CASE WHEN lng0 = 1 THEN $ais ELSE $ail END)
+         |         WHEN lng0 = 1 THEN (CASE WHEN h > ep0 THEN least(af0 + $al, $aml) ELSE af0 END)
+         |         ELSE (CASE WHEN l < ep0 THEN least(af0 + $as_, $ams) ELSE af0 END) END AS af,
+         |    CASE WHEN lng0 = 1 AND flip = 1 THEN greatest((ep0 * $op) + $ais * (l - (ep0 * $op)), h, ph)
+         |         WHEN lng0 = 1 THEN least(sar0 + af * (ep - sar0), l, pl)
+         |         WHEN flip = 1 THEN least((ep0 * $om) + $ail * (h - (ep0 * $om)), l, pl)
+         |         ELSE greatest(sar0 + af * (ep - sar0), h, ph) END AS sar""".stripMargin
+    }
+    val outc = "symbol, ord, rn, h, l, lng, sar, ep, af, out"
+    s"""${B.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |rr AS (SELECT symbol, ord, high, low, row_number() OVER (PARTITION BY symbol ORDER BY ord) AS rn FROM bars),
+       |st AS (
+       |  SELECT $outc FROM (
+       |    ${step(init = true)}
+       |    FROM (SELECT r2.symbol, r2.ord, r2.rn, r2.high AS h, r2.low AS l, r1.high AS ph, r1.low AS pl
+       |          FROM rr r2 JOIN rr r1 ON r1.symbol = r2.symbol AND r1.rn = 1 AND r2.rn = 2)
+       |  )
+       |  UNION ALL
+       |  SELECT $outc FROM (
+       |    ${step(init = false)}
+       |    FROM (SELECT r.symbol, r.ord, r.rn, r.high AS h, r.low AS l, st.h AS ph, st.l AS pl,
+       |                 st.lng AS plng, st.sar AS psar, st.ep AS pep, st.af AS paf
+       |          FROM st JOIN rr r ON r.symbol = st.symbol AND r.rn = st.rn + 1)
+       |  )
+       |)
+       |SELECT b.symbol AS symbol, b.ord AS ord, round(st.out, 6) + 0.0 AS $outName
+       |FROM bars b LEFT JOIN st ON st.symbol = b.symbol AND st.ord = b.ord
+       |ORDER BY b.symbol, b.ord""".stripMargin
+  }
+
   /** MACD line + signal + hist via EMA folds (Kernels.macd, 12/26/9). */
   private lazy val macdSql =
     s"""$B, l AS (SELECT symbol, ord, list(close) OVER wc AS xs FROM bars WINDOW ${Sql.wcDef}),
@@ -582,8 +648,10 @@ object TaQueries {
     Entry("minus_di_14", recQ("minus_di")(df => Recursive.minusDi(df)), Some(dmQ("mdi", "minus_di"))),
     Entry("plus_dm_14",  recQ("plus_dm")(df => Recursive.plusDm(df)), Some(dmQ("spdm", "plus_dm"))),
     Entry("minus_dm_14", recQ("minus_dm")(df => Recursive.minusDm(df)), Some(dmQ("smdm", "minus_dm"))),
-    Entry("sar",      recQ("sar")(df => Recursive.sar(df)), None),
-    Entry("sarext",   recQ("sarext")(df => Recursive.sarext(df)), None),
+    Entry("sar",      recQ("sar")(df => Recursive.sar(df)),
+      Some(sarOracle(signed = false, "sar", 0.02, 0.02, 0.2, 0.02, 0.02, 0.2, 0.0))),
+    Entry("sarext",   recQ("sarext")(df => Recursive.sarext(df)),
+      Some(sarOracle(signed = true, "sarext", 0.02, 0.02, 0.2, 0.02, 0.02, 0.2, 0.0))),
     Entry("stochrsi_14_5_3",
       recQ("fastk_rsi", "fastd_rsi")(df => Recursive.stochrsi(df, "close")),
       Some(s"""$B, $rsiCtes,
