@@ -31,7 +31,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.TaQueries.queries ++ graft.queries.PatternQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++ graft.queries.EtlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible (recursive)
@@ -39,5 +39,5 @@ object SparkEntry {
     * scalatests instead. */
   def oracleSql: Map[String, String] =
     graft.queries.TaQueries.oracle ++ graft.queries.PatternQueries.oracle ++
-      graft.queries.PipelineQueries.oracle
+      graft.queries.PipelineQueries.oracle ++ graft.queries.EtlQueries.oracle
 }

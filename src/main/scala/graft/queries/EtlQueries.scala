@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.Tables
+import graft.etl.Align
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract registration for the alignment ETL (the reference's one
+  * real query-optimizer path, `python/polars_quant/backtest/sequential.py:
+  * 44-93`): dates × symbols grid + left join + per-symbol forward fill +
+  * default fill, oracled with DuckDB's `last_value(… IGNORE NULLS)`.
+  *
+  * The input frame is made deliberately SPARSE — each (symbol, ord) row is
+  * kept by a deterministic stride predicate that differs per symbol — so
+  * the grid join genuinely manufactures missing rows and the forward fill
+  * genuinely fills them (a dense frame would make the whole pipeline a
+  * no-op and verify nothing).
+  */
+object EtlQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def r6(c: Column): Column = round(c, 6) + lit(0.0)
+
+  /** Keep ~40% of rows, phase-shifted per symbol via its length. */
+  private val keepSql = "(ord * 31 + length(symbol) * 7) % 5 < 2"
+
+  final case class Entry(name: String, q: Q, oracle: Option[String])
+
+  val entries: Seq[Entry] = Seq(
+    Entry("align_grid",
+      (spark, dir) => {
+        val sparse = Tables.bars(spark, dir)
+          .select(col("symbol"), col("ord").as("date"), col("close"), col("volume"))
+          .where((col("date") * 31 + length(col("symbol")) * 7) % 5 < 2)
+        Align.align(sparse, dateCol = "date")
+          .select(col("date"), col("symbol"),
+            r6(col("close")).as("close"), r6(col("volume")).as("volume"))
+          .orderBy("date", "symbol")
+      },
+      Some(s"""${Sql.bars}, sparse AS (
+        |  SELECT symbol, ord AS date, close, volume FROM bars WHERE $keepSql
+        |), dates AS (SELECT DISTINCT date FROM sparse),
+        |syms AS (SELECT DISTINCT symbol FROM sparse),
+        |grid AS (SELECT d.date, s.symbol FROM dates d CROSS JOIN syms s),
+        |j AS (
+        |  SELECT g.date, g.symbol, sp.close, sp.volume
+        |  FROM grid g LEFT JOIN sparse sp ON sp.date = g.date AND sp.symbol = g.symbol
+        |), f AS (
+        |  SELECT date, symbol,
+        |    last_value(close IGNORE NULLS) OVER wf AS close,
+        |    last_value(volume IGNORE NULLS) OVER wf AS volume
+        |  FROM j WINDOW wf AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT date, symbol, ${Sql.r6("coalesce(close, 0.0)", "close")},
+        |  ${Sql.r6("coalesce(volume, 0.0)", "volume")}
+        |FROM f ORDER BY date, symbol""".stripMargin))
+  )
+
+  val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap
+  val oracle: Map[String, String] = entries.flatMap(e => e.oracle.map(e.name -> _)).toMap
+}
