@@ -731,6 +731,39 @@ object TaQueries {
           .toDF("ord", "equity")
           .select(col("ord"), r6(col("equity")).as("equity"))
           .orderBy("ord")
+      }, None),
+
+    Entry("bt_multi_asset",
+      // Cross-asset demo: four symbols' ALIGNED bars drive one portfolio,
+      // exercising Portfolio's cross-asset bookkeeping (per-asset price
+      // board, re-buy entry overwrite, oversell/zero-price rejection).
+      // Each symbol owns a disjoint ord set, so Align's grid+ffill does
+      // real work before the loop; alignment runs distributed and only
+      // the small aligned frame is collected for the inherently-serial
+      // event loop (same contract as bt_sequential).
+      (spark, dir) => {
+        val syms = Seq("click_0", "click_1", "view_0", "view_1")
+        val bars4 = Tables.bars(spark, dir).where(col("symbol").isin(syms: _*))
+          .select(col("symbol"), col("ord"), col("close"))
+        val aligned = graft.etl.Align.align(bars4, dateCol = "ord").collect()
+        val ords = aligned.map(_.getLong(0)).distinct.sorted
+        val idx = ords.zipWithIndex.toMap
+        val closes: Map[String, Array[Double]] = syms.map { s =>
+          val a = new Array[Double](ords.length)
+          aligned.filter(_.getString(1) == s).foreach(r => a(idx(r.getLong(0))) = r.getDouble(2))
+          s -> a
+        }.toMap
+        val r = graft.bt.Sequential.run(ords.length, { (ctx, p) =>
+          syms.foreach { s =>
+            val c = closes(s)
+            if (p >= 2 && c(p) < c(p - 1) && c(p - 1) < c(p - 2)) ctx.buy(s, 10, c(p))
+            else if (p >= 2 && c(p) > c(p - 1) && c(p - 1) > c(p - 2)) ctx.sell(s, 10, c(p))
+          }
+        })
+        import spark.implicits._
+        ords.zip(r.equity).toSeq.toDF("ord", "equity")
+          .select(col("ord"), r6(col("equity")).as("equity"))
+          .orderBy("ord")
       }, None)
   )
 

@@ -136,4 +136,24 @@ class BtSpec extends AnyFunSuite {
     close(r.equity(0), 10000.0)              // fee 0: cash 9000 + 10·100
     close(r.equity(1), 9000.0 + 10 * 500.0)  // marked at the posted 500
   }
+
+  test("sequential: multi-asset portfolio — per-asset board, re-buy overwrite, oversell") {
+    val cfg = Sequential.Config(initialCapital = 10000.0, minCommission = 0.0,
+      buyCommissionRate = 0.0, sellCommissionRate = 0.0)
+    val r = Sequential.run(4, { (ctx, p) =>
+      p match {
+        case 0 => ctx.buy("A", 10, 100); ctx.buy("B", 5, 200) // cash 8000
+        case 1 => ctx.sell("B", 10, 210)  // oversell (hold 5) rejected; board B→210
+        case 2 => ctx.buy("A", 10, 120)   // re-buy: entry A overwritten to 120
+        case 3 => ctx.sell("A", 20, 130); ctx.sell("B", 5, 190)
+      }
+    }, cfg)
+    close(r.equity(0), 8000.0 + 10 * 100.0 + 5 * 200.0)   // 10000
+    close(r.equity(1), 8000.0 + 1000.0 + 5 * 210.0)       // B marked at rejected 210
+    close(r.equity(2), 6800.0 + 20 * 120.0 + 5 * 210.0)   // both assets marked
+    close(r.equity(3), 6800.0 + 2600.0 + 950.0)           // flat: cash only
+    assert(r.portfolio.positions.isEmpty)
+    // A: revenue 2600 > 20·120 (overwritten entry) → win; B: 950 < 5·200 → loss
+    assert(r.portfolio.totalTrades == 3 && r.portfolio.winningTrades == 1)
+  }
 }
