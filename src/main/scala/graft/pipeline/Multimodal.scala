@@ -9,20 +9,21 @@ import org.apache.spark.sql.types._
   * batched per-partition pass (the Scala analog of `mapInPandas` — one
   * iterator per partition, vectorizable batch shape, no per-row overhead).
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio codecs, so
-  * `decodeStub` produces a deterministic fake feature vector from the raw
-  * bytes. The Spark-side contract — binary column in, fixed-width
-  * float-array feature out, partition-batched execution, explicit output
-  * schema — is real and tested; swap `decodeStub` for a JNI/codec call in
-  * production without touching the plumbing.
+  * Two formats are decoded FOR REAL, pure-JVM (no codec libraries in this
+  * container): WAV (RIFF PCM16) and PPM (P6 binary RGB). Payloads that are
+  * neither fall back to `decodeStub`, a deterministic fake that keeps the
+  * shape contract — swap it for a JNI/codec call in production without
+  * touching the plumbing. Format dispatch sniffs magic bytes, never file
+  * names, so the path works on any binary column at any scale.
   */
 object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB: deterministic "decode + feature extract" — a real deployment
-    * replaces this with an actual decoder (e.g. JPEG → CHW floats →
-    * pooled features). Output shape/determinism contract matches. */
+  val KindWav = "wav"; val KindPpm = "ppm"; val KindRaw = "raw"
+
+  /** STUB fallback: deterministic "decode + feature extract" for unknown
+    * formats. Output shape/determinism contract matches the real paths. */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     var i = 0
@@ -37,6 +38,112 @@ object Multimodal {
     out
   }
 
+  @inline private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  @inline private def u32(b: Array[Byte], o: Int): Long =
+    (u16(b, o).toLong) | (u16(b, o + 2).toLong << 16)
+  @inline private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
+    b.length >= o + s.length && s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+
+  /** RIFF/WAVE PCM16 decode → audio features:
+    * [0] duration (s), [1] RMS, [2] zero-crossing rate, [3] peak,
+    * [4..15] 12-bin histogram of |sample| (all amplitudes normalized to
+    * [0,1] by 32768). Walks the chunk list, so extra chunks (LIST, fact)
+    * are fine. Returns None unless PCM16 with a valid fmt+data pair. */
+  def decodeWav(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (!(ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE"))) return None
+    var fmtOk = false; var sampleRate = 0; var channels = 0
+    var dataOff = -1; var dataLen = 0
+    var o = 12
+    while (o + 8 <= bytes.length) {
+      val size = u32(bytes, o + 4).toInt
+      if (ascii(bytes, o, "fmt ") && o + 8 + 16 <= bytes.length) {
+        val audioFormat = u16(bytes, o + 8)
+        channels = u16(bytes, o + 10)
+        sampleRate = u32(bytes, o + 12).toInt
+        val bits = u16(bytes, o + 22)
+        fmtOk = audioFormat == 1 && bits == 16 && channels >= 1 && sampleRate > 0
+      } else if (ascii(bytes, o, "data")) {
+        dataOff = o + 8; dataLen = math.min(size, bytes.length - dataOff)
+      }
+      o += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0 || dataLen < 2) return None
+    val n = dataLen / 2
+    val out = new Array[Float](FeatureDim)
+    var i = 0; var sumSq = 0.0; var crossings = 0; var peak = 0.0
+    var prevSign = 0
+    while (i < n) {
+      val s = u16(bytes, dataOff + 2 * i).toShort.toInt
+      val a = math.abs(s) / 32768.0
+      sumSq += a * a
+      if (a > peak) peak = a
+      val sign = Integer.signum(s)
+      if (sign != 0) {
+        if (prevSign != 0 && sign != prevSign) crossings += 1
+        prevSign = sign
+      }
+      out(4 + math.min((a * 12).toInt, 11)) += 1.0f
+      i += 1
+    }
+    out(0) = n.toFloat / channels / sampleRate
+    out(1) = math.sqrt(sumSq / n).toFloat
+    out(2) = if (n > 1) crossings.toFloat / (n - 1) else 0.0f
+    out(3) = peak.toFloat
+    var b = 4
+    while (b < FeatureDim) { out(b) /= n; b += 1 }
+    Some(out)
+  }
+
+  /** PPM P6 (binary RGB, maxval ≤ 255) decode → image features:
+    * [0] width, [1] height, [2..4] mean R/G/B in [0,1],
+    * [5..15] 11-bin histogram of Rec.601 luma. */
+  def decodePpm(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (!ascii(bytes, 0, "P6")) return None
+    // header: "P6" <ws> width <ws> height <ws> maxval <single ws> rgb...
+    var o = 2
+    val fields = new Array[Int](3)
+    var f = 0
+    while (f < 3) {
+      while (o < bytes.length && (bytes(o) == ' ' || bytes(o) == '\n' || bytes(o) == '\t' || bytes(o) == '\r')) o += 1
+      if (o < bytes.length && bytes(o) == '#') { while (o < bytes.length && bytes(o) != '\n') o += 1 }
+      else {
+        var v = 0; var any = false
+        while (o < bytes.length && bytes(o) >= '0' && bytes(o) <= '9') { v = v * 10 + (bytes(o) - '0'); o += 1; any = true }
+        if (!any) return None
+        fields(f) = v; f += 1
+      }
+    }
+    o += 1 // the single whitespace after maxval
+    val (w, h, maxv) = (fields(0), fields(1), fields(2))
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    val need = w * h * 3
+    if (bytes.length - o < need) return None
+    val out = new Array[Float](FeatureDim)
+    var i = 0; var sr = 0.0; var sg = 0.0; var sb = 0.0
+    while (i < need) {
+      val r = (bytes(o + i) & 0xFF) / maxv.toDouble
+      val g = (bytes(o + i + 1) & 0xFF) / maxv.toDouble
+      val b = (bytes(o + i + 2) & 0xFF) / maxv.toDouble
+      sr += r; sg += g; sb += b
+      val luma = 0.299 * r + 0.587 * g + 0.114 * b
+      out(5 + math.min((luma * 11).toInt, 10)) += 1.0f
+      i += 3
+    }
+    val px = w * h
+    out(0) = w.toFloat; out(1) = h.toFloat
+    out(2) = (sr / px).toFloat; out(3) = (sg / px).toFloat; out(4) = (sb / px).toFloat
+    var b2 = 5
+    while (b2 < FeatureDim) { out(b2) /= px; b2 += 1 }
+    Some(out)
+  }
+
+  /** Magic-byte dispatch: real decode where we have one, stub otherwise. */
+  def decode(bytes: Array[Byte]): (String, Array[Float]) =
+    decodeWav(bytes).map((KindWav, _))
+      .orElse(decodePpm(bytes).map((KindPpm, _)))
+      .getOrElse((KindRaw, decodeStub(bytes)))
+
   /** Attach decoded features to a frame with (idCol, binCol) columns.
     * Partition-batched: the decode loop runs once per partition iterator,
     * the schema is explicit, rows stream through without materializing the
@@ -46,19 +153,70 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField(idCol, LongType),
       StructField("n_bytes", IntegerType),
+      StructField("kind", StringType),
       StructField("features", ArrayType(FloatType))))
     df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
           val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-          Row(id, bytes.length, decodeStub(bytes).toSeq)
+          val (kind, feats) = decode(bytes)
+          Row(id, bytes.length, kind, feats.toSeq)
         }
       }(Encoders.row(schema))
   }
 
-  /** Demo source: fabricate a binary payload column from document text
-    * (the testdata ships no real media; the plumbing is the product). */
+  // ---------------------------------------------------------------- demo
+
+  /** Deterministic synthetic PCM16 mono WAV (integer triangle-ish wave —
+    * no floating point, so payload bytes are platform-independent). */
+  def synthWav(seed: Long, nSamples: Int = 256, sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36 + dataLen); buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1) // PCM, mono
+    buf.putInt(sampleRate); buf.putInt(sampleRate * 2)
+    buf.putShort(2); buf.putShort(16)
+    buf.put("data".getBytes); buf.putInt(dataLen)
+    val k = (seed % 7 + 1).toInt
+    var t = 0
+    while (t < nSamples) {
+      buf.putShort((((t * k) % 256 - 128) * 200).toShort)
+      t += 1
+    }
+    buf.array()
+  }
+
+  /** Deterministic synthetic 8×8 P6 PPM. */
+  def synthPpm(seed: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes
+    val body = Array.tabulate(w * h * 3)(i => ((seed * 31 + i * 17) % 256).toByte)
+    header ++ body
+  }
+
+  /** Demo source: mixed-modality payload column — a third each WAV, PPM,
+    * and raw text bytes (the testdata ships no real media; dispatch and
+    * decode are what the query exercises). */
+  def demoMedia(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("payload", BinaryType)))
+    docs.select(col(idCol).cast(LongType), col(textCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val payload = (id % 3) match {
+            case 0 => synthWav(id)
+            case 1 => synthPpm(id)
+            case _ => r.getString(1).getBytes("UTF-8")
+          }
+          Row(id, payload)
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** Demo source kept for compat: fabricate a binary payload from text. */
   def demoBinary(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("payload", encode(col(textCol), "UTF-8"))
 }

@@ -125,10 +125,13 @@ object PipelineQueries {
       None),
 
     Entry("multimodal_features",
+      // Mixed-modality demo: a third each synthetic WAV / PPM / raw text;
+      // WAV+PPM are decoded for real (header walk + sample/pixel stats),
+      // raw falls back to the labeled stub (Multimodal.decode).
       (spark, dir) => {
-        val withBin = Multimodal.demoBinary(Tables.documents(spark, dir))
-        Multimodal.withFeatures(withBin)
-          .select(col("doc_id"), col("n_bytes"),
+        val media = Multimodal.demoMedia(Tables.documents(spark, dir))
+        Multimodal.withFeatures(media)
+          .select(col("doc_id"), col("n_bytes"), col("kind"),
             r6(aggregate(col("features"), lit(0.0), (a, v) => a + v.cast("double") * v.cast("double"))).as("feature_sq_norm"))
           .orderBy("doc_id")
       }, None)

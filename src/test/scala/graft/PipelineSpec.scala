@@ -192,10 +192,59 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("multimodal plumbing: deterministic features, schema, byte counts") {
     val d = Multimodal.demoBinary(docs(1L -> "hello", 2L -> "hello", 3L -> "other"))
     val out = Multimodal.withFeatures(d).collect()
-      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Float](2))).toMap
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2), r.getSeq[Float](3))).toMap
     assert(out(1L)._1 == 5)
-    assert(out(1L)._2 == out(2L)._2)     // identical payload → identical features
-    assert(out(1L)._2 != out(3L)._2)
-    assert(out(1L)._2.length == Multimodal.FeatureDim)
+    assert(out(1L)._2 == Multimodal.KindRaw) // text bytes → stub path
+    assert(out(1L)._3 == out(2L)._3)     // identical payload → identical features
+    assert(out(1L)._3 != out(3L)._3)
+    assert(out(1L)._3.length == Multimodal.FeatureDim)
+  }
+
+  test("WAV decode: hand-computed RMS/ZCR/peak on known PCM16 samples") {
+    // 4 samples: 16384, -16384, 32767, -32768 (|a| = .5, .5, ~1, 1)
+    val samples = Seq[Short](16384, -16384, 32767, -32768)
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36 + dataLen); buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16); buf.putShort(1); buf.putShort(1)
+    buf.putInt(8000); buf.putInt(16000); buf.putShort(2); buf.putShort(16)
+    buf.put("data".getBytes); buf.putInt(dataLen)
+    samples.foreach(buf.putShort)
+    val f = Multimodal.decodeWav(buf.array()).get
+    assert(math.abs(f(0) - 4.0f / 8000) < 1e-7)                   // duration
+    val exp = math.sqrt((0.25 + 0.25 + math.pow(32767 / 32768.0, 2) + 1.0) / 4)
+    assert(math.abs(f(1) - exp) < 1e-6)                            // RMS
+    assert(f(2) == 1.0f)                                           // all 3 transitions cross
+    assert(f(3) == 1.0f)                                           // peak at full scale
+    // histogram: two samples in bin |a|=.5 → bin 4+6, two at top bin 4+11
+    assert(f(4 + 6) == 0.5f && f(4 + 11) == 0.5f)
+    // dispatch picks the wav path
+    assert(Multimodal.decode(buf.array())._1 == Multimodal.KindWav)
+  }
+
+  test("PPM decode: header parse + mean RGB + luma histogram") {
+    // 2×1 image: pure red, pure white
+    val bytes = "P6\n2 1\n255\n".getBytes ++
+      Array[Byte](255.toByte, 0, 0, 255.toByte, 255.toByte, 255.toByte)
+    val f = Multimodal.decodePpm(bytes).get
+    assert(f(0) == 2.0f && f(1) == 1.0f)
+    assert(f(2) == 1.0f)                           // mean R
+    assert(math.abs(f(3) - 0.5f) < 1e-6)           // mean G
+    assert(math.abs(f(4) - 0.5f) < 1e-6)           // mean B
+    // red luma = .299 → bin 5+3; white luma = 1.0 → top bin 5+10
+    assert(f(5 + 3) == 0.5f && f(5 + 10) == 0.5f)
+    assert(Multimodal.decode(bytes)._1 == Multimodal.KindPpm)
+    // truncated body rejected → stub path
+    assert(Multimodal.decodePpm(bytes.dropRight(1)).isEmpty)
+    assert(Multimodal.decode(bytes.dropRight(1))._1 == Multimodal.KindRaw)
+  }
+
+  test("mixed-modality demo routes each payload to the right decoder") {
+    val d = Multimodal.demoMedia(docs(0L -> "a", 1L -> "b", 2L -> "c", 3L -> "d"))
+    val kinds = Multimodal.withFeatures(d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(kinds(0L) == Multimodal.KindWav && kinds(3L) == Multimodal.KindWav)
+    assert(kinds(1L) == Multimodal.KindPpm)
+    assert(kinds(2L) == Multimodal.KindRaw)
   }
 }
