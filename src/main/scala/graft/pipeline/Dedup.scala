@@ -135,7 +135,9 @@ object Dedup {
     a.join(b, Seq("chunk", "key")).where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
-      .distinct()
+      // hamming BEFORE distinct: the dedup shuffle then carries only the
+      // near pairs, not every far pair the chunk join surfaced
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -83,15 +83,14 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Per-row nearest-centroid id (1-based) against a LITERAL centroid
-    * array: k fused CosineSim loops + argmax, entirely inside the scan
-    * projection — no window, no shuffle, no exchange of the corpus.
-    * Ties break to the lowest cid (array_position returns the first max),
-    * matching the probe side's (csim desc, cid asc) ordering. */
-  private def nearestCid(v: Column, cents: Array[Array[Double]]): Column = {
-    val sims = array(cents.map(ct => cosine(v, typedlit(ct))): _*)
-    array_position(sims, array_max(sims)).cast("int")
-  }
+  /** Per-row nearest-centroid id (1-based) against the centroid table:
+    * ONE fused native k×dim loop (functions.NearestCentroid) inside the
+    * scan projection — no window, no shuffle, no exchange of the corpus,
+    * and no per-centroid expression trees to codegen (the 16-tree literal
+    * formulation spent seconds compiling per action). Ties break to the
+    * lowest cid, matching the probe side's (csim desc, cid asc) ordering. */
+  private def nearestCid(v: Column, cents: Array[Array[Double]]): Column =
+    graft.functions.NearestCentroid.nearestCentroid(v, cents)
 
   /** Build the IVF coarse quantizer: deterministic hash-ordered seed of
     * `numCentroids` corpus vectors, refined with `lloydIters` Lloyd
@@ -107,7 +106,9 @@ object Similarity {
   def ivfBuild(corpus: DataFrame, numCentroids: Int = 16, lloydIters: Int = 3,
                sampleMod: Int = 1, idCol: String = "vec_id",
                vecCol: String = "embedding"): Array[Array[Double]] = {
-    val c = corpus.select(xxhash64(col(idCol)).as("h"), asDouble(col(vecCol)).as("v"))
+    // the build phase runs 1 + lloydIters actions over the same projection
+    // — cache it so parquet is read once, not per action
+    val c = corpus.select(xxhash64(col(idCol)).as("h"), asDouble(col(vecCol)).as("v")).cache()
     var cents: Array[Array[Double]] = c.orderBy("h").limit(numCentroids)
       .collect().map(_.getSeq[Double](1).toArray)
     val sample = if (sampleMod <= 1) c else c.where(pmod(col("h"), lit(sampleMod)) === 0)
@@ -122,6 +123,7 @@ object Similarity {
         }.toMap
       cents = cents.indices.map(i => means.getOrElse(i + 1, cents(i))).toArray
     }
+    c.unpersist(blocking = false)
     cents
   }
 
