@@ -18,9 +18,13 @@ object TextStats {
 
   /** BPE-ish subword count: runs of letters, runs of digits, and single
     * punctuation marks each count as one token (a cheap stand-in for a
-    * real tokenizer's granularity). */
+    * real tokenizer's granularity). Formulated with plain regex extraction
+    * — no lookarounds — so the same expression runs under RE2 engines
+    * (and the DuckDB oracle). */
   def bpeishTokens(text: Column): Column =
-    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => trim(t) =!= ""))
+    size(regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))) +
+      size(regexp_extract_all(text, lit("[0-9]+"), lit(0))) +
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
 
   def alphaRatio(text: Column): Column =
     length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text)
@@ -73,9 +77,21 @@ object TextStats {
       lit(1.0)), lit(0.0))
   }
 
-  /** 64-bit content fingerprint over whitespace-normalized lowercase text
-    * (xxhash64 — stable across Spark versions and partitions). */
-  def fingerprint(text: Column): Column =
+  /** Content fingerprint over whitespace-normalized lowercase text: a
+    * polynomial rolling hash over code points, mod 1e9+7 — the classic
+    * document-fingerprinting primitive, and engine-portable (the DuckDB
+    * oracle replays the identical fold; xxhash64 has no cross-engine
+    * twin). Still a single codegen'd pass inside the scan. */
+  def fingerprint(text: Column): Column = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    when(length(norm) === 0, 0L).otherwise(
+      aggregate(split(norm, ""), lit(0L),
+        (h, c) => (h * 131 + ascii(c)) % 1000000007L))
+  }
+
+  /** 64-bit xxhash64 variant (fast, Spark-native) for callers that want a
+    * wider fingerprint and don't need cross-engine reproducibility. */
+  def fingerprint64(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
 
   /** Convenience: attach the standard stats columns. */

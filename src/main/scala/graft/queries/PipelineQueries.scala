@@ -52,7 +52,55 @@ object PipelineQueries {
           TextStats.fingerprint(t).as("fingerprint"),
           TextStats.bpeishTokens(t).cast("long").as("n_tokens_bpeish"))
           .orderBy("doc_id")
-      }, None),
+      },
+      // every stat replayed in DuckDB: ratio arithmetic is identical int
+      // counts + double division, the fingerprint is the same poly-mod
+      // fold over code points, and the langid argmax keeps Spark's
+      // zh > fr > es > en > de tie priority
+      Some {
+        def swList(lang: String) =
+          TextStats.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+        def swScore(lang: String) =
+          s"CAST(len(list_filter(toks, t -> list_contains(${swList(lang)}, t))) AS DOUBLE) / ntok AS s_$lang"
+        s"""WITH n AS (
+          |  SELECT doc_id, text,
+          |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
+          |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+          |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS ntok
+          |  FROM documents
+          |), s AS (
+          |  SELECT doc_id, text, norm, ntok,
+          |    ${swScore("de")}, ${swScore("en")}, ${swScore("es")}, ${swScore("fr")},
+          |    CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE) / length(text) AS s_zh,
+          |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha,
+          |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) AS punct,
+          |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / ntok AS mtl,
+          |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS lenscore
+          |  FROM n
+          |), q AS (
+          |  SELECT doc_id, text, norm, mtl, s_de, s_en, s_es, s_fr, s_zh,
+          |    greatest(s_de, s_en, s_es, s_fr, s_zh) AS best,
+          |    greatest(least((lenscore + alpha + (1.0 - least(punct * 5, 1.0)) +
+          |      (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 1.0), 0.0) AS qs
+          |  FROM s
+          |)
+          |SELECT doc_id,
+          |  CASE WHEN s_zh > 0 AND s_zh = best THEN 'zh'
+          |       WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+          |       WHEN s_es > 0 AND s_es = best THEN 'es'
+          |       WHEN s_en > 0 AND s_en = best THEN 'en'
+          |       WHEN s_de > 0 AND s_de = best THEN 'de'
+          |       ELSE 'und' END AS lang_pred,
+          |  round(qs, 6) + 0.0 AS quality_score,
+          |  round(s_en, 6) + 0.0 AS stopword_ratio_en,
+          |  round(mtl, 6) + 0.0 AS mean_token_len,
+          |  CASE WHEN length(norm) = 0 THEN 0 ELSE list_reduce(
+          |    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
+          |    (h, c) -> (h * 131 + c) % 1000000007) END AS fingerprint,
+          |  len(regexp_extract_all(text, '[A-Za-z]+')) + len(regexp_extract_all(text, '[0-9]+'))
+          |    + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_tokens_bpeish
+          |FROM q ORDER BY doc_id""".stripMargin
+      }),
 
     Entry("minhash_buckets",
       (spark, dir) => {
