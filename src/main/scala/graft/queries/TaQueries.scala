@@ -166,6 +166,56 @@ object TaQueries {
        |ORDER BY b.symbol, b.ord""".stripMargin
   }
 
+  /** Vectorized-backtester state CTE: a RECURSIVE CTE replays
+    * Vectorized.step per (symbol, bar) — (position, cash, entryCost,
+    * trades, wins) — with the demo's bounded price and pseudo-random
+    * signals inlined (see btSignals). Exposes st(symbol, ord, rn, price,
+    * pos, cash, entry, trades, wins, equity). Prefix with
+    * `B.replaceFirst("WITH ", "WITH RECURSIVE ")`. */
+  private lazy val btStateCtes: String = {
+    import Sql.dlit
+    val ic = dlit(100000.0); val ps = dlit(1.0)
+    val bsl = dlit(0.0); val ssl = dlit(0.0)
+    val bcr = dlit(0.0003); val scr = dlit(0.0003); val mc = dlit(5.0)
+    def step(init: Boolean): String = {
+      val enter =
+        if (init) s"${dlit(0.0)} AS pos0, $ic AS cash0, ${dlit(0.0)} AS entry0, 0 AS tr0, 0 AS wn0,"
+        else "ppos AS pos0, pcash AS cash0, pentry AS entry0, ptr AS tr0, pwn AS wn0,"
+      s"""SELECT symbol, ord, rn, price, $enter
+         |    floor((cash0 + pos0 * price) * $ps / (price + $bsl)) AS qty,
+         |    (price > 0 AND coalesce(bsig, false) AND pos0 = 0 AND qty > 0) AS buying,
+         |    (price > 0 AND coalesce(ssig, false) AND pos0 > 0) AS selling,
+         |    qty * (price + $bsl) AS cost,
+         |    greatest(qty * (price + $bsl) * $bcr, $mc) AS bfee,
+         |    pos0 * (price - $ssl) AS rev,
+         |    greatest(pos0 * (price - $ssl) * $scr, $mc) AS sfee,
+         |    CASE WHEN buying THEN pos0 + qty WHEN selling THEN 0.0 ELSE pos0 END AS pos,
+         |    CASE WHEN buying THEN cash0 - cost - bfee WHEN selling THEN cash0 + (rev - sfee) ELSE cash0 END AS cash,
+         |    CASE WHEN buying THEN (pos0 + qty) * price ELSE entry0 END AS entry,
+         |    CASE WHEN buying THEN tr0 + 1 ELSE tr0 END AS trades,
+         |    CASE WHEN selling AND (rev - sfee) > entry0 THEN wn0 + 1 ELSE wn0 END AS wins,
+         |    cash + pos * price AS equity""".stripMargin
+    }
+    val outc = "symbol, ord, rn, price, pos, cash, entry, trades, wins, equity"
+    s"""sigs AS (
+       |  SELECT symbol, ord, 50.0 + (close % 2.0) AS price,
+       |    (ord * 2654435761 % 97 < 14) AS bsig,
+       |    (ord * 2654435761 % 97 >= 83) AS ssig
+       |  FROM bars
+       |),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY ord) AS rn FROM sigs),
+       |st AS (
+       |  SELECT $outc FROM (${step(init = true)} FROM rr WHERE rn = 1)
+       |  UNION ALL
+       |  SELECT $outc FROM (
+       |    ${step(init = false)}
+       |    FROM (SELECT r.symbol, r.ord, r.rn, r.price, r.bsig, r.ssig,
+       |                 st.pos AS ppos, st.cash AS pcash, st.entry AS pentry, st.trades AS ptr, st.wins AS pwn
+       |          FROM st JOIN rr r ON r.symbol = st.symbol AND r.rn = st.rn + 1)
+       |  )
+       |)""".stripMargin
+  }
+
   /** MACD line + signal + hist via EMA folds (Kernels.macd, 12/26/9). */
   private lazy val macdSql =
     s"""$B, l AS (SELECT symbol, ord, list(close) OVER wc AS xs FROM bars WINDOW ${Sql.wcDef}),
@@ -700,7 +750,11 @@ object TaQueries {
           .select(col("symbol"), col("ord"), r6(col("position")).as("position"),
             r6(col("cash")).as("cash"), r6(col("equity")).as("equity"))
           .orderBy("symbol", "ord")
-      }, None),
+      },
+      Some(s"""${B.replaceFirst("WITH ", "WITH RECURSIVE ")}, $btStateCtes
+        |SELECT symbol, ord, ${Sql.r6("pos", "position")}, ${Sql.r6("cash", "cash")},
+        |  ${Sql.r6("equity", "equity")}
+        |FROM st $T""".stripMargin)),
     Entry("bt_summary",
       (spark, dir) => {
         val sig = btSignals(spark, dir)
@@ -708,7 +762,56 @@ object TaQueries {
         graft.bt.Vectorized.summary(sig)
           .select(col("symbol") +: cols.map(c => r6(col(c)).as(c)): _*)
           .orderBy("symbol")
-      }, None),
+      },
+      // Metrics replayed per symbol over the recursive curve: list folds
+      // for the sequential mean/variance sums, running-max window for
+      // drawdown, final state via max_by(·, rn)
+      Some {
+        val ic = Sql.dlit(100000.0)
+        s"""${B.replaceFirst("WITH ", "WITH RECURSIVE ")}, $btStateCtes,
+          |curve AS (
+          |  SELECT symbol, rn, equity, trades, wins,
+          |    CASE WHEN coalesce(lag(equity) OVER w, $ic) > 0
+          |         THEN (equity - coalesce(lag(equity) OVER w, $ic)) / coalesce(lag(equity) OVER w, $ic)
+          |         ELSE 0.0 END AS r,
+          |    greatest($ic, max(equity) OVER wcm) AS peak
+          |  FROM st WINDOW w AS (PARTITION BY symbol ORDER BY rn),
+          |              wcm AS (PARTITION BY symbol ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |),
+          |agg AS (
+          |  SELECT symbol,
+          |    CAST(count(*) AS DOUBLE) AS days,
+          |    max(CASE WHEN peak > 0 THEN (peak - equity) / peak ELSE 0.0 END) AS maxdd,
+          |    list(r ORDER BY rn) AS rs,
+          |    max_by(equity, rn) AS finaleq,
+          |    max_by(trades, rn) AS ntrades,
+          |    max_by(wins, rn) AS nwins
+          |  FROM curve GROUP BY symbol
+          |),
+          |m1 AS (
+          |  SELECT symbol, days, maxdd, rs, ntrades, nwins,
+          |    (finaleq - $ic) / $ic AS tr,
+          |    list_reduce(list_prepend(0.0, rs), (a, x) -> a + x) / days AS meanret,
+          |    greatest(days - 1.0, 1.0) AS ddof
+          |  FROM agg
+          |),
+          |m2 AS (
+          |  SELECT symbol, days, maxdd, tr, ntrades, nwins,
+          |    CASE WHEN tr > -1.0 THEN pow(1.0 + tr, 252.0 / days) - 1.0 ELSE -1.0 END AS annret,
+          |    sqrt(list_reduce(list_prepend(0.0, list_transform(rs, x -> (x - meanret) * (x - meanret))), (a, x) -> a + x) / ddof) * sqrt(252.0) AS annvol
+          |  FROM m1
+          |)
+          |SELECT symbol,
+          |  ${Sql.r6("annret", "annualized_return")},
+          |  ${Sql.r6("maxdd", "max_drawdown")},
+          |  ${Sql.r6("0.0", "alpha")},
+          |  ${Sql.r6("0.0", "beta")},
+          |  ${Sql.r6("CASE WHEN annvol > 0 THEN (annret - 0.03) / annvol ELSE 0.0 END", "sharpe_ratio")},
+          |  ${Sql.r6("greatest(tr, 0.0)", "max_profit")},
+          |  ${Sql.r6("CASE WHEN ntrades > 0 THEN CAST(nwins AS DOUBLE) / ntrades ELSE 0.0 END", "win_rate")},
+          |  ${Sql.r6("CAST(ntrades AS DOUBLE)", "total_trades")}
+          |FROM m2 ORDER BY symbol""".stripMargin
+      }),
 
     Entry("bt_sequential",
       // The event-driven engine is inherently serial per portfolio
@@ -767,16 +870,23 @@ object TaQueries {
       }, None)
   )
 
-  /** Deterministic momentum signals for the backtest demo queries:
-    * buy after two consecutive down closes, sell after two up closes. */
-  private def btSignals(spark: SparkSession, dir: String): DataFrame = {
-    val w = W
-    Tables.bars(spark, dir).select(col("symbol"), col("ord"), col("close").as("price"),
-      (col("close") < lag("close", 1).over(w) &&
-        lag("close", 1).over(w) < lag("close", 2).over(w)).as("buy_sig"),
-      (col("close") > lag("close", 1).over(w) &&
-        lag("close", 1).over(w) > lag("close", 2).over(w)).as("sell_sig"))
-  }
+  /** Deterministic pseudo-random signals for the vectorized-backtest demo
+    * queries (Knuth-multiplier parity of ord). Deliberately UNcorrelated
+    * with future returns: a momentum rule on the synthetic zigzag prices
+    * compounds equity past 2^52, where 6-decimal rounding itself becomes
+    * engine-dependent (doubles are spaced 0.5 apart) and no oracle can
+    * hash-match. Random entries + fee drag keep wealth bounded at any SF;
+    * signal quality is irrelevant to what the queries verify — the fill
+    * arithmetic. */
+  private def btSignals(spark: SparkSession, dir: String): DataFrame =
+    // the demo PRICE is likewise bounded (50 + close mod 2, an exact fmod
+    // both engines compute bit-identically): raw event values swing ×2000
+    // within a symbol, so all-in sizing on them walks log-wealth past
+    // 2^52 no matter the signals
+    Tables.bars(spark, dir).select(col("symbol"), col("ord"),
+      (lit(50.0) + pmod(col("close"), lit(2.0))).as("price"),
+      (col("ord") * 2654435761L % 97 < 14).as("buy_sig"),
+      (col("ord") * 2654435761L % 97 >= 83).as("sell_sig"))
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap
   val oracle: Map[String, String] = entries.flatMap(e => e.oracle.map(e.name -> _)).toMap
