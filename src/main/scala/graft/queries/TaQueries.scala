@@ -216,6 +216,89 @@ object TaQueries {
        |)""".stripMargin
   }
 
+  /** MESA state CTE: a RECURSIVE CTE replays Cycle.mesa per (symbol, bar)
+    * — the 4-3-2-1 smoother is a plain window column, and the three 7-tap
+    * rings (detrend/Q1/I1) plus the nine scalars (I2, Q2, Re, Im, period,
+    * smoothPeriod, phase, MAMA, FAMA) are 30 carried state columns whose
+    * update expressions mirror the kernel's IEEE operation order exactly.
+    * atan/sin agree bit-for-bit between the JVM (StrictMath fdlibm —
+    * Math.atan has no HotSpot intrinsic) and DuckDB's libm on this data,
+    * verified by the hash gate at sf0.01 and sf0.001. Exposes
+    * st(symbol, ord, rn, x, d0..d6, qa0..qa6, ia0..ia6, i2v, q2v, rev,
+    * imv, per, sper, ph, mam, fam); outputs gate on rn >= 32. */
+  private lazy val mesaCtes: String = {
+    import Sql.dlit
+    val keys = (0 to 6).map(j => s"d$j") ++ (0 to 6).map(j => s"qa$j") ++
+      (0 to 6).map(j => s"ia$j") ++
+      Seq("i2v", "q2v", "rev", "imv", "per", "sper", "ph", "mam", "fam")
+    def step(init: Boolean): String = {
+      val p: String => String =
+        if (init) _ => "CAST(0 AS DOUBLE)" else k => s"p_$k"
+      val prevper = if (init) "CAST(6 AS DOUBLE)" else "p_per"
+      val rings = ((1 to 6).map(j => s"${p(s"d${j - 1}")} AS d$j") ++
+        (1 to 6).map(j => s"${p(s"qa${j - 1}")} AS qa$j") ++
+        (1 to 6).map(j => s"${p(s"ia${j - 1}")} AS ia$j")).mkString(", ")
+      val (a1, a2) = (dlit(0.0962), dlit(0.5769))
+      s"""SELECT symbol, ord, rn, x,
+         |    $prevper AS prevper,
+         |    ${dlit(0.075)} * prevper + ${dlit(0.54)} AS adj,
+         |    ($a1*sm + $a2*sm2 - $a2*sm4 - $a1*sm6) * adj AS d0,
+         |    ($a1*d0 + $a2*${p("d1")} - $a2*${p("d3")} - $a1*${p("d5")}) * adj AS qa0,
+         |    ${p("d2")} AS ia0,
+         |    ($a1*ia0 + $a2*${p("ia1")} - $a2*${p("ia3")} - $a1*${p("ia5")}) * adj AS ji,
+         |    ($a1*qa0 + $a2*${p("qa1")} - $a2*${p("qa3")} - $a1*${p("qa5")}) * adj AS jq,
+         |    ${dlit(0.2)}*(ia0 - jq) + ${dlit(0.8)}*${p("i2v")} AS i2v,
+         |    ${dlit(0.2)}*(qa0 + ji) + ${dlit(0.8)}*${p("q2v")} AS q2v,
+         |    ${dlit(0.2)}*(i2v*${p("i2v")} + q2v*${p("q2v")}) + ${dlit(0.8)}*${p("rev")} AS rev,
+         |    ${dlit(0.2)}*(i2v*${p("q2v")} - q2v*${p("i2v")}) + ${dlit(0.8)}*${p("imv")} AS imv,
+         |    CASE WHEN imv != 0.0 AND rev != 0.0 THEN (2.0 * pi()) / atan(imv / rev) ELSE ${p("per")} END AS praw,
+         |    least(greatest(praw, ${dlit(0.67)}*prevper), ${dlit(1.5)}*prevper) AS per1,
+         |    least(greatest(per1, 6.0), 50.0) AS per2,
+         |    ${dlit(0.2)}*per2 + ${dlit(0.8)}*prevper AS per,
+         |    ${dlit(0.33)}*per + ${dlit(0.67)}*${p("sper")} AS sper,
+         |    CASE WHEN ia0 != 0.0 THEN atan(qa0 / ia0) * 180.0 / pi() ELSE 0.0 END AS ph,
+         |    CASE WHEN (${p("ph")} - ph) < 1.0 THEN 1.0 ELSE ${p("ph")} - ph END AS dph,
+         |    least(greatest(${dlit(0.5)} / dph, ${dlit(0.05)}), ${dlit(0.5)}) AS alph,
+         |    alph * x + (1.0 - alph) * ${p("mam")} AS mam,
+         |    ${dlit(0.5)}*alph*mam + (1.0 - ${dlit(0.5)}*alph) * ${p("fam")} AS fam,
+         |    $rings""".stripMargin
+    }
+    val state = "symbol, ord, rn, x, " + keys.mkString(", ")
+    s"""rr AS (
+       |  SELECT symbol, ord, close AS x,
+       |    row_number() OVER wo AS rn,
+       |    CASE WHEN row_number() OVER wo >= 4
+       |         THEN (4.0*close + 3.0*lag(close,1) OVER wo + 2.0*lag(close,2) OVER wo + lag(close,3) OVER wo) * ${dlit(0.1)}
+       |         ELSE 0.0 END AS sm0
+       |  FROM bars WINDOW wo AS (PARTITION BY symbol ORDER BY ord)
+       |),
+       |r2 AS (
+       |  SELECT symbol, ord, x, rn, sm0 AS sm,
+       |    coalesce(lag(sm0,2) OVER wo2, 0.0) AS sm2,
+       |    coalesce(lag(sm0,4) OVER wo2, 0.0) AS sm4,
+       |    coalesce(lag(sm0,6) OVER wo2, 0.0) AS sm6
+       |  FROM rr WINDOW wo2 AS (PARTITION BY symbol ORDER BY ord)
+       |),
+       |st AS (
+       |  SELECT $state FROM (${step(init = true)} FROM r2 WHERE rn = 7)
+       |  UNION ALL
+       |  SELECT $state FROM (
+       |    ${step(init = false)}
+       |    FROM (SELECT r.symbol, r.ord, r.rn, r.x, r.sm, r.sm2, r.sm4, r.sm6,
+       |                 ${keys.map(k => s"st.$k AS p_$k").mkString(", ")}
+       |          FROM st JOIN r2 r ON r.symbol = st.symbol AND r.rn = st.rn + 1)
+       |  )
+       |)""".stripMargin
+  }
+
+  /** One MESA-family oracle: `outsel` projects from alias `s` (the st row
+    * for this bar, NULL inside the 32-bar warmup). */
+  private def mesaQ(outsel: String): String =
+    s"""${B.replaceFirst("WITH ", "WITH RECURSIVE ")}, $mesaCtes
+       |SELECT b.symbol AS symbol, b.ord AS ord, $outsel
+       |FROM bars b LEFT JOIN (SELECT * FROM st WHERE rn >= 32) s ON s.symbol = b.symbol AND s.ord = b.ord
+       |ORDER BY b.symbol, b.ord""".stripMargin
+
   /** MACD line + signal + hist via EMA folds (Kernels.macd, 12/26/9). */
   private lazy val macdSql =
     s"""$B, l AS (SELECT symbol, ord, list(close) OVER wc AS xs FROM bars WINDOW ${Sql.wcDef}),
@@ -717,10 +800,20 @@ object TaQueries {
     // ---- cycle / Hilbert family (one mesa pass; trendline+trendmode are
     //      window-expressible → oracle-checked, the rest golden-tested) ----
 
-    Entry("ht_dcperiod", recQ("ht_dcperiod")(df => Recursive.htAll(df)), None),
-    Entry("ht_dcphase",  recQ("ht_dcphase")(df => Recursive.htAll(df)), None),
-    Entry("ht_phasor",   recQ("inphase", "quadrature")(df => Recursive.htAll(df)), None),
-    Entry("ht_sine",     recQ("sine", "leadsine")(df => Recursive.htAll(df)), None),
+    Entry("ht_dcperiod", recQ("ht_dcperiod")(df => Recursive.htAll(df)),
+      Some(mesaQ(Sql.r6("s.sper", "ht_dcperiod")))),
+    Entry("ht_dcphase",  recQ("ht_dcphase")(df => Recursive.htAll(df)),
+      Some {
+        // the kernel's sequential fixups: +90, +180 when I1<0, −360 past 315
+        val t1 = "(CASE WHEN s.ia0 < 0.0 THEN s.ph + 90.0 + 180.0 ELSE s.ph + 90.0 END)"
+        mesaQ(Sql.r6(s"CASE WHEN $t1 > 315.0 THEN $t1 - 360.0 ELSE $t1 END", "ht_dcphase"))
+      }),
+    Entry("ht_phasor",   recQ("inphase", "quadrature")(df => Recursive.htAll(df)),
+      Some(mesaQ(s"${Sql.r6("s.ia0", "inphase")}, ${Sql.r6("s.qa0", "quadrature")}")),
+    ),
+    Entry("ht_sine",     recQ("sine", "leadsine")(df => Recursive.htAll(df)),
+      Some(mesaQ(s"${Sql.r6("sin(s.ph * pi() / 180.0)", "sine")}, " +
+        Sql.r6("sin((s.ph + 45.0) * pi() / 180.0)", "leadsine")))),
     Entry("ht_trendline",
       recQ("ht_trendline")(df => Recursive.htAll(df)),
       Some(s"""$B SELECT symbol, ord, ${Sql.r6(
@@ -739,7 +832,8 @@ object TaQueries {
            "CASE WHEN rn >= 32 THEN (CASE WHEN abs(close - tl) > (0.01 * tl) THEN 1.0 ELSE 0.0 END) END",
            "ht_trendmode")}
         |FROM t $T""".stripMargin)),
-    Entry("mama_05_005", recQ("mama", "fama")(df => Recursive.mama(df)), None),
+    Entry("mama_05_005", recQ("mama", "fama")(df => Recursive.mama(df)),
+      Some(mesaQ(s"${Sql.r6("s.mam", "mama")}, ${Sql.r6("s.fam", "fama")}"))),
 
     // ---- backtests (recursive folds; rows-only + scripted scalatests) ----
 
