@@ -26,6 +26,17 @@ object PatternQueries {
       |FROM bars WINDOW ${Sql.wDef}
       |${Sql.tail}""".stripMargin
 
-  val queries: Map[String, Q] = Patterns.all.map(p => p.name -> patternQ(p)).toMap
-  val oracle: Map[String, String] = Patterns.all.map(p => p.name -> patternSql(p)).toMap
+  /** Non-default penetration variants (the reference wrapper takes the
+    * argument but its kernel ignores it; ours honors it). Same dual-emit
+    * DSL → the oracle is free and cannot drift. */
+  private val parameterized: Seq[graft.ta.PatternDsl.Pattern] = Seq(
+    Patterns.cdldarkcloudcoverP(0.5, "cdldarkcloudcover_p50"),
+    Patterns.cdlmorningstarP(0.5, "cdlmorningstar_p50"),
+    Patterns.cdleveningstarP(0.5, "cdleveningstar_p50"),
+    Patterns.cdlpiercingP(0.5, "cdlpiercing_p50"))
+
+  private val allPatterns = Patterns.all ++ parameterized
+
+  val queries: Map[String, Q] = allPatterns.map(p => p.name -> patternQ(p)).toMap
+  val oracle: Map[String, String] = allPatterns.map(p => p.name -> patternSql(p)).toMap
 }

@@ -7,9 +7,10 @@ import PatternDsl._
   * Suffix convention matches the reference loops: for lookback k, bar 1 is
   * the oldest (lag k), bar k is lag 1, `cur` is the current row.
   *
-  * Note: five reference wrappers accept a `penetration` argument that the
+  * Note: the reference wrappers accept a `penetration` argument that the
   * kernels ignore except where hard-coded 0.3 (dark cloud, evening/morning
-  * star family, piercing) — we hard-code the same 0.3 (pattern.rs:529-532).
+  * star family, piercing — pattern.rs:529-532). The default instances keep
+  * that 0.3, and the `*P` builders additionally honor the argument.
   */
 object Patterns {
   private val cur = Bar(0)
@@ -120,11 +121,16 @@ object Patterns {
       bear(b1) && longBody(b1) && bull(cur) && longBody(cur) && near(cur.c, b1.c, cur),
       bull(b1) && longBody(b1) && bear(cur) && longBody(cur) && near(cur.c, b1.c, cur)) }
 
-  // pattern.rs:519-550 (penetration hard-coded default 0.3)
-  val cdldarkcloudcover: Pattern = { val b1 = Bar(1)
-    pBear("cdldarkcloudcover", 1,
+  // pattern.rs:519-550. The reference wrapper takes `penetration` but the
+  // kernel hard-codes 0.3; the parameterized builders below honor the
+  // argument (exceeding the reference at zero risk — the default instance
+  // is byte-identical to the hard-coded behavior).
+  def cdldarkcloudcoverP(pen: Double = 0.3, name: String = "cdldarkcloudcover"): Pattern = {
+    val b1 = Bar(1)
+    pBear(name, 1,
       bull(b1) && longBody(b1) && bear(cur) && (cur.o > b1.c) &&
-        (cur.c < (b1.c - (bodyAbs(b1) * num(0.3)))) && (cur.c > b1.o)) }
+        (cur.c < (b1.c - (bodyAbs(b1) * num(pen)))) && (cur.c > b1.o)) }
+  val cdldarkcloudcover: Pattern = cdldarkcloudcoverP()
 
   // pattern.rs:553-575
   val cdldoji: Pattern = pBull("cdldoji", 0, doji(cur))
@@ -148,16 +154,20 @@ object Patterns {
         ((cur.o > b1.c) || (cur.c < b1.o))) }
 
   // pattern.rs:665-700
-  val cdleveningdojistar: Pattern = { val b1 = Bar(2); val b2 = Bar(1)
-    pBear("cdleveningdojistar", 2,
+  def cdleveningdojistarP(pen: Double = 0.3, name: String = "cdleveningdojistar"): Pattern = {
+    val b1 = Bar(2); val b2 = Bar(1)
+    pBear(name, 2,
       bull(b1) && longBody(b1) && doji(b2) && (ocMin(b2) > b1.c) && bear(cur) &&
-        (cur.c < (b1.c - (bodyAbs(b1) * num(0.3))))) }
+        (cur.c < (b1.c - (bodyAbs(b1) * num(pen))))) }
+  val cdleveningdojistar: Pattern = cdleveningdojistarP()
 
   // pattern.rs:703-736
-  val cdleveningstar: Pattern = { val b1 = Bar(2); val b2 = Bar(1)
-    pBear("cdleveningstar", 2,
+  def cdleveningstarP(pen: Double = 0.3, name: String = "cdleveningstar"): Pattern = {
+    val b1 = Bar(2); val b2 = Bar(1)
+    pBear(name, 2,
       bull(b1) && longBody(b1) && shortBody(b2) && (ocMin(b2) > b1.c) && bear(cur) &&
-        (cur.c < (b1.c - (bodyAbs(b1) * num(0.3))))) }
+        (cur.c < (b1.c - (bodyAbs(b1) * num(pen))))) }
+  val cdleveningstar: Pattern = cdleveningstarP()
 
   // pattern.rs:739-774
   val cdlgapsidesidewhite: Pattern = { val b1 = Bar(2); val b2 = Bar(1)
@@ -288,16 +298,20 @@ object Patterns {
         bull(cur) && (cur.c > b1.c)) }
 
   // pattern.rs:1415-1450
-  val cdlmorningdojistar: Pattern = { val b1 = Bar(2); val b2 = Bar(1)
-    pBull("cdlmorningdojistar", 2,
+  def cdlmorningdojistarP(pen: Double = 0.3, name: String = "cdlmorningdojistar"): Pattern = {
+    val b1 = Bar(2); val b2 = Bar(1)
+    pBull(name, 2,
       bear(b1) && longBody(b1) && doji(b2) && (ocMax(b2) < b1.c) && bull(cur) &&
-        (cur.c > (b1.c + (bodyAbs(b1) * num(0.3))))) }
+        (cur.c > (b1.c + (bodyAbs(b1) * num(pen))))) }
+  val cdlmorningdojistar: Pattern = cdlmorningdojistarP()
 
   // pattern.rs:1453-1486
-  val cdlmorningstar: Pattern = { val b1 = Bar(2); val b2 = Bar(1)
-    pBull("cdlmorningstar", 2,
+  def cdlmorningstarP(pen: Double = 0.3, name: String = "cdlmorningstar"): Pattern = {
+    val b1 = Bar(2); val b2 = Bar(1)
+    pBull(name, 2,
       bear(b1) && longBody(b1) && shortBody(b2) && (ocMax(b2) < b1.c) && bull(cur) &&
-        (cur.c > (b1.c + (bodyAbs(b1) * num(0.3))))) }
+        (cur.c > (b1.c + (bodyAbs(b1) * num(pen))))) }
+  val cdlmorningstar: Pattern = cdlmorningstarP()
 
   // pattern.rs:1489-1515
   val cdlonneck: Pattern = { val b1 = Bar(1)
@@ -305,10 +319,12 @@ object Patterns {
       bear(b1) && longBody(b1) && bull(cur) && (cur.o < b1.c) && near(cur.c, b1.l, cur)) }
 
   // pattern.rs:1518-1549
-  val cdlpiercing: Pattern = { val b1 = Bar(1)
-    pBull("cdlpiercing", 1,
+  def cdlpiercingP(pen: Double = 0.3, name: String = "cdlpiercing"): Pattern = {
+    val b1 = Bar(1)
+    pBull(name, 1,
       bear(b1) && longBody(b1) && bull(cur) && (cur.o < b1.c) &&
-        (cur.c > (b1.c + (bodyAbs(b1) * num(0.3)))) && (cur.c < b1.o)) }
+        (cur.c > (b1.c + (bodyAbs(b1) * num(pen)))) && (cur.c < b1.o)) }
+  val cdlpiercing: Pattern = cdlpiercingP()
 
   // pattern.rs:1552-1577
   val cdlrickshawman: Pattern =

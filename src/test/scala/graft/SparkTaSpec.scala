@@ -78,6 +78,18 @@ class SparkTaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(patternValues(Patterns.cdlmorningstar, rows) == Seq(0, 0, 100))
   }
 
+  test("penetration parameter gates the morning-star recovery threshold") {
+    // bar1 body = 10 (110→100); cur closes at 104 = 40% recovery:
+    // fires at the default 0.3 threshold (c > 103), not at 0.5 (c > 105)
+    val rows = Seq(
+      (110.0, 111.0, 99.0, 100.0),
+      (95.0, 96.0, 93.0, 94.0),
+      (96.0, 105.0, 95.0, 104.0)
+    )
+    assert(patternValues(Patterns.cdlmorningstarP(0.3), rows) == Seq(0, 0, 100))
+    assert(patternValues(Patterns.cdlmorningstarP(0.5), rows) == Seq(0, 0, 0))
+  }
+
   test("cdl3whitesoldiers fires on three long advancing bulls") {
     val rows = Seq(
       (100.0, 110.2, 99.9, 110.0),
