@@ -1,0 +1,109 @@
+package graft
+
+import graft.bt.Vectorized
+import graft.ta.Kernels
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** Property-based coverage promised in SURVEY.md §5.2, over the pure
+  * kernels (no Spark session — these run at scalacheck speed):
+  * length/warmup structure, scale/shift invariance, window-extreme
+  * bounds, and the backtester's no-leverage equity invariant.
+  */
+object KernelProps extends Properties("kernels") {
+
+  private val price: Gen[Double] = Gen.choose(1.0, 500.0)
+  private val series: Gen[Array[Double]] =
+    Gen.choose(2, 80).flatMap(n => Gen.listOfN(n, price)).map(_.toArray)
+  private val period: Gen[Int] = Gen.choose(2, 20)
+
+  private def eqTol(a: Double, b: Double, tol: Double = 1e-9): Boolean =
+    (a.isNaN && b.isNaN) || math.abs(a - b) <= tol * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  property("length preservation across the kernel family") =
+    forAll(series, period) { (x, n) =>
+      Seq[Array[Double]](
+        Kernels.sma(x, n), Kernels.ema(x, n), Kernels.wma(x, n),
+        Kernels.rma(x, n), Kernels.rsi(x, n), Kernels.kama(x, n),
+        Kernels.trix(x, n), Kernels.rollMax(x, n)
+      ).forall(_.length == x.length)
+    }
+
+  property("warmup: first n-1 outputs of SMA are NaN, the rest are finite") =
+    forAll(series, period) { (x, n) =>
+      val out = Kernels.sma(x, n)
+      out.take(math.min(n - 1, x.length)).forall(_.isNaN) &&
+        out.drop(n - 1).forall(v => !v.isNaN && !v.isInfinite)
+    }
+
+  property("RSI is scale-invariant: rsi(k·x) == rsi(x)") =
+    forAll(series, period, Gen.choose(0.5, 50.0)) { (x, n, k) =>
+      Kernels.rsi(x.map(_ * k), n).zip(Kernels.rsi(x, n)).forall { case (a, b) => eqTol(a, b, 1e-7) }
+    }
+
+  property("RSI output bounded in [0, 100]") =
+    forAll(series, period) { (x, n) =>
+      Kernels.rsi(x, n).forall(v => v.isNaN || (v >= 0.0 && v <= 100.0))
+    }
+
+  property("MOM is shift-invariant: mom(x + c) == mom(x)") =
+    forAll(series, Gen.choose(1, 10), Gen.choose(-100.0, 100.0)) { (x, n, c) =>
+      def mom(a: Array[Double]): Array[Double] =
+        Array.tabulate(a.length)(i => if (i >= n) a(i) - a(i - n) else Double.NaN)
+      mom(x.map(_ + c)).zip(mom(x)).forall { case (a, b) => eqTol(a, b, 1e-7) }
+    }
+
+  property("rollMax dominates every value in its window") =
+    forAll(series, period) { (x, n) =>
+      val out = Kernels.rollMax(x, n)
+      x.indices.forall { i =>
+        out(i).isNaN || (math.max(0, i - n + 1) to i).forall(j => out(i) >= x(j))
+      }
+    }
+
+  property("TRIMA ≡ SMA∘SMA with the split periods") =
+    forAll(series, Gen.choose(2, 12)) { (x, n) =>
+      val viaDef = Kernels.sma(Kernels.sma(x, n - n / 2), n / 2 + 1)
+      Kernels.trima(x, n).zip(viaDef).forall { case (a, b) => eqTol(a, b) }
+    }
+
+  property("interior NaN does not poison EMA (skip semantics)") =
+    forAll(series, period) { (x, n) =>
+      (x.length > n + 2) ==> Prop {
+        val withNaN = x.clone(); withNaN(n + 1) = Double.NaN
+        // outputs computed over the compacted valid values must equal the
+        // kernel run on the pre-compacted series
+        val compacted = Kernels.ema(x.patch(n + 1, Nil, 1), n)
+        val skipped = Kernels.ema(withNaN, n)
+        val fromSkipped = x.indices.filter(_ != n + 1).map(skipped(_))
+        fromSkipped.zip(compacted.toSeq).forall { case (a, b) => eqTol(a, b) }
+      }
+    }
+
+  private val signals: Gen[(Array[Double], Array[Boolean], Array[Boolean])] =
+    for {
+      n <- Gen.choose(1, 60)
+      p <- Gen.listOfN(n, price)
+      b <- Gen.listOfN(n, Gen.oneOf(true, false))
+      s <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield (p.toArray, b.toArray, s.toArray)
+
+  property("vectorized backtest: accounting identity and no-leverage equity ≥ 0") =
+    forAll(signals) { case (p, b, s) =>
+      val cfg = Vectorized.Config(initialCapital = 10000.0, minCommission = 0.0,
+        buyCommissionRate = 0.0003, sellCommissionRate = 0.0003)
+      val r = Vectorized.runSeries(p, b, s, cfg)
+      p.indices.forall { i =>
+        eqTol(r.equity(i), r.cash(i) + r.positions(i) * p(i)) && r.equity(i) >= 0.0
+      }
+    }
+
+  property("sequential backtest: cash never negative, positions never short") =
+    forAll(signals) { case (p, b, s) =>
+      val r = graft.bt.Sequential.run(p.length, { (ctx, i) =>
+        if (b(i)) ctx.buy("A", 10, p(i))
+        if (s(i)) ctx.sell("A", 10, p(i))
+      })
+      r.portfolio.cash >= 0.0 && r.portfolio.positions.values.forall(_ >= 0.0)
+    }
+}
