@@ -10,11 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args: query names to run (repeats allowed) for isolated
+    // timing; no args = the full driver-contract sweep
+    val toRun: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (args.nonEmpty) args.toSeq.map(n => n -> SparkEntry.queries(n))
+      else SparkEntry.queries.toSeq
+    val timings = toRun.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    if (args.nonEmpty) timings.foreach { case (n, t) => System.err.println(f"[bench] $n%s $t%.3f s") }
+    val results = timings.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -104,11 +104,19 @@ object Dedup {
 
   /** 64-bit SimHash via the native SimHash64 expression — one pass over
     * the token array inside the scan (map-side only; the round-1
-    * formulation exploded tokens into a 64-aggregate groupBy). */
+    * formulation exploded tokens into a 64-aggregate groupBy).
+    *
+    * The coalesce is a nullability barrier, not a semantic change (the
+    * explicit text-notnull filter makes it unreachable): without it, the
+    * chunk join's inferred `isnotnull(key)` constraint rewrites to
+    * `isnotnull(simhash64(…))` in the scan FILTER while the projection
+    * evaluates it again — Spark's subexpression elimination doesn't span
+    * Filter→Project, so every document was tokenized and hashed TWICE
+    * per join side. */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol),
-      graft.functions.TextHashes.simhash64(
-        split(trim(lower(col(textCol))), "\\s+")).as("simhash"))
+    docs.where(col(textCol).isNotNull).select(col(idCol),
+      coalesce(graft.functions.TextHashes.simhash64(
+        split(trim(lower(col(textCol))), "\\s+")), lit(0L)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming ≤ maxHamming via the pigeonhole
     * chunk join. With `numChunks` chunks any pair within Hamming
@@ -132,12 +140,19 @@ object Dedup {
       .select(col(idCol), col("simhash"), col("ck.chunk"), col("ck.key"))
     val a = chunks.toDF("a_id", "a_sim", "chunk", "key")
     val b = chunks.toDF("b_id", "b_sim", "chunk", "key")
+    // emit each pair ONLY at its smallest shared chunk: near-identical docs
+    // collide on all `numChunks` chunks, so without this guard the join
+    // emits up to numChunks duplicates per pair into a distinct() shuffle —
+    // the guard makes emission exactly-once and the distinct unnecessary
+    val noEarlierChunk = (0 until numChunks).map(i =>
+      when(lit(i) < col("chunk"),
+        shiftright(col("a_sim"), i * bits).bitwiseAND(mask) =!=
+          shiftright(col("b_sim"), i * bits).bitwiseAND(mask))
+        .otherwise(lit(true))).reduce(_ && _)
     a.join(b, Seq("chunk", "key")).where(col("a_id") < col("b_id"))
+      .where(noEarlierChunk)
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
-      // hamming BEFORE distinct: the dedup shuffle then carries only the
-      // near pairs, not every far pair the chunk join surfaced
       .where(col("hamming") <= maxHamming)
-      .distinct()
   }
 }
