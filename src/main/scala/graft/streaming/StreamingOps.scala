@@ -91,6 +91,95 @@ object StreamingOps {
       }.toDF()
   }
 
+  final case class DocIn(doc_id: Long, text_hash: String)
+  final case class DedupOut(doc_id: Long, text_hash: String, is_canonical: Boolean)
+  final case class SeenState(canonicalId: Long)
+
+  /** Streaming exact dedup: per content-hash state marks the FIRST
+    * arrival canonical (streaming semantics — the batch Dedup.exact
+    * canonicalizes min doc_id over the closed corpus; on an unbounded
+    * stream first-arrival is the standard choice and each doc is decided
+    * the moment it arrives). State per distinct hash is one long; at
+    * 100 TB the hash-keyed state shards across executors and a TTL/
+    * watermark policy bounds it in production. */
+  def exactDedupStream(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    implicit val stEnc = Encoders.product[SeenState]
+    implicit val outEnc = Encoders.product[DedupOut]
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        sha2(col(textCol), 256).as("text_hash")).as[DocIn](Encoders.product[DocIn])
+      .groupByKey(_.text_hash)(Encoders.STRING)
+      .flatMapGroupsWithState[SeenState, DedupOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[DocIn], state: GroupState[SeenState]) =>
+          var canonical = state.getOption.map(_.canonicalId).getOrElse(-1L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val first = canonical < 0
+            if (first) canonical = d.doc_id
+            DedupOut(d.doc_id, hash, first)
+          }
+          state.update(SeenState(canonical))
+          out.iterator
+      }.toDF()
+  }
+
+  final case class ChunkDocIn(chunk: Int, key: Long, doc_id: Long, sig: Long)
+  final case class PairOut(a_id: Long, b_id: Long, hamming: Int)
+  final case class BucketState(ids: List[Long], sigs: List[Long])
+
+  /** Streaming simhash near-dup pairs: the batch pigeonhole chunk join
+    * (Dedup.simhashCandidates) as a stateful stream — each (chunk, key)
+    * bucket keeps the docs seen so far and every arrival pairs against
+    * them. Exactly-once across buckets by the same smallest-shared-chunk
+    * rule as batch (decided from the two signatures, so it is arrival-
+    * order independent). Guaranteed recall for maxHamming < numChunks,
+    * like batch; bucket state grows with corpus — production bounds it
+    * with state TTL. */
+  def simhashPairsStream(docs: DataFrame, maxHamming: Int = 7, numChunks: Int = 8,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(64 % numChunks == 0 && maxHamming < numChunks,
+      s"pigeonhole recall guarantee needs maxHamming < numChunks ($maxHamming !< $numChunks)")
+    val bits = 64 / numChunks
+    val mask = (1L << bits) - 1
+    implicit val stEnc = Encoders.product[BucketState]
+    implicit val outEnc = Encoders.product[PairOut]
+    @inline def chunkKey(sig: Long, c: Int): Long = (sig >>> (c * bits)) & mask
+    val chunks = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        coalesce(graft.functions.TextHashes.simhash64(
+          split(trim(lower(col(textCol))), "\\s+")), lit(0L)).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until numChunks).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("sig"), c * bits).bitwiseAND(mask).as("key"))): _*)).as("ck"))
+      .select(col("ck.chunk").as("chunk"), col("ck.key").as("key"),
+        col("doc_id"), col("sig"))
+    chunks.as[ChunkDocIn](Encoders.product[ChunkDocIn])
+      .groupByKey(r => (r.chunk, r.key))(Encoders.product[(Int, Long)])
+      .flatMapGroupsWithState[BucketState, PairOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (ck: (Int, Long), rows: Iterator[ChunkDocIn], state: GroupState[BucketState]) =>
+          val chunk = ck._1
+          var st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PairOut]
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            st.ids.zip(st.sigs).foreach { case (oid, osig) =>
+              if (oid != d.doc_id) {
+                val ham = java.lang.Long.bitCount(d.sig ^ osig)
+                // smallest-shared-chunk rule == batch's exactly-once guard
+                val firstShared = (0 until numChunks)
+                  .find(c => chunkKey(d.sig, c) == chunkKey(osig, c)).get
+                if (ham <= maxHamming && firstShared == chunk)
+                  out += PairOut(math.min(oid, d.doc_id), math.max(oid, d.doc_id), ham)
+              }
+            }
+            st = BucketState(d.doc_id :: st.ids, d.sig :: st.sigs)
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
   /** Watermarked event-time windowed aggregation over the raw event
     * stream: per (event_type, window) count/avg — the canonical streaming
     * rollup for the events table. `ts` must be a timestamp column. */
