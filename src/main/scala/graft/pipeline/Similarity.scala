@@ -183,8 +183,13 @@ object Similarity {
   def cosineNearDup(corpus: DataFrame, threshold: Double = 0.95, planes: Int = 0,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val p = if (planes > 0) planes else planesForCorpus(corpus.count())
-    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"),
-      element_at(lshSignatures(col(vecCol), p, 1), 1).as("sig"))
+    // coalesce = nullability barrier (unreachable after the notnull
+    // filter): without it the self-join's inferred isnotnull(sig)
+    // constraint re-evaluates the hyperplane signature in the scan filter
+    // on both sides (same pattern as Dedup.simhash)
+    val c = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"),
+        coalesce(element_at(lshSignatures(col(vecCol), p, 1), 1), lit(0)).as("sig"))
     val a = c.toDF("a_id", "a_v", "sig")
     val b = c.toDF("b_id", "b_v", "sig")
     a.join(b, "sig").where(col("a_id") < col("b_id"))
