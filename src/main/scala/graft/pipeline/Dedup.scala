@@ -85,6 +85,53 @@ object Dedup {
       .select(col("a_id"), col("b_id"), (agree.cast("double") / numPerms).as("est_jaccard"))
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation — the step a real dedup pipeline needs between pair
+    * emission and canonical-document selection. Each iteration is one
+    * equi-join + one partial-aggregated min, followed by a pointer-jump
+    * (label := label-of-label) that contracts paths, so convergence is
+    * O(log diameter) rounds rather than O(diameter) — the standard
+    * large-graph CC recipe. Like the IVF build, this is an
+    * index-construction op: the convergence check is a driver action per
+    * round, bounded by `maxIters`.
+    *
+    * Returns (idCol, cluster_id, is_representative) for EVERY id in
+    * `ids` — singletons keep their own id as cluster_id; cluster_id is
+    * the component's minimum id (deterministic, order-independent). */
+  def components(pairs: DataFrame, ids: DataFrame, idCol: String = "doc_id",
+                 aCol: String = "a_id", bCol: String = "b_id",
+                 maxIters: Int = 20): DataFrame = {
+    // localCheckpoint (not cache) on the iterated frame: caching keeps
+    // the LOGICAL plan growing — two self-joins per round double it, and
+    // the analyzer blows the heap after a dozen rounds; checkpointing
+    // truncates the lineage so every round plans against a leaf
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(eager = true)
+    var labels = ids.select(col(idCol).as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(eager = true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("label").as("nbr_min"))
+      val propagated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // pointer jump: a label is always some node's id, so label(label)
+      // exists; shortcutting halves remaining path lengths each round
+      val byId = propagated.select(col("id").as("lid"), col("label").as("llabel"))
+      val updated = propagated.join(byId, propagated("label") === byId("lid"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("llabel"), col("label"))).as("label"))
+        .localCheckpoint(eager = true)
+      converged = updated.join(labels.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") =!= col("prev")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("is_representative"))
+  }
+
   /** Exact n-gram Jaccard for given candidate pairs (verification step —
     * only runs on candidates, never the full cross product). Extra columns
     * on `pairs` (e.g. the MinHash `est_jaccard`) are carried through, so

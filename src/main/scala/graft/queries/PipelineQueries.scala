@@ -172,6 +172,43 @@ object PipelineQueries {
         .orderBy("a_id", "b_id"),
       None),
 
+    Entry("graph_components",
+      // the clustering operator on a DETERMINISTIC synthetic graph
+      // (stars of 5 bridged every 15 ids) so min-label propagation is
+      // oracle-checkable with a DuckDB transitive-closure recursive CTE;
+      // the content-based wiring is dedup_clusters below
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir).select(col("doc_id"))
+        val star = docs.where(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id").as("a_id"), (col("doc_id") - col("doc_id") % 5).as("b_id"))
+        val bridge = docs.where(col("doc_id") % 15 === 0 && col("doc_id") > 0)
+          .select(col("doc_id").as("a_id"), (col("doc_id") - 1).as("b_id"))
+        Dedup.components(star.union(bridge), docs).orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE nodes AS (SELECT doc_id AS id FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, doc_id - doc_id % 5 AS dst FROM documents WHERE doc_id % 5 != 0
+        |  UNION ALL
+        |  SELECT doc_id AS src, doc_id - 1 AS dst FROM documents WHERE doc_id % 15 = 0 AND doc_id > 0
+        |),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |lab AS (
+        |  SELECT id, id AS label FROM nodes
+        |  UNION
+        |  SELECT e.src AS id, lab.label FROM edges e JOIN lab ON lab.id = e.dst
+        |)
+        |SELECT id AS doc_id, min(label) AS cluster_id, min(label) = id AS is_representative
+        |FROM lab GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    Entry("dedup_clusters",
+      // end-to-end near-dup clustering: simhash pigeonhole pairs →
+      // connected components → canonical representative per cluster
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Dedup.components(Dedup.simhashCandidates(docs), docs.select("doc_id"))
+          .orderBy("doc_id")
+      }, None),
+
     Entry("multimodal_features",
       // Mixed-modality demo: a third each synthetic WAV / PPM / raw text;
       // WAV+PPM are decoded for real (header walk + sample/pixel stats),

@@ -171,6 +171,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.planesForCorpus(1L << 40) > Similarity.planesForCorpus(1L << 30))
   }
 
+  test("components: min-label propagation finds planted clusters and singletons") {
+    // components: {1,2,3} (chain), {5,6} (pair), {4}, {7} (singletons)
+    val pairs = spark.createDataFrame(Seq((2L, 1L), (3L, 2L), (5L, 6L))).toDF("a_id", "b_id")
+    val ids = spark.createDataFrame(Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).map(Tuple1(_))).toDF("doc_id")
+    val got = Dedup.components(pairs, ids).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      4L -> (4L, true), 5L -> (5L, true), 6L -> (5L, false), 7L -> (7L, true)))
+  }
+
+  test("components: long chain converges within the iteration bound") {
+    val n = 30
+    val pairs = spark.createDataFrame(
+      (1 until n).map(i => (i.toLong, i.toLong + 1))).toDF("a_id", "b_id")
+    val ids = spark.createDataFrame((1 to n).map(i => Tuple1(i.toLong))).toDF("doc_id")
+    val got = Dedup.components(pairs, ids).collect()
+    assert(got.forall(_.getLong(1) == 1L))
+    assert(got.count(_.getBoolean(2)) == 1)
+  }
+
   test("native CosineSim expression agrees with the composed built-ins formulation") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 200).map(i => (i.toLong,
