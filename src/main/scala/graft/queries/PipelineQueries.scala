@@ -16,6 +16,48 @@ object PipelineQueries {
 
   final case class Entry(name: String, q: Q, oracle: Option[String])
 
+  /** Shared oracle CTEs for the text-quality stats: CTE `q` exposes
+    * (doc_id, text, norm, mtl, s_de..s_zh, best, qs) — the per-language
+    * stopword ratios, the langid inputs and the composite quality score,
+    * replaying TextStats' IEEE arithmetic exactly. */
+  private val qualityCtes: String = {
+    def swList(lang: String) =
+      TextStats.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    def swScore(lang: String) =
+      s"CAST(len(list_filter(toks, t -> list_contains(${swList(lang)}, t))) AS DOUBLE) / ntok AS s_$lang"
+    s"""n AS (
+      |  SELECT doc_id, text,
+      |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
+      |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS ntok
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, text, norm, ntok,
+      |    ${swScore("de")}, ${swScore("en")}, ${swScore("es")}, ${swScore("fr")},
+      |    CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE) / length(text) AS s_zh,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha,
+      |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) AS punct,
+      |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / ntok AS mtl,
+      |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS lenscore
+      |  FROM n
+      |), q AS (
+      |  SELECT doc_id, text, norm, mtl, s_de, s_en, s_es, s_fr, s_zh,
+      |    greatest(s_de, s_en, s_es, s_fr, s_zh) AS best,
+      |    greatest(least((lenscore + alpha + (1.0 - least(punct * 5, 1.0)) +
+      |      (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 1.0), 0.0) AS qs
+      |  FROM s
+      |)""".stripMargin
+  }
+
+  /** Langid argmax with Spark's zh > fr > es > en > de tie priority. */
+  private val langPredSql: String =
+    """CASE WHEN s_zh > 0 AND s_zh = best THEN 'zh'
+      |       WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+      |       WHEN s_es > 0 AND s_es = best THEN 'es'
+      |       WHEN s_en > 0 AND s_en = best THEN 'en'
+      |       WHEN s_de > 0 AND s_de = best THEN 'de'
+      |       ELSE 'und' END""".stripMargin
+
   val entries: Seq[Entry] = Seq(
 
     Entry("exact_dedup",
@@ -57,50 +99,48 @@ object PipelineQueries {
       // counts + double division, the fingerprint is the same poly-mod
       // fold over code points, and the langid argmax keeps Spark's
       // zh > fr > es > en > de tie priority
-      Some {
-        def swList(lang: String) =
-          TextStats.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
-        def swScore(lang: String) =
-          s"CAST(len(list_filter(toks, t -> list_contains(${swList(lang)}, t))) AS DOUBLE) / ntok AS s_$lang"
-        s"""WITH n AS (
-          |  SELECT doc_id, text,
-          |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
-          |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
-          |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS ntok
-          |  FROM documents
-          |), s AS (
-          |  SELECT doc_id, text, norm, ntok,
-          |    ${swScore("de")}, ${swScore("en")}, ${swScore("es")}, ${swScore("fr")},
-          |    CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE) / length(text) AS s_zh,
-          |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha,
-          |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) AS punct,
-          |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / ntok AS mtl,
-          |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS lenscore
-          |  FROM n
-          |), q AS (
-          |  SELECT doc_id, text, norm, mtl, s_de, s_en, s_es, s_fr, s_zh,
-          |    greatest(s_de, s_en, s_es, s_fr, s_zh) AS best,
-          |    greatest(least((lenscore + alpha + (1.0 - least(punct * 5, 1.0)) +
-          |      (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 1.0), 0.0) AS qs
-          |  FROM s
-          |)
-          |SELECT doc_id,
-          |  CASE WHEN s_zh > 0 AND s_zh = best THEN 'zh'
-          |       WHEN s_fr > 0 AND s_fr = best THEN 'fr'
-          |       WHEN s_es > 0 AND s_es = best THEN 'es'
-          |       WHEN s_en > 0 AND s_en = best THEN 'en'
-          |       WHEN s_de > 0 AND s_de = best THEN 'de'
-          |       ELSE 'und' END AS lang_pred,
-          |  round(qs, 6) + 0.0 AS quality_score,
-          |  round(s_en, 6) + 0.0 AS stopword_ratio_en,
-          |  round(mtl, 6) + 0.0 AS mean_token_len,
-          |  CASE WHEN length(norm) = 0 THEN 0 ELSE list_reduce(
-          |    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
-          |    (h, c) -> (h * 131 + c) % 1000000007) END AS fingerprint,
-          |  len(regexp_extract_all(text, '[A-Za-z]+')) + len(regexp_extract_all(text, '[0-9]+'))
-          |    + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_tokens_bpeish
-          |FROM q ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""WITH $qualityCtes
+        |SELECT doc_id,
+        |  $langPredSql AS lang_pred,
+        |  round(qs, 6) + 0.0 AS quality_score,
+        |  round(s_en, 6) + 0.0 AS stopword_ratio_en,
+        |  round(mtl, 6) + 0.0 AS mean_token_len,
+        |  CASE WHEN length(norm) = 0 THEN 0 ELSE list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 131 + c) % 1000000007) END AS fingerprint,
+        |  len(regexp_extract_all(text, '[A-Za-z]+')) + len(regexp_extract_all(text, '[0-9]+'))
+        |    + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_tokens_bpeish
+        |FROM q ORDER BY doc_id""".stripMargin)),
+
+    Entry("pipeline_keep",
+      // the end-to-end training-data filter: exact-dedup canonical AND
+      // English AND quality above threshold — each gate oracle-able, so
+      // the WHOLE pipeline decision is hash-verified
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val t = col("text")
+        val scored = docs.select(col("doc_id"),
+          TextStats.langId(t).as("lang_pred"),
+          r6(TextStats.qualityScore(t)).as("quality_score"))
+        Dedup.exact(docs).select(col("doc_id"), col("is_canonical"))
+          .join(scored, "doc_id")
+          .select(col("doc_id"), col("is_canonical"), col("lang_pred"), col("quality_score"),
+            (col("is_canonical") && col("lang_pred") === "en" &&
+              col("quality_score") >= 0.5).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $qualityCtes,
+        |dd AS (
+        |  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS is_canonical
+        |  FROM documents
+        |), j AS (
+        |  SELECT q.doc_id, dd.is_canonical, $langPredSql AS lang_pred,
+        |    round(qs, 6) + 0.0 AS quality_score
+        |  FROM q JOIN dd ON dd.doc_id = q.doc_id
+        |)
+        |SELECT doc_id, is_canonical, lang_pred, quality_score,
+        |  (is_canonical AND lang_pred = 'en' AND quality_score >= 0.5) AS kept
+        |FROM j ORDER BY doc_id""".stripMargin)),
 
     Entry("minhash_buckets",
       (spark, dir) => {
