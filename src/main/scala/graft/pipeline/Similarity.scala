@@ -145,14 +145,11 @@ object Similarity {
     (centroids, assignments)
   }
 
-  /** IVF approximate top-k: probe the `nprobe` closest centroid lists per
-    * query and score only those lists. Recall grows with nprobe
-    * (nprobe == numCentroids ⇒ exact brute force). */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-              numCentroids: Int = 16, nprobe: Int = 4, lloydIters: Int = 3,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = ivfBuild(corpus, numCentroids, lloydIters, 1, idCol, vecCol)
-    val (centroids, assignments) = ivfAssign(corpus, cents, idCol, vecCol)
+  /** The probe phase shared by the in-memory and persisted index paths:
+    * pick each query's `nprobe` nearest centroids from the broadcast
+    * centroid table, then score ONLY those lists. */
+  private def ivfProbe(centroids: DataFrame, assignments: DataFrame, queries: DataFrame,
+                       k: Int, nprobe: Int, idCol: String, vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
     val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
     val probes = q.crossJoin(broadcast(centroids))
@@ -167,6 +164,40 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** IVF approximate top-k: probe the `nprobe` closest centroid lists per
+    * query and score only those lists. Recall grows with nprobe
+    * (nprobe == numCentroids ⇒ exact brute force). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              numCentroids: Int = 16, nprobe: Int = 4, lloydIters: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfBuild(corpus, numCentroids, lloydIters, 1, idCol, vecCol)
+    val (centroids, assignments) = ivfAssign(corpus, cents, idCol, vecCol)
+    ivfProbe(centroids, assignments, queries, k, nprobe, idCol, vecCol)
+  }
+
+  /** Persist a built IVF index: centroid table + list assignments, the
+    * lists laid out `partitionBy(cid)` so a probe's scan is pruned to its
+    * own lists' files — the build-once/probe-many workflow a 100 TB
+    * corpus actually uses (assignment scan runs once at write time). */
+  def ivfWrite(corpus: DataFrame, path: String, numCentroids: Int = 16,
+               lloydIters: Int = 3, idCol: String = "vec_id",
+               vecCol: String = "embedding"): Unit = {
+    val cents = ivfBuild(corpus, numCentroids, lloydIters, 1, idCol, vecCol)
+    val (centroids, assignments) = ivfAssign(corpus, cents, idCol, vecCol)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    assignments.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** Probe a persisted index; `cid` is a partition column of the lists
+    * table, so the equi-join key prunes unprobed lists at the source. */
+  def ivfQuery(spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
+               k: Int = 5, nprobe: Int = 4, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val assignments = spark.read.parquet(s"$path/lists")
+    ivfProbe(centroids, assignments, queries, k, nprobe, idCol, vecCol)
   }
 
   /** Planes needed so the EXPECTED bucket holds ≤ targetBucketSize vectors

@@ -171,6 +171,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.planesForCorpus(1L << 40) > Similarity.planesForCorpus(1L << 30))
   }
 
+  test("persisted IVF index: write/query round-trip equals the in-memory path") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    Similarity.ivfWrite(df, dir, numCentroids = 5)
+    val persisted = Similarity.ivfQuery(spark, dir, q, k = 3, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val inMem = Similarity.ivfTopK(df, q, k = 3, numCentroids = 5, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(persisted == inMem)
+    // lists are laid out one directory per centroid → probe-side pruning
+    val listDirs = new java.io.File(s"$dir/lists").listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cid="))
+    assert(listDirs.nonEmpty && listDirs.length <= 5)
+  }
+
   test("components: min-label propagation finds planted clusters and singletons") {
     // components: {1,2,3} (chain), {5,6} (pair), {4}, {7} (singletons)
     val pairs = spark.createDataFrame(Seq((2L, 1L), (3L, 2L), (5L, 6L))).toDF("a_id", "b_id")
