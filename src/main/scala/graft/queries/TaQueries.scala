@@ -299,6 +299,126 @@ object TaQueries {
        |FROM bars b LEFT JOIN (SELECT * FROM st WHERE rn >= 32) s ON s.symbol = b.symbol AND s.ord = b.ord
        |ORDER BY b.symbol, b.ord""".stripMargin
 
+  /** bt_sequential oracle: the single-asset event loop as a recursive CTE
+    * — state (cash, position, price board), the momentum signals as
+    * window lags, fills replaying ExecutionEngine/Portfolio arithmetic
+    * (cash − (cost+fee) on buy, cash + (rev−fee) on sell, board posted
+    * for every VALIDATED order even when the fill is rejected). */
+  private lazy val btSeqOracle: String = {
+    import Sql.dlit
+    val ic = dlit(100000.0); val mc = dlit(5.0); val rate = dlit(0.0003)
+    def step(init: Boolean): String = {
+      val enter =
+        if (init) s"$ic AS cash0, CAST(0 AS DOUBLE) AS pos0, CAST(0 AS DOUBLE) AS board0,"
+        else "pcash AS cash0, ppos AS pos0, pboard AS board0,"
+      s"""SELECT ord, rn, close, $enter
+         |    coalesce(buy, false) AS b, coalesce(sell, false) AS s,
+         |    CASE WHEN b OR s THEN close ELSE board0 END AS board,
+         |    10.0 * close AS notional,
+         |    greatest(10.0 * close * $rate, $mc) AS fee,
+         |    (b AND cash0 >= notional + fee) AS canbuy,
+         |    (s AND pos0 >= 10.0) AS cansell,
+         |    CASE WHEN canbuy THEN cash0 - (notional + fee)
+         |         WHEN cansell THEN cash0 + (notional - fee) ELSE cash0 END AS cash,
+         |    CASE WHEN canbuy THEN pos0 + 10.0 WHEN cansell THEN pos0 - 10.0 ELSE pos0 END AS pos,
+         |    cash + pos * board AS equity""".stripMargin
+    }
+    val outc = "ord, rn, close, board, cash, pos, equity"
+    s"""${B.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |s0 AS (
+       |  SELECT ord, close, row_number() OVER wo AS rn,
+       |         (close < lag(close,1) OVER wo AND lag(close,1) OVER wo < lag(close,2) OVER wo) AS buy,
+       |         (close > lag(close,1) OVER wo AND lag(close,1) OVER wo > lag(close,2) OVER wo) AS sell
+       |  FROM bars WHERE symbol = 'click_0' WINDOW wo AS (ORDER BY ord)
+       |),
+       |st AS (
+       |  SELECT $outc FROM (${step(init = true)} FROM s0 WHERE rn = 1)
+       |  UNION ALL
+       |  SELECT $outc FROM (
+       |    ${step(init = false)}
+       |    FROM (SELECT r.ord, r.rn, r.close, r.buy, r.sell,
+       |                 st.cash AS pcash, st.pos AS ppos, st.board AS pboard
+       |          FROM st JOIN s0 r ON r.rn = st.rn + 1)
+       |  )
+       |)
+       |SELECT ord, ${Sql.r6("equity", "equity")} FROM st ORDER BY ord""".stripMargin
+  }
+
+  /** bt_multi_asset oracle: the four-asset event loop over the ALIGNED
+    * grid as a recursive CTE. Each asset's fill is one NESTED subquery
+    * level (not a lateral-alias chain — DuckDB expands those macro-style
+    * and the four-level chain went exponential), so within-period cash
+    * consumption sequences exactly like the Portfolio's queue order.
+    * Zero-price (default-filled) rows fail order validation and post no
+    * board price, like OrderContext. */
+  private lazy val btMultiOracle: String = {
+    import Sql.dlit
+    val ic = dlit(100000.0); val mc = dlit(5.0); val rate = dlit(0.0003)
+    val syms = Seq("click_0", "click_1", "view_0", "view_1")
+    val base = "ord, rn, " + (0 until 4).map(k => s"c_$k, b_$k, s_$k").mkString(", ")
+    def assetBlock(k: Int, inner: String): String = {
+      val carry = ((0 until k).map(j => s"pos_$j, board_$j") ++
+        (k + 1 until 4).map(j => s"pos0_$j, board0_$j")).mkString(", ")
+      val carryC = if (carry.nonEmpty) carry + ", " else ""
+      s"""SELECT $base, $carryC
+         |      CASE WHEN ob OR os THEN c_$k ELSE board0_$k END AS board_$k,
+         |      CASE WHEN ob AND cash_$k >= notional + fee THEN cash_$k - (notional + fee)
+         |           WHEN os AND pos0_$k >= 10.0 THEN cash_$k + (notional - fee) ELSE cash_$k END AS cash_${k + 1},
+         |      CASE WHEN ob AND cash_$k >= notional + fee THEN pos0_$k + 10.0
+         |           WHEN os AND pos0_$k >= 10.0 THEN pos0_$k - 10.0 ELSE pos0_$k END AS pos_$k
+         |    FROM (
+         |      SELECT *,
+         |        coalesce(b_$k, false) AND c_$k > 0 AS ob,
+         |        coalesce(s_$k, false) AND c_$k > 0 AS os,
+         |        10.0 * c_$k AS notional,
+         |        greatest(10.0 * c_$k * $rate, $mc) AS fee
+         |      FROM ($inner)
+         |    )""".stripMargin
+    }
+    def step(init: Boolean): String = {
+      val src =
+        if (init)
+          s"SELECT $base, $ic AS cash_0, " +
+            (0 until 4).map(k => s"CAST(0 AS DOUBLE) AS pos0_$k, CAST(0 AS DOUBLE) AS board0_$k").mkString(", ") +
+            " FROM s0 WHERE rn = 1"
+        else
+          s"SELECT r.ord, r.rn, " + (0 until 4).map(k => s"r.c_$k, r.b_$k, r.s_$k").mkString(", ") +
+            ", st.cash AS cash_0, " +
+            (0 until 4).map(k => s"st.pos_${k}o AS pos0_$k, st.board_${k}o AS board0_$k").mkString(", ") +
+            " FROM st JOIN s0 r ON r.rn = st.rn + 1"
+      val inner = (0 until 4).foldLeft(src)((acc, k) => assetBlock(k, acc))
+      val eq = "cash_4 + " + (0 until 4).map(k => s"pos_$k * board_$k").mkString(" + ")
+      s"SELECT ord, rn, cash_4 AS cash, " +
+        (0 until 4).map(k => s"pos_$k AS pos_${k}o, board_$k AS board_${k}o").mkString(", ") +
+        s", $eq AS equity FROM ($inner)"
+    }
+    val outc = "ord, rn, cash, " +
+      (0 until 4).map(k => s"pos_${k}o, board_${k}o").mkString(", ") + ", equity"
+    val symCases = syms.zipWithIndex.map { case (s, k) =>
+      s"max(CASE WHEN symbol = '$s' THEN close END) AS c_$k" }.mkString(", ")
+    val sigCols = (0 until 4).map(k =>
+      s"(c_$k < lag(c_$k,1) OVER wo AND lag(c_$k,1) OVER wo < lag(c_$k,2) OVER wo) AS b_$k, " +
+      s"(c_$k > lag(c_$k,1) OVER wo AND lag(c_$k,1) OVER wo > lag(c_$k,2) OVER wo) AS s_$k").mkString(", ")
+    val symsIn = syms.map(s => s"'$s'").mkString(", ")
+    s"""${B.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |sparse AS (SELECT symbol, ord, close FROM bars WHERE symbol IN ($symsIn)),
+       |dates AS (SELECT DISTINCT ord FROM sparse),
+       |syms AS (SELECT DISTINCT symbol FROM sparse),
+       |grid AS (SELECT d.ord, s.symbol FROM dates d CROSS JOIN syms s),
+       |j AS (SELECT g.ord, g.symbol, sp.close FROM grid g LEFT JOIN sparse sp ON sp.ord = g.ord AND sp.symbol = g.symbol),
+       |f AS (SELECT ord, symbol, coalesce(last_value(close IGNORE NULLS) OVER wf, 0.0) AS close
+       |      FROM j WINDOW wf AS (PARTITION BY symbol ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |piv AS (SELECT ord, $symCases FROM f GROUP BY ord),
+       |s0 AS (SELECT ord, row_number() OVER wo AS rn, c_0, c_1, c_2, c_3, $sigCols
+       |       FROM piv WINDOW wo AS (ORDER BY ord)),
+       |st AS (
+       |  SELECT $outc FROM (${step(init = true)})
+       |  UNION ALL
+       |  SELECT $outc FROM (${step(init = false)})
+       |)
+       |SELECT ord, ${Sql.r6("equity", "equity")} FROM st ORDER BY ord""".stripMargin
+  }
+
   /** MACD line + signal + hist via EMA folds (Kernels.macd, 12/26/9). */
   private lazy val macdSql =
     s"""$B, l AS (SELECT symbol, ord, list(close) OVER wc AS xs FROM bars WINDOW ${Sql.wcDef}),
@@ -928,7 +1048,7 @@ object TaQueries {
           .toDF("ord", "equity")
           .select(col("ord"), r6(col("equity")).as("equity"))
           .orderBy("ord")
-      }, None),
+      }, Some(btSeqOracle)),
 
     Entry("bt_multi_asset",
       // Cross-asset demo: four symbols' ALIGNED bars drive one portfolio,
@@ -961,7 +1081,7 @@ object TaQueries {
         ords.zip(r.equity).toSeq.toDF("ord", "equity")
           .select(col("ord"), r6(col("equity")).as("equity"))
           .orderBy("ord")
-      }, None)
+      }, Some(btMultiOracle))
   )
 
   /** Deterministic pseudo-random signals for the vectorized-backtest demo
