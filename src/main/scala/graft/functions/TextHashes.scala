@@ -24,6 +24,16 @@ object TextHashes {
   private val M2 = -4658895280553007687L
   private val M3 = -7723592293110705685L
 
+  /** The splitmix64 mix used by HyperplaneSigs' ±1 components — exposed so
+    * the DuckDB oracle generators derive the IDENTICAL sign matrix from
+    * this very function (queries.PipelineQueries). */
+  private[graft] def splitmix(z0: Long): Long = {
+    var z = z0 + M1
+    z = (z ^ (z >>> 30)) * M2
+    z = (z ^ (z >>> 27)) * M3
+    z ^ (z >>> 31)
+  }
+
   /** MinHash signature: for each permutation p, min over shingles of
     * XXH64(shingle bytes, seed=p). Output array<long>[numPerms]. */
   case class MinhashSig(child: Expression, numPerms: Int) extends UnaryExpression {

@@ -58,6 +58,30 @@ object PipelineQueries {
       |       WHEN s_de > 0 AND s_de = best THEN 'de'
       |       ELSE 'und' END""".stripMargin
 
+  /** Hyperplane-LSH oracle machinery: the ±1 components come from
+    * splitmix64 of (t, p, d) — pure wrap arithmetic, so the sign matrix
+    * is precomputed HERE (from TextHashes.splitmix itself) and embedded
+    * as an explicit ±v[d] sum chain. The chain is left-associated like
+    * the expression's codegen loop, so dots are bit-identical; embedding
+    * dim is pinned (len guard emits NULL on anything else). */
+  private val EmbDim = 64
+
+  private def dotChain(t: Int, p: Int): String = {
+    val terms = (0 until EmbDim).map { d =>
+      if ((graft.functions.TextHashes.splitmix(t.toLong * 1000003L + p.toLong * 7919L + d) & 1L) == 0L)
+        s"v[${d + 1}]"
+      else s"-v[${d + 1}]"
+    }.mkString(" + ")
+    s"(CAST(0 AS DOUBLE) + $terms)"
+  }
+
+  private def sigSql(t: Int, planes: Int): String =
+    (0 until planes).map(p =>
+      s"(CASE WHEN ${dotChain(t, p)} >= 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+
+  private val embCte =
+    s"emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
   val entries: Seq[Entry] = Seq(
 
     Entry("exact_dedup",
@@ -195,7 +219,28 @@ object PipelineQueries {
           .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
             col("rank").cast("int").as("rank"))
           .orderBy("query_id", "rank")
-      }, None),
+      },
+      Some {
+        val tblRows = (0 until 8).map(t =>
+          s"SELECT vec_id, $t AS tbl, CASE WHEN len(v) = $EmbDim THEN ${sigSql(t, 6)} END AS sig FROM emb")
+          .mkString(" UNION ALL ")
+        s"""WITH $embCte, sigs AS ($tblRows),
+          |cand AS (
+          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+          |  FROM sigs c JOIN sigs q ON c.tbl = q.tbl AND c.sig = q.sig
+          |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+          |), s AS (
+          |  SELECT cand.query_id, cand.corpus_id, list_cosine_similarity(eq.v, ec.v) AS cos
+          |  FROM cand JOIN emb ec ON ec.vec_id = cand.corpus_id
+          |            JOIN emb eq ON eq.vec_id = cand.query_id
+          |), r AS (
+          |  SELECT query_id, corpus_id, cos,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rnk
+          |  FROM s
+          |)
+          |SELECT query_id, corpus_id, round(cos, 6) + 0.0 AS cosine, CAST(rnk AS INTEGER) AS rank
+          |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+      }),
 
     Entry("ann_ivf_top5",
       (spark, dir) => {
@@ -210,7 +255,13 @@ object PipelineQueries {
       (spark, dir) => Similarity.cosineNearDup(Tables.embeddings(spark, dir), threshold = -1.0, planes = 8)
         .select(col("a_id"), col("b_id"), r6(col("cosine")).as("cosine"))
         .orderBy("a_id", "b_id"),
-      None),
+      Some(s"""WITH $embCte, sigs AS (
+        |  SELECT vec_id, v, CASE WHEN len(v) = $EmbDim THEN ${sigSql(0, 8)} END AS sig FROM emb
+        |)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cosine
+        |FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        |ORDER BY a_id, b_id""".stripMargin)),
 
     Entry("graph_components",
       // the clustering operator on a DETERMINISTIC synthetic graph
