@@ -97,7 +97,10 @@ object Dedup {
     *
     * Returns (idCol, cluster_id, is_representative) for EVERY id in
     * `ids` — singletons keep their own id as cluster_id; cluster_id is
-    * the component's minimum id (deterministic, order-independent). */
+    * the component's minimum id (deterministic, order-independent).
+    * Contract: pair endpoints must be drawn from `ids` — an edge to an
+    * id outside the universe contributes no label (its endpoint has no
+    * labels row to propagate from). */
   def components(pairs: DataFrame, ids: DataFrame, idCol: String = "doc_id",
                  aCol: String = "a_id", bCol: String = "b_id",
                  maxIters: Int = 20): DataFrame = {

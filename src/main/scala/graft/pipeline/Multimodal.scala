@@ -55,18 +55,22 @@ object Multimodal {
     var fmtOk = false; var sampleRate = 0; var channels = 0
     var dataOff = -1; var dataLen = 0
     var o = 12
-    while (o + 8 <= bytes.length) {
+    var walking = true
+    while (walking && o + 8 <= bytes.length) {
       val size = u32(bytes, o + 4).toInt
-      if (ascii(bytes, o, "fmt ") && o + 8 + 16 <= bytes.length) {
-        val audioFormat = u16(bytes, o + 8)
-        channels = u16(bytes, o + 10)
-        sampleRate = u32(bytes, o + 12).toInt
-        val bits = u16(bytes, o + 22)
-        fmtOk = audioFormat == 1 && bits == 16 && channels >= 1 && sampleRate > 0
-      } else if (ascii(bytes, o, "data")) {
-        dataOff = o + 8; dataLen = math.min(size, bytes.length - dataOff)
+      if (size < 0) walking = false // malformed size (>2^31) — stop, don't loop
+      else {
+        if (ascii(bytes, o, "fmt ") && o + 8 + 16 <= bytes.length) {
+          val audioFormat = u16(bytes, o + 8)
+          channels = u16(bytes, o + 10)
+          sampleRate = u32(bytes, o + 12).toInt
+          val bits = u16(bytes, o + 22)
+          fmtOk = audioFormat == 1 && bits == 16 && channels >= 1 && sampleRate > 0
+        } else if (ascii(bytes, o, "data")) {
+          dataOff = o + 8; dataLen = math.min(size, bytes.length - dataOff)
+        }
+        o += 8 + size + (size & 1) // chunks are word-aligned
       }
-      o += 8 + size + (size & 1) // chunks are word-aligned
     }
     if (!fmtOk || dataOff < 0 || dataLen < 2) return None
     val n = dataLen / 2

@@ -259,6 +259,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f(4 + 6) == 0.5f && f(4 + 11) == 0.5f)
     // dispatch picks the wav path
     assert(Multimodal.decode(buf.array())._1 == Multimodal.KindWav)
+    // malformed chunk size (high bit set) terminates the walk → stub path
+    val bad = buf.array().clone()
+    bad(16) = 0xFF.toByte; bad(17) = 0xFF.toByte; bad(18) = 0xFF.toByte; bad(19) = 0xFF.toByte
+    assert(Multimodal.decode(bad)._1 == Multimodal.KindRaw)
   }
 
   test("PPM decode: header parse + mean RGB + luma histogram") {
