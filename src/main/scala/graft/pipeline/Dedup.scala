@@ -188,6 +188,10 @@ object Dedup {
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), c * bits).bitwiseAND(mask).as("key"))): _*)).as("ck"))
       .select(col(idCol), col("simhash"), col("ck.chunk"), col("ck.key"))
+      // repartition BOTH join sides through one identical exchange:
+      // ReuseExchange then computes signatures + explode ONCE instead of
+      // once per side (and at corpus scale the join must shuffle anyway)
+      .repartition(col("chunk"), col("key"))
     val a = chunks.toDF("a_id", "a_sim", "chunk", "key")
     val b = chunks.toDF("b_id", "b_sim", "chunk", "key")
     // emit each pair ONLY at its smallest shared chunk: near-identical docs
