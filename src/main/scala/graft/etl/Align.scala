@@ -1,6 +1,5 @@
 package graft.etl
 
-import java.io.File
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,18 +22,24 @@ import org.apache.spark.sql.functions._
 object Align {
 
   def readDir(spark: SparkSession, folder: String, symbolCol: String = "symbol"): DataFrame = {
-    // Accept both plain files and Spark-style parquet output directories.
-    val files = Option(new File(folder).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile || (f.isDirectory &&
-        f.getName.toLowerCase.matches(".*\\.(parquet|pqt)$"))).sortBy(_.getName)
-    val frames = files.flatMap { f =>
-      val name = f.getName.toLowerCase
-      val stem = f.getName.replaceAll("\\.[^.]+$", "")
+    // Hadoop FileSystem, not java.io.File: the directory listing must work
+    // wherever Spark can read — HDFS, s3a://, local — a 100 TB corpus does
+    // not live on the driver's local disk. Accepts both plain files and
+    // Spark-style parquet output directories.
+    val dir = new org.apache.hadoop.fs.Path(folder)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = (if (fs.exists(dir)) fs.listStatus(dir) else Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(st => st.isFile || (st.isDirectory &&
+        st.getPath.getName.toLowerCase.matches(".*\\.(parquet|pqt)$")))
+      .sortBy(_.getPath.getName)
+    val frames = files.flatMap { st =>
+      val name = st.getPath.getName.toLowerCase
+      val stem = st.getPath.getName.replaceAll("\\.[^.]+$", "")
       val df =
-        if (f.isFile && name.endsWith(".csv"))
-          Some(spark.read.option("header", "true").option("inferSchema", "true").csv(f.getPath))
+        if (st.isFile && name.endsWith(".csv"))
+          Some(spark.read.option("header", "true").option("inferSchema", "true").csv(st.getPath.toString))
         else if (name.endsWith(".parquet") || name.endsWith(".pqt"))
-          Some(spark.read.parquet(f.getPath))
+          Some(spark.read.parquet(st.getPath.toString))
         else None
       df.map(d => if (d.columns.contains(symbolCol)) d else d.withColumn(symbolCol, lit(stem)))
     }

@@ -34,6 +34,146 @@ object TextHashes {
     z ^ (z >>> 31)
   }
 
+  // ---- engine-portable hash family (mod-prime arithmetic only) ----------
+  //
+  // XXH64 needs wrapping 64-bit multiplies, which SQL engines without
+  // explicit wrap semantics cannot replay — so the xxhash64-based
+  // signatures above can only ever be rows-only checked by an external
+  // oracle. This family keeps every intermediate below 2^63 (a, f < P ≈
+  // 2^30, so a·f + b < 2^60): plain BIGINT arithmetic replays it exactly.
+  // It is the verifiability mode; xxhash64 stays the fast default.
+
+  /** Prime modulus of the portable family (fits products in a signed 64). */
+  val PolyP: Long = 1000000007L
+
+  /** Polynomial string fingerprint over Unicode code points:
+    * h ← (h·131 + cp) mod P. Matches the SQL replay
+    * `list_reduce(list_prepend(0, list_transform(string_split(s,''),
+    * c -> ascii(c))), (h,c) -> (h*131+c) % P)`. */
+  def polyFingerprint(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 131L + cp) % PolyP
+      i += java.lang.Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Affine-permutation coefficients a_i ∈ [1, P−1], b_i ∈ [0, P−1],
+    * derived from splitmix64 so Scala expression and SQL generator share
+    * one definition. Index spaces: minhash perm p uses i = p; simhash bit
+    * j uses i = 4096 + j (disjoint streams). */
+  def polyA(i: Long): Long = java.lang.Math.floorMod(splitmix(2 * i + 1), PolyP - 1) + 1
+  def polyB(i: Long): Long = java.lang.Math.floorMod(splitmix(2 * i + 2), PolyP)
+
+  /** Portable MinHash: for each permutation p, min over shingles of
+    * (a_p·fp(s) + b_p) mod P with fp = polyFingerprint. Same shape and
+    * scale posture as MinhashSig (one fused pass inside the scan), but
+    * every step is SQL-replayable. */
+  case class MinhashSigPoly(child: Expression, numPerms: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig_poly"
+    @transient private lazy val as: Array[Long] = Array.tabulate(numPerms)(p => polyA(p))
+    @transient private lazy val bs: Array[Long] = Array.tabulate(numPerms)(p => polyB(p))
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val mins = Array.fill(numPerms)(Long.MaxValue)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val f = polyFingerprint(arr.getUTF8String(i))
+        var p = 0
+        while (p < numPerms) {
+          val h = (as(p) * f + bs(p)) % PolyP
+          if (h < mins(p)) mins(p) = h
+          p += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val asRef = ctx.addReferenceObj("as", as, "long[]")
+      val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
+      nullSafeCodeGen(ctx, ev, arr => {
+        val mins = ctx.freshName("mins"); val n = ctx.freshName("n")
+        val i = ctx.freshName("i"); val p = ctx.freshName("p")
+        val f = ctx.freshName("f"); val h = ctx.freshName("h")
+        s"""
+           |long[] $mins = new long[$numPerms];
+           |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+           |int $n = $arr.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $f = graft.functions.TextHashes.polyFingerprint($arr.getUTF8String($i));
+           |  for (int $p = 0; $p < $numPerms; $p++) {
+           |    long $h = ($asRef[$p] * $f + $bsRef[$p]) % ${PolyP}L;
+           |    if ($h < $mins[$p]) $mins[$p] = $h;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Portable 64-bit SimHash: token "hash" bit j is the parity of
+    * (a_{4096+j}·fp(token) + b_{4096+j}) mod P; signature bit j is the
+    * sign of the ±1 vote sum — same vote structure as SimHash64. */
+  case class SimHashPoly64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash_poly64"
+    @transient private lazy val sa: Array[Long] = Array.tabulate(64)(j => polyA(4096L + j))
+    @transient private lazy val sb: Array[Long] = Array.tabulate(64)(j => polyB(4096L + j))
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val f = polyFingerprint(arr.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((sa(j) * f + sb(j)) % PolyP & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val saRef = ctx.addReferenceObj("sa", sa, "long[]")
+      val sbRef = ctx.addReferenceObj("sb", sb, "long[]")
+      nullSafeCodeGen(ctx, ev, arr => {
+        val counts = ctx.freshName("counts"); val n = ctx.freshName("n")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val f = ctx.freshName("f"); val sig = ctx.freshName("sig")
+        s"""
+           |int[] $counts = new int[64];
+           |int $n = $arr.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $f = graft.functions.TextHashes.polyFingerprint($arr.getUTF8String($i));
+           |  for (int $j = 0; $j < 64; $j++) {
+           |    if ((($saRef[$j] * $f + $sbRef[$j]) % ${PolyP}L & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
+           |  }
+           |}
+           |long $sig = 0L;
+           |for (int $j = 0; $j < 64; $j++) {
+           |  if ($counts[$j] > 0) $sig |= (1L << $j);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** MinHash signature: for each permutation p, min over shingles of
     * XXH64(shingle bytes, seed=p). Output array<long>[numPerms]. */
   case class MinhashSig(child: Expression, numPerms: Int) extends UnaryExpression {
@@ -200,6 +340,12 @@ object TextHashes {
 
   def minhashSig(shingles: Column, numPerms: Int): Column =
     GraftBridge.column(MinhashSig(GraftBridge.expression(shingles), numPerms))
+
+  def minhashSigPoly(shingles: Column, numPerms: Int): Column =
+    GraftBridge.column(MinhashSigPoly(GraftBridge.expression(shingles), numPerms))
+
+  def simhashPoly64(tokens: Column): Column =
+    GraftBridge.column(SimHashPoly64(GraftBridge.expression(tokens)))
 
   def hyperplaneSigs(vec: Column, planes: Int, tables: Int): Column =
     GraftBridge.column(HyperplaneSigs(GraftBridge.expression(vec), planes, tables))

@@ -46,23 +46,38 @@ object Dedup {
         i => concat_ws(" ", slice(words, i + 1, lit(k)))))
   }
 
-  /** (id, sig: array<long>[numPerms]) minhash signatures via the native
-    * MinhashSig expression — computed entirely inside the scan stage
-    * (map-side only; the round-1 formulation exploded shingles and
-    * shuffled O(docs·shingles) rows through 32 min-aggregates). */
+  /** (id, sig: array<long>[numPerms]) minhash signatures via a native
+    * expression — computed entirely inside the scan stage (map-side only;
+    * the round-1 formulation exploded shingles and shuffled
+    * O(docs·shingles) rows through 32 min-aggregates).
+    *
+    * `portable = false` (default) hashes with XXH64 — fastest, but no SQL
+    * engine can replay its wrapping multiplies. `portable = true` uses the
+    * mod-prime affine family (TextHashes.MinhashSigPoly), bit-replayable
+    * in plain BIGINT arithmetic — the mode the DuckDB oracles verify. */
   def minhashSignatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                        numPerms: Int = 32, shingleK: Int = 3): DataFrame =
-    docs.select(col(idCol),
-      graft.functions.TextHashes.minhashSig(shingles(col(textCol), shingleK), numPerms).as("sig"))
+                        numPerms: Int = 32, shingleK: Int = 3,
+                        portable: Boolean = false): DataFrame = {
+    val sh = shingles(col(textCol), shingleK)
+    val sig = if (portable) graft.functions.TextHashes.minhashSigPoly(sh, numPerms)
+              else graft.functions.TextHashes.minhashSig(sh, numPerms)
+    docs.select(col(idCol), sig.as("sig"))
+  }
 
   /** LSH banding: (id, band, bucket) — one row per band per doc; the
-    * bucket key is xxhash64 of the band's signature slice. */
+    * bucket key folds the band's signature slice (xxhash64 by default, a
+    * mod-prime polynomial fold in portable mode). */
   def lshBuckets(signatures: DataFrame, idCol: String = "doc_id",
-                 numPerms: Int = 32, bands: Int = 16): DataFrame = {
+                 numPerms: Int = 32, bands: Int = 16,
+                 portable: Boolean = false): DataFrame = {
     val rows = numPerms / bands
     require(rows * bands == numPerms, "bands must divide numPerms")
+    val P = graft.functions.TextHashes.PolyP
+    def bucket(sl: Column): Column =
+      if (portable) aggregate(sl, lit(0L), (h, v) => (h * lit(1000003L) + v) % lit(P))
+      else xxhash64(sl)
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+      struct(lit(b).as("band"), bucket(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
     }
     signatures.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
@@ -72,9 +87,10 @@ object Dedup {
     * Jaccard estimate (fraction of agreeing signature components).
     * The join key is (band, bucket) — bounded buckets, never all-pairs. */
   def minhashCandidates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                        numPerms: Int = 32, bands: Int = 16, shingleK: Int = 3): DataFrame = {
-    val sig = minhashSignatures(docs, textCol, idCol, numPerms, shingleK).cache()
-    val buckets = lshBuckets(sig, idCol, numPerms, bands)
+                        numPerms: Int = 32, bands: Int = 16, shingleK: Int = 3,
+                        portable: Boolean = false): DataFrame = {
+    val sig = minhashSignatures(docs, textCol, idCol, numPerms, shingleK, portable).cache()
+    val buckets = lshBuckets(sig, idCol, numPerms, bands, portable)
     val a = buckets.toDF("a_id", "band", "bucket")
     val b = buckets.toDF("b_id", "band", "bucket")
     val pairs = a.join(b, Seq("band", "bucket")).where(col("a_id") < col("b_id"))
@@ -131,6 +147,11 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // silent unconverged labels would hand callers WRONG clusters; with
+    // pointer jumping maxIters=20 covers diameters up to ~2^20, so hitting
+    // this means the graph needs a bigger budget, not a shrug
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIters iterations; raise maxIters")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"),
       (col("id") === col("label")).as("is_representative"))
   }
@@ -163,10 +184,14 @@ object Dedup {
     * evaluates it again — Spark's subexpression elimination doesn't span
     * Filter→Project, so every document was tokenized and hashed TWICE
     * per join side. */
-  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+              portable: Boolean = false): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val sig = if (portable) graft.functions.TextHashes.simhashPoly64(toks)
+              else graft.functions.TextHashes.simhash64(toks)
     docs.where(col(textCol).isNotNull).select(col(idCol),
-      coalesce(graft.functions.TextHashes.simhash64(
-        split(trim(lower(col(textCol))), "\\s+")), lit(0L)).as("simhash"))
+      coalesce(sig, lit(0L)).as("simhash"))
+  }
 
   /** SimHash near-dup pairs with Hamming ≤ maxHamming via the pigeonhole
     * chunk join. With `numChunks` chunks any pair within Hamming
@@ -176,13 +201,14 @@ object Dedup {
     * (a looser threshold would silently miss pairs whose differing bits
     * spread across every chunk). Default 8×8-bit chunks ⇒ k ≤ 7. */
   def simhashCandidates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                        maxHamming: Int = 7, numChunks: Int = 8): DataFrame = {
+                        maxHamming: Int = 7, numChunks: Int = 8,
+                        portable: Boolean = false): DataFrame = {
     require(64 % numChunks == 0, s"numChunks must divide 64, got $numChunks")
     require(maxHamming < numChunks,
       s"pigeonhole recall guarantee needs maxHamming < numChunks ($maxHamming !< $numChunks)")
     val bits = 64 / numChunks
     val mask = (1L << bits) - 1
-    val sig = simhash(docs, textCol, idCol)
+    val sig = simhash(docs, textCol, idCol, portable)
     val chunks = sig.select(col(idCol), col("simhash"),
       explode(array((0 until numChunks).map(c =>
         struct(lit(c).as("chunk"),

@@ -69,7 +69,10 @@ object Multimodal {
         } else if (ascii(bytes, o, "data")) {
           dataOff = o + 8; dataLen = math.min(size, bytes.length - dataOff)
         }
-        o += 8 + size + (size & 1) // chunks are word-aligned
+        // advance in Long: a size near 2^31 would wrap the Int addition
+        // negative and index with a bogus offset instead of terminating
+        val next = o.toLong + 8L + size + (size & 1) // chunks are word-aligned
+        if (next > bytes.length) walking = false else o = next.toInt
       }
     }
     if (!fmtOk || dataOff < 0 || dataLen < 2) return None
@@ -113,7 +116,10 @@ object Multimodal {
       if (o < bytes.length && bytes(o) == '#') { while (o < bytes.length && bytes(o) != '\n') o += 1 }
       else {
         var v = 0; var any = false
-        while (o < bytes.length && bytes(o) >= '0' && bytes(o) <= '9') { v = v * 10 + (bytes(o) - '0'); o += 1; any = true }
+        while (o < bytes.length && bytes(o) >= '0' && bytes(o) <= '9') {
+          v = v * 10 + (bytes(o) - '0'); o += 1; any = true
+          if (v > (1 << 15)) return None // absurd field — reject before Int overflow
+        }
         if (!any) return None
         fields(f) = v; f += 1
       }
@@ -121,8 +127,10 @@ object Multimodal {
     o += 1 // the single whitespace after maxval
     val (w, h, maxv) = (fields(0), fields(1), fields(2))
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
-    val need = w * h * 3
-    if (bytes.length - o < need) return None
+    // fields are capped at 2^15 so w*h*3 ≤ 3·2^30 still needs a Long
+    val needL = w.toLong * h * 3
+    if (bytes.length - o < needL) return None
+    val need = needL.toInt
     val out = new Array[Float](FeatureDim)
     var i = 0; var sr = 0.0; var sg = 0.0; var sb = 0.0
     while (i < need) {

@@ -105,26 +105,41 @@ object Similarity {
     * size. The sample cap keeps the refinement cost fixed at 100 TB. */
   def ivfBuild(corpus: DataFrame, numCentroids: Int = 16, lloydIters: Int = 3,
                sampleMod: Int = 1, idCol: String = "vec_id",
-               vecCol: String = "embedding"): Array[Array[Double]] = {
+               vecCol: String = "embedding", portableSeed: Boolean = false): Array[Array[Double]] = {
+    // the seed is a deterministic hash shuffle of the ids; `portableSeed`
+    // swaps XXH64 for the mod-prime affine family (every intermediate
+    // < 2^60) so a SQL oracle can replay the exact seed order — id is
+    // reduced mod P first, which keeps the product in range for any id
+    val P = graft.functions.TextHashes.PolyP
+    val seedHash =
+      if (portableSeed)
+        (lit(graft.functions.TextHashes.polyA(8192L)) * pmod(col(idCol).cast("long"), lit(P)) +
+          lit(graft.functions.TextHashes.polyB(8192L))) % lit(P)
+      else xxhash64(col(idCol))
     // the build phase runs 1 + lloydIters actions over the same projection
     // — cache it so parquet is read once, not per action
-    val c = corpus.select(xxhash64(col(idCol)).as("h"), asDouble(col(vecCol)).as("v")).cache()
-    var cents: Array[Array[Double]] = c.orderBy("h").limit(numCentroids)
-      .collect().map(_.getSeq[Double](1).toArray)
-    val sample = if (sampleMod <= 1) c else c.where(pmod(col("h"), lit(sampleMod)) === 0)
-    for (_ <- 1 to lloydIters) {
-      val means = sample.select(nearestCid(col("v"), cents).as("cid"),
-          posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("m"))
-        .groupBy("cid").agg(map_from_arrays(collect_list("pos"), collect_list("m")).as("byPos"))
-        .collect().map { r =>
-          val m = r.getMap[Int, Double](1)
-          r.getInt(0) -> Array.tabulate(cents(0).length)(d => m(d))
-        }.toMap
-      cents = cents.indices.map(i => means.getOrElse(i + 1, cents(i))).toArray
-    }
-    c.unpersist(blocking = false)
-    cents
+    val c = corpus.select(seedHash.as("h"), col(idCol).cast("long").as("sid"),
+      asDouble(col(vecCol)).as("v")).cache()
+    try {
+      // secondary sort on id: limit-under-ties must be deterministic for
+      // the oracle (XXH64 never collides in practice, the poly hash can)
+      var cents: Array[Array[Double]] = c.orderBy("h", "sid").limit(numCentroids)
+        .collect().map(_.getSeq[Double](2).toArray)
+      require(cents.nonEmpty, "ivfBuild: corpus is empty — nothing to seed centroids from")
+      val sample = if (sampleMod <= 1) c else c.where(pmod(col("h"), lit(sampleMod)) === 0)
+      for (_ <- 1 to lloydIters) {
+        val means = sample.select(nearestCid(col("v"), cents).as("cid"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos").agg(avg("x").as("m"))
+          .groupBy("cid").agg(map_from_arrays(collect_list("pos"), collect_list("m")).as("byPos"))
+          .collect().map { r =>
+            val m = r.getMap[Int, Double](1)
+            r.getInt(0) -> Array.tabulate(cents(0).length)(d => m(d))
+          }.toMap
+        cents = cents.indices.map(i => means.getOrElse(i + 1, cents(i))).toArray
+      }
+      cents
+    } finally c.unpersist(blocking = false)
   }
 
   /** IVF (inverted-file) index: a small set of coarse centroids partitions
@@ -183,8 +198,8 @@ object Similarity {
     * corpus actually uses (assignment scan runs once at write time). */
   def ivfWrite(corpus: DataFrame, path: String, numCentroids: Int = 16,
                lloydIters: Int = 3, idCol: String = "vec_id",
-               vecCol: String = "embedding"): Unit = {
-    val cents = ivfBuild(corpus, numCentroids, lloydIters, 1, idCol, vecCol)
+               vecCol: String = "embedding", portableSeed: Boolean = false): Unit = {
+    val cents = ivfBuild(corpus, numCentroids, lloydIters, 1, idCol, vecCol, portableSeed)
     val (centroids, assignments) = ivfAssign(corpus, cents, idCol, vecCol)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     assignments.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")

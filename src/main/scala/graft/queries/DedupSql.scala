@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.functions.TextHashes.{polyA, polyB, PolyP => P}
+
+/** DuckDB replay of the PORTABLE (mod-prime) dedup signatures
+  * (functions.TextHashes.{MinhashSigPoly, SimHashPoly64}, pipeline.Dedup
+  * `portable = true` mode). Every coefficient is generated from the SAME
+  * splitmix-derived polyA/polyB the Spark expressions use, and every
+  * intermediate stays below 2^63, so plain BIGINT arithmetic replays the
+  * signatures bit-for-bit — this is what upgrades the four dedup queries
+  * from rows-only to hash-verified.
+  *
+  * The pair-level oracles are deliberately SEMANTIC, not structural: the
+  * minhash pair set is re-derived from the same (band, bucket) collisions,
+  * but the simhash pair set is the plain all-pairs Hamming≤k predicate the
+  * pigeonhole join *guarantees* — so the oracle also re-proves the chunk
+  * join's exactly-once recall, not just its arithmetic.
+  */
+object DedupSql {
+
+  /** Whitespace tokens of the lowered text (parity with Spark
+    * `split(trim(lower(text)), "\\s+")` proven by the text_quality oracle). */
+  val tokCte: String =
+    """tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)"""
+
+  /** Word 3-shingles with Dedup.shingles' short-text fallback. */
+  val shCte: String =
+    """sh AS (
+      |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+      |  FROM tok
+      |)""".stripMargin
+
+  /** Polynomial code-point fingerprint of one string expression
+    * (TextHashes.polyFingerprint): h ← (h·131 + codepoint) mod P. */
+  def fpLambda(v: String): String =
+    s"CASE WHEN length($v) = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($v, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(h, c) -> (h * 131 + c) % $P) END"
+
+  /** Per-doc shingle fingerprints. */
+  val shFpCte: String =
+    s"fp AS (SELECT doc_id, list_transform(sh, s -> ${fpLambda("s")}) AS f FROM sh)"
+
+  /** 32-perm minhash signature list: sig[p+1] = min over shingles of
+    * (a_p·f + b_p) mod P. */
+  def sigCte(numPerms: Int = 32): String = {
+    val mins = (0 until numPerms).map(p =>
+      s"list_min(list_transform(f, x -> (${polyA(p)} * x + ${polyB(p)}) % $P))")
+      .mkString("[", ", ", "]")
+    s"sig AS (SELECT doc_id, $mins AS sig FROM fp)"
+  }
+
+  /** (doc_id, band, bucket) rows; bucket = poly fold of the band's slice,
+    * identical to Dedup.lshBuckets' portable aggregate. */
+  def bucketCte(bands: Int = 16, rows: Int = 2): String = {
+    val rowsSql = (0 until bands).map { b =>
+      val fold = (0 until rows).foldLeft("CAST(0 AS BIGINT)")((acc, r) =>
+        s"(($acc) * 1000003 + sig[${b * rows + r + 1}]) % $P")
+      s"SELECT doc_id, CAST($b AS INTEGER) AS band, $fold AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"b AS ($rowsSql)"
+  }
+
+  private val minhashCtes =
+    s"$tokCte, $shCte, $shFpCte, ${sigCte()}, ${bucketCte()}"
+
+  val minhashBucketsSql: String =
+    s"""WITH $minhashCtes
+      |SELECT doc_id, band, bucket FROM b ORDER BY doc_id, band""".stripMargin
+
+  val minhashPairsSql: String = {
+    val agree = (1 to 32).map(i => s"CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $minhashCtes,
+      |p AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+      |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+      |), shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+      |est AS (
+      |  SELECT p.a_id, p.b_id, CAST($agree AS DOUBLE) / 32 AS est_jaccard
+      |  FROM p JOIN sig sa ON sa.doc_id = p.a_id JOIN sig sb ON sb.doc_id = p.b_id
+      |)
+      |SELECT e.a_id, e.b_id, round(e.est_jaccard, 6) + 0.0 AS est_jaccard,
+      |  round(CASE WHEN len(list_distinct(list_concat(da.shd, db.shd))) = 0 THEN 0.0
+      |       ELSE CAST(len(list_intersect(da.shd, db.shd)) AS DOUBLE)
+      |            / CAST(len(list_distinct(list_concat(da.shd, db.shd))) AS DOUBLE) END, 6) + 0.0 AS jaccard
+      |FROM est e JOIN shd da ON da.doc_id = e.a_id JOIN shd db ON db.doc_id = e.b_id
+      |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Per-token fingerprints + per-bit vote counts (SimHashPoly64: bit j
+    * votes on the parity of (a_{4096+j}·f + b_{4096+j}) mod P). */
+  private val simVoteCtes: String = {
+    val sums = (0 until 64).map { j =>
+      s"sum(CASE WHEN (((${polyA(4096L + j)} * x + ${polyB(4096L + j)}) % $P) & 1) = 1 THEN 1 ELSE -1 END) AS c$j"
+    }.mkString(", ")
+    s"""tf AS (SELECT doc_id, list_transform(toks, t -> ${fpLambda("t")}) AS f FROM tok),
+      |u AS (SELECT doc_id, unnest(f) AS x FROM tf),
+      |v AS (SELECT doc_id, $sums FROM u GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Signed-64 signature assembled from the vote signs (bit 63 via the
+    * two's-complement offset so BIGINT never overflows). */
+  private val simSigExpr: String =
+    "(CASE WHEN c63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)" +
+      (0 to 62).map(j => s" + (CASE WHEN c$j > 0 THEN ${1L << j} ELSE 0 END)").mkString
+
+  val simhash64Sql: String =
+    s"""WITH $tokCte, $simVoteCtes,
+      |s AS (SELECT doc_id, $simSigExpr AS simhash FROM v)
+      |SELECT doc_id, simhash FROM s ORDER BY doc_id""".stripMargin
+
+  /** Hamming≤k pairs — the all-pairs SEMANTIC contract of the pigeonhole
+    * chunk join (exactly-once emission, full recall for k < numChunks). */
+  val simhashPairsSql: String =
+    s"""WITH $tokCte, $simVoteCtes,
+      |s AS (SELECT doc_id, $simSigExpr AS simhash FROM v)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Simhash pairs → connected components → canonical representative
+    * (min-label transitive closure, same CTE shape as graph_components). */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $tokCte, $simVoteCtes,
+      |s AS (SELECT doc_id, $simSigExpr AS simhash FROM v),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+      |),
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
+      |lab AS (
+      |  SELECT doc_id AS id, doc_id AS label FROM documents
+      |  UNION
+      |  SELECT e.src AS id, lab.label FROM edges e JOIN lab ON lab.id = e.dst
+      |)
+      |SELECT id AS doc_id, min(label) AS cluster_id, min(label) = id AS is_representative
+      |FROM lab GROUP BY id ORDER BY doc_id""".stripMargin
+}

@@ -55,6 +55,29 @@ object EtlQueries {
         |  ${Sql.r6("coalesce(volume, 0.0)", "volume")}
         |FROM f ORDER BY date, symbol""".stripMargin)),
 
+    Entry("align_grid_zero",
+      // the zero-fill strategy: manufactured grid rows coalesce straight
+      // to 0.0, no window at all
+      (spark, dir) => {
+        val sparse = Tables.bars(spark, dir)
+          .select(col("symbol"), col("ord").as("date"), col("close"))
+          .where((col("date") * 31 + length(col("symbol")) * 7) % 5 < 2)
+        Align.align(sparse, dateCol = "date", fillNullStrategy = "zero")
+          .select(col("date"), col("symbol"), r6(col("close")).as("close"))
+          .orderBy("date", "symbol")
+      },
+      Some(s"""${Sql.bars}, sparse AS (
+        |  SELECT symbol, ord AS date, close FROM bars WHERE $keepSql
+        |), dates AS (SELECT DISTINCT date FROM sparse),
+        |syms AS (SELECT DISTINCT symbol FROM sparse),
+        |grid AS (SELECT d.date, s.symbol FROM dates d CROSS JOIN syms s),
+        |j AS (
+        |  SELECT g.date, g.symbol, sp.close
+        |  FROM grid g LEFT JOIN sparse sp ON sp.date = g.date AND sp.symbol = g.symbol
+        |)
+        |SELECT date, symbol, ${Sql.r6("coalesce(close, 0.0)", "close")}
+        |FROM j ORDER BY date, symbol""".stripMargin)),
+
     Entry("align_grid_backward",
       // the backward-fill strategy: first(ignoreNulls) over the following
       // frame, trailing gaps default-filled

@@ -47,6 +47,32 @@ object TaQueries {
   private val closeList =
     s"l AS (SELECT symbol, ord, list(close) OVER wc AS xs FROM bars WINDOW ${Sql.wcDef})"
 
+  /** KAMA(10) replay (Kernels.kama): vol via a rolling (−oldest, +newest)
+    * zip fold, then the recursion seeded with the previous value — shared
+    * by kama_10 and the matype-6 dispatcher leg. */
+  private def kamaSql(alias: String): String = {
+    val fast = 2.0 / (2 + 1); val slow = 2.0 / (30 + 1)
+    val fs = Sql.dlit(fast - slow); val sl = Sql.dlit(slow)
+    val er = "CASE WHEN vol = 0.0 THEN 0.0 ELSE dir / vol END"
+    s"""$B, t AS (
+      |  SELECT symbol, ord, close, abs(close - lag(close, 1) OVER w) AS d,
+      |    abs(close - lag(close, 10) OVER w) AS dir
+      |  FROM bars WINDOW ${Sql.wDef}
+      |), l AS (
+      |  SELECT symbol, ord, close, dir, list(close) OVER wc AS xs, ${Sql.filt("d")} AS ds FROM t WINDOW ${Sql.wcDef}
+      |), v AS (
+      |  SELECT symbol, ord, close, dir, xs,
+      |    CASE WHEN len(ds) >= 10 THEN ${Sql.zipFold(Sql.seqSum("ds", 10), "ds[11:]", "ds[1:len(ds)-10]", "(acc.list_1 - z.list_2) + z.list_1")} END AS vol
+      |  FROM l
+      |), sc AS (
+      |  SELECT symbol, ord, xs,
+      |    CASE WHEN vol IS NULL THEN NULL ELSE ($er * $fs + $sl) * ($er * $fs + $sl) END AS sc
+      |  FROM v
+      |), scl AS (SELECT symbol, ord, xs, ${Sql.filt("sc")} AS scs FROM sc WINDOW ${Sql.wcDef})
+      |SELECT symbol, ord, ${Sql.r6(s"CASE WHEN len(xs) >= 11 THEN ${Sql.zipFold("xs[10]", "xs[11:]", "scs", "acc.list_1 + z.list_2 * (z.list_1 - acc.list_1)")} END", alias)}
+      |FROM scl $T""".stripMargin
+  }
+
   /** True range (NULL on each series' first row) + filtered list (Kernels.trange). */
   private val trList =
     s"""t AS (
@@ -464,6 +490,64 @@ object TaQueries {
           |FROM bars ${Sql.windows(n)} $T""".stripMargin
       }),
 
+    // ---- MA dispatcher legs (matypes 1,3..8): the same kernels the
+    // families verify below, routed through Kernels.ma so every dispatch
+    // arm is driver-visible (matype 0 is covered by apo/macdext, 2 above;
+    // 7 stubs to SMA in the reference — overlap.rs:857-869 — and the stub
+    // behavior is pinned by its own SMA oracle here).
+    Entry("ma_10_1",
+      recQ("ma")(df => Recursive.ma(df, "close", 10, 1, out = "ma")),
+      Some(s"""$B, $closeList
+        |SELECT symbol, ord, ${Sql.r6(Sql.emaList("xs", 10), "ma")} FROM l $T""".stripMargin)),
+    Entry("ma_10_3",
+      recQ("ma")(df => Recursive.ma(df, "close", 10, 3, out = "ma")),
+      Some {
+        val (ctes, last) = Sql.emaCascade(2, 10)
+        s"""$B, $ctes
+          |SELECT symbol, ord, ${Sql.r6("CASE WHEN e2 IS NOT NULL THEN 2 * e1 - e2 END", "ma")}
+          |FROM $last $T""".stripMargin
+      }),
+    Entry("ma_10_4",
+      recQ("ma")(df => Recursive.ma(df, "close", 10, 4, out = "ma")),
+      Some {
+        val (ctes, last) = Sql.emaCascade(3, 10)
+        s"""$B, $ctes
+          |SELECT symbol, ord, ${Sql.r6("CASE WHEN e3 IS NOT NULL THEN 3 * e1 - 3 * e2 + e3 END", "ma")}
+          |FROM $last $T""".stripMargin
+      }),
+    Entry("ma_10_5",
+      // n=10 → inner SMA(5), outer SMA(6) (overlap.rs:1313-1326)
+      recQ("ma")(df => Recursive.ma(df, "close", 10, 5, out = "ma")),
+      Some(s"""$B, s1 AS (
+        |  SELECT symbol, ord,
+        |         CASE WHEN count(close) OVER wn5 >= 5 THEN avg(close) OVER wn5 END AS s
+        |  FROM bars WINDOW ${Sql.wnDef(5)}
+        |)
+        |SELECT symbol, ord, ${Sql.gatedR6("s", 6, "avg(s) OVER wn6", "ma")}
+        |FROM s1 WINDOW ${Sql.wnDef(6)} $T""".stripMargin)),
+    Entry("ma_10_6",
+      recQ("ma")(df => Recursive.ma(df, "close", 10, 6, out = "ma")),
+      Some(kamaSql("ma"))),
+    Entry("ma_10_7",
+      recQ("ma")(df => Recursive.ma(df, "close", 10, 7, out = "ma")),
+      Some(s"""$B SELECT symbol, ord, ${Sql.gatedR6("close", 10, "avg(close) OVER wn10", "ma")}
+        |FROM bars ${Sql.windows(10)} $T""".stripMargin)),
+    Entry("ma_10_8",
+      recQ("ma")(df => Recursive.ma(df, "close", 10, 8, out = "ma")),
+      Some {
+        val a = 0.7
+        val c1 = -a * a * a
+        val c2 = 3 * a * a + 3 * a * a * a
+        val c3 = -6 * a * a - 3 * a - 3 * a * a * a
+        val c4 = 1 + 3 * a + a * a * a + 3 * a * a
+        val (ctes, last) = Sql.emaCascade(6, 10)
+        s"""$B, $ctes
+          |SELECT symbol, ord, ${Sql.r6(
+             s"CASE WHEN e6 IS NOT NULL THEN ${Sql.dlit(c1)} * e6 + ${Sql.dlit(c2)} * e5 + " +
+             s"${Sql.dlit(c3)} * e4 + ${Sql.dlit(c4)} * e3 END", "ma")}
+          |FROM $last $T""".stripMargin
+      }),
+
     Entry("trima_10",
       frameQ("trima" -> (w => Frames.trima(col("close"), 10)(w))),
       // n=10 → inner SMA(5), outer SMA(6) (overlap.rs:1313-1326)
@@ -818,31 +902,7 @@ object TaQueries {
           |FROM $last $T""".stripMargin
       }),
     Entry("kama_10",  recQ("kama")(df => Recursive.kama(df, "close", 10)),
-      Some {
-        // vol replays the kernel's rolling (−oldest, +newest) order via a
-        // zip fold; the smoothing-constant column then drives the KAMA
-        // recursion seeded with the previous value (Kernels.kama)
-        val fast = 2.0 / (2 + 1); val slow = 2.0 / (30 + 1)
-        val fs = Sql.dlit(fast - slow); val sl = Sql.dlit(slow)
-        val er = "CASE WHEN vol = 0.0 THEN 0.0 ELSE dir / vol END"
-        s"""$B, t AS (
-          |  SELECT symbol, ord, close, abs(close - lag(close, 1) OVER w) AS d,
-          |    abs(close - lag(close, 10) OVER w) AS dir
-          |  FROM bars WINDOW ${Sql.wDef}
-          |), l AS (
-          |  SELECT symbol, ord, close, dir, list(close) OVER wc AS xs, ${Sql.filt("d")} AS ds FROM t WINDOW ${Sql.wcDef}
-          |), v AS (
-          |  SELECT symbol, ord, close, dir, xs,
-          |    CASE WHEN len(ds) >= 10 THEN ${Sql.zipFold(Sql.seqSum("ds", 10), "ds[11:]", "ds[1:len(ds)-10]", "(acc.list_1 - z.list_2) + z.list_1")} END AS vol
-          |  FROM l
-          |), sc AS (
-          |  SELECT symbol, ord, xs,
-          |    CASE WHEN vol IS NULL THEN NULL ELSE ($er * $fs + $sl) * ($er * $fs + $sl) END AS sc
-          |  FROM v
-          |), scl AS (SELECT symbol, ord, xs, ${Sql.filt("sc")} AS scs FROM sc WINDOW ${Sql.wcDef})
-          |SELECT symbol, ord, ${Sql.r6(s"CASE WHEN len(xs) >= 11 THEN ${Sql.zipFold("xs[10]", "xs[11:]", "scs", "acc.list_1 + z.list_2 * (z.list_1 - acc.list_1)")} END", "kama")}
-          |FROM scl $T""".stripMargin
-      }),
+      Some(kamaSql("kama"))),
     Entry("mavp_5_15",
       recQ("mavp")(df => Recursive.mavp(
         df.withColumn("periods", (col("ord") % 11 + 5).cast("double")), "close", "periods", 5, 15, 0)),
@@ -1098,7 +1158,9 @@ object TaQueries {
     // within a symbol, so all-in sizing on them walks log-wealth past
     // 2^52 no matter the signals
     Tables.bars(spark, dir).select(col("symbol"), col("ord"),
-      (lit(50.0) + pmod(col("close"), lit(2.0))).as("price"),
+      // Spark `%` is fmod (sign of dividend) like DuckDB's `%`; pmod would
+      // diverge from the oracle on negative closes
+      (lit(50.0) + col("close") % lit(2.0)).as("price"),
       (col("ord") * 2654435761L % 97 < 14).as("buy_sig"),
       (col("ord") * 2654435761L % 97 >= 83).as("sell_sig"))
 
