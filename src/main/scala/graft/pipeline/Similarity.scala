@@ -109,7 +109,11 @@ object Similarity {
     // the seed is a deterministic hash shuffle of the ids; `portableSeed`
     // swaps XXH64 for the mod-prime affine family (every intermediate
     // < 2^60) so a SQL oracle can replay the exact seed order — id is
-    // reduced mod P first, which keeps the product in range for any id
+    // reduced mod P first, which keeps the product in range for any id.
+    // portableSeed ALSO rounds each Lloyd mean to 6 decimals: fp summation
+    // order inside avg() differs between engines (and between Spark runs),
+    // and the rounding absorbs that noise so the replayed centroids — and
+    // therefore every downstream assignment — are value-identical
     val P = graft.functions.TextHashes.PolyP
     val seedHash =
       if (portableSeed)
@@ -130,7 +134,8 @@ object Similarity {
       for (_ <- 1 to lloydIters) {
         val means = sample.select(nearestCid(col("v"), cents).as("cid"),
             posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cid", "pos").agg(avg("x").as("m"))
+          .groupBy("cid", "pos")
+          .agg((if (portableSeed) round(avg("x"), 6) + lit(0.0) else avg("x")).as("m"))
           .groupBy("cid").agg(map_from_arrays(collect_list("pos"), collect_list("m")).as("byPos"))
           .collect().map { r =>
             val m = r.getMap[Int, Double](1)

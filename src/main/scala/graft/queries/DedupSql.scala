@@ -19,7 +19,16 @@ import graft.functions.TextHashes.{polyA, polyB, PolyP => P}
 object DedupSql {
 
   /** Whitespace tokens of the lowered text (parity with Spark
-    * `split(trim(lower(text)), "\\s+")` proven by the text_quality oracle). */
+    * `split(trim(lower(text)), "\\s+")` proven by the text_quality oracle).
+    *
+    * Corpus assumption (shared by every replay in this file and the
+    * established PipelineQueries string_split+ascii pattern): documents are
+    * ASCII and use only RE2∩Java whitespace (space/tab/LF/CR). fpLambda's
+    * `string_split(s,'') + ascii(c)` equals `codePointAt` only for
+    * single-codepoint characters, and RE2's '\s' excludes Java's \x0B —
+    * both hold for the synthetic documents table these oracles run on;
+    * non-ASCII corpora would need text normalized to this subset on both
+    * sides before hashing. */
   val tokCte: String =
     """tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)"""
 
@@ -52,8 +61,13 @@ object DedupSql {
   }
 
   /** (doc_id, band, bucket) rows; bucket = poly fold of the band's slice,
-    * identical to Dedup.lshBuckets' portable aggregate. */
-  def bucketCte(bands: Int = 16, rows: Int = 2): String = {
+    * identical to Dedup.lshBuckets' portable aggregate. Band geometry is
+    * derived from the SAME (numPerms, bands) pair as sigCte, with
+    * lshBuckets' divisibility invariant, so the replay cannot silently
+    * drift from rows = numPerms / bands. */
+  def bucketCte(numPerms: Int = 32, bands: Int = 16): String = {
+    val rows = numPerms / bands
+    require(rows * bands == numPerms, "bands must divide numPerms")
     val rowsSql = (0 until bands).map { b =>
       val fold = (0 until rows).foldLeft("CAST(0 AS BIGINT)")((acc, r) =>
         s"(($acc) * 1000003 + sig[${b * rows + r + 1}]) % $P")

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.functions.TextHashes.{polyA, polyB, PolyP => P}
+
+/** DuckDB replay of the FULL portable IVF pipeline (Similarity.ivfBuild
+  * `portableSeed = true` → ivfWrite → ivfQuery): the mod-prime seed order,
+  * all three Lloyd refinement steps, the nearest-centroid assignment, the
+  * nprobe centroid selection, and the final per-query top-k — so the
+  * persisted-index ANN path is hash-verified end to end, not rows-only.
+  *
+  * Replayability rests on two deliberate design points of the portable
+  * mode: (1) the seed hash is plain BIGINT arithmetic (every intermediate
+  * < 2^60), and (2) each Lloyd mean is rounded to 6 decimals on BOTH
+  * sides, which absorbs the engine-specific fp summation order inside
+  * avg() — after the rounding, centroids (and hence every argmax
+  * assignment downstream) are value-identical across engines.
+  */
+object IvfSql {
+  private val Dim = 64      // embeddings table dimension (PipelineQueries.EmbDim)
+  private val K = 16        // ivfBuild numCentroids default
+  private val Iters = 3     // ivfBuild lloydIters default
+  private val NProbe = 4    // ivfQuery nprobe default
+  private val TopK = 5      // ivfQuery k default
+
+  private val embCte =
+    "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  /** cents0: portable-hash-ordered seed of K raw corpus vectors — replays
+    * ivfBuild's orderBy(h, sid).limit(K); cid = 1-based collect order. */
+  private val seedCte =
+    s"""cents0 AS (
+      |  SELECT row_number() OVER (ORDER BY h, sid) AS cid, v AS c
+      |  FROM (
+      |    SELECT (${polyA(8192L)} * (vec_id % $P) + ${polyB(8192L)}) % $P AS h,
+      |           vec_id AS sid, v
+      |    FROM emb ORDER BY h, sid LIMIT $K
+      |  )
+      |)""".stripMargin
+
+  /** Nearest-centroid assignment of every corpus vector against `cents`
+    * (argmax cosine, ties to the lowest cid — NearestCentroid's first-wins
+    * scan order). */
+  private def assignCte(name: String, cents: String): String =
+    s"""$name AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cid ASC) AS rn
+      |    FROM emb e CROSS JOIN $cents c
+      |  ) WHERE rn = 1
+      |)""".stripMargin
+
+  /** One Lloyd step: per-(cid, dim) mean rounded to 6 (the portable mode's
+    * rounding); a cid that captured no vectors keeps its previous centroid
+    * (ivfBuild's means.getOrElse). */
+  private def lloydCte(i: Int): String =
+    s"""${assignCte(s"a$i", s"cents${i - 1}")},
+      |m$i AS (
+      |  SELECT cid, pos, round(avg(v[pos + 1]), 6) + 0.0 AS m
+      |  FROM a$i CROSS JOIN range($Dim) t(pos)
+      |  GROUP BY cid, pos
+      |),
+      |cents$i AS (
+      |  SELECT p.cid, coalesce(mm.c, p.c) AS c
+      |  FROM cents${i - 1} p LEFT JOIN
+      |    (SELECT cid, list(m ORDER BY pos) AS c FROM m$i GROUP BY cid) mm
+      |    ON mm.cid = p.cid
+      |)""".stripMargin
+
+  val annIvfTop5Sql: String = {
+    val lloyds = (1 to Iters).map(lloydCte).mkString(",\n")
+    s"""WITH $embCte,
+      |$seedCte,
+      |$lloyds,
+      |probes AS (
+      |  SELECT query_id, qv, cid FROM (
+      |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.v, c.c) DESC, c.cid ASC) AS rn
+      |    FROM emb q CROSS JOIN cents$Iters c WHERE q.vec_id < 10
+      |  ) WHERE rn <= $NProbe
+      |),
+      |${assignCte("af", s"cents$Iters")},
+      |s AS (
+      |  SELECT p.query_id, a.vec_id AS corpus_id,
+      |    list_cosine_similarity(p.qv, a.v) AS cos
+      |  FROM probes p JOIN af a ON a.cid = p.cid
+      |  WHERE a.vec_id != p.query_id
+      |),
+      |r AS (
+      |  SELECT query_id, corpus_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rnk
+      |  FROM s
+      |)
+      |SELECT query_id, corpus_id, round(cos, 6) + 0.0 AS cosine, CAST(rnk AS INTEGER) AS rank
+      |FROM r WHERE rnk <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+}

