@@ -335,14 +335,17 @@ object PipelineQueries {
     Entry("multimodal_features",
       // Mixed-modality demo: a third each synthetic WAV / PPM / raw text;
       // WAV+PPM are decoded for real (header walk + sample/pixel stats),
-      // raw falls back to the labeled stub (Multimodal.decode).
+      // raw falls back to the labeled stub (Multimodal.decode). The demo
+      // payloads are pure functions of the documents table, so the WHOLE
+      // decode+feature path is hash-verified by re-deriving them in SQL
+      // (MultimodalSql) — no binary parsing needed on the oracle side.
       (spark, dir) => {
         val media = Multimodal.demoMedia(Tables.documents(spark, dir))
         Multimodal.withFeatures(media)
           .select(col("doc_id"), col("n_bytes"), col("kind"),
             r6(aggregate(col("features"), lit(0.0), (a, v) => a + v.cast("double") * v.cast("double"))).as("feature_sq_norm"))
           .orderBy("doc_id")
-      }, None)
+      }, Some(MultimodalSql.multimodalFeaturesSql))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap
