@@ -134,17 +134,21 @@ object Dedup {
     while (!converged && i < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("label").as("nbr_min"))
+      // carry the pre-round label as `prev` so convergence is a scan of
+      // the checkpoint, not a join back against the previous frame — one
+      // fewer shuffle + job per round
       val propagated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          col("label").as("prev"))
       // pointer jump: a label is always some node's id, so label(label)
       // exists; shortcutting halves remaining path lengths each round
       val byId = propagated.select(col("id").as("lid"), col("label").as("llabel"))
       val updated = propagated.join(byId, propagated("label") === byId("lid"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("llabel"), col("label"))).as("label"))
+        .select(col("id"), least(col("label"), coalesce(col("llabel"), col("label"))).as("label"),
+          col("prev"))
         .localCheckpoint(eager = true)
-      converged = updated.join(labels.withColumnRenamed("label", "prev"), "id")
-        .where(col("label") =!= col("prev")).isEmpty
-      labels = updated
+      converged = updated.where(col("label") =!= col("prev")).isEmpty
+      labels = updated.select("id", "label")
       i += 1
     }
     // silent unconverged labels would hand callers WRONG clusters; with
