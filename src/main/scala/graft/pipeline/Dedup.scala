@@ -136,10 +136,14 @@ object Dedup {
         .groupBy(col("src")).agg(min("label").as("nbr_min"))
       // carry the pre-round label as `prev` so convergence is a scan of
       // the checkpoint, not a join back against the previous frame — one
-      // fewer shuffle + job per round
+      // fewer shuffle + job per round. Materialize BEFORE the pointer-jump
+      // self-join: without this the edges-join + min-aggregate above (the
+      // expensive exchange at corpus scale) is evaluated once per join
+      // side, i.e. twice per round.
       val propagated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
           col("label").as("prev"))
+        .localCheckpoint(eager = true)
       // pointer jump: a label is always some node's id, so label(label)
       // exists; shortcutting halves remaining path lengths each round
       val byId = propagated.select(col("id").as("lid"), col("label").as("llabel"))

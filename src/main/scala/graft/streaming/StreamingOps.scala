@@ -136,7 +136,8 @@ object StreamingOps {
     * like batch; bucket state grows with corpus — production bounds it
     * with state TTL. */
   def simhashPairsStream(docs: DataFrame, maxHamming: Int = 7, numChunks: Int = 8,
-                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                         textCol: String = "text", idCol: String = "doc_id",
+                         portable: Boolean = false): DataFrame = {
     require(64 % numChunks == 0 && maxHamming < numChunks,
       s"pigeonhole recall guarantee needs maxHamming < numChunks ($maxHamming !< $numChunks)")
     val bits = 64 / numChunks
@@ -144,10 +145,15 @@ object StreamingOps {
     implicit val stEnc = Encoders.product[BucketState]
     implicit val outEnc = Encoders.product[PairOut]
     @inline def chunkKey(sig: Long, c: Int): Long = (sig >>> (c * bits)) & mask
+    // same portable/XXH64 signature dispatch as the batch twin
+    // (Dedup.simhash), so streaming results stay comparable to the
+    // driver-verified batch mode
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val sigExpr = if (portable) graft.functions.TextHashes.simhashPoly64(toks)
+                  else graft.functions.TextHashes.simhash64(toks)
     val chunks = docs.where(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
-        coalesce(graft.functions.TextHashes.simhash64(
-          split(trim(lower(col(textCol))), "\\s+")), lit(0L)).as("sig"))
+        coalesce(sigExpr, lit(0L)).as("sig"))
       .select(col("doc_id"), col("sig"),
         explode(array((0 until numChunks).map(c =>
           struct(lit(c).as("chunk"),

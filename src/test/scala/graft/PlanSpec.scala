@@ -1,0 +1,86 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-SHAPE regression tests: the scale properties this engine claims
+  * (broadcast small sides, reuse one exchange across self-join sides,
+  * map-side signature computation, filter pushdown into the parquet scan)
+  * are asserted on the executed plan, so a refactor that silently
+  * reintroduces a full-corpus shuffle or drops a pushdown fails CI — not
+  * just the 100 TB cluster three weeks later.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-plan-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Executed (post-AQE) plan string: run the query first so adaptive
+    * re-planning has happened, then render the final plan. */
+  private def executedPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def docs(n: Int) =
+    spark.createDataFrame(
+      (0 until n).map(i => (i.toLong, s"document number $i with some shared words and token$i")))
+      .toDF("doc_id", "text")
+
+  private def embs(n: Int, dim: Int = 8) =
+    spark.createDataFrame(
+      (0 until n).map(i => (i.toLong, Array.tabulate(dim)(d => math.sin(i * 31 + d).toFloat))))
+      .toDF("vec_id", "embedding")
+
+  test("simhash chunk join reuses ONE exchange for both sides") {
+    val plan = executedPlan(Dedup.simhashCandidates(docs(50)))
+    assert(plan.contains("ReusedExchange"),
+      s"expected the (chunk, key) exchange to be computed once and reused:\n$plan")
+  }
+
+  test("minhash signatures are computed map-side: no exchange in the plan") {
+    val plan = executedPlan(Dedup.minhashSignatures(docs(50)))
+    assert(!plan.contains("Exchange"),
+      s"signature computation must stay inside the scan stage (no shuffle):\n$plan")
+  }
+
+  test("brute-force ANN broadcasts the query side, never the corpus") {
+    val e = embs(60)
+    val plan = executedPlan(Similarity.bruteForceTopK(e, e.where(col("vec_id") < 3), k = 2))
+    assert(plan.contains("BroadcastExchange"),
+      s"queries must ride a broadcast, corpus stays in place:\n$plan")
+  }
+
+  test("parquet filter + projection push down to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("plan_pushdown_").toString
+    docs(100).write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).where(col("doc_id") < 10).select("doc_id")
+    val plan = executedPlan(q)
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"),
+      s"filter must reach the parquet reader:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"projection must prune the text column from the scan:\n$plan")
+  }
+
+  test("persisted IVF probe prunes unprobed lists via cid partition filter") {
+    val e = embs(80)
+    val dir = java.nio.file.Files.createTempDirectory("plan_ivf_").toString
+    Similarity.ivfWrite(e, dir, numCentroids = 4, portableSeed = true)
+    val probe = Similarity.ivfQuery(spark, dir, e.where(col("vec_id") < 2), k = 2, nprobe = 1)
+    val plan = executedPlan(probe)
+    // the lists scan must carry a partition filter on cid (dynamic pruning
+    // or a pushed-down join-key filter), not read all lists
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cid"),
+      s"probe must prune list partitions at the source:\n$plan")
+  }
+}

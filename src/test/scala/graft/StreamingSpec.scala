@@ -77,32 +77,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
-  test("streaming simhash pairs equal the batch chunk join across micro-batches") {
+  test("streaming simhash pairs equal the batch chunk join across micro-batches (both hash modes)") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 4
     val words = base.trim.split(" ")
     val docs = (0 until 14).map { i =>
       val w = words.clone(); w(i % w.length) = s"tok$i"; (i.toLong, w.mkString(" "))
     } ++ Seq(100L -> base.trim, 101L -> base.trim)
     implicit val enc = Encoders.product[(Long, String)]
-    val ms = MemoryStream[(Long, String)](spark)
-    val q = StreamingOps.simhashPairsStream(ms.toDF().toDF("doc_id", "text"))
-      .writeStream.format("memory").queryName("simhash_stream")
-      .outputMode("update").option("checkpointLocation", tmpCheckpoint()).start()
-    try {
-      val (b1, b2) = docs.splitAt(7)
-      ms.addData(b1); q.processAllAvailable()
-      ms.addData(b2); q.processAllAvailable()
-      val got = spark.sql("SELECT a_id, b_id, hamming FROM simhash_stream").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-      // exactly-once: no duplicate pairs even though near-dups share chunks
-      assert(got.length == got.distinct.length)
-      val docsDf = spark.createDataFrame(docs).toDF("doc_id", "text")
-      val batch = graft.pipeline.Dedup.simhashCandidates(docsDf, maxHamming = 7).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-      assert(got.toSet == batch.toSet,
-        s"stream-only: ${got.toSet -- batch.toSet}, batch-only: ${batch.toSet -- got.toSet}")
-      assert(batch.nonEmpty)
-    } finally q.stop()
+    // portable = the hash family the driver-verified batch queries run;
+    // false = the fast XXH64 default — the stream must match batch in both
+    for (portable <- Seq(false, true)) {
+      val ms = MemoryStream[(Long, String)](spark)
+      val name = s"simhash_stream_$portable"
+      val q = StreamingOps.simhashPairsStream(ms.toDF().toDF("doc_id", "text"), portable = portable)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").option("checkpointLocation", tmpCheckpoint()).start()
+      try {
+        val (b1, b2) = docs.splitAt(7)
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+        val got = spark.sql(s"SELECT a_id, b_id, hamming FROM $name").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        // exactly-once: no duplicate pairs even though near-dups share chunks
+        assert(got.length == got.distinct.length)
+        val docsDf = spark.createDataFrame(docs).toDF("doc_id", "text")
+        val batch = graft.pipeline.Dedup.simhashCandidates(docsDf, maxHamming = 7, portable = portable)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        assert(got.toSet == batch.toSet,
+          s"portable=$portable stream-only: ${got.toSet -- batch.toSet}, batch-only: ${batch.toSet -- got.toSet}")
+        assert(batch.nonEmpty)
+      } finally q.stop()
+    }
   }
 
   test("streaming backtest equals the batch fold across micro-batches") {
