@@ -18,6 +18,11 @@ object Bench {
       // ann_ivf_top5 deterministically pays the one-time index build its
       // _probe twin then amortizes)
       else SparkEntry.queries.toSeq.sortBy(_._1)
+    // absorb JVM/classloader/scheduler/parquet-reader warmup before the
+    // timed loop — otherwise the alphabetically-first query is billed ~3 s
+    // of one-time cost that has nothing to do with its plan
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Tables.bars(spark, sfDir).limit(1).collect()
     val timings = toRun.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

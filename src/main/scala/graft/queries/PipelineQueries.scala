@@ -294,6 +294,36 @@ object PipelineQueries {
         |FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
         |ORDER BY a_id, b_id""".stripMargin)),
 
+    Entry("embedding_dedup_clusters",
+      // SEMANTIC dedup — the embedding-space analog of dedup_clusters:
+      // hyperplane-bucketed cosine near-dup pairs above a threshold →
+      // connected components → canonical representative per cluster. This
+      // is the "remove semantically-duplicate documents" step of an LLM
+      // data pipeline, and every stage (sign-matrix buckets, cosine gate,
+      // min-label closure) is replayed by the oracle.
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val pairs = Similarity.cosineNearDup(emb, threshold = 0.15, planes = 8)
+        Dedup.components(pairs, emb.select(col("vec_id")), idCol = "vec_id")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE $embCte, sigs AS (
+        |  SELECT vec_id, v, CASE WHEN len(v) = $EmbDim THEN ${sigSql(0, 8)} END AS sig FROM emb
+        |),
+        |p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.15
+        |),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
+        |lab AS (
+        |  SELECT vec_id AS id, vec_id AS label FROM embeddings
+        |  UNION
+        |  SELECT e.src AS id, lab.label FROM edges e JOIN lab ON lab.id = e.dst
+        |)
+        |SELECT id AS vec_id, min(label) AS cluster_id, min(label) = id AS is_representative
+        |FROM lab GROUP BY id ORDER BY vec_id""".stripMargin)),
+
     Entry("graph_components",
       // the clustering operator on a DETERMINISTIC synthetic graph
       // (stars of 5 bridged every 15 ids) so min-label propagation is

@@ -59,6 +59,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs((1L, 2L)) == 0)
   }
 
+  test("semantic dedup: cosine near-dup pairs cluster transitively, unrelated stay singletons") {
+    // 0≈1≈2 (a transitive chain through 1), 3 orthogonal ⇒ clusters {0,1,2} and {3}
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.02f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, -0.02f, 0.0f, 0.0f)), (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDup(df, threshold = 0.95, planes = 2)
+    val clusters = Dedup.components(pairs, df.select(col("vec_id")), idCol = "vec_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(clusters(0L) == (0L, true))
+    assert(clusters(1L) == (0L, false))
+    assert(clusters(2L) == (0L, false))
+    assert(clusters(3L) == (3L, true))
+  }
+
   test("brute-force ANN ranks an identical vector first with cosine 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f)),
