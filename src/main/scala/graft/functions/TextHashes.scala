@@ -120,6 +120,126 @@ object TextHashes {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Fused shingling + portable MinHash: takes the TOKEN array and builds
+    * each k-shingle's fingerprint by modular composition instead of
+    * materializing shingle strings — fp("a b") = (fp(a)·131 + 32)·131^|b|
+    * + fp(b) (mod P), so each token's characters are hashed ONCE and each
+    * shingle costs k combine ops. Exactly equal to MinhashSigPoly over
+    * shingles() (pinned by a scalatest and the driver oracle): same
+    * short-text fallback (fewer than k tokens ⇒ one shingle of all
+    * tokens), same affine permutations. At corpus scale this removes
+    * O(shingles·k·chars) re-hashing AND all per-shingle allocations from
+    * the scan projection. */
+  case class MinhashShinglePoly(child: Expression, shingleK: Int, numPerms: Int)
+      extends UnaryExpression {
+    require(shingleK >= 1, "shingleK must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_shingle_poly"
+    @transient private lazy val as: Array[Long] = Array.tabulate(numPerms)(p => polyA(p))
+    @transient private lazy val bs: Array[Long] = Array.tabulate(numPerms)(p => polyB(p))
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      // per-token fingerprint + 131^(codepoint count) mod P
+      val fps = new Array[Long](n)
+      val pows = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val str = arr.getUTF8String(i).toString
+        var h = 0L; var pw = 1L
+        var ci = 0
+        while (ci < str.length) {
+          val cp = str.codePointAt(ci)
+          h = (h * 131L + cp) % PolyP
+          pw = (pw * 131L) % PolyP
+          ci += java.lang.Character.charCount(cp)
+        }
+        fps(i) = h; pows(i) = pw
+        i += 1
+      }
+      val mins = Array.fill(numPerms)(Long.MaxValue)
+      @inline def vote(f: Long): Unit = {
+        var p = 0
+        while (p < numPerms) {
+          val h = (as(p) * f + bs(p)) % PolyP
+          if (h < mins(p)) mins(p) = h
+          p += 1
+        }
+      }
+      @inline def combineRange(start: Int, end: Int): Long = {
+        var f = fps(start)
+        var j = start + 1
+        while (j < end) {
+          f = (((f * 131L + 32L) % PolyP) * pows(j) + fps(j)) % PolyP
+          j += 1
+        }
+        f
+      }
+      // n == 0 ⇒ the one shingle is the empty concat, fp("") = 0 (same as
+      // MinhashSigPoly over shingles(), where concat_ws of no words = "")
+      if (n == 0) vote(0L)
+      else if (n < shingleK) vote(combineRange(0, n))
+      else {
+        var s = 0
+        while (s + shingleK <= n) { vote(combineRange(s, s + shingleK)); s += 1 }
+      }
+      new GenericArrayData(mins)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val asRef = ctx.addReferenceObj("as", as, "long[]")
+      val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
+      nullSafeCodeGen(ctx, ev, arr => {
+        val n = ctx.freshName("n"); val fps = ctx.freshName("fps")
+        val pows = ctx.freshName("pows"); val mins = ctx.freshName("mins")
+        val i = ctx.freshName("i"); val s = ctx.freshName("s"); val j = ctx.freshName("j")
+        val p = ctx.freshName("p"); val f = ctx.freshName("f"); val h = ctx.freshName("h")
+        val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+        s"""
+           |int $n = $arr.numElements();
+           |long[] $fps = new long[$n];
+           |long[] $pows = new long[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long[] fp = graft.functions.TextHashes.fpAndPow($arr.getUTF8String($i));
+           |  $fps[$i] = fp[0]; $pows[$i] = fp[1];
+           |}
+           |long[] $mins = new long[$numPerms];
+           |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+           |int $lo = 0, $hi = ($n < $shingleK) ? 1 : $n - $shingleK + 1;
+           |for (int $s = $lo; $s < $hi; $s++) {
+           |  int end = ($n < $shingleK) ? $n : $s + $shingleK;
+           |  long $f = ($n == 0) ? 0L : $fps[$s];
+           |  for (int $j = $s + 1; $j < end; $j++) {
+           |    $f = ((($f * 131L + 32L) % ${PolyP}L) * $pows[$j] + $fps[$j]) % ${PolyP}L;
+           |  }
+           |  for (int $p = 0; $p < $numPerms; $p++) {
+           |    long $h = ($asRef[$p] * $f + $bsRef[$p]) % ${PolyP}L;
+           |    if ($h < $mins[$p]) $mins[$p] = $h;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** (polyFingerprint(s), 131^codepoints(s) mod P) — the composition pair
+    * MinhashShinglePoly's generated code calls per token. */
+  def fpAndPow(s: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
+    val str = s.toString
+    var h = 0L; var pw = 1L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 131L + cp) % PolyP
+      pw = (pw * 131L) % PolyP
+      i += java.lang.Character.charCount(cp)
+    }
+    Array(h, pw)
+  }
+
   /** Portable 64-bit SimHash: token "hash" bit j is the parity of
     * (a_{4096+j}·fp(token) + b_{4096+j}) mod P; signature bit j is the
     * sign of the ±1 vote sum — same vote structure as SimHash64. */
@@ -343,6 +463,9 @@ object TextHashes {
 
   def minhashSigPoly(shingles: Column, numPerms: Int): Column =
     GraftBridge.column(MinhashSigPoly(GraftBridge.expression(shingles), numPerms))
+
+  def minhashShinglePoly(tokens: Column, shingleK: Int, numPerms: Int): Column =
+    GraftBridge.column(MinhashShinglePoly(GraftBridge.expression(tokens), shingleK, numPerms))
 
   def simhashPoly64(tokens: Column): Column =
     GraftBridge.column(SimHashPoly64(GraftBridge.expression(tokens)))

@@ -58,9 +58,14 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                         numPerms: Int = 32, shingleK: Int = 3,
                         portable: Boolean = false): DataFrame = {
-    val sh = shingles(col(textCol), shingleK)
-    val sig = if (portable) graft.functions.TextHashes.minhashSigPoly(sh, numPerms)
-              else graft.functions.TextHashes.minhashSig(sh, numPerms)
+    // portable mode fuses shingling into the expression (modular
+    // composition over per-token fingerprints — no shingle strings are
+    // ever materialized); XXH64 needs the shingle's actual bytes, so that
+    // path keeps the explicit shingle-array expression
+    val sig =
+      if (portable) graft.functions.TextHashes.minhashShinglePoly(
+        split(trim(lower(col(textCol))), "\\s+"), shingleK, numPerms)
+      else graft.functions.TextHashes.minhashSig(shingles(col(textCol), shingleK), numPerms)
     docs.select(col(idCol), sig.as("sig"))
   }
 
@@ -134,20 +139,20 @@ object Dedup {
     while (!converged && i < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("label").as("nbr_min"))
-      // carry the pre-round label as `prev` so convergence is a scan of
-      // the checkpoint, not a join back against the previous frame — one
-      // fewer shuffle + job per round. Materialize BEFORE the pointer-jump
-      // self-join: without this the edges-join + min-aggregate above (the
-      // expensive exchange at corpus scale) is evaluated once per join
-      // side, i.e. twice per round.
       val propagated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
           col("label").as("prev"))
-        .localCheckpoint(eager = true)
-      // pointer jump: a label is always some node's id, so label(label)
-      // exists; shortcutting halves remaining path lengths each round
-      val byId = propagated.select(col("id").as("lid"), col("label").as("llabel"))
-      val updated = propagated.join(byId, propagated("label") === byId("lid"), "left")
+      // pointer jump against the PREVIOUS round's (checkpointed) label map:
+      // a stale label-of-label still contracts paths (labels only ever
+      // decrease toward the component min, and every stale value is a
+      // same-component id, so least() stays correct) — and because the
+      // jump side scans the checkpoint instead of re-deriving this round's
+      // frame, the edges-join + min-aggregate above (the expensive
+      // exchange at corpus scale) is evaluated exactly ONCE per round,
+      // with one materialization. Convergence is a scan of the checkpoint
+      // (`prev` carried through), not a join back against the old frame.
+      val jump = labels.select(col("id").as("lid"), col("label").as("llabel"))
+      val updated = propagated.join(jump, propagated("label") === jump("lid"), "left")
         .select(col("id"), least(col("label"), coalesce(col("llabel"), col("label"))).as("label"),
           col("prev"))
         .localCheckpoint(eager = true)
@@ -158,6 +163,7 @@ object Dedup {
     // silent unconverged labels would hand callers WRONG clusters; with
     // pointer jumping maxIters=20 covers diameters up to ~2^20, so hitting
     // this means the graph needs a bigger budget, not a shrug
+    if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] rounds=$i")
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $maxIters iterations; raise maxIters")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"),

@@ -59,6 +59,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs((1L, 2L)) == 0)
   }
 
+  test("fused shingle minhash equals the string-shingle portable formulation") {
+    // modular-composition identity fp(a ++ ' ' ++ b) = ((fp(a)·131+32)·131^|b| + fp(b)) mod P
+    // must hold on: normal text, short text (< k tokens), single token,
+    // empty text, repeated/multi-space runs
+    val d = docs(
+      1L -> base,
+      2L -> "one two",            // short-text fallback: one shingle of all tokens
+      3L -> "single",
+      4L -> "",
+      5L -> "a  b   c d",         // multi-space: split semantics shared by both paths
+      6L -> (base + " " + base))
+    val fused = Dedup.minhashSignatures(d, portable = true).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val unfused = d.select(col("doc_id"),
+        graft.functions.TextHashes.minhashSigPoly(Dedup.shingles(col("text")), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused == unfused)
+  }
+
   test("semantic dedup: cosine near-dup pairs cluster transitively, unrelated stay singletons") {
     // 0≈1≈2 (a transitive chain through 1), 3 orthogonal ⇒ clusters {0,1,2} and {3}
     val vecs = Seq(
