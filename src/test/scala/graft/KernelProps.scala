@@ -106,4 +106,33 @@ object KernelProps extends Properties("kernels") {
       })
       r.portfolio.cash >= 0.0 && r.portfolio.positions.values.forall(_ >= 0.0)
     }
+
+  // arbitrary unicode tokens incl. supplementary-plane code points — the
+  // fused expression's modular composition must equal hashing the literal
+  // joined shingle string for ANY input, not just ASCII
+  private val token: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.listOfN(4, Gen.oneOf('é', '中', 'ß', ' ', "😀".charAt(0), "😀".charAt(1))).map(_.mkString),
+    Gen.const(""), Gen.const("😀🎉"))
+  private val tokens: Gen[List[String]] = Gen.choose(0, 12).flatMap(Gen.listOfN(_, token))
+
+  property("fused shingle minhash == minhash of joined shingle strings (unicode-safe)") =
+    forAll(tokens, Gen.choose(1, 4)) { (toks, k) =>
+      import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+      import org.apache.spark.unsafe.types.UTF8String
+      import graft.functions.TextHashes
+      val numPerms = 8
+      val dummy = org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+      def arr(xs: Seq[String]): ArrayData =
+        new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+      val fused = TextHashes.MinhashShinglePoly(dummy, k, numPerms)
+        .nullSafeEval(arr(toks)).asInstanceOf[ArrayData].toLongArray
+      val shingleStrs =
+        if (toks.length < k) Seq(toks.mkString(" "))
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      val unfused = TextHashes.MinhashSigPoly(dummy, numPerms)
+        .nullSafeEval(arr(shingleStrs)).asInstanceOf[ArrayData].toLongArray
+      fused.sameElements(unfused)
+    }
 }
