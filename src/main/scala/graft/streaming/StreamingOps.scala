@@ -186,6 +186,73 @@ object StreamingOps {
       }.toDF()
   }
 
+  final case class BandDocIn(band: Int, bucket: Long, doc_id: Long, sig: Seq[Long])
+  final case class MinhashPairOut(a_id: Long, b_id: Long, est_jaccard: Double)
+  final case class BandState(ids: List[Long], sigs: List[Seq[Long]])
+
+  /** Streaming MinHash-LSH near-dup pairing: the batch (band, bucket)
+    * equi-join (Dedup.minhashCandidates) as a stateful stream — each
+    * bucket keeps the docs seen so far and every arrival pairs against
+    * them, emitting the signature-agreement Jaccard estimate. Exactly-once
+    * across bands by the smallest-shared-band rule (decided from the two
+    * signatures alone, so it is arrival-order independent — the same
+    * trick as the simhash chunk stream). PORTABLE hash mode only: the
+    * state handler must recompute band buckets from stored signatures in
+    * plain Scala, which the mod-prime fold allows and xxhash64-of-array
+    * (a Catalyst-internal-representation hash) does not. Bucket state
+    * grows with corpus; production bounds it with state TTL. */
+  def minhashPairsStream(docs: DataFrame, numPerms: Int = 32, bands: Int = 16,
+                         shingleK: Int = 3, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val rows = numPerms / bands
+    require(rows * bands == numPerms, "bands must divide numPerms")
+    val P = graft.functions.TextHashes.PolyP
+    implicit val stEnc = Encoders.product[BandState]
+    implicit val outEnc = Encoders.product[MinhashPairOut]
+    @inline def bandBucket(sig: Seq[Long], b: Int): Long = {
+      var h = 0L; var r = 0
+      while (r < rows) { h = (h * 1000003L + sig(b * rows + r)) % P; r += 1 }
+      h
+    }
+    val sigExpr = graft.functions.TextHashes.minhashShinglePoly(
+      split(trim(lower(col(textCol))), "\\s+"), shingleK, numPerms)
+    def bucketExpr(sl: org.apache.spark.sql.Column) =
+      aggregate(sl, lit(0L), (h, v) => (h * lit(1000003L) + v) % lit(P))
+    val banded = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), sigExpr.as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            bucketExpr(slice(col("sig"), b * rows + 1, rows)).as("bucket"))): _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("doc_id"), col("sig"))
+    banded.as[BandDocIn](Encoders.product[BandDocIn])
+      .groupByKey(r => (r.band, r.bucket))(Encoders.product[(Int, Long)])
+      .flatMapGroupsWithState[BandState, MinhashPairOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bb: (Int, Long), rws: Iterator[BandDocIn], state: GroupState[BandState]) =>
+          val band = bb._1
+          var st = state.getOption.getOrElse(BandState(Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[MinhashPairOut]
+          rws.toSeq.sortBy(_.doc_id).foreach { d =>
+            st.ids.zip(st.sigs).foreach { case (oid, osig) =>
+              if (oid != d.doc_id) {
+                val firstShared = (0 until bands)
+                  .find(b => bandBucket(d.sig, b) == bandBucket(osig, b)).get
+                if (firstShared == band) {
+                  val agree = d.sig.iterator.zip(osig.iterator).count { case (x, y) => x == y }
+                  out += MinhashPairOut(math.min(oid, d.doc_id), math.max(oid, d.doc_id),
+                    agree.toDouble / numPerms)
+                }
+              }
+            }
+            st = BandState(d.doc_id :: st.ids, d.sig :: st.sigs)
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
   /** Watermarked event-time windowed aggregation over the raw event
     * stream: per (event_type, window) count/avg — the canonical streaming
     * rollup for the events table. `ts` must be a timestamp column. */

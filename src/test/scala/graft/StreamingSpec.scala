@@ -77,6 +77,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming minhash-LSH pairs equal the batch bucket join across micro-batches") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val words = base.trim.split(" ")
+    val docs = (0 until 10).map { i =>
+      val w = words.clone(); w(i % w.length) = s"tok$i"; (i.toLong, w.mkString(" "))
+    } ++ Seq(100L -> base.trim, 101L -> base.trim)
+    implicit val enc = Encoders.product[(Long, String)]
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.minhashPairsStream(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("minhash_stream")
+      .outputMode("update").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      val (b1, b2) = docs.splitAt(6)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val got = spark.sql("SELECT a_id, b_id, est_jaccard FROM minhash_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6)))
+      // exactly-once: near-identical docs collide in MANY bands, pair emitted once
+      assert(got.length == got.distinct.length)
+      val docsDf = spark.createDataFrame(docs).toDF("doc_id", "text")
+      val batch = graft.pipeline.Dedup.minhashCandidates(docsDf, portable = true).collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6)))
+      assert(got.toSet == batch.toSet,
+        s"stream-only: ${got.toSet -- batch.toSet}, batch-only: ${batch.toSet -- got.toSet}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming simhash pairs equal the batch chunk join across micro-batches (both hash modes)") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 4
     val words = base.trim.split(" ")
