@@ -59,6 +59,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = executedPlan(Similarity.bruteForceTopK(e, e.where(col("vec_id") < 3), k = 2))
     assert(plan.contains("BroadcastExchange"),
       s"queries must ride a broadcast, corpus stays in place:\n$plan")
+    // rank <= k must compile to WindowGroupLimit: each partition prunes to
+    // its local top-k BEFORE the per-query exchange, so the shuffle is
+    // O(partitions·k·|queries|), not O(|corpus|·|queries|)
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must partial-prune before the exchange:\n$plan")
   }
 
   test("parquet filter + projection push down to the scan") {
