@@ -17,7 +17,11 @@ import graft.functions.{CosineSim, TextHashes}
   * }}}
   *
   * Registered: cosine_sim(arr, arr), simhash64(tokens),
-  * minhash_sig(shingles, numPerms), hyperplane_sigs(vec, planes, tables).
+  * minhash_sig(shingles, numPerms), hyperplane_sigs(vec, planes, tables),
+  * and the engine-portable (mod-prime, SQL-replayable) family the driver
+  * oracles verify: simhash_poly64(tokens),
+  * minhash_sig_poly(shingles, numPerms),
+  * minhash_shingle_poly(tokens, k, numPerms).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -52,6 +56,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "minhash_sig(shingles, numPerms)")
         TextHashes.MinhashSig(args(0), intArg(args(1), "minhash_sig", 2))
+      }))
+
+    ext.injectFunction((FunctionIdentifier("simhash_poly64"),
+      info("simhash_poly64",
+        "simhash_poly64(tokens) - portable (mod-prime) 64-bit SimHash of a string array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash_poly64(tokens)")
+        TextHashes.SimHashPoly64(args(0))
+      }))
+
+    ext.injectFunction((FunctionIdentifier("minhash_sig_poly"),
+      info("minhash_sig_poly",
+        "minhash_sig_poly(shingles, numPerms) - portable (mod-prime) MinHash signature array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig_poly(shingles, numPerms)")
+        TextHashes.MinhashSigPoly(args(0), intArg(args(1), "minhash_sig_poly", 2))
+      }))
+
+    ext.injectFunction((FunctionIdentifier("minhash_shingle_poly"),
+      info("minhash_shingle_poly",
+        "minhash_shingle_poly(tokens, k, numPerms) - fused k-shingling + portable MinHash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "minhash_shingle_poly(tokens, k, numPerms)")
+        TextHashes.MinhashShinglePoly(args(0),
+          intArg(args(1), "minhash_shingle_poly", 2), intArg(args(2), "minhash_shingle_poly", 3))
       }))
 
     ext.injectFunction((FunctionIdentifier("hyperplane_sigs"),

@@ -46,6 +46,22 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getSeq[Int](2) == viaCols.getSeq[Int](2))
   }
 
+  test("portable hash family callable from SQL, equal to the Column API") {
+    val r = spark.sql(
+      "SELECT simhash_poly64(split('the quick brown fox', ' ')) AS sh, " +
+      "minhash_sig_poly(split('the quick brown fox', ' '), 4) AS mh, " +
+      "minhash_shingle_poly(split('the quick brown fox jumps', ' '), 3, 4) AS mhs").head()
+    import org.apache.spark.sql.functions._
+    val viaCols = spark.range(1).select(
+      graft.functions.TextHashes.simhashPoly64(split(lit("the quick brown fox"), " ")).as("sh"),
+      graft.functions.TextHashes.minhashSigPoly(split(lit("the quick brown fox"), " "), 4).as("mh"),
+      graft.functions.TextHashes.minhashShinglePoly(
+        split(lit("the quick brown fox jumps"), " "), 3, 4).as("mhs")).head()
+    assert(r.getLong(0) == viaCols.getLong(0))
+    assert(r.getSeq[Long](1) == viaCols.getSeq[Long](1))
+    assert(r.getSeq[Long](2) == viaCols.getSeq[Long](2))
+  }
+
   test("non-literal period argument is rejected with a clear error") {
     val e = intercept[Exception](
       spark.sql("SELECT minhash_sig(array('a'), CAST(rand() * 4 AS INT))").head())
