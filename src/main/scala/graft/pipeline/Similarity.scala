@@ -207,7 +207,13 @@ object Similarity {
     val cents = ivfBuild(corpus, numCentroids, lloydIters, 1, idCol, vecCol, portableSeed)
     val (centroids, assignments) = ivfAssign(corpus, cents, idCol, vecCol)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    assignments.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    // co-locate each list before the partitioned write: without this every
+    // shuffle partition writes a sliver into every cid directory —
+    // numPartitions × k tiny files (and as many probe-side opens); with it
+    // each cid's rows land together. At larger corpora the hash partition
+    // splits a big list across tasks naturally, so file sizes stay bounded.
+    assignments.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
   }
 
   /** Probe a persisted index; `cid` is a partition column of the lists
