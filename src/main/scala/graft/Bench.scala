@@ -19,10 +19,13 @@ object Bench {
       // _probe twin then amortizes)
       else SparkEntry.queries.toSeq.sortBy(_._1)
     // absorb JVM/classloader/scheduler/parquet-reader warmup before the
-    // timed loop — otherwise the alphabetically-first query is billed ~3 s
-    // of one-time cost that has nothing to do with its plan
+    // timed loop — otherwise the alphabetically-first query of each table
+    // is billed one-time open/footer cost that has nothing to do with its
+    // plan; warm all three source tables
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.bars(spark, sfDir).limit(1).collect()
+    Tables.documents(spark, sfDir).limit(1).collect()
+    Tables.embeddings(spark, sfDir).limit(1).collect()
     val timings = toRun.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

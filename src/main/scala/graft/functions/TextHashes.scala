@@ -141,21 +141,15 @@ object TextHashes {
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      // per-token fingerprint + 131^(codepoint count) mod P
+      // per-token fingerprint + 131^(codepoint count) mod P — via fpAndPow,
+      // the SAME definition the generated code calls, so interpreted and
+      // codegen paths cannot desync
       val fps = new Array[Long](n)
       val pows = new Array[Long](n)
       var i = 0
       while (i < n) {
-        val str = arr.getUTF8String(i).toString
-        var h = 0L; var pw = 1L
-        var ci = 0
-        while (ci < str.length) {
-          val cp = str.codePointAt(ci)
-          h = (h * 131L + cp) % PolyP
-          pw = (pw * 131L) % PolyP
-          ci += java.lang.Character.charCount(cp)
-        }
-        fps(i) = h; pows(i) = pw
+        val fp = fpAndPow(arr.getUTF8String(i))
+        fps(i) = fp(0); pows(i) = fp(1)
         i += 1
       }
       val mins = Array.fill(numPerms)(Long.MaxValue)
@@ -196,21 +190,22 @@ object TextHashes {
         val i = ctx.freshName("i"); val s = ctx.freshName("s"); val j = ctx.freshName("j")
         val p = ctx.freshName("p"); val f = ctx.freshName("f"); val h = ctx.freshName("h")
         val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+        val fp = ctx.freshName("fp"); val end = ctx.freshName("end")
         s"""
            |int $n = $arr.numElements();
            |long[] $fps = new long[$n];
            |long[] $pows = new long[$n];
            |for (int $i = 0; $i < $n; $i++) {
-           |  long[] fp = graft.functions.TextHashes.fpAndPow($arr.getUTF8String($i));
-           |  $fps[$i] = fp[0]; $pows[$i] = fp[1];
+           |  long[] $fp = graft.functions.TextHashes.fpAndPow($arr.getUTF8String($i));
+           |  $fps[$i] = $fp[0]; $pows[$i] = $fp[1];
            |}
            |long[] $mins = new long[$numPerms];
            |java.util.Arrays.fill($mins, Long.MAX_VALUE);
            |int $lo = 0, $hi = ($n < $shingleK) ? 1 : $n - $shingleK + 1;
            |for (int $s = $lo; $s < $hi; $s++) {
-           |  int end = ($n < $shingleK) ? $n : $s + $shingleK;
+           |  int $end = ($n < $shingleK) ? $n : $s + $shingleK;
            |  long $f = ($n == 0) ? 0L : $fps[$s];
-           |  for (int $j = $s + 1; $j < end; $j++) {
+           |  for (int $j = $s + 1; $j < $end; $j++) {
            |    $f = ((($f * 131L + 32L) % ${PolyP}L) * $pows[$j] + $fps[$j]) % ${PolyP}L;
            |  }
            |  for (int $p = 0; $p < $numPerms; $p++) {

@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Named IVF defaults — referenced by queries.IvfSql so the oracle's
+    * replay constants cannot silently drift from the defaults the
+    * registered query runs with (same coupling discipline as
+    * DedupSql.bucketCte). */
+  val DefaultNumCentroids = 16
+  val DefaultLloydIters = 3
+  val DefaultNProbe = 4
+  val DefaultTopK = 5
+
   /** Cosine similarity between two double arrays — the native fused-loop
     * Catalyst expression (graft.functions.CosineSim, with doGenCode). */
   def cosine(a: Column, b: Column): Column =
@@ -103,7 +112,8 @@ object Similarity {
     * (cid, dim)-keyed partial-aggregated mean, so shuffle volume per
     * iteration is bounded by partitions × k × dim regardless of corpus
     * size. The sample cap keeps the refinement cost fixed at 100 TB. */
-  def ivfBuild(corpus: DataFrame, numCentroids: Int = 16, lloydIters: Int = 3,
+  def ivfBuild(corpus: DataFrame, numCentroids: Int = DefaultNumCentroids,
+               lloydIters: Int = DefaultLloydIters,
                sampleMod: Int = 1, idCol: String = "vec_id",
                vecCol: String = "embedding", portableSeed: Boolean = false): Array[Array[Double]] = {
     // the seed is a deterministic hash shuffle of the ids; `portableSeed`
@@ -189,8 +199,9 @@ object Similarity {
   /** IVF approximate top-k: probe the `nprobe` closest centroid lists per
     * query and score only those lists. Recall grows with nprobe
     * (nprobe == numCentroids ⇒ exact brute force). */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-              numCentroids: Int = 16, nprobe: Int = 4, lloydIters: Int = 3,
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = DefaultTopK,
+              numCentroids: Int = DefaultNumCentroids, nprobe: Int = DefaultNProbe,
+              lloydIters: Int = DefaultLloydIters,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = ivfBuild(corpus, numCentroids, lloydIters, 1, idCol, vecCol)
     val (centroids, assignments) = ivfAssign(corpus, cents, idCol, vecCol)
@@ -201,8 +212,8 @@ object Similarity {
     * lists laid out `partitionBy(cid)` so a probe's scan is pruned to its
     * own lists' files — the build-once/probe-many workflow a 100 TB
     * corpus actually uses (assignment scan runs once at write time). */
-  def ivfWrite(corpus: DataFrame, path: String, numCentroids: Int = 16,
-               lloydIters: Int = 3, idCol: String = "vec_id",
+  def ivfWrite(corpus: DataFrame, path: String, numCentroids: Int = DefaultNumCentroids,
+               lloydIters: Int = DefaultLloydIters, idCol: String = "vec_id",
                vecCol: String = "embedding", portableSeed: Boolean = false): Unit = {
     val cents = ivfBuild(corpus, numCentroids, lloydIters, 1, idCol, vecCol, portableSeed)
     val (centroids, assignments) = ivfAssign(corpus, cents, idCol, vecCol)
@@ -219,7 +230,7 @@ object Similarity {
   /** Probe a persisted index; `cid` is a partition column of the lists
     * table, so the equi-join key prunes unprobed lists at the source. */
   def ivfQuery(spark: org.apache.spark.sql.SparkSession, path: String, queries: DataFrame,
-               k: Int = 5, nprobe: Int = 4, idCol: String = "vec_id",
+               k: Int = DefaultTopK, nprobe: Int = DefaultNProbe, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val assignments = spark.read.parquet(s"$path/lists")

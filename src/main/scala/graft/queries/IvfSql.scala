@@ -16,11 +16,13 @@ import graft.functions.TextHashes.{polyA, polyB, PolyP => P}
   * assignment downstream) are value-identical across engines.
   */
 object IvfSql {
-  private val Dim = 64      // embeddings table dimension (PipelineQueries.EmbDim)
-  private val K = 16        // ivfBuild numCentroids default
-  private val Iters = 3     // ivfBuild lloydIters default
-  private val NProbe = 4    // ivfQuery nprobe default
-  private val TopK = 5      // ivfQuery k default
+  // shared with the implementation, not hand-copied: a change to the
+  // registered defaults recompiles into this oracle automatically
+  private val Dim = PipelineQueries.EmbDim
+  private val K = graft.pipeline.Similarity.DefaultNumCentroids
+  private val Iters = graft.pipeline.Similarity.DefaultLloydIters
+  private val NProbe = graft.pipeline.Similarity.DefaultNProbe
+  private val TopK = graft.pipeline.Similarity.DefaultTopK
 
   private val embCte =
     "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"

@@ -19,7 +19,14 @@ package graft.queries
   *     2^64 ≡ 0 mod 16);
   *   - doubles divide via CAST(... AS DOUBLE) so no DECIMAL arithmetic
   *     sneaks in;
-  *   - same ASCII corpus assumption as DedupSql.tokCte.
+  *   - same ASCII corpus assumption as DedupSql.tokCte;
+  *   - the raw branch additionally assumes text payloads do NOT sniff as
+  *     media: Multimodal.decode dispatches on magic bytes, so a document
+  *     whose text happens to parse as a complete WAV ("RIFF…WAVE" +
+  *     valid fmt/data) or PPM ("P6" + valid header + enough body bytes)
+  *     would be decoded as media by Spark while this replay treats it as
+  *     the stub — impossible for natural-language text, but a corpus of
+  *     binary-in-text would need a kind gate on both sides.
   */
 object MultimodalSql {
 

@@ -64,7 +64,7 @@ object PipelineQueries {
     * as an explicit ±v[d] sum chain. The chain is left-associated like
     * the expression's codegen loop, so dots are bit-identical; embedding
     * dim is pinned (len guard emits NULL on anything else). */
-  private val EmbDim = 64
+  private[queries] val EmbDim = 64
 
   private def dotChain(t: Int, p: Int): String = {
     val terms = (0 until EmbDim).map { d =>
@@ -303,7 +303,13 @@ object PipelineQueries {
       // min-label closure) is replayed by the oracle.
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
-        val pairs = Similarity.cosineNearDup(emb, threshold = 0.15, planes = 8)
+        // threshold on the ROUNDED cosine: a full-precision `>= 0.15` is a
+        // cross-engine boundary decision (CosineSim vs list_cosine_similarity
+        // need not agree to the last ulp), and one flipped pair rewrites
+        // whole cluster ids — r6 on both sides makes the gate identical by
+        // construction (the established oracle convention)
+        val pairs = Similarity.cosineNearDup(emb, threshold = -1.0, planes = 8)
+          .where(r6(col("cosine")) >= 0.15)
         Dedup.components(pairs, emb.select(col("vec_id")), idCol = "vec_id")
           .orderBy("vec_id")
       },
@@ -313,7 +319,7 @@ object PipelineQueries {
         |p AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.15
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) + 0.0 >= 0.15
         |),
         |edges AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
         |lab AS (

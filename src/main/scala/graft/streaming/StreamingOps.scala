@@ -168,9 +168,12 @@ object StreamingOps {
           val chunk = ck._1
           var st = state.getOption.getOrElse(BucketState(Nil, Nil))
           val out = scala.collection.mutable.ArrayBuffer.empty[PairOut]
+          // first arrival of a doc_id wins (same contract as the streaming
+          // exact-dedup): a re-ingested id would otherwise be appended
+          // alongside its first version and re-emit every pair in the bucket
           rows.toSeq.sortBy(_.doc_id).foreach { d =>
-            st.ids.zip(st.sigs).foreach { case (oid, osig) =>
-              if (oid != d.doc_id) {
+            if (!st.ids.contains(d.doc_id)) {
+              st.ids.zip(st.sigs).foreach { case (oid, osig) =>
                 val ham = java.lang.Long.bitCount(d.sig ^ osig)
                 // smallest-shared-chunk rule == batch's exactly-once guard
                 val firstShared = (0 until numChunks)
@@ -178,8 +181,8 @@ object StreamingOps {
                 if (ham <= maxHamming && firstShared == chunk)
                   out += PairOut(math.min(oid, d.doc_id), math.max(oid, d.doc_id), ham)
               }
+              st = BucketState(d.doc_id :: st.ids, d.sig :: st.sigs)
             }
-            st = BucketState(d.doc_id :: st.ids, d.sig :: st.sigs)
           }
           state.update(st)
           out.iterator
@@ -234,9 +237,10 @@ object StreamingOps {
           val band = bb._1
           var st = state.getOption.getOrElse(BandState(Nil, Nil))
           val out = scala.collection.mutable.ArrayBuffer.empty[MinhashPairOut]
+          // first arrival of a doc_id wins (see simhashPairsStream note)
           rws.toSeq.sortBy(_.doc_id).foreach { d =>
-            st.ids.zip(st.sigs).foreach { case (oid, osig) =>
-              if (oid != d.doc_id) {
+            if (!st.ids.contains(d.doc_id)) {
+              st.ids.zip(st.sigs).foreach { case (oid, osig) =>
                 val firstShared = (0 until bands)
                   .find(b => bandBucket(d.sig, b) == bandBucket(osig, b)).get
                 if (firstShared == band) {
@@ -245,8 +249,8 @@ object StreamingOps {
                     agree.toDouble / numPerms)
                 }
               }
+              st = BandState(d.doc_id :: st.ids, d.sig :: st.sigs)
             }
-            st = BandState(d.doc_id :: st.ids, d.sig :: st.sigs)
           }
           state.update(st)
           out.iterator

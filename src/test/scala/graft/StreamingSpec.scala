@@ -91,7 +91,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       val (b1, b2) = docs.splitAt(6)
       ms.addData(b1); q.processAllAvailable()
-      ms.addData(b2); q.processAllAvailable()
+      // re-ingest two already-seen docs: first arrival wins, no re-emission
+      ms.addData(b2 ++ b1.take(2)); q.processAllAvailable()
       val got = spark.sql("SELECT a_id, b_id, est_jaccard FROM minhash_stream").collect()
         .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6)))
       // exactly-once: near-identical docs collide in MANY bands, pair emitted once
