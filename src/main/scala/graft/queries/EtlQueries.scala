@@ -103,7 +103,34 @@ object EtlQueries {
         |  FROM j WINDOW wb AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
         |)
         |SELECT date, symbol, ${Sql.r6("coalesce(close, 0.0)", "close")}
-        |FROM f ORDER BY date, symbol""".stripMargin))
+        |FROM f ORDER BY date, symbol""".stripMargin)),
+
+    Entry("asof_join",
+      // the quotes-to-trades primitive: every 3rd bar is a "trade", every
+      // 5th a "quote"; each trade picks up the latest quote at-or-before
+      // its time (ord % 15 rows are both — the equal-time quote matches).
+      // The oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent
+      // implementation of the semantics, not a replay of our union+fill
+      // composition, so the two algorithms cross-check each other.
+      (spark, dir) => {
+        val bars = Tables.bars(spark, dir)
+        val trades = bars.where(col("ord") % 3 === 0)
+          .select(col("symbol"), col("ord"), col("close").as("trade_px"))
+        val quotes = bars.where(col("ord") % 5 === 0)
+          .select(col("symbol"), col("ord"), col("open").as("quote_px"))
+        graft.etl.AsOf.asofJoin(trades, quotes, valueCols = Seq("quote_px"))
+          .select(col("symbol"), col("ord"), r6(col("trade_px")).as("trade_px"),
+            r6(col("quote_px")).as("quote_px"), col("matched_ord"))
+          .orderBy("symbol", "ord")
+      },
+      Some(s"""${Sql.bars},
+        |trades AS (SELECT symbol, ord, close AS trade_px FROM bars WHERE ord % 3 = 0),
+        |quotes AS (SELECT symbol, ord AS qord, open AS quote_px FROM bars WHERE ord % 5 = 0)
+        |SELECT t.symbol, t.ord, ${Sql.r6("t.trade_px", "trade_px")},
+        |  ${Sql.r6("q.quote_px", "quote_px")}, q.qord AS matched_ord
+        |FROM trades t ASOF LEFT JOIN quotes q
+        |  ON t.symbol = q.symbol AND t.ord >= q.qord
+        |ORDER BY t.symbol, t.ord""".stripMargin))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap

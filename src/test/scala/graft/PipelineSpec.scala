@@ -59,6 +59,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs((1L, 2L)) == 0)
   }
 
+  test("asof join: equal-time match, staleness tolerance, no-quote nulls") {
+    import org.apache.spark.sql.Row
+    val trades = spark.createDataFrame(Seq(("a", 1L, 9.0), ("a", 3L, 10.0), ("a", 6L, 11.0),
+      ("b", 5L, 20.0))).toDF("symbol", "ord", "trade_px")
+    val quotes = spark.createDataFrame(Seq(("a", 2L, 100.0), ("a", 3L, 101.0), ("a", 4L, 102.0)))
+      .toDF("symbol", "ord", "quote_px")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("symbol", "ord").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(3)), Option(r.get(4)))).toSeq
+    val plain = rows(graft.etl.AsOf.asofJoin(trades, quotes, valueCols = Seq("quote_px")))
+    assert(plain == Seq(
+      ("a", 1L, None, None),                       // before any quote
+      ("a", 3L, Some(101.0), Some(3L)),            // equal-time quote matches
+      ("a", 6L, Some(102.0), Some(4L)),            // latest at-or-before
+      ("b", 5L, None, None)))                      // symbol with no quotes
+    val tol = rows(graft.etl.AsOf.asofJoin(trades, quotes, valueCols = Seq("quote_px"),
+      tolerance = Some(1L)))
+    assert(tol == Seq(
+      ("a", 1L, None, None),
+      ("a", 3L, Some(101.0), Some(3L)),            // age 0 <= 1
+      ("a", 6L, None, None),                       // age 2 > tolerance 1 → no match
+      ("b", 5L, None, None)))
+  }
+
   test("fused shingle minhash equals the string-shingle portable formulation") {
     // modular-composition identity fp(a ++ ' ' ++ b) = ((fp(a)·131+32)·131^|b| + fp(b)) mod P
     // must hold on: normal text, short text (< k tokens), single token,
