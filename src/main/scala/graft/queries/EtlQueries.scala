@@ -130,7 +130,31 @@ object EtlQueries {
         |  ${Sql.r6("q.quote_px", "quote_px")}, q.qord AS matched_ord
         |FROM trades t ASOF LEFT JOIN quotes q
         |  ON t.symbol = q.symbol AND t.ord >= q.qord
-        |ORDER BY t.symbol, t.ord""".stripMargin))
+        |ORDER BY t.symbol, t.ord""".stripMargin)),
+
+    Entry("range_join",
+      // points-to-intervals containment via the bucketed equi-join
+      // (RangeJoin): every 10th bar opens a [ord, ord+6] interval, every
+      // bar is a point; each qualifying pair is emitted exactly once
+      // because a point owns exactly one bucket. The oracle is DuckDB's
+      // native inequality join (IEJoin) — again an independent algorithm
+      // for the same semantics.
+      (spark, dir) => {
+        val bars = Tables.bars(spark, dir)
+        val points = bars.select(col("symbol"), col("ord"), col("close"))
+        val intervals = bars.where(col("ord") % 10 === 0)
+          .select(col("symbol"), col("ord").as("start"), (col("ord") + 6).as("end"))
+        graft.etl.RangeJoin.rangeJoin(points, intervals, "ord", "start", "end")
+          .select(col("symbol"), col("start"), col("ord"), r6(col("close")).as("close"))
+          .orderBy("symbol", "start", "ord")
+      },
+      Some(s"""${Sql.bars},
+        |points AS (SELECT symbol, ord, close FROM bars),
+        |iv AS (SELECT symbol, ord AS start, ord + 6 AS "end" FROM bars WHERE ord % 10 = 0)
+        |SELECT i.symbol, i.start, p.ord, ${Sql.r6("p.close", "close")}
+        |FROM iv i JOIN points p
+        |  ON i.symbol = p.symbol AND p.ord BETWEEN i.start AND i."end"
+        |ORDER BY i.symbol, i.start, p.ord""".stripMargin))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap

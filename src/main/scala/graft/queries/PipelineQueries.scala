@@ -368,6 +368,34 @@ object PipelineQueries {
           .orderBy("doc_id")
       }, Some(DedupSql.dedupClustersSql)),
 
+    Entry("stratified_sample",
+      // deterministic language rebalancing: downsample the dominant
+      // languages by a hash-of-id threshold (reproducible across runs and
+      // engines — no RNG), keep flag emitted for EVERY doc so the oracle
+      // verifies both keeps and drops. Rates are fixed-point per-myriad on
+      // both sides; the hash is plain BIGINT arithmetic.
+      (spark, dir) => {
+        val rates = Map("en" -> 0.25, "fr" -> 0.5, "und" -> 0.1)
+        val lang = TextStats.langId(col("text"))
+        Tables.documents(spark, dir).select(col("doc_id"), lang.as("lang_pred"),
+            Sampling.stratifiedKeep(col("doc_id"), lang, rates).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val P = graft.functions.TextHashes.PolyP
+        val a = graft.functions.TextHashes.polyA(Sampling.SeedIdx)
+        val b = graft.functions.TextHashes.polyB(Sampling.SeedIdx)
+        val thr = Seq("en" -> 0.25, "fr" -> 0.5, "und" -> 0.1)
+          .map { case (k, r) => s"WHEN '$k' THEN ${Sampling.threshold(r)}" }
+          .mkString(" ")
+        s"""WITH $qualityCtes,
+          |lp AS (SELECT doc_id, $langPredSql AS lang_pred FROM q)
+          |SELECT doc_id, lang_pred,
+          |  (($a * (doc_id % $P) + $b) % $P % 10000) <
+          |    (CASE lang_pred $thr ELSE ${Sampling.threshold(1.0)} END) AS kept
+          |FROM lp ORDER BY doc_id""".stripMargin
+      }),
+
     Entry("multimodal_features",
       // Mixed-modality demo: a third each synthetic WAV / PPM / raw text;
       // WAV+PPM are decoded for real (header walk + sample/pixel stats),

@@ -82,6 +82,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("b", 5L, None, None)))
   }
 
+  test("stratified hash sampling: deterministic, rate-accurate, stratum-scoped") {
+    val df = spark.createDataFrame((0L until 4000L).map(i =>
+      (i, if (i % 4 == 0) "keep_all" else "down"))).toDF("id", "stratum")
+    val kept = df.select(col("id"), col("stratum"),
+        Sampling.stratifiedKeep(col("id"), col("stratum"), Map("down" -> 0.25)).as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    // unlisted stratum defaults to rate 1.0
+    assert(kept.filter(_._2 == "keep_all").forall(_._3))
+    // listed stratum lands near its rate (hash-uniform: ±5% on 3000 rows)
+    val downRate = kept.filter(_._2 == "down").count(_._3).toDouble / 3000
+    assert(math.abs(downRate - 0.25) < 0.05, s"down stratum kept $downRate")
+    // decision is a pure function of id — rerun identical
+    val again = df.select(col("id"),
+        Sampling.stratifiedKeep(col("id"), col("stratum"), Map("down" -> 0.25)).as("k"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(kept.forall { case (id, _, k) => again(id) == k })
+  }
+
+  test("range join: exactly-once across bucket boundaries, bounds inclusive") {
+    // interval [3, 20] spans buckets 0..5 at width 4 — every contained
+    // point must appear exactly once despite the interval's 6 bucket copies
+    val points = spark.createDataFrame((0L to 25L).map(i => ("a", i, i * 1.5)))
+      .toDF("symbol", "ord", "v")
+    val intervals = spark.createDataFrame(Seq(("a", 3L, 20L), ("a", 22L, 22L), ("b", 0L, 9L)))
+      .toDF("symbol", "start", "end")
+    val got = graft.etl.RangeJoin.rangeJoin(points, intervals, "ord", "start", "end",
+        bucketWidth = 4L)
+      .select("symbol", "start", "ord").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.length == got.distinct.length)                       // exactly-once
+    assert(got.filter(_._2 == 3L).map(_._3).sorted == (3L to 20L))  // inclusive both ends
+    assert(got.filter(_._2 == 22L).map(_._3) == Seq(22L))           // single-point interval
+    assert(!got.exists(_._1 == "b"))                                // by-key isolation
+  }
+
   test("fused shingle minhash equals the string-shingle portable formulation") {
     // modular-composition identity fp(a ++ ' ' ++ b) = ((fp(a)·131+32)·131^|b| + fp(b)) mod P
     // must hold on: normal text, short text (< k tokens), single token,
