@@ -220,6 +220,72 @@ object TextHashes {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** All k-shingle fingerprints of a token array (same modular composition
+    * as MinhashShinglePoly, emitting every shingle's fp instead of folding
+    * them into minima) — the candidate-generation primitive for n-gram
+    * overlap checks (decontamination). Same short-text fallback: fewer
+    * than k tokens ⇒ the one all-tokens shingle. */
+  case class ShingleFps(child: Expression, shingleK: Int) extends UnaryExpression {
+    require(shingleK >= 1, "shingleK must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_fps"
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val fps = new Array[Long](n)
+      val pows = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val fp = fpAndPow(arr.getUTF8String(i))
+        fps(i) = fp(0); pows(i) = fp(1)
+        i += 1
+      }
+      @inline def combineRange(start: Int, end: Int): Long = {
+        var f = fps(start)
+        var j = start + 1
+        while (j < end) {
+          f = (((f * 131L + 32L) % PolyP) * pows(j) + fps(j)) % PolyP
+          j += 1
+        }
+        f
+      }
+      val out: Array[Long] =
+        if (n == 0) Array(0L)
+        else if (n < shingleK) Array(combineRange(0, n))
+        else Array.tabulate(n - shingleK + 1)(s => combineRange(s, s + shingleK))
+      new GenericArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val n = ctx.freshName("n"); val fps = ctx.freshName("fps")
+        val pows = ctx.freshName("pows"); val out = ctx.freshName("out")
+        val i = ctx.freshName("i"); val s = ctx.freshName("s"); val j = ctx.freshName("j")
+        val f = ctx.freshName("f"); val fp = ctx.freshName("fp")
+        val end = ctx.freshName("end"); val m = ctx.freshName("m")
+        s"""
+           |int $n = $arr.numElements();
+           |long[] $fps = new long[$n];
+           |long[] $pows = new long[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long[] $fp = graft.functions.TextHashes.fpAndPow($arr.getUTF8String($i));
+           |  $fps[$i] = $fp[0]; $pows[$i] = $fp[1];
+           |}
+           |int $m = ($n == 0 || $n < $shingleK) ? 1 : $n - $shingleK + 1;
+           |long[] $out = new long[$m];
+           |for (int $s = 0; $s < $m; $s++) {
+           |  int $end = ($n < $shingleK) ? $n : $s + $shingleK;
+           |  long $f = ($n == 0) ? 0L : $fps[$s];
+           |  for (int $j = $s + 1; $j < $end; $j++) {
+           |    $f = ((($f * 131L + 32L) % ${PolyP}L) * $pows[$j] + $fps[$j]) % ${PolyP}L;
+           |  }
+           |  $out[$s] = $f;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** (polyFingerprint(s), 131^codepoints(s) mod P) — the composition pair
     * MinhashShinglePoly's generated code calls per token. */
   def fpAndPow(s: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
@@ -461,6 +527,9 @@ object TextHashes {
 
   def minhashShinglePoly(tokens: Column, shingleK: Int, numPerms: Int): Column =
     GraftBridge.column(MinhashShinglePoly(GraftBridge.expression(tokens), shingleK, numPerms))
+
+  def shingleFps(tokens: Column, shingleK: Int): Column =
+    GraftBridge.column(ShingleFps(GraftBridge.expression(tokens), shingleK))
 
   def simhashPoly64(tokens: Column): Column =
     GraftBridge.column(SimHashPoly64(GraftBridge.expression(tokens)))

@@ -170,6 +170,31 @@ object Dedup {
       (col("id") === col("label")).as("is_representative"))
   }
 
+  /** Train/test decontamination: flag every corpus doc sharing at least
+    * one k-gram with the benchmark set. The check runs on shingle
+    * FINGERPRINTS (ShingleFps — the same modular composition the fused
+    * minhash uses), so no shingle strings are built or shuffled: the
+    * benchmark's fingerprint set is small by nature (eval suites, not
+    * corpora) and rides a broadcast; the corpus side is one explode +
+    * broadcast-semi-join, never a corpus-side shuffle. False positives
+    * require a mod-P fingerprint collision (~|doc shingles|·|bench|/P per
+    * doc) — decontamination errs on the drop side, so that is the safe
+    * direction.
+    *
+    * Returns (idCol, contaminated) for every corpus doc. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    shingleK: Int = 5): DataFrame = {
+    def fps(df: DataFrame) = df.select(col(idCol),
+      explode(array_distinct(graft.functions.TextHashes.shingleFps(
+        split(trim(lower(col(textCol))), "\\s+"), shingleK))).as("fp"))
+    val benchFps = fps(benchmark).select("fp").distinct()
+    val hits = fps(corpus).join(broadcast(benchFps), "fp")
+      .select(idCol).distinct().withColumn("contaminated", lit(true))
+    corpus.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
   /** Exact n-gram Jaccard for given candidate pairs (verification step —
     * only runs on candidates, never the full cross product). Extra columns
     * on `pairs` (e.g. the MinHash `est_jaccard`) are carried through, so

@@ -368,6 +368,36 @@ object PipelineQueries {
           .orderBy("doc_id")
       }, Some(DedupSql.dedupClustersSql)),
 
+    Entry("decontaminate",
+      // train/test decontamination: every 50th doc plays the benchmark;
+      // the rest are flagged iff they share any 5-gram with it. Runs on
+      // shingle fingerprints (broadcast semi-join, no string shuffle); the
+      // oracle hashes the literal shingle STRINGS — the composition
+      // identity makes both sides equal, so the oracle cross-checks the
+      // fingerprint fusion too.
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Dedup.decontaminate(docs.where(col("doc_id") % 50 =!= 0),
+            docs.where(col("doc_id") % 50 === 0))
+          .orderBy("doc_id")
+      },
+      Some {
+        val k = 5
+        val shK = s"""sh AS (
+          |  SELECT doc_id, CASE WHEN len(toks) < $k THEN [array_to_string(toks, ' ')]
+          |    ELSE list_transform(range(1, len(toks) - $k + 2),
+          |      i -> array_to_string(toks[i:i+${k - 1}], ' ')) END AS sh
+          |  FROM tok
+          |)""".stripMargin
+        s"""WITH ${DedupSql.tokCte}, $shK,
+          |f AS (SELECT doc_id, unnest(list_distinct(list_transform(sh, s -> ${DedupSql.fpLambda("s")}))) AS fp FROM sh),
+          |bench AS (SELECT DISTINCT fp FROM f WHERE doc_id % 50 = 0)
+          |SELECT doc_id,
+          |  EXISTS (SELECT 1 FROM f JOIN bench USING (fp) WHERE f.doc_id = d.doc_id) AS contaminated
+          |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+          |ORDER BY doc_id""".stripMargin
+      }),
+
     Entry("stratified_sample",
       // deterministic language rebalancing: downsample the dominant
       // languages by a hash-of-id threshold (reproducible across runs and

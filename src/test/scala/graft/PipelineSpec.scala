@@ -82,6 +82,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("b", 5L, None, None)))
   }
 
+  test("decontamination flags any shared k-gram, including the short-text fallback") {
+    val bench = docs(100L -> "the secret benchmark answer is forty two exactly",
+      101L -> "tiny")
+    val corpus = docs(
+      1L -> "padding words then the secret benchmark answer is forty two exactly and more",
+      2L -> "completely unrelated text with no overlapping five gram sequences here at all",
+      3L -> "tiny") // < k tokens: whole-text shingle must match bench's same fallback
+    val flags = Dedup.decontaminate(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("stratified hash sampling: deterministic, rate-accurate, stratum-scoped") {
     val df = spark.createDataFrame((0L until 4000L).map(i =>
       (i, if (i % 4 == 0) "keep_all" else "down"))).toDF("id", "stratum")
