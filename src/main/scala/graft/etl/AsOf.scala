@@ -37,32 +37,39 @@ object AsOf {
     val vcols = if (valueCols.nonEmpty) valueCols
       else right.columns.filterNot(c => c == timeCol || c == byCol).toSeq
     require(vcols.nonEmpty, "asofJoin: right side has no value columns")
-    val clash = vcols.toSet.intersect(left.columns.toSet)
-    require(clash.isEmpty, s"asofJoin: value columns ${clash.mkString(", ")} already exist on the left")
+    val matchedCol = "matched_" + timeCol
+    val clash = (vcols :+ matchedCol).toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"asofJoin: output columns ${clash.mkString(", ")} already exist on the left " +
+        "(rename before joining, e.g. when chaining asofJoins)")
+    require(!vcols.contains(matchedCol),
+      s"asofJoin: a right value column may not be named $matchedCol")
 
-    val rTime = "__asof_rt"
+    // the whole right ROW rides as one struct: last(ignoreNulls) then picks
+    // the latest right row ATOMICALLY — a NULL inside a value column stays
+    // the matched row's NULL (DuckDB ASOF semantics) instead of being
+    // skipped back to an older row's value, and multiple value columns can
+    // never come from different rows
+    val rowCol = "__asof_row"
     val l = left.withColumn("__tag", lit(1))
-    val r = right.select((col(byCol) +: col(timeCol) +:
-        col(timeCol).as(rTime) +: vcols.map(col)): _*)
+    val r = right.select(col(byCol), col(timeCol),
+        struct(col(timeCol).as(matchedCol) +: vcols.map(col): _*).as(rowCol))
       .withColumn("__tag", lit(0))
     // right rows order before left rows at the same time (tag 0 < 1), so
     // an equal-time quote is visible to the trade — ASOF's `<=`
     val w = Window.partitionBy(byCol).orderBy(col(timeCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filledCols = vcols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))
-    val matchedAt = last(col(rTime), ignoreNulls = true).over(w).as(rTime)
-    val filled = l.unionByName(r, allowMissingColumns = true)
-      .select((left.columns.map(col) :+ col("__tag")) ++ filledCols :+ matchedAt: _*)
-      .where(col("__tag") === 1)
-    val gated = tolerance match {
-      case Some(tol) =>
-        // a match older than the tolerance is no match at all
-        val stale = col(rTime).isNull || (col(timeCol) - col(rTime) > tol)
-        filled.select(left.columns.map(col) ++
-          vcols.map(c => when(stale, lit(null)).otherwise(col(c)).as(c)) :+
-          when(stale, lit(null)).otherwise(col(rTime)).as(rTime): _*)
-      case None => filled.drop("__tag")
+    val matched = last(col(rowCol), ignoreNulls = true).over(w)
+    // a match older than the tolerance is no match at all
+    val gatedMatch = tolerance match {
+      case Some(tol) => when(col(timeCol) - matched(matchedCol) <= tol, matched)
+      case None => matched
     }
-    gated.withColumnRenamed(rTime, "matched_" + timeCol)
+    l.unionByName(r, allowMissingColumns = true)
+      .select(left.columns.map(col) :+ col("__tag") :+ gatedMatch.as(rowCol): _*)
+      .where(col("__tag") === 1)
+      .select(left.columns.map(col) ++
+        vcols.map(c => col(s"$rowCol.$c").as(c)) :+
+        col(s"$rowCol.$matchedCol").as(matchedCol): _*)
   }
 }

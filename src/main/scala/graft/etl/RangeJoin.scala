@@ -29,8 +29,13 @@ object RangeJoin {
                 byCol: String = "symbol", bucketWidth: Long = 16L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val p = points.withColumn("__bucket", floor(col(pointCol) / bucketWidth))
+    // explicit step 1: a malformed interval (end < start) then raises
+    // Spark's illegal-sequence-boundaries error loudly instead of silently
+    // generating a DESCENDING bucket list (the default step is sign-
+    // inferred) whose rows all die in the BETWEEN filter after shuffling
     val i = intervals.withColumn("__bucket",
-      explode(sequence(floor(col(startCol) / bucketWidth), floor(col(endCol) / bucketWidth))))
+      explode(sequence(floor(col(startCol) / bucketWidth),
+        floor(col(endCol) / bucketWidth), lit(1L))))
     i.join(p, Seq(byCol, "__bucket"))
       .where(col(pointCol).between(col(startCol), col(endCol)))
       .drop("__bucket")

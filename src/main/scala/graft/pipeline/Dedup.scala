@@ -38,9 +38,16 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(byHash))
   }
 
+  /** Whitespace tokens of the normalized text — THE tokenization every
+    * dedup signature derives from. One definition: the DuckDB oracles
+    * (DedupSql.tokCte) replay this exact form, so a drift between call
+    * sites would silently desync them from the oracle. */
+  private[pipeline] def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
   /** Word k-shingles of the normalized text. */
   def shingles(text: Column, k: Int = 3): Column = {
-    val words = split(trim(lower(text)), "\\s+")
+    val words = tokens(text)
     when(size(words) < k, array(concat_ws(" ", words)))
       .otherwise(transform(sequence(lit(0), size(words) - k),
         i => concat_ws(" ", slice(words, i + 1, lit(k)))))
@@ -64,7 +71,7 @@ object Dedup {
     // path keeps the explicit shingle-array expression
     val sig =
       if (portable) graft.functions.TextHashes.minhashShinglePoly(
-        split(trim(lower(col(textCol))), "\\s+"), shingleK, numPerms)
+        tokens(col(textCol)), shingleK, numPerms)
       else graft.functions.TextHashes.minhashSig(shingles(col(textCol), shingleK), numPerms)
     docs.select(col(idCol), sig.as("sig"))
   }
@@ -185,11 +192,12 @@ object Dedup {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     textCol: String = "text", idCol: String = "doc_id",
                     shingleK: Int = 5): DataFrame = {
-    def fps(df: DataFrame) = df.select(col(idCol),
-      explode(array_distinct(graft.functions.TextHashes.shingleFps(
-        split(trim(lower(col(textCol))), "\\s+"), shingleK))).as("fp"))
-    val benchFps = fps(benchmark).select("fp").distinct()
-    val hits = fps(corpus).join(broadcast(benchFps), "fp")
+    def docFps = graft.functions.TextHashes.shingleFps(tokens(col(textCol)), shingleK)
+    // benchmark side needs no id column — an eval suite is naturally a
+    // bare text set
+    val benchFps = benchmark.select(explode(array_distinct(docFps)).as("fp")).distinct()
+    val hits = corpus.select(col(idCol), explode(array_distinct(docFps)).as("fp"))
+      .join(broadcast(benchFps), "fp")
       .select(idCol).distinct().withColumn("contaminated", lit(true))
     corpus.select(col(idCol)).join(hits, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("contaminated"), lit(false)).as("contaminated"))
@@ -225,7 +233,7 @@ object Dedup {
     * per join side. */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
               portable: Boolean = false): DataFrame = {
-    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val toks = tokens(col(textCol))
     val sig = if (portable) graft.functions.TextHashes.simhashPoly64(toks)
               else graft.functions.TextHashes.simhash64(toks)
     docs.where(col(textCol).isNotNull).select(col(idCol),

@@ -33,8 +33,11 @@ object Sampling {
     math.round(rate * D)
   }
 
-  /** The sampling hash in [0, D): replayable as
-    * `(A * (id % P) + B) % P % 10000` in any BIGINT engine. */
+  /** The sampling hash in [0, D). Replay note: Spark's pmod keeps the id
+    * reduction non-negative, so an engine with C-style `%` (DuckDB,
+    * Postgres) must replay NEGATIVE ids as `((id % P) + P) % P`; for
+    * non-negative ids plain `(A * (id % P) + B) % P % 10000` is identical
+    * (what the registered oracle uses — doc_id >= 0). */
   def sampleHash(id: Column): Column = {
     val P = graft.functions.TextHashes.PolyP
     ((lit(graft.functions.TextHashes.polyA(SeedIdx)) * pmod(id.cast("long"), lit(P)) +
