@@ -26,6 +26,20 @@ object Bench {
     Tables.bars(spark, sfDir).limit(1).collect()
     Tables.documents(spark, sfDir).limit(1).collect()
     Tables.embeddings(spark, sfDir).limit(1).collect()
+    // ... and the two execution machineries every TA query rides — window
+    // exec and the overSeries flatMapGroups scaffolding — on a 64-row
+    // synthetic frame. The first window plan and the first typed-groups
+    // plan of a JVM each pay Catalyst/Janino classloading that has nothing
+    // to do with whichever alphabetically-first query would absorb it.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{avg, col}
+      val wdf = spark.range(0, 64).selectExpr("CAST(id % 2 AS STRING) AS symbol",
+        "id AS ord", "CAST(id AS DOUBLE) AS close")
+      wdf.select(avg(col("close")).over(
+        Window.partitionBy("symbol").orderBy("ord").rowsBetween(-4, 0))).count()
+      ta.SeriesOps.overSeries(wdf, Seq("close"), Seq("o"))(a => Array(a(0))).count()
+    }
     val timings = toRun.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

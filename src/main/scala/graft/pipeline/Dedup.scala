@@ -113,25 +113,37 @@ object Dedup {
       .select(col("a_id"), col("b_id"), (agree.cast("double") / numPerms).as("est_jaccard"))
   }
 
-  /** Connected components over near-dup pairs by iterative min-label
-    * propagation — the step a real dedup pipeline needs between pair
-    * emission and canonical-document selection. Each iteration is one
-    * equi-join + one partial-aggregated min, followed by a pointer-jump
-    * (label := label-of-label) that contracts paths, so convergence is
-    * O(log diameter) rounds rather than O(diameter) — the standard
-    * large-graph CC recipe. Like the IVF build, this is an
-    * index-construction op: the convergence check is a driver action per
-    * round, bounded by `maxIters`.
+  /** Connected components over near-dup pairs — the step a real dedup
+    * pipeline needs between pair emission and canonical-document
+    * selection. Two-phase design (the standard large-graph CC recipe,
+    * "contract big, finish small"):
+    *
+    *   1. Distributed min-label rounds: each iteration is one equi-join +
+    *      one partial-aggregated min, followed by a pointer-jump
+    *      (label := label-of-label) that contracts paths, so label depth
+    *      halves per round. After each round the CONTRACTED super-graph
+    *      (distinct label-to-label edges still crossing components) is
+    *      counted; it shrinks geometrically with rounds.
+    *   2. Driver finish: once the super-graph fits `driverEdgeBound`
+    *      (default 2^20 edges ≈ tens of MB — bounded driver memory, the
+    *      same posture as the IVF centroid collect), the remaining closure
+    *      runs as a path-compressed min-root union-find on the driver and
+    *      is applied back with one broadcast join. This caps the round
+    *      count: a 100 TB corpus pays 1-3 full-corpus rounds instead of
+    *      O(log diameter), and a bench-scale pair set (edges already under
+    *      the bound) pays ZERO distributed rounds.
     *
     * Returns (idCol, cluster_id, is_representative) for EVERY id in
     * `ids` — singletons keep their own id as cluster_id; cluster_id is
-    * the component's minimum id (deterministic, order-independent).
+    * the component's minimum id (deterministic, order-independent: the
+    * union-find attaches the larger root under the smaller, so roots are
+    * component minima regardless of edge order).
     * Contract: pair endpoints must be drawn from `ids` — an edge to an
     * id outside the universe contributes no label (its endpoint has no
     * labels row to propagate from). */
   def components(pairs: DataFrame, ids: DataFrame, idCol: String = "doc_id",
                  aCol: String = "a_id", bCol: String = "b_id",
-                 maxIters: Int = 20): DataFrame = {
+                 maxIters: Int = 20, driverEdgeBound: Long = 1L << 20): DataFrame = {
     // localCheckpoint (not cache) on the iterated frame: caching keeps
     // the LOGICAL plan growing — two self-joins per round double it, and
     // the analyzer blows the heap after a dozen rounds; checkpointing
@@ -141,35 +153,87 @@ object Dedup {
       .distinct().localCheckpoint(eager = true)
     var labels = ids.select(col(idCol).as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(eager = true)
+    val labelType = labels.schema("label").dataType
     var i = 0
     var converged = false
     while (!converged && i < maxIters) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min("label").as("nbr_min"))
-      val propagated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          col("label").as("prev"))
-      // pointer jump against the PREVIOUS round's (checkpointed) label map:
-      // a stale label-of-label still contracts paths (labels only ever
-      // decrease toward the component min, and every stale value is a
-      // same-component id, so least() stays correct) — and because the
-      // jump side scans the checkpoint instead of re-deriving this round's
-      // frame, the edges-join + min-aggregate above (the expensive
-      // exchange at corpus scale) is evaluated exactly ONCE per round,
-      // with one materialization. Convergence is a scan of the checkpoint
-      // (`prev` carried through), not a join back against the old frame.
-      val jump = labels.select(col("id").as("lid"), col("label").as("llabel"))
-      val updated = propagated.join(jump, propagated("label") === jump("lid"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("llabel"), col("label"))).as("label"),
-          col("prev"))
-        .localCheckpoint(eager = true)
-      converged = updated.where(col("label") =!= col("prev")).isEmpty
-      labels = updated.select("id", "label")
-      i += 1
+      // contracted super-graph between CURRENT labels, in canonical
+      // (min, max) form. Round 0 is the identity labeling, so the
+      // contraction is just the (already distinct, symmetric) edge set
+      // itself — no join needed.
+      val contracted =
+        if (i == 0) edges.where(col("src") < col("dst")).select(col("src").as("x"), col("dst").as("y"))
+        else edges
+          .join(labels.select(col("id").as("src"), col("label").as("sl")), "src")
+          .join(labels.select(col("id").as("dst"), col("label").as("dl")), "dst")
+          .where(col("sl") =!= col("dl"))
+          .select(least(col("sl"), col("dl")).as("x"), greatest(col("sl"), col("dl")).as("y"))
+          .distinct()
+      val superEdges = contracted.localCheckpoint(eager = true)
+      val cnt = superEdges.count()
+      if (cnt == 0) {
+        // every edge is internal to a label ⇒ labels are component-uniform,
+        // and a uniform label equals the component min (the min node's
+        // label only ever decreases from itself and label values are
+        // member ids)
+        converged = true
+      } else if (cnt <= driverEdgeBound) {
+        // driver finish: min-root union-find with path compression over
+        // the super-graph, applied back through ONE broadcast join.
+        // Generic over the id type — label values (Long doc ids, Int test
+        // ids, …) are compared through Comparable, and the root map is
+        // rebuilt with the labels frame's own schema so no cast can
+        // corrupt or widen the output type.
+        val parent = new java.util.HashMap[Any, Any]()
+        def find(a: Any): Any = {
+          var r = a
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          var c = a // path compression
+          while (parent.getOrDefault(c, c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+          r
+        }
+        def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        superEdges.collect().foreach { row =>
+          val (rx, ry) = (find(row.get(0)), find(row.get(1)))
+          if (rx != ry) { if (lt(rx, ry)) parent.put(ry, rx) else parent.put(rx, ry) }
+        }
+        val rootRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        parent.keySet().forEach { k =>
+          val r = find(k)
+          if (r != k) rootRows.add(org.apache.spark.sql.Row(k, r))
+        }
+        val spark = labels.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("l", labelType),
+          org.apache.spark.sql.types.StructField("root", labelType)))
+        val roots = spark.createDataFrame(rootRows, schema)
+        labels = labels.join(broadcast(roots), labels("label") === roots("l"), "left")
+          .select(col("id"), coalesce(col("root"), col("label")).as("label"))
+        converged = true
+      } else {
+        val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src")).agg(min("label").as("nbr_min"))
+        val propagated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        // pointer jump against the PREVIOUS round's (checkpointed) label
+        // map: a stale label-of-label still contracts paths (labels only
+        // ever decrease toward the component min, and every stale value is
+        // a same-component id, so least() stays correct) — and because the
+        // jump side scans the checkpoint instead of re-deriving this
+        // round's frame, the edges-join + min-aggregate above (the
+        // expensive exchange at corpus scale) is evaluated exactly ONCE
+        // per round, with one materialization.
+        val jump = labels.select(col("id").as("lid"), col("label").as("llabel"))
+        labels = propagated.join(jump, propagated("label") === jump("lid"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("llabel"), col("label"))).as("label"))
+          .localCheckpoint(eager = true)
+        i += 1
+      }
     }
     // silent unconverged labels would hand callers WRONG clusters; with
-    // pointer jumping maxIters=20 covers diameters up to ~2^20, so hitting
-    // this means the graph needs a bigger budget, not a shrug
+    // pointer jumping + the driver finish, maxIters=20 covers any graph
+    // whose super-graph ever contracts under the bound — hitting this
+    // means the graph needs a bigger budget, not a shrug
     if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] rounds=$i")
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $maxIters iterations; raise maxIters")

@@ -25,6 +25,16 @@ object Similarity {
   val DefaultNProbe = 4
   val DefaultTopK = 5
 
+  /** Lloyd-refinement hash-sample modulus the REGISTERED persisted-index
+    * query runs with (keep 1/4 of the corpus, selected by the same seed
+    * hash the oracle replays). This is the knob that keeps the index
+    * build's per-iteration scan cost sublinear in the corpus — at 100 TB
+    * the refinement runs on a fixed-rate sample while the one-time
+    * assignment pass still covers every vector. Library defaults stay at
+    * sampleMod = 1 (tiny test corpora can't spare rows); the driver query
+    * and IvfSql share THIS constant so the replay can't drift. */
+  val DefaultLloydSampleMod = 4
+
   /** Cosine similarity between two double arrays — the native fused-loop
     * Catalyst expression (graft.functions.CosineSim, with doGenCode). */
   def cosine(a: Column, b: Column): Column =
@@ -137,12 +147,12 @@ object Similarity {
     try {
       // secondary sort on id: limit-under-ties must be deterministic for
       // the oracle (XXH64 never collides in practice, the poly hash can)
-      var cents: Array[Array[Double]] = c.orderBy("h", "sid").limit(numCentroids)
-        .collect().map(_.getSeq[Double](2).toArray)
+      var cents: Array[Array[Double]] = timed("seed")(c.orderBy("h", "sid").limit(numCentroids)
+        .collect().map(_.getSeq[Double](2).toArray))
       require(cents.nonEmpty, "ivfBuild: corpus is empty — nothing to seed centroids from")
       val sample = if (sampleMod <= 1) c else c.where(pmod(col("h"), lit(sampleMod)) === 0)
-      for (_ <- 1 to lloydIters) {
-        val means = sample.select(nearestCid(col("v"), cents).as("cid"),
+      for (it <- 1 to lloydIters) {
+        val means = timed(s"lloyd$it")(sample.select(nearestCid(col("v"), cents).as("cid"),
             posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("cid", "pos")
           .agg((if (portableSeed) round(avg("x"), 6) + lit(0.0) else avg("x")).as("m"))
@@ -150,7 +160,7 @@ object Similarity {
           .collect().map { r =>
             val m = r.getMap[Int, Double](1)
             r.getInt(0) -> Array.tabulate(cents(0).length)(d => m(d))
-          }.toMap
+          }.toMap)
         cents = cents.indices.map(i => means.getOrElse(i + 1, cents(i))).toArray
       }
       cents
@@ -212,11 +222,24 @@ object Similarity {
     * lists laid out `partitionBy(cid)` so a probe's scan is pruned to its
     * own lists' files — the build-once/probe-many workflow a 100 TB
     * corpus actually uses (assignment scan runs once at write time). */
+  private def timed[T](what: String)(f: => T): T = {
+    if (sys.env.contains("GRAFT_IVF_DEBUG")) {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[ivf] $what ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    } else f
+  }
+
   def ivfWrite(corpus: DataFrame, path: String, numCentroids: Int = DefaultNumCentroids,
                lloydIters: Int = DefaultLloydIters, idCol: String = "vec_id",
-               vecCol: String = "embedding", portableSeed: Boolean = false): Unit = {
-    val cents = ivfBuild(corpus, numCentroids, lloydIters, 1, idCol, vecCol, portableSeed)
+               vecCol: String = "embedding", portableSeed: Boolean = false,
+               sampleMod: Int = 1): Unit = {
+    val cents = timed("build")(
+      ivfBuild(corpus, numCentroids, lloydIters, sampleMod, idCol, vecCol, portableSeed))
     val (centroids, assignments) = ivfAssign(corpus, cents, idCol, vecCol)
+    timed("write")(ivfWriteParts(centroids, assignments, path))
+  }
+
+  private def ivfWriteParts(centroids: DataFrame, assignments: DataFrame, path: String): Unit = {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     // co-locate each list before the partitioned write: without this every
     // shuffle partition writes a sliver into every cid directory —

@@ -23,9 +23,19 @@ object IvfSql {
   private val Iters = graft.pipeline.Similarity.DefaultLloydIters
   private val NProbe = graft.pipeline.Similarity.DefaultNProbe
   private val TopK = graft.pipeline.Similarity.DefaultTopK
+  private val SampleMod = graft.pipeline.Similarity.DefaultLloydSampleMod
 
   private val embCte =
     "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  /** The Lloyd refinement's hash sample (ivfBuild `sampleMod`): keep a
+    * vector iff its seed hash ≡ 0 (mod SampleMod). Means are computed on
+    * THIS subset; the final assignment (af) still covers every vector. */
+  private val sampCte =
+    s"""samp AS (
+      |  SELECT vec_id, v FROM emb
+      |  WHERE ((${polyA(8192L)} * (vec_id % $P) + ${polyB(8192L)}) % $P) % $SampleMod = 0
+      |)""".stripMargin
 
   /** cents0: portable-hash-ordered seed of K raw corpus vectors — replays
     * ivfBuild's orderBy(h, sid).limit(K); cid = 1-based collect order. */
@@ -39,16 +49,16 @@ object IvfSql {
       |  )
       |)""".stripMargin
 
-  /** Nearest-centroid assignment of every corpus vector against `cents`
+  /** Nearest-centroid assignment of every `src` vector against `cents`
     * (argmax cosine, ties to the lowest cid — NearestCentroid's first-wins
     * scan order). */
-  private def assignCte(name: String, cents: String): String =
+  private def assignCte(name: String, cents: String, src: String = "emb"): String =
     s"""$name AS (
       |  SELECT vec_id, v, cid FROM (
       |    SELECT e.vec_id, e.v, c.cid,
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cid ASC) AS rn
-      |    FROM emb e CROSS JOIN $cents c
+      |    FROM $src e CROSS JOIN $cents c
       |  ) WHERE rn = 1
       |)""".stripMargin
 
@@ -56,7 +66,7 @@ object IvfSql {
     * rounding); a cid that captured no vectors keeps its previous centroid
     * (ivfBuild's means.getOrElse). */
   private def lloydCte(i: Int): String =
-    s"""${assignCte(s"a$i", s"cents${i - 1}")},
+    s"""${assignCte(s"a$i", s"cents${i - 1}", src = "samp")},
       |m$i AS (
       |  SELECT cid, pos, round(avg(v[pos + 1]), 6) + 0.0 AS m
       |  FROM a$i CROSS JOIN range($Dim) t(pos)
@@ -72,6 +82,7 @@ object IvfSql {
   val annIvfTop5Sql: String = {
     val lloyds = (1 to Iters).map(lloydCte).mkString(",\n")
     s"""WITH $embCte,
+      |$sampCte,
       |$seedCte,
       |$lloyds,
       |probes AS (

@@ -89,7 +89,8 @@ object PipelineQueries {
   private def ivfIndexFor(spark: SparkSession, dir: String): String =
     ivfIndexDirs.computeIfAbsent(dir, d => {
       val p = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
-      Similarity.ivfWrite(Tables.embeddings(spark, d), p, portableSeed = true)
+      Similarity.ivfWrite(Tables.embeddings(spark, d), p, portableSeed = true,
+        sampleMod = Similarity.DefaultLloydSampleMod)
       p
     })
 

@@ -314,6 +314,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_.getBoolean(2)) == 1)
   }
 
+  test("components: distributed rounds, hybrid finish, and driver finish all agree") {
+    // two chains + singletons; every execution path of the two-phase CC
+    // must produce the identical labeling:
+    //   bound=0        → pure distributed min-label rounds (never finishes
+    //                    on the driver)
+    //   bound=2        → distributed rounds contract the super-graph until
+    //                    it fits, then the driver union-find closes it
+    //   bound=default  → immediate driver finish, zero distributed rounds
+    val n = 20
+    val chain = (1 until n).map(i => (i.toLong, i.toLong + 1))
+    val pair = Seq((100L, 101L))
+    val pairs = spark.createDataFrame(chain ++ pair).toDF("a_id", "b_id")
+    val ids = spark.createDataFrame(
+      ((1 to n).map(_.toLong) ++ Seq(100L, 101L, 200L)).map(Tuple1(_))).toDF("doc_id")
+    def run(bound: Long) = Dedup.components(pairs, ids, driverEdgeBound = bound)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val viaDriver = run(1L << 20)
+    val viaDistributed = run(0L)
+    val viaHybrid = run(2L)
+    assert(viaDriver == viaDistributed)
+    assert(viaDriver == viaHybrid)
+    assert(viaDriver(20L) == (1L, false) && viaDriver(101L) == (100L, false)
+      && viaDriver(200L) == (200L, true))
+  }
+
+  test("components: driver finish preserves an Int id schema") {
+    // Int ids must come back as Int cluster ids (the union-find is generic
+    // — no silent widening to Long through the root map)
+    val pairs = spark.createDataFrame(Seq((2, 1), (3, 2))).toDF("a_id", "b_id")
+    val ids = spark.createDataFrame(Seq(1, 2, 3, 9).map(Tuple1(_))).toDF("doc_id")
+    val out = Dedup.components(pairs, ids)
+    assert(out.schema("cluster_id").dataType == org.apache.spark.sql.types.IntegerType)
+    val got = out.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1, 9 -> 9))
+  }
+
   test("native CosineSim expression agrees with the composed built-ins formulation") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 200).map(i => (i.toLong,
