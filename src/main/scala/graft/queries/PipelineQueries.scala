@@ -427,6 +427,61 @@ object PipelineQueries {
           |FROM lp ORDER BY doc_id""".stripMargin
       }),
 
+    Entry("pack_sequences",
+      // LLM-pretraining sequence packing: docs are laid back-to-back in id
+      // order within a hash shard and cut into 512-token sequences
+      // ("concat then chunk"). The per-shard running-offset window is the
+      // only state; parallelism = shard count, no global order promised —
+      // exactly how per-worker training shards consume a corpus. Pure
+      // integer arithmetic, so the oracle replay is exact.
+      (spark, dir) => Packing.packSequences(Tables.documents(spark, dir),
+          budget = 512, shards = 8)
+        .orderBy("doc_id"),
+      Some {
+        val P = graft.functions.TextHashes.PolyP
+        val a = graft.functions.TextHashes.polyA(Packing.SeedIdx)
+        val b = graft.functions.TextHashes.polyB(Packing.SeedIdx)
+        s"""WITH t AS (
+          |  SELECT doc_id,
+          |    CAST((($a * (doc_id % $P) + $b) % $P) % 8 AS INTEGER) AS shard,
+          |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+          |  FROM documents
+          |), o AS (
+          |  SELECT doc_id, shard, n_tokens,
+          |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+          |  FROM t
+          |)
+          |SELECT doc_id, shard, n_tokens,
+          |  CAST(off // 512 AS BIGINT) AS seq_in_shard,
+          |  CAST(off % 512 AS BIGINT) AS offset_in_seq
+          |FROM o ORDER BY doc_id""".stripMargin
+      }),
+
+    Entry("vocab_top100",
+      // corpus vocabulary: token frequency + document frequency, top 100
+      // by occurrences with a lexicographic tiebreak so the cutoff is
+      // deterministic. Skewed tokens ("the") are absorbed by map-side
+      // partial aggregation — no salting needed for an algebraic agg —
+      // and the top-k is a TakeOrdered (per-partition top-100, driver
+      // merge), never a full sort.
+      (spark, dir) => {
+        val toks = Tables.documents(spark, dir).select(col("doc_id"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+          .where(col("token") =!= "")
+        toks.groupBy("token")
+          .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("n_occurrences").desc, col("token").asc)
+          .limit(100)
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents
+        |)
+        |SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |FROM tok WHERE token != ''
+        |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin)),
+
     Entry("multimodal_features",
       // Mixed-modality demo: a third each synthetic WAV / PPM / raw text;
       // WAV+PPM are decoded for real (header walk + sample/pixel stats),

@@ -350,6 +350,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1, 9 -> 9))
   }
 
+  test("sequence packing: contiguous offsets per shard, budget-aligned boundaries") {
+    val d = docs((1 to 40).map(i => i.toLong -> (Seq.fill(i % 7 + 1)("tok").mkString(" "))): _*)
+    val budget = 10
+    val rows = Packing.packSequences(d, budget = budget, shards = 3)
+      .orderBy("shard", "doc_id").collect()
+    assert(rows.length == 40)
+    // within each shard, offset(next) = offset(prev) + n_tokens(prev):
+    // documents are packed back-to-back with no gaps and no overlap
+    rows.groupBy(_.getInt(1)).foreach { case (_, rs) =>
+      val offs = rs.map(r => (r.getLong(2), r.getLong(3) * budget + r.getLong(4)))
+      offs.sliding(2).foreach {
+        case Array((ntokPrev, offPrev), (_, offNext)) =>
+          assert(offNext == offPrev + ntokPrev)
+        case _ =>
+      }
+      // every shard starts at sequence 0, offset 0
+      assert(offs.head._2 == 0L)
+    }
+    // token counts: doc i has i % 7 + 1 whitespace tokens
+    assert(rows.forall(r => r.getLong(2) == (r.getLong(0) % 7) + 1))
+    // all shards used (hash sharding spreads 40 sequential ids over 3)
+    assert(rows.map(_.getInt(1)).distinct.length == 3)
+  }
+
   test("native CosineSim expression agrees with the composed built-ins formulation") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 200).map(i => (i.toLong,
