@@ -77,6 +77,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"projection must prune the text column from the scan:\n$plan")
   }
 
+  test("sequence packing shuffles once, on the shard key") {
+    val plan = executedPlan(Packing.packSequences(docs(60), budget = 16, shards = 4))
+    // one hash exchange on shard feeds the per-shard running-offset
+    // window; any second exchange means the packing stopped scaling with
+    // the shard count
+    val nExchange = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(nExchange == 1, s"packing must shuffle exactly once (by shard):\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"the single exchange must be keyed on shard:\n$plan")
+  }
+
+  test("vocab top-k compiles to TakeOrdered, never a global sort") {
+    val toks = docs(60).select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+    val top = toks.groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(100)
+    val plan = executedPlan(top)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must fuse into per-partition top-k + driver merge:\n$plan")
+  }
+
   test("persisted IVF probe prunes unprobed lists via cid partition filter") {
     val e = embs(80)
     val dir = java.nio.file.Files.createTempDirectory("plan_ivf_").toString
