@@ -101,7 +101,13 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                         numPerms: Int = 32, bands: Int = 16, shingleK: Int = 3,
                         portable: Boolean = false): DataFrame = {
-    val sig = minhashSignatures(docs, textCol, idCol, numPerms, shingleK, portable).cache()
+    // MEMORY_AND_DISK, not the MEMORY_ONLY default: the signature frame is
+    // corpus-sized (one row per doc), and it feeds THREE downstream joins
+    // (bucketing + both sides of the pair-verify). Under memory pressure at
+    // 100 TB, MEMORY_ONLY silently evicts and recomputes the shingle+minhash
+    // pass per join; spilling the overflow to local disk is strictly cheaper.
+    val sig = minhashSignatures(docs, textCol, idCol, numPerms, shingleK, portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = lshBuckets(sig, idCol, numPerms, bands, portable)
     val a = buckets.toDF("a_id", "band", "bucket")
     val b = buckets.toDF("b_id", "band", "bucket")

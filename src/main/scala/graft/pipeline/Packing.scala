@@ -25,6 +25,11 @@ object Packing {
     * 16384 and the IVF seed's 8192). */
   private[graft] val SeedIdx = 32768L
 
+  /** Default knobs, shared between the registered queries and their DuckDB
+    * oracles (interpolated into the SQL) so the two can never desync. */
+  val DefaultBudget = 512
+  val DefaultShards = 8
+
   /** The shard of an id: poly-hash then mod `shards` — uniform regardless
     * of id distribution (sequential ids would stripe mod-only shards). */
   def shardOf(id: Column, shards: Int): Column = {

@@ -32,6 +32,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Count physical shuffle-exchange NODES in the final adaptive plan.
+    * The plan STRING under AQE prints both the Final and Initial plans
+    * (the same node appears twice in the text), so substring counting
+    * over-counts — walk the resolved plan tree instead. Query stages are
+    * leaf nodes that hide their materialized exchange behind `.plan`, so
+    * the walk descends into them explicitly (a plain `collect` would see
+    * zero exchanges). ReusedExchangeExec is not ShuffleExchangeLike, so a
+    * reused exchange still counts once. */
+  private def physicalNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => physicalNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => physicalNodes(q.plan)
+    case other => other +: other.children.flatMap(physicalNodes)
+  }
+  private def countShuffleExchanges(df: DataFrame): Int = {
+    df.collect()
+    physicalNodes(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+  }
+
   private def docs(n: Int) =
     spark.createDataFrame(
       (0 until n).map(i => (i.toLong, s"document number $i with some shared words and token$i")))
@@ -78,12 +97,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("sequence packing shuffles once, on the shard key") {
-    val plan = executedPlan(Packing.packSequences(docs(60), budget = 16, shards = 4))
+    val df = Packing.packSequences(docs(60), budget = 16, shards = 4)
     // one hash exchange on shard feeds the per-shard running-offset
     // window; any second exchange means the packing stopped scaling with
     // the shard count
-    val nExchange = plan.sliding("Exchange hashpartitioning".length)
-      .count(_ == "Exchange hashpartitioning")
+    val nExchange = countShuffleExchanges(df)
+    val plan = executedPlan(df)
     assert(nExchange == 1, s"packing must shuffle exactly once (by shard):\n$plan")
     assert(plan.contains("hashpartitioning(shard"),
       s"the single exchange must be keyed on shard:\n$plan")
