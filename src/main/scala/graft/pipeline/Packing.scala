@@ -39,6 +39,22 @@ object Packing {
     pmod(h, lit(shards.toLong)).cast("int")
   }
 
+  /** Shared base: (idCol, shard, n_tokens, offset) where `offset` is the
+    * running token offset of the doc within its shard's back-to-back
+    * layout. One hash exchange (on shard) feeds the window; everything
+    * downstream of it — position arithmetic or slice explosion — is
+    * narrow. Ids are assumed non-negative (the same contract `ivfBuild`
+    * states): `shardOf` hashes with pmod while the DuckDB oracle replays
+    * sign-following `%`, so the two only agree for ids >= 0. */
+  private def withOffsets(docs: DataFrame, shards: Int,
+                          idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), shardOf(col(idCol), shards).as("shard"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+  }
+
   /** Assign every document a (shard, seq_in_shard, offset_in_seq) packing
     * position: documents are laid out back-to-back in id order within
     * their shard, and sequence boundaries fall every `budget` tokens.
@@ -48,13 +64,47 @@ object Packing {
   def packSequences(docs: DataFrame, budget: Int, shards: Int,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(budget > 0 && shards > 0, "budget and shards must be positive")
-    val w = Window.partitionBy("shard").orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col(idCol), shardOf(col(idCol), shards).as("shard"),
-        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
-      .withColumn("offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+    withOffsets(docs, shards, idCol, textCol)
       .select(col(idCol), col("shard"), col("n_tokens"),
         expr(s"offset div $budget").as("seq_in_shard"),
         pmod(col("offset"), lit(budget.toLong)).as("offset_in_seq"))
+  }
+
+  /** Materialize the slice map a trainer actually consumes: one row per
+    * (sequence, document-slice). A document that straddles a sequence
+    * boundary emits one row for EACH sequence it touches — `sequence(
+    * offset div budget, (offset + n_tokens - 1) div budget)` + explode —
+    * with integer slice arithmetic locating the cut:
+    *
+    *   - `doc_from`      first token of the doc that lands in this sequence
+    *   - `take_len`      how many tokens of the doc this sequence takes
+    *   - `offset_in_seq` where in the sequence the slice is written
+    *
+    * so `seq[offset_in_seq : offset_in_seq+take_len] =
+    * doc[doc_from : doc_from+take_len]` reassembles every sequence
+    * exactly. Per-shard slice counts stay contiguous: sum(take_len) over a
+    * (shard, seq_id) group is `budget` for every full sequence.
+    *
+    * Scale: the explode is narrow (runs inside the same stage as the
+    * window — no second shuffle) and fans out at most
+    * ceil(n_tokens/budget)+1 rows per doc, so output size is
+    * O(total_tokens/budget + n_docs). All arithmetic is integral; the
+    * DuckDB oracle replays it exactly via generate_series.
+    *
+    * Returns (shard, seq_id, idCol, doc_from, take_len, offset_in_seq).
+    */
+  def packSlices(docs: DataFrame, budget: Int, shards: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val b = lit(budget.toLong)
+    withOffsets(docs, shards, idCol, textCol)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"offset div $budget"),
+        expr(s"(offset + n_tokens - 1) div $budget"))))
+      .select(col("shard"), col("seq_id"), col(idCol),
+        greatest(col("seq_id") * b - col("offset"), lit(0L)).as("doc_from"),
+        (least(col("offset") + col("n_tokens"), (col("seq_id") + lit(1L)) * b)
+          - greatest(col("offset"), col("seq_id") * b)).as("take_len"),
+        (greatest(col("offset"), col("seq_id") * b) - col("seq_id") * b).as("offset_in_seq"))
   }
 }

@@ -49,6 +49,29 @@ object PipelineQueries {
       |)""".stripMargin
   }
 
+  /** Shared packing CTE base (`t`: shard + token count, `o`: per-shard
+    * running offset) used by BOTH pack_sequences and pack_slices —
+    * interpolated from Packing's seed stream and DefaultShards so the
+    * oracle can never desync from the implementation's knobs. Replays
+    * `shardOf` with sign-following `%` (valid because doc_id >= 0 — the
+    * documented non-negative-id contract on Packing). */
+  private val packingCtes: String = {
+    val P = graft.functions.TextHashes.PolyP
+    val a = graft.functions.TextHashes.polyA(Packing.SeedIdx)
+    val b = graft.functions.TextHashes.polyB(Packing.SeedIdx)
+    s"""t AS (
+      |  SELECT doc_id,
+      |    CAST((($a * (doc_id % $P) + $b) % $P) % ${Packing.DefaultShards} AS INTEGER) AS shard,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), o AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM t
+      |)""".stripMargin
+  }
+
   /** Langid argmax with Spark's zh > fr > es > en > de tie priority. */
   private val langPredSql: String =
     """CASE WHEN s_zh > 0 AND s_zh = best THEN 'zh'
@@ -435,36 +458,52 @@ object PipelineQueries {
       // exactly how per-worker training shards consume a corpus. Pure
       // integer arithmetic, so the oracle replay is exact.
       (spark, dir) => Packing.packSequences(Tables.documents(spark, dir),
-          budget = 512, shards = 8)
+          budget = Packing.DefaultBudget, shards = Packing.DefaultShards)
         .orderBy("doc_id"),
+      Some(s"""WITH ${packingCtes}
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(off // ${Packing.DefaultBudget} AS BIGINT) AS seq_in_shard,
+        |  CAST(off % ${Packing.DefaultBudget} AS BIGINT) AS offset_in_seq
+        |FROM o ORDER BY doc_id""".stripMargin)),
+
+    Entry("pack_slices",
+      // the materialized slice map a trainer consumes: one row per
+      // (sequence, doc-slice), a straddling doc contributing a row to each
+      // sequence it touches. take_len/doc_from/offset_in_seq locate the
+      // exact token cut, so sequences reassemble byte-for-byte. The
+      // explode is narrow — same single shard exchange as pack_sequences
+      // (plan-tested) — and all arithmetic is integral, replayed exactly
+      // by the oracle's generate_series.
+      (spark, dir) => Packing.packSlices(Tables.documents(spark, dir),
+          budget = Packing.DefaultBudget, shards = Packing.DefaultShards)
+        .orderBy("shard", "seq_id", "doc_id"),
       Some {
-        val P = graft.functions.TextHashes.PolyP
-        val a = graft.functions.TextHashes.polyA(Packing.SeedIdx)
-        val b = graft.functions.TextHashes.polyB(Packing.SeedIdx)
-        s"""WITH t AS (
-          |  SELECT doc_id,
-          |    CAST((($a * (doc_id % $P) + $b) % $P) % 8 AS INTEGER) AS shard,
-          |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
-          |  FROM documents
-          |), o AS (
-          |  SELECT doc_id, shard, n_tokens,
-          |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-          |  FROM t
+        val B = Packing.DefaultBudget
+        s"""WITH ${packingCtes},
+          |s AS (
+          |  SELECT doc_id, shard, n_tokens, off,
+          |    unnest(generate_series(off // $B, (off + n_tokens - 1) // $B)) AS seq_id
+          |  FROM o
           |)
-          |SELECT doc_id, shard, n_tokens,
-          |  CAST(off // 512 AS BIGINT) AS seq_in_shard,
-          |  CAST(off % 512 AS BIGINT) AS offset_in_seq
-          |FROM o ORDER BY doc_id""".stripMargin
+          |SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+          |  CAST(greatest(seq_id * $B - off, 0) AS BIGINT) AS doc_from,
+          |  CAST(least(off + n_tokens, (seq_id + 1) * $B)
+          |    - greatest(off, seq_id * $B) AS BIGINT) AS take_len,
+          |  CAST(greatest(off, seq_id * $B) - seq_id * $B AS BIGINT) AS offset_in_seq
+          |FROM s ORDER BY shard, seq_id, doc_id""".stripMargin
       }),
 
     Entry("vocab_top100",
       // corpus vocabulary: token frequency + document frequency, top 100
       // by occurrences with a lexicographic tiebreak so the cutoff is
-      // deterministic. Skewed tokens ("the") are absorbed by map-side
-      // partial aggregation — no salting needed for an algebraic agg —
-      // and the top-k is a TakeOrdered (per-partition top-100, driver
-      // merge), never a full sort.
+      // deterministic. The n_occurrences count is algebraic, so hot
+      // tokens ("the") are absorbed by map-side partial aggregation; the
+      // top-k is a TakeOrdered (per-partition top-100, driver merge),
+      // never a full sort. The n_docs leg is NOT skew-immune: exact
+      // countDistinct routes every distinct (token, doc_id) pair of a hot
+      // token through that token's reducer — at corpus scale use the
+      // approx_count_distinct path (HLL sketches merge map-side), kept
+      // exact here because the oracle hashes exact values.
       (spark, dir) => {
         val toks = Tables.documents(spark, dir).select(col("doc_id"),
             explode(split(trim(lower(col("text"))), "\\s+")).as("token"))

@@ -374,6 +374,50 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getInt(1)).distinct.length == 3)
   }
 
+  test("pack slices: sequences reassemble exactly — full budget per sequence, full doc across slices") {
+    val d = docs((1 to 40).map(i => i.toLong -> (Seq.fill(i % 7 + 1)("tok").mkString(" "))): _*)
+    val budget = 10
+    val rows = Packing.packSlices(d, budget = budget, shards = 3)
+      .orderBy("shard", "seq_id", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // every doc is fully covered: its slices take n_tokens total, starting
+    // at doc_from 0 and contiguous across consecutive sequences
+    rows.groupBy(_._3).foreach { case (doc, slices) =>
+      val expected = (doc % 7) + 1
+      assert(slices.map(_._5).sum == expected, s"doc $doc total take_len")
+      val sorted = slices.sortBy(_._2)
+      assert(sorted.head._4 == 0L, s"doc $doc first slice must start at 0")
+      sorted.sliding(2).foreach {
+        case Array(p, n) =>
+          assert(n._2 == p._2 + 1, s"doc $doc slices must touch consecutive sequences")
+          assert(n._4 == p._4 + p._5, s"doc $doc doc_from must be contiguous")
+        case _ =>
+      }
+    }
+    // every sequence except the last of its shard is packed to EXACTLY the
+    // budget, slices abutting (offset_in_seq contiguous from 0)
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((shard, seq), slices) =>
+      val sorted = slices.sortBy(_._3)
+      assert(sorted.head._6 == 0L, s"seq ($shard,$seq) must start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(p, n) => assert(n._6 == p._6 + p._5, s"seq ($shard,$seq) slices must abut")
+        case _ =>
+      }
+      val lastSeq = rows.filter(_._1 == shard).map(_._2).max
+      if (seq < lastSeq)
+        assert(slices.map(_._5).sum == budget, s"seq ($shard,$seq) must be budget-full")
+      else assert(slices.map(_._5).sum <= budget)
+    }
+    // consistency with packSequences: a doc's first slice lands exactly at
+    // its (seq_in_shard, offset_in_seq) position
+    val pos = Packing.packSequences(d, budget = budget, shards = 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(3), r.getLong(4))).toMap
+    rows.groupBy(_._3).foreach { case (doc, slices) =>
+      val first = slices.minBy(_._2)
+      assert((first._1, first._2, first._6) == pos(doc), s"doc $doc position mismatch")
+    }
+  }
+
   test("native CosineSim expression agrees with the composed built-ins formulation") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 200).map(i => (i.toLong,

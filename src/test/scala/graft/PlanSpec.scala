@@ -108,6 +108,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the single exchange must be keyed on shard:\n$plan")
   }
 
+  test("pack slices: the explode stays narrow — still exactly one shuffle, on shard") {
+    val df = Packing.packSlices(docs(60), budget = 16, shards = 4)
+    // the sequence()+explode fan-out must run INSIDE the post-window stage:
+    // a second exchange would mean slice materialization re-shuffles the
+    // corpus instead of riding the same shard partitioning
+    val nExchange = countShuffleExchanges(df)
+    val plan = executedPlan(df)
+    assert(nExchange == 1, s"slice map must reuse the single shard exchange:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"the single exchange must be keyed on shard:\n$plan")
+  }
+
   test("vocab top-k compiles to TakeOrdered, never a global sort") {
     val toks = docs(60).select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
