@@ -125,7 +125,8 @@ object Similarity {
   def ivfBuild(corpus: DataFrame, numCentroids: Int = DefaultNumCentroids,
                lloydIters: Int = DefaultLloydIters,
                sampleMod: Int = 1, idCol: String = "vec_id",
-               vecCol: String = "embedding", portableSeed: Boolean = false): Array[Array[Double]] = {
+               vecCol: String = "embedding", portableSeed: Boolean = false,
+               sampleTarget: Long = 0L): Array[Array[Double]] = {
     // the seed is a deterministic hash shuffle of the ids; `portableSeed`
     // swaps XXH64 for the mod-prime affine family (every intermediate
     // < 2^60) so a SQL oracle can replay the exact seed order — id is
@@ -150,7 +151,7 @@ object Similarity {
       var cents: Array[Array[Double]] = timed("seed")(c.orderBy("h", "sid").limit(numCentroids)
         .collect().map(_.getSeq[Double](2).toArray))
       require(cents.nonEmpty, "ivfBuild: corpus is empty — nothing to seed centroids from")
-      val sample = if (sampleMod <= 1) c else c.where(pmod(col("h"), lit(sampleMod)) === 0)
+      val sample = lloydSample(c, sampleMod, sampleTarget)
       for (it <- 1 to lloydIters) {
         val means = timed(s"lloyd$it")(sample.select(nearestCid(col("v"), cents).as("cid"),
             posexplode(col("v")).as(Seq("pos", "x")))
@@ -166,6 +167,37 @@ object Similarity {
       cents
     } finally c.unpersist(blocking = false)
   }
+
+  /** The Lloyd refinement sample. Two modes:
+    *
+    *   - `sampleTarget > 0` — fixed-SIZE: one count over the (cached)
+    *     projection derives a fixed-point keep fraction, so the refinement
+    *     shuffle is bounded by ~sampleTarget rows at ANY corpus size. This
+    *     is the 100 TB posture: build cost stops growing with N once the
+    *     sample saturates (k-means quality needs ~k×1000 points, not the
+    *     corpus). Wins over `sampleMod` when both are set.
+    *   - `sampleMod > 1` — fixed-RATE: keep every sampleMod-th hash value;
+    *     cost stays linear in N but the predicate is trivially replayable
+    *     in SQL, which is why the oracle-registered query keeps using it
+    *     (IvfSql replays DefaultLloydSampleMod).
+    *
+    * Both select on the SAME deterministic per-row hash `h` used for
+    * seeding, so the sample is reproducible across runs and engines; the
+    * fixed-size threshold compares `h mod 2^20` against fraction×2^20,
+    * independent of the `orderBy(h).limit(k)` seed choice for any
+    * non-degenerate corpus (the k seed rows are the k smallest h — a
+    * vanishing fraction of the range). */
+  private[graft] def lloydSample(c: DataFrame, sampleMod: Int, sampleTarget: Long): DataFrame =
+    if (sampleTarget > 0L) {
+      val n = c.count()
+      if (n <= sampleTarget) c
+      else {
+        val scale = 1L << 20
+        val thr = math.max(1L, sampleTarget * scale / n)
+        c.where(pmod(col("h"), lit(scale)) < lit(thr))
+      }
+    } else if (sampleMod <= 1) c
+    else c.where(pmod(col("h"), lit(sampleMod)) === 0)
 
   /** IVF (inverted-file) index: a small set of coarse centroids partitions
     * the corpus into lists; queries probe only the `nprobe` nearest lists.
@@ -232,9 +264,10 @@ object Similarity {
   def ivfWrite(corpus: DataFrame, path: String, numCentroids: Int = DefaultNumCentroids,
                lloydIters: Int = DefaultLloydIters, idCol: String = "vec_id",
                vecCol: String = "embedding", portableSeed: Boolean = false,
-               sampleMod: Int = 1): Unit = {
+               sampleMod: Int = 1, sampleTarget: Long = 0L): Unit = {
     val cents = timed("build")(
-      ivfBuild(corpus, numCentroids, lloydIters, sampleMod, idCol, vecCol, portableSeed))
+      ivfBuild(corpus, numCentroids, lloydIters, sampleMod, idCol, vecCol, portableSeed,
+        sampleTarget))
     val (centroids, assignments) = ivfAssign(corpus, cents, idCol, vecCol)
     timed("write")(ivfWriteParts(centroids, assignments, path))
   }

@@ -418,6 +418,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fixed-size Lloyd sample stays ~target regardless of corpus size") {
+    // the same portable per-row hash ivfBuild derives for its `h` column
+    def hashed(n: Int) = {
+      val P = graft.functions.TextHashes.PolyP
+      spark.range(n).select(
+        ((lit(graft.functions.TextHashes.polyA(8192L)) * pmod(col("id"), lit(P)) +
+          lit(graft.functions.TextHashes.polyB(8192L))) % lit(P)).as("h"))
+    }
+    val target = 500L
+    // two corpus sizes, 10× apart: the sample must stay near `target` for
+    // both (the fixed-RATE path would grow 10×)
+    for (n <- Seq(2000, 20000)) {
+      val got = Similarity.lloydSample(hashed(n), sampleMod = 1, sampleTarget = target).count()
+      assert(got >= target * 3 / 5 && got <= target * 3 / 2, s"n=$n sample=$got")
+    }
+    // saturation: a corpus below target passes through whole
+    assert(Similarity.lloydSample(hashed(300), 1, target).count() == 300L)
+    // fixed-size wins when both knobs are set
+    val both = Similarity.lloydSample(hashed(20000), sampleMod = 4, sampleTarget = target).count()
+    assert(both >= target * 3 / 5 && both <= target * 3 / 2, s"both-knobs sample=$both")
+    // and centroids still build end-to-end through the bounded sample
+    val rnd = new scala.util.Random(5)
+    val corpus = spark.createDataFrame((0 until 800).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f)))).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfBuild(corpus, numCentroids = 4, sampleTarget = 200L)
+    assert(cents.length == 4 && cents.forall(_.length == 8))
+  }
+
   test("native CosineSim expression agrees with the composed built-ins formulation") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 200).map(i => (i.toLong,
