@@ -42,7 +42,7 @@ object Dedup {
     * dedup signature derives from. One definition: the DuckDB oracles
     * (DedupSql.tokCte) replay this exact form, so a drift between call
     * sites would silently desync them from the oracle. */
-  private[pipeline] def tokens(text: Column): Column =
+  private[graft] def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
   /** Word k-shingles of the normalized text. */

@@ -257,6 +257,36 @@ object StreamingOps {
       }.toDF()
   }
 
+  /** Streaming train/test decontamination, the twin of
+    * Dedup.decontaminate: flag every arriving corpus doc that shares a
+    * k-gram fingerprint with the (STATIC) benchmark set. The benchmark is
+    * an eval suite, not a corpus — its distinct fingerprint set is
+    * collected once at query build (the same small set the batch path
+    * rides on a broadcast join) and shipped to executors as one broadcast
+    * variable; each micro-batch then flags docs with a stateless per-row
+    * hash-set probe. No shuffle, no state store, no watermark — the
+    * cheapest possible streaming shape, and the per-doc semantics are
+    * IDENTICAL to batch (same shingleFps composition, so the same mod-P
+    * collision caveat, erring on the drop side).
+    *
+    * The membership probe is a Scala UDF rather than a join: a streaming
+    * `explode` + semi-join + per-doc distinct would need an aggregation
+    * state store per micro-batch, while a broadcast set lookup is O(1)
+    * per shingle with zero state — on a stream, the UDF IS the scalable
+    * shape. Returns (idCol, contaminated) per arriving doc. */
+  def decontaminateStream(corpus: DataFrame, benchmark: DataFrame,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          shingleK: Int = 5): DataFrame = {
+    import graft.functions.TextHashes
+    def docFps(c: org.apache.spark.sql.Column) =
+      array_distinct(TextHashes.shingleFps(graft.pipeline.Dedup.tokens(c), shingleK))
+    val fps = benchmark.select(explode(docFps(col(textCol))).as("fp"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val bc = corpus.sparkSession.sparkContext.broadcast(fps)
+    val hit = udf { (arr: Seq[Long]) => arr != null && arr.exists(bc.value.contains) }
+    corpus.select(col(idCol), hit(docFps(col(textCol))).as("contaminated"))
+  }
+
   /** Watermarked event-time windowed aggregation over the raw event
     * stream: per (event_type, window) count/avg — the canonical streaming
     * rollup for the events table. `ts` must be a timestamp column. */

@@ -77,6 +77,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming decontamination equals the batch broadcast-semi-join flags") {
+    // corpus: some docs share a 5-gram with the benchmark, some don't;
+    // doc 7 shares tokens but never 5 contiguous ones
+    val bench = Seq("the quick brown fox jumps over the lazy dog",
+      "to be or not to be that is the question")
+    val corpus = (0L until 12L).map { i =>
+      val text =
+        if (i % 3 == 0) s"prefix $i the quick brown fox jumps over something else"
+        else if (i == 7L) "quick dog lazy fox brown the jumps over or not"
+        else s"completely unrelated document number $i with its own words"
+      (i, text)
+    }
+    val benchDf = spark.createDataFrame(bench.map(Tuple1(_))).toDF("text")
+    implicit val enc = Encoders.product[(Long, String)]
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.decontaminateStream(ms.toDF().toDF("doc_id", "text"), benchDf)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      val (b1, b2) = corpus.splitAt(5)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, contaminated FROM decon_stream").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val corpusDf = spark.createDataFrame(corpus).toDF("doc_id", "text")
+      val batch = graft.pipeline.Dedup.decontaminate(corpusDf, benchDf).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == batch, s"stream flags must equal batch flags\n got=$got\n batch=$batch")
+      // sanity on the shape itself, not just parity: shared 5-grams flag,
+      // shared words alone don't
+      assert(got(0L) && got(3L) && !got(7L) && !got(1L))
+    } finally q.stop()
+  }
+
   test("streaming minhash-LSH pairs equal the batch bucket join across micro-batches") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 4
     val words = base.trim.split(" ")
