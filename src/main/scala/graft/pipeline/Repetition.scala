@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Repetition-based quality signals for pretraining corpora — the
+  * "excessive repetition" family of filters popularized by the Gopher /
+  * MassiveText quality rules (Rae et al. 2021, §A1.1) and C4: documents
+  * dominated by one token or by duplicated n-grams are boilerplate,
+  * spam, or scraper artifacts, and get dropped before training.
+  *
+  * Every signal is computed PER ROW with higher-order array functions
+  * over the token list — no explode, no groupBy, no shuffle, no UDF: at
+  * 100 TB this runs entirely inside the scan stage, and the only data
+  * movement is the parquet read itself. The arithmetic is integer counts
+  * ratioed in double precision, so a SQL oracle replays it exactly.
+  */
+object Repetition {
+
+  /** Tokens, lowercased: repetition is a lexical property, so "The the
+    * THE" is three repeats. */
+  private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Distinct-token fraction (type-token ratio): near 0 ⇒ the doc keeps
+    * repeating the same few words. */
+  def distinctRatio(text: Column): Column = {
+    val t = toks(text)
+    size(array_distinct(t)).cast("double") / size(t)
+  }
+
+  /** Fraction of tokens taken by the single most frequent token. Computed
+    * as the longest run in the SORTED token list — one aggregate() fold,
+    * no per-token grouping. */
+  def topTokenRatio(text: Column): Column = {
+    val t = toks(text)
+    val best = aggregate(
+      array_sort(t),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(1)
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    best.cast("double") / size(t)
+  }
+
+  /** The doc's n-gram list ("a b", "b c", …) as strings — empty when the
+    * doc has fewer than n tokens. */
+  private def ngrams(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+      .otherwise(array())
+
+  /** Fraction of n-grams that are duplicates of an earlier one:
+    * 1 − distinct/total. NULL when the doc has fewer than n tokens (no
+    * n-grams to judge). */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val g = ngrams(toks(text), n)
+    when(size(g) > 0,
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+  }
+
+  /** Gopher-flavored keep decision from the repetition signals alone
+    * (the length/charset legs live in TextStats.qualityScore): drop docs
+    * whose vocabulary collapses or whose n-grams loop. Thresholds follow
+    * the MassiveText repetition rules, adapted to the two n-gram orders
+    * computed here. */
+  def repetitionKeep(text: Column): Column =
+    distinctRatio(text) > 0.2 &&
+      topTokenRatio(text) < 0.3 &&
+      coalesce(dupNgramRatio(text, 2), lit(0.0)) < 0.5 &&
+      coalesce(dupNgramRatio(text, 3), lit(0.0)) < 0.4
+}

@@ -521,6 +521,94 @@ object PipelineQueries {
         |FROM tok WHERE token != ''
         |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin)),
 
+    Entry("repetition_stats",
+      // Gopher/MassiveText-style repetition quality signals: type-token
+      // ratio, top-token concentration, duplicate 2-/3-gram fractions,
+      // and the composite keep flag. All per-row higher-order-function
+      // arithmetic over the token array — zero shuffle, runs inside the
+      // scan stage at any corpus size. Ratios are int/int divisions in
+      // double, so the oracle's unnest-based replay is IEEE-identical.
+      (spark, dir) => {
+        val t = col("text")
+        Tables.documents(spark, dir).select(col("doc_id"),
+            r6(Repetition.distinctRatio(t)).as("distinct_ratio"),
+            r6(Repetition.topTokenRatio(t)).as("top_token_ratio"),
+            r6(Repetition.dupNgramRatio(t, 2)).as("dup_2gram_ratio"),
+            r6(Repetition.dupNgramRatio(t, 3)).as("dup_3gram_ratio"),
+            Repetition.repetitionKeep(t).as("rep_keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS lst FROM documents
+        |), topf AS (
+        |  SELECT doc_id, max(cnt) AS top_cnt FROM (
+        |    SELECT doc_id, tok, count(*) AS cnt
+        |    FROM (SELECT doc_id, unnest(lst) AS tok FROM base)
+        |    GROUP BY doc_id, tok)
+        |  GROUP BY doc_id
+        |), m AS (
+        |  SELECT doc_id, len(lst) AS n,
+        |    len(list_distinct(lst)) AS n_distinct,
+        |    CASE WHEN len(lst) >= 2 THEN len(list_distinct(list_transform(
+        |      generate_series(1, len(lst)-1), i -> lst[i] || ' ' || lst[i+1]))) END AS d2,
+        |    CASE WHEN len(lst) >= 3 THEN len(list_distinct(list_transform(
+        |      generate_series(1, len(lst)-2), i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]))) END AS d3
+        |  FROM base
+        |), r AS (
+        |  SELECT m.doc_id, n, n_distinct, d2, d3, top_cnt,
+        |    CAST(n_distinct AS DOUBLE)/n AS raw_distinct,
+        |    CAST(top_cnt AS DOUBLE)/n AS raw_top,
+        |    CASE WHEN d2 IS NOT NULL THEN 1.0 - CAST(d2 AS DOUBLE)/(n-1) END AS raw_dup2,
+        |    CASE WHEN d3 IS NOT NULL THEN 1.0 - CAST(d3 AS DOUBLE)/(n-2) END AS raw_dup3
+        |  FROM m JOIN topf ON m.doc_id = topf.doc_id
+        |)
+        |SELECT doc_id,
+        |  ROUND(raw_distinct, 6)+0.0 AS distinct_ratio,
+        |  ROUND(raw_top, 6)+0.0 AS top_token_ratio,
+        |  ROUND(raw_dup2, 6)+0.0 AS dup_2gram_ratio,
+        |  ROUND(raw_dup3, 6)+0.0 AS dup_3gram_ratio,
+        |  raw_distinct > 0.2 AND raw_top < 0.3
+        |    AND coalesce(raw_dup2, 0.0) < 0.5
+        |    AND coalesce(raw_dup3, 0.0) < 0.4 AS rep_keep
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
+    Entry("pii_scrub",
+      // email/IPv4/phone detection + redaction. The synthetic corpus has
+      // no PII, so the demo synthesizes some as a pure function of
+      // (doc_id, text) — replayed verbatim by the oracle, like the
+      // multimodal demo payloads — giving docs 0-3 findings in every
+      // combination. Counts follow the scrub order (email -> IP -> phone;
+      // an IPv4 is also a valid phone match, so phones are counted after
+      // IPs are gone). The scrubbed text itself is hash-compared.
+      (spark, dir) => Pii.withScrub(Pii.demoPii(Tables.documents(spark, dir)))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          col("text_scrubbed"))
+        .orderBy("doc_id"),
+      Some {
+        s"""WITH demo AS (
+          |  SELECT doc_id, text ||
+          |    CASE WHEN doc_id % 5 = 0 THEN ' reach user' || doc_id || '@example.com soon' ELSE '' END ||
+          |    CASE WHEN doc_id % 7 = 0 THEN ' from host ' || (doc_id % 224) || '.0.113.9 today' ELSE '' END ||
+          |    CASE WHEN doc_id % 11 = 0 THEN ' or call +1 (555) 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-4567 now' ELSE '' END
+          |    AS text
+          |  FROM documents
+          |), s AS (
+          |  SELECT doc_id, text,
+          |    regexp_replace(text, '${Pii.EmailRe}', '<EMAIL>', 'g') AS no_email
+          |  FROM demo
+          |), s2 AS (
+          |  SELECT doc_id, text, no_email,
+          |    regexp_replace(no_email, '${Pii.Ipv4Re}', '<IP>', 'g') AS no_ip
+          |  FROM s
+          |)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '${Pii.EmailRe}')) AS INTEGER) AS n_emails,
+          |  CAST(len(regexp_extract_all(no_email, '${Pii.Ipv4Re}')) AS INTEGER) AS n_ips,
+          |  CAST(len(regexp_extract_all(no_ip, '${Pii.PhoneRe}')) AS INTEGER) AS n_phones,
+          |  regexp_replace(no_ip, '${Pii.PhoneRe}', '<PHONE>', 'g') AS text_scrubbed
+          |FROM s2 ORDER BY doc_id""".stripMargin
+      }),
+
     Entry("multimodal_features",
       // Mixed-modality demo: a third each synthetic WAV / PPM / raw text;
       // WAV+PPM are decoded for real (header walk + sample/pixel stats),

@@ -446,6 +446,58 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cents.length == 4 && cents.forall(_.length == 8))
   }
 
+  test("repetition signals: hand-computed ratios and keep thresholds") {
+    val d = docs(
+      1L -> "a a a a",                       // one token repeated: collapse
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "x y x y x y x y",               // looping 2-grams
+      4L -> "one two",                       // too short for 3-grams
+      5L -> "solo")
+    val out = d.select(col("doc_id"),
+        Repetition.distinctRatio(col("text")).as("dr"),
+        Repetition.topTokenRatio(col("text")).as("tr"),
+        Repetition.dupNgramRatio(col("text"), 2).as("d2"),
+        Repetition.dupNgramRatio(col("text"), 3).as("d3"),
+        Repetition.repetitionKeep(col("text")).as("keep"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5))).toMap
+    val eps = 1e-12
+    // doc 1: 1 distinct of 4, top "a" 4/4, 2-grams all "a a" (1 distinct of 3)
+    assert(math.abs(out(1L)._1 - 0.25) < eps && math.abs(out(1L)._2 - 1.0) < eps)
+    assert(math.abs(out(1L)._3.get - (1.0 - 1.0 / 3)) < eps && !out(1L)._5)
+    // doc 2: 9 tokens, 8 distinct ("the" twice), all 2/3-grams unique
+    assert(math.abs(out(2L)._1 - 8.0 / 9) < eps && math.abs(out(2L)._2 - 2.0 / 9) < eps)
+    assert(out(2L)._3.get == 0.0 && out(2L)._4.get == 0.0 && out(2L)._5)
+    // doc 3: 7 2-grams but only 2 distinct ("x y", "y x") -> dup 5/7; keep fails
+    assert(math.abs(out(3L)._3.get - 5.0 / 7) < eps && !out(3L)._5)
+    // doc 4: one 2-gram, no 3-grams -> d3 NULL; keep still FAILS because a
+    // 2-token doc has top-token ratio 0.5 >= 0.3 — ultra-short docs can't
+    // pass the concentration gate (length filtering is TextStats' job)
+    assert(out(4L)._3.get == 0.0 && out(4L)._4.isEmpty && !out(4L)._5)
+    // doc 5: single token -> both gram ratios NULL, distinct/top = 1
+    assert(out(5L)._3.isEmpty && out(5L)._4.isEmpty && math.abs(out(5L)._2 - 1.0) < eps)
+  }
+
+  test("pii scrub: detection counts, redaction, and the IP-before-phone order") {
+    val d = docs(
+      1L -> "write to alice.smith+spam@mail.example.org or bob@ex.co today",
+      2L -> "server 10.0.113.9 and backup 192.168.1.254 are up",
+      3L -> "call +1 (555) 0123-4567 or 555 012 9876 now",
+      4L -> "no pii here at all",
+      5L -> "mix: eve@corp.io at 172.16.254.3, dial 555-867-5309.")
+    val out = Pii.withScrub(d).collect().map(r => r.getLong(0) ->
+      (r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5))).toMap
+    assert(out(1L) == ((2, 0, 0, "write to <EMAIL> or <EMAIL> today")))
+    // the two IPs must NOT also be counted as phones (scrub order)
+    assert(out(2L) == ((0, 2, 0, "server <IP> and backup <IP> are up")))
+    assert(out(3L) == ((0, 0, 2, "call <PHONE> or <PHONE> now")))
+    assert(out(4L) == ((0, 0, 0, "no pii here at all")))
+    assert(out(5L) == ((1, 1, 1, "mix: <EMAIL> at <IP>, dial <PHONE>.")))
+  }
+
   test("native CosineSim expression agrees with the composed built-ins formulation") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 200).map(i => (i.toLong,
