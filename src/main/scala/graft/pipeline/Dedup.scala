@@ -319,13 +319,40 @@ object Dedup {
     * spread across every chunk). Default 8×8-bit chunks ⇒ k ≤ 7. */
   def simhashCandidates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                         maxHamming: Int = 7, numChunks: Int = 8,
-                        portable: Boolean = false): DataFrame = {
+                        portable: Boolean = false,
+                        collapseIdentical: Boolean = false): DataFrame = {
     require(64 % numChunks == 0, s"numChunks must divide 64, got $numChunks")
     require(maxHamming < numChunks,
       s"pigeonhole recall guarantee needs maxHamming < numChunks ($maxHamming !< $numChunks)")
     val bits = 64 / numChunks
     val mask = (1L << bits) - 1
-    val sig = simhash(docs, textCol, idCol, portable)
+    val rawSig = simhash(docs, textCol, idCol, portable)
+    // `collapseIdentical` is the duplicate-class guard for the CLUSTERING
+    // consumer (components): a boilerplate-heavy corpus puts an m-member
+    // exact-duplicate class into the same bucket of every chunk, and the
+    // all-pairs join emits O(m²) rows — 10^12 candidates for one million
+    // copies of a cookie banner. Collapsing each distinct signature to its
+    // min-id representative first emits the class as m−1 star edges
+    // (Hamming 0 ⇒ every member is mutually a pair, so the star spans the
+    // same component) and runs the quadratic join over DISTINCT signatures
+    // only. Connected components are IDENTICAL to the all-pairs contract —
+    // dedup_clusters hash-verifies against the all-pairs SQL replay, which
+    // re-proves the equivalence every round — but the PAIR LIST is not
+    // (within-class pairs become stars, cross-class pairs surface once per
+    // representative), so pair-list consumers (est-Jaccard style) keep the
+    // default. The signature frame is persisted (spill-safe) because the
+    // collapse makes it feed three consumers.
+    val (sig, identityEdges) =
+      if (!collapseIdentical) (rawSig, None)
+      else {
+        val s = rawSig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val reps = s.groupBy("simhash").agg(min(col(idCol)).as(idCol))
+        val ident = s.select(col(idCol).as("b_id"), col("simhash"))
+          .join(reps.select(col(idCol).as("a_id"), col("simhash")), "simhash")
+          .where(col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"), lit(0).as("hamming"))
+        (reps, Some(ident))
+      }
     val chunks = sig.select(col(idCol), col("simhash"),
       explode(array((0 until numChunks).map(c =>
         struct(lit(c).as("chunk"),
@@ -346,10 +373,11 @@ object Dedup {
         shiftright(col("a_sim"), i * bits).bitwiseAND(mask) =!=
           shiftright(col("b_sim"), i * bits).bitwiseAND(mask))
         .otherwise(lit(true))).reduce(_ && _)
-    a.join(b, Seq("chunk", "key")).where(col("a_id") < col("b_id"))
+    val candidatePairs = a.join(b, Seq("chunk", "key")).where(col("a_id") < col("b_id"))
       .where(noEarlierChunk)
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
+    identityEdges.map(candidatePairs.unionByName(_)).getOrElse(candidatePairs)
   }
 }

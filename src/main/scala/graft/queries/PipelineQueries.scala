@@ -384,10 +384,16 @@ object PipelineQueries {
 
     Entry("dedup_clusters",
       // end-to-end near-dup clustering: simhash pigeonhole pairs →
-      // connected components → canonical representative per cluster
+      // connected components → canonical representative per cluster.
+      // collapseIdentical is the duplicate-class guard (star edges within
+      // identical signatures, quadratic join over DISTINCT signatures
+      // only); the oracle replays the UNCOLLAPSED all-pairs contract, so
+      // the hash match re-proves the collapse's component-equivalence on
+      // every run
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
-        Dedup.components(Dedup.simhashCandidates(docs, portable = true),
+        Dedup.components(
+            Dedup.simhashCandidates(docs, portable = true, collapseIdentical = true),
             docs.select("doc_id"))
           .orderBy("doc_id")
       }, Some(DedupSql.dedupClustersSql)),

@@ -374,6 +374,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getInt(1)).distinct.length == 3)
   }
 
+  test("collapseIdentical: star edges for duplicate classes, identical components") {
+    // 4 exact copies (one duplicate class) + 2 near-dups of the class +
+    // unrelated docs
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+    val d = docs(
+      (Seq(1L, 2L, 3L, 4L).map(_ -> base.trim) :+
+        (10L -> (base.trim + " extra")) :+
+        (11L -> base.trim.replace("lazy", "sleepy")) :+
+        (20L -> "completely different words about spark plans and shuffles here") :+
+        (21L -> "another unrelated doc that talks about parquet footers only")): _*)
+    val plain = Dedup.simhashCandidates(d, portable = true)
+    val collapsed = Dedup.simhashCandidates(d, portable = true, collapseIdentical = true)
+    // the duplicate class {1,2,3,4} is all-pairs (6 edges) plain, a star
+    // (3 edges from rep 1) collapsed
+    val plainIn = plain.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 <= 4 && p._2 <= 4)
+    val starIn = collapsed.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 <= 4 && p._2 <= 4)
+    assert(plainIn.length == 6 && starIn.toSet == Set((1L, 2L), (1L, 3L), (1L, 4L)))
+    // components must be IDENTICAL either way (the collapse contract)
+    val ids = d.select("doc_id")
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.components(pairs, ids).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(plain) == comps(collapsed))
+  }
+
   test("pack slices: sequences reassemble exactly — full budget per sequence, full doc across slices") {
     val d = docs((1 to 40).map(i => i.toLong -> (Seq.fill(i % 7 + 1)("tok").mkString(" "))): _*)
     val budget = 10
