@@ -97,26 +97,50 @@ object Dedup {
 
   /** Candidate near-dup pairs from bucket collisions, with the MinHash
     * Jaccard estimate (fraction of agreeing signature components).
-    * The join key is (band, bucket) — bounded buckets, never all-pairs. */
+    * The join key is (band, bucket) — bounded buckets, never all-pairs.
+    *
+    * `collapseIdentical` mirrors simhashCandidates' duplicate-class
+    * guard for clustering consumers: docs sharing a full signature
+    * collapse to their min-id representative before banding, so an
+    * m-member exact-duplicate class emits m−1 star edges (est_jaccard
+    * 1.0 — identical signatures agree on every component) instead of
+    * O(m²) bucket pairs. Connected components are unchanged; the pair
+    * LIST is not, so the est-Jaccard-consuming registered query keeps
+    * the all-pairs default. */
   def minhashCandidates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                         numPerms: Int = 32, bands: Int = 16, shingleK: Int = 3,
-                        portable: Boolean = false): DataFrame = {
+                        portable: Boolean = false,
+                        collapseIdentical: Boolean = false): DataFrame = {
     // MEMORY_AND_DISK, not the MEMORY_ONLY default: the signature frame is
     // corpus-sized (one row per doc), and it feeds THREE downstream joins
     // (bucketing + both sides of the pair-verify). Under memory pressure at
     // 100 TB, MEMORY_ONLY silently evicts and recomputes the shingle+minhash
     // pass per join; spilling the overflow to local disk is strictly cheaper.
-    val sig = minhashSignatures(docs, textCol, idCol, numPerms, shingleK, portable)
+    val rawSig = minhashSignatures(docs, textCol, idCol, numPerms, shingleK, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (sig, identityEdges) =
+      if (!collapseIdentical) (rawSig, None)
+      else {
+        // normalize to the (idCol, sig) column ORDER of rawSig — the
+        // downstream toDF renames are positional
+        val reps = rawSig.groupBy("sig").agg(min(col(idCol)).as(idCol))
+          .select(col(idCol), col("sig"))
+        val ident = rawSig.select(col(idCol).as("b_id"), col("sig"))
+          .join(reps.select(col(idCol).as("a_id"), col("sig")), "sig")
+          .where(col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"), lit(1.0).as("est_jaccard"))
+        (reps, Some(ident))
+      }
     val buckets = lshBuckets(sig, idCol, numPerms, bands, portable)
     val a = buckets.toDF("a_id", "band", "bucket")
     val b = buckets.toDF("b_id", "band", "bucket")
     val pairs = a.join(b, Seq("band", "bucket")).where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     val agree = size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), p => p))
-    pairs.join(sig.toDF("a_id", "a_sig"), "a_id")
+    val scored = pairs.join(sig.toDF("a_id", "a_sig"), "a_id")
       .join(sig.toDF("b_id", "b_sig"), "b_id")
       .select(col("a_id"), col("b_id"), (agree.cast("double") / numPerms).as("est_jaccard"))
+    identityEdges.map(scored.unionByName(_)).getOrElse(scored)
   }
 
   /** Connected components over near-dup pairs — the step a real dedup

@@ -107,4 +107,34 @@ object Packing {
           - greatest(col("offset"), col("seq_id") * b)).as("take_len"),
         (greatest(col("offset"), col("seq_id") * b) - col("seq_id") * b).as("offset_in_seq"))
   }
+
+  /** Assemble the actual training sequences: join the slice map back to
+    * the documents, cut each doc's token slice, and concatenate a
+    * sequence's slices in doc order. The end product a trainer streams —
+    * every row is one fixed-budget token sequence (the last sequence of a
+    * shard may run short).
+    *
+    * Shape at scale: the slice→doc join is an equi-join on the id (both
+    * sides corpus-sized, AQE-planned), and the (shard, seq_id) groupBy is
+    * bounded by the sequence count — collect_list holds ONE sequence's
+    * pieces (≤ budget tokens by construction), never a shard's. Slice
+    * arithmetic is the integer map from packSlices, so the oracle replays
+    * the text assembly exactly (Spark slice(arr, start, len) ↔ DuckDB
+    * list_slice(l, begin, end) with end = start+len−1).
+    *
+    * Returns (shard, seq_id, n_tokens, seq_text).
+    */
+  def packText(docs: DataFrame, budget: Int, shards: Int,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pieces = packSlices(docs, budget, shards, idCol, textCol)
+      .join(docs.select(col(idCol), col(textCol)), idCol)
+      .withColumn("piece", concat_ws(" ",
+        slice(split(trim(col(textCol)), "\\s+"),
+          (col("doc_from") + 1).cast("int"), col("take_len").cast("int"))))
+    pieces.groupBy("shard", "seq_id")
+      .agg(sum("take_len").as("n_tokens"),
+        array_sort(collect_list(struct(col(idCol), col("piece")))).as("ps"))
+      .select(col("shard"), col("seq_id"), col("n_tokens"),
+        concat_ws(" ", transform(col("ps"), p => p.getField("piece"))).as("seq_text"))
+  }
 }

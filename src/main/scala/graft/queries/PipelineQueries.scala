@@ -527,6 +527,39 @@ object PipelineQueries {
         |FROM tok WHERE token != ''
         |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin)),
 
+    Entry("pack_text",
+      // the assembled training sequences themselves: slice map joined
+      // back to the docs, token slices cut and concatenated in doc order
+      // — one row per fixed-budget sequence, the artifact a trainer
+      // streams. Hash-compares the sequence STRINGS, so the whole
+      // offsets -> slices -> assembly chain is verified end-to-end.
+      (spark, dir) => Packing.packText(Tables.documents(spark, dir),
+          budget = Packing.DefaultBudget, shards = Packing.DefaultShards)
+        .orderBy("shard", "seq_id"),
+      Some {
+        val B = Packing.DefaultBudget
+        s"""WITH ${packingCtes},
+          |s AS (
+          |  SELECT doc_id, shard, n_tokens, off,
+          |    unnest(generate_series(off // $B, (off + n_tokens - 1) // $B)) AS seq_id
+          |  FROM o
+          |), p AS (
+          |  SELECT shard, seq_id, s.doc_id,
+          |    least(off + s.n_tokens, (seq_id + 1) * $B) - greatest(off, seq_id * $B) AS take_len,
+          |    greatest(seq_id * $B - off, 0) AS doc_from
+          |  FROM s
+          |), cut AS (
+          |  SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, p.doc_id, take_len,
+          |    array_to_string(list_slice(string_split_regex(trim(d.text), '\\s+'),
+          |      doc_from + 1, doc_from + take_len), ' ') AS piece
+          |  FROM p JOIN documents d ON p.doc_id = d.doc_id
+          |)
+          |SELECT shard, seq_id,
+          |  CAST(sum(take_len) AS BIGINT) AS n_tokens,
+          |  string_agg(piece, ' ' ORDER BY doc_id) AS seq_text
+          |FROM cut GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
+      }),
+
     Entry("repetition_stats",
       // Gopher/MassiveText-style repetition quality signals: type-token
       // ratio, top-token concentration, duplicate 2-/3-gram fractions,

@@ -401,6 +401,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(comps(plain) == comps(collapsed))
   }
 
+  test("collapseIdentical for minhash: star edges at est_jaccard 1.0, identical components") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+    val d = docs(
+      (Seq(1L, 2L, 3L).map(_ -> base.trim) :+
+        (10L -> (base.trim + " extra trailing tokens")) :+
+        (20L -> "completely different words about spark plans and shuffles here")): _*)
+    val plain = Dedup.minhashCandidates(d, portable = true)
+    val collapsed = Dedup.minhashCandidates(d, portable = true, collapseIdentical = true)
+    val starIn = collapsed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 <= 3 && p._2 <= 3)
+    assert(starIn.toSet == Set((1L, 2L, 1.0), (1L, 3L, 1.0)))
+    val ids = d.select("doc_id")
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.components(pairs.select("a_id", "b_id"), ids).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(plain) == comps(collapsed))
+  }
+
   test("pack slices: sequences reassemble exactly — full budget per sequence, full doc across slices") {
     val d = docs((1 to 40).map(i => i.toLong -> (Seq.fill(i % 7 + 1)("tok").mkString(" "))): _*)
     val budget = 10
@@ -523,6 +542,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((0, 0, 2, "call <PHONE> or <PHONE> now")))
     assert(out(4L) == ((0, 0, 0, "no pii here at all")))
     assert(out(5L) == ((1, 1, 1, "mix: <EMAIL> at <IP>, dial <PHONE>.")))
+  }
+
+  test("pack text: shard streams reassemble the corpus byte-for-byte") {
+    val d = docs((1 to 30).map(i =>
+      i.toLong -> (1 to (i % 5 + 2)).map(j => s"w${i}_$j").mkString(" ")): _*)
+    val budget = 8
+    val seqs = Packing.packText(d, budget = budget, shards = 3)
+      .orderBy("shard", "seq_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // each sequence carries exactly n_tokens whitespace tokens; full
+    // budget except possibly the shard's last
+    seqs.groupBy(_._1).foreach { case (shard, ss) =>
+      ss.foreach { case (_, seq, n, text) =>
+        assert(text.split("\\s+").count(_.nonEmpty) == n, s"($shard,$seq) token count")
+        if (seq < ss.map(_._2).max) assert(n == budget, s"($shard,$seq) must be full")
+      }
+      // concatenating the shard's sequences in order reproduces the
+      // shard's docs laid back-to-back in id order — nothing lost,
+      // reordered, or duplicated across sequence boundaries
+      val stream = ss.sortBy(_._2).map(_._4).mkString(" ")
+      val docsInShard = Packing.packSequences(d, budget = budget, shards = 3)
+        .where(col("shard") === shard).orderBy("doc_id").collect().map(_.getLong(0))
+      val expected = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(stream == docsInShard.map(expected).mkString(" "), s"shard $shard stream")
+    }
   }
 
   test("native CosineSim expression agrees with the composed built-ins formulation") {
