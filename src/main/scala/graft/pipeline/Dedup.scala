@@ -121,14 +121,14 @@ object Dedup {
     val (sig, identityEdges) =
       if (!collapseIdentical) (rawSig, None)
       else {
-        // normalize to the (idCol, sig) column ORDER of rawSig — the
-        // downstream toDF renames are positional
-        val reps = rawSig.groupBy("sig").agg(min(col(idCol)).as(idCol))
+        // same single-window collapse as simhashCandidates; column order
+        // (idCol, sig) preserved for the positional toDF renames below
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("sig")
+        val withRep = rawSig.withColumn("rep", min(col(idCol)).over(w))
+        val reps = withRep.where(col(idCol) === col("rep"))
           .select(col(idCol), col("sig"))
-        val ident = rawSig.select(col(idCol).as("b_id"), col("sig"))
-          .join(reps.select(col(idCol).as("a_id"), col("sig")), "sig")
-          .where(col("a_id") =!= col("b_id"))
-          .select(col("a_id"), col("b_id"), lit(1.0).as("est_jaccard"))
+        val ident = withRep.where(col(idCol) =!= col("rep"))
+          .select(col("rep").as("a_id"), col(idCol).as("b_id"), lit(1.0).as("est_jaccard"))
         (reps, Some(ident))
       }
     val buckets = lshBuckets(sig, idCol, numPerms, bands, portable)
@@ -369,12 +369,16 @@ object Dedup {
     val (sig, identityEdges) =
       if (!collapseIdentical) (rawSig, None)
       else {
-        val s = rawSig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val reps = s.groupBy("simhash").agg(min(col(idCol)).as(idCol))
-        val ident = s.select(col(idCol).as("b_id"), col("simhash"))
-          .join(reps.select(col(idCol).as("a_id"), col("simhash")), "simhash")
-          .where(col("a_id") =!= col("b_id"))
-          .select(col("a_id"), col("b_id"), lit(0).as("hamming"))
+        // one window over the signature (a single hash exchange, REUSED by
+        // both consumers below) beats a groupBy + back-join: rep-selection
+        // and star-edge emission are two filters over the same shuffled
+        // frame
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("simhash")
+        val withRep = rawSig.withColumn("rep", min(col(idCol)).over(w))
+        val reps = withRep.where(col(idCol) === col("rep"))
+          .select(col(idCol), col("simhash"))
+        val ident = withRep.where(col(idCol) =!= col("rep"))
+          .select(col("rep").as("a_id"), col(idCol).as("b_id"), lit(0).as("hamming"))
         (reps, Some(ident))
       }
     val chunks = sig.select(col(idCol), col("simhash"),
