@@ -1,9 +1,10 @@
 #!/usr/bin/env python3
 """Golden-fixture generator: a 256-bar deterministic random walk plus
-expected SMA/EMA/RSI/ATR/ADX values computed from the STANDARD TA-Lib
-formulas, implemented here from scratch (plain loops, no numpy, no
-dependence on the Scala kernels under test). The committed CSV is the
-contract; `GoldenSpec` compares the engine against it.
+expected values for SMA/EMA/RSI/ATR/ADX/WMA/BBANDS/MACD/STOCH/CCI/
+WILLR/MOM computed from the STANDARD TA-Lib formulas, implemented here
+from scratch (plain loops, no numpy, no dependence on the Scala kernels
+under test). The committed CSV is the contract; `GoldenSpec` compares
+the engine against it.
 
 This substitutes for the reference's own intended test strategy
 (reference tests/__init__.py:1-5 pins `ta-lib>=0.6.8` as the oracle): no
@@ -134,6 +135,95 @@ def adx(h, l, c, n):
     return out
 
 
+def wma(x, n):
+    # linear weights 1..n, newest heaviest
+    out = [NAN] * len(x)
+    denom = n * (n + 1) / 2.0
+    for i in range(n - 1, len(x)):
+        out[i] = sum(x[i - n + 1 + k] * (k + 1) for k in range(n)) / denom
+    return out
+
+
+def bbands(x, n, k):
+    # middle = SMA, upper/lower = middle +- k * POPULATION stddev
+    up, mid, lo = [NAN] * len(x), [NAN] * len(x), [NAN] * len(x)
+    for i in range(n - 1, len(x)):
+        win = x[i - n + 1:i + 1]
+        m = sum(win) / n
+        sd = math.sqrt(sum((v - m) ** 2 for v in win) / n)
+        mid[i] = m
+        up[i] = m + k * sd
+        lo[i] = m - k * sd
+    return up, mid, lo
+
+
+def _ema_tail(x, start, n):
+    """EMA over x[start:], SMA-seeded, NaN before start+n-1."""
+    out = [NAN] * len(x)
+    a = 2.0 / (n + 1)
+    e = sum(x[start:start + n]) / n
+    out[start + n - 1] = e
+    for i in range(start + n, len(x)):
+        e = a * x[i] + (1 - a) * e
+        out[i] = e
+    return out
+
+
+def macd(x, fast, slow, sig):
+    ef = ema(x, fast)
+    es = ema(x, slow)
+    dif = [ef[i] - es[i] if not (math.isnan(ef[i]) or math.isnan(es[i])) else NAN
+           for i in range(len(x))]
+    sg = _ema_tail(dif, slow - 1, sig)
+    hist = [dif[i] - sg[i] if not (math.isnan(dif[i]) or math.isnan(sg[i])) else NAN
+            for i in range(len(x))]
+    return dif, sg, hist
+
+
+def _sma_tail(x, start, n):
+    out = [NAN] * len(x)
+    for i in range(start + n - 1, len(x)):
+        out[i] = sum(x[i - n + 1:i + 1]) / n
+    return out
+
+
+def stoch(h, l, c, fastk_n, slowk_n, slowd_n):
+    # fastK = 100*(c-LL)/(HH-LL), flat window -> 0; slowK/slowD = SMA legs
+    fastk = [NAN] * len(c)
+    for i in range(fastk_n - 1, len(c)):
+        hh = max(h[i - fastk_n + 1:i + 1])
+        ll = min(l[i - fastk_n + 1:i + 1])
+        fastk[i] = 0.0 if hh == ll else 100.0 * (c[i] - ll) / (hh - ll)
+    slowk = _sma_tail(fastk, fastk_n - 1, slowk_n)
+    slowd = _sma_tail(slowk, fastk_n + slowk_n - 2, slowd_n)
+    return slowk, slowd
+
+
+def cci(h, l, c, n):
+    # (tp - SMA(tp)) / (0.015 * mean |tp - SMA(tp)| over the same window)
+    tp = [(h[i] + l[i] + c[i]) / 3 for i in range(len(c))]
+    out = [NAN] * len(c)
+    for i in range(n - 1, len(c)):
+        win = tp[i - n + 1:i + 1]
+        m = sum(win) / n
+        mad = sum(abs(v - m) for v in win) / n
+        out[i] = 0.0 if mad == 0 else (tp[i] - m) / (0.015 * mad)
+    return out
+
+
+def willr(h, l, c, n):
+    out = [NAN] * len(c)
+    for i in range(n - 1, len(c)):
+        hh = max(h[i - n + 1:i + 1])
+        ll = min(l[i - n + 1:i + 1])
+        out[i] = 0.0 if hh == ll else -100.0 * (hh - c[i]) / (hh - ll)
+    return out
+
+
+def mom(x, n):
+    return [NAN] * n + [x[i] - x[i - n] for i in range(n, len(x))]
+
+
 def fmt(v):
     return '' if (isinstance(v, float) and math.isnan(v)) else repr(v)
 
@@ -143,9 +233,18 @@ def main():
     o = [b[0] for b in bars]; h = [b[1] for b in bars]
     l = [b[2] for b in bars]; c = [b[3] for b in bars]
     v = [b[4] for b in bars]
+    bb_up, bb_mid, bb_lo = bbands(c, 20, 2.0)
+    m_line, m_sig, m_hist = macd(c, 12, 26, 9)
+    slowk, slowd = stoch(h, l, c, 5, 3, 3)
     cols = {
         'sma_20': sma(c, 20), 'ema_20': ema(c, 20), 'rsi_14': rsi(c, 14),
         'atr_14': atr(h, l, c, 14), 'adx_14': adx(h, l, c, 14),
+        'wma_10': wma(c, 10),
+        'bb_up_20_2': bb_up, 'bb_mid_20': bb_mid, 'bb_low_20_2': bb_lo,
+        'macd': m_line, 'macd_signal': m_sig, 'macd_hist': m_hist,
+        'slowk_5_3_3': slowk, 'slowd_5_3_3': slowd,
+        'cci_14': cci(h, l, c, 14), 'willr_14': willr(h, l, c, 14),
+        'mom_10': mom(c, 10),
     }
     print('ord,open,high,low,close,volume,' + ','.join(cols))
     for i in range(N_BARS):

@@ -59,6 +59,44 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSeries("adx_14", Kernels.adx(h, l, c, 14), col(10))
   }
 
+  test("kernels match the goldens for WMA, MACD, and STOCH") {
+    val (h, l, c) = (col(2), col(3), col(4))
+    assertSeries("wma_10", Kernels.wma(c, 10), col(11))
+    val (dif, sig, hist) = Kernels.macd(c, 12, 26, 9)
+    assertSeries("macd", dif, col(15))
+    assertSeries("macd_signal", sig, col(16))
+    assertSeries("macd_hist", hist, col(17))
+    val (slowk, slowd) = Kernels.stoch(h, l, c, 5, 3, 0, 3, 0)
+    assertSeries("slowk", slowk, col(18))
+    assertSeries("slowd", slowd, col(19))
+  }
+
+  test("window-expressed Frames ops match the goldens (BBANDS, CCI, WILLR, MOM)") {
+    import org.apache.spark.sql.functions.{col => sc}
+    implicit val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("symbol").orderBy("ord")
+    val df = spark.createDataFrame(
+      rows.toSeq.map(r => ("g", r(0).toLong, r(2), r(3), r(4))))
+      .toDF("symbol", "ord", "high", "low", "close")
+    val out = df.select(sc("ord"),
+        Frames.bbandsUpper(sc("close"), 20, 2.0).as("up"),
+        Frames.bbandsMiddle(sc("close"), 20).as("mid"),
+        Frames.bbandsLower(sc("close"), 20, 2.0).as("lo"),
+        Frames.cci(sc("high"), sc("low"), sc("close"), 14).as("cci"),
+        Frames.willr(sc("high"), sc("low"), sc("close"), 14).as("willr"),
+        Frames.mom(sc("close"), 10).as("mom"))
+      .orderBy("ord").collect()
+    def series(name: String) = out.map { r =>
+      val i = r.fieldIndex(name); if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+    }
+    assertSeries("bb_up", series("up"), col(12))
+    assertSeries("bb_mid", series("mid"), col(13))
+    assertSeries("bb_low", series("lo"), col(14))
+    assertSeries("cci_14", series("cci"), col(20))
+    assertSeries("willr_14", series("willr"), col(21))
+    assertSeries("mom_10", series("mom"), col(22))
+  }
+
   test("the distributed path reproduces the goldens end-to-end") {
     // same contract through the Spark surface (Recursive -> SeriesOps ->
     // Kernels): proves the per-symbol series reassembly, not just the math
