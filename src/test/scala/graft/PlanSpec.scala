@@ -120,6 +120,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the single exchange must be keyed on shard:\n$plan")
   }
 
+  test("repetition + pii columns stay inside the scan stage: zero shuffles") {
+    val d = docs(80)
+    val rep = d.select(col("doc_id"),
+      Repetition.distinctRatio(col("text")),
+      Repetition.topTokenRatio(col("text")),
+      Repetition.dupNgramRatio(col("text"), 2),
+      Repetition.repetitionKeep(col("text")))
+    assert(countShuffleExchanges(rep) == 0,
+      "repetition signals must be per-row arithmetic, no exchange")
+    val pii = Pii.withScrub(Pii.demoPii(d))
+    assert(countShuffleExchanges(pii) == 0,
+      "pii detection/redaction must be per-row regex columns, no exchange")
+  }
+
+  test("identical-signature collapse adds exactly one exchange, and it is reused") {
+    // plain: 1 shuffle (the chunk/key repartition, reused by both join
+    // sides). collapsed: + the signature window's hash exchange = 2.
+    val d = docs(60)
+    assert(countShuffleExchanges(Dedup.simhashCandidates(d)) == 1)
+    val collapsed = Dedup.simhashCandidates(d, collapseIdentical = true)
+    assert(countShuffleExchanges(collapsed) == 2,
+      "collapse must cost one extra exchange (the signature window), not a join cascade")
+    assert(executedPlan(collapsed).contains("ReusedExchange"),
+      "rep-filter and star-edge branches must share the window's exchange")
+  }
+
   test("vocab top-k compiles to TakeOrdered, never a global sort") {
     val toks = docs(60).select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
