@@ -1,0 +1,36 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus vocabulary: token frequency + document frequency, top-k by
+  * occurrences with a lexicographic tiebreak (deterministic cutoff).
+  *
+  * Skew posture at 100 TB: `n_occurrences` is algebraic, so hot tokens
+  * ("the") partial-aggregate map-side and each reducer sees one row per
+  * partition. Document frequency is NOT — exact `countDistinct` routes
+  * every distinct (token, doc) pair of a hot token through that token's
+  * single reducer, which is exactly the skew the occurrence leg avoids.
+  * `exactDocFreq = false` (the corpus-scale default) swaps in
+  * `approx_count_distinct` whose HLL sketches merge map-side, restoring
+  * skew immunity at ~2% relative error; `true` keeps the exact count for
+  * oracle-verified runs at test scale. The top-k itself compiles to
+  * TakeOrderedAndProject either way (per-partition top-k + driver merge,
+  * never a global sort — plan-tested in PlanSpec).
+  */
+object Vocab {
+
+  def topK(docs: DataFrame, k: Int, exactDocFreq: Boolean = false,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+    val docFreq =
+      if (exactDocFreq) countDistinct(col(idCol))
+      else approx_count_distinct(col(idCol))
+    toks.groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"), docFreq.as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+  }
+}

@@ -500,25 +500,14 @@ object PipelineQueries {
       }),
 
     Entry("vocab_top100",
-      // corpus vocabulary: token frequency + document frequency, top 100
-      // by occurrences with a lexicographic tiebreak so the cutoff is
-      // deterministic. The n_occurrences count is algebraic, so hot
-      // tokens ("the") are absorbed by map-side partial aggregation; the
-      // top-k is a TakeOrdered (per-partition top-100, driver merge),
-      // never a full sort. The n_docs leg is NOT skew-immune: exact
-      // countDistinct routes every distinct (token, doc_id) pair of a hot
-      // token through that token's reducer — at corpus scale use the
-      // approx_count_distinct path (HLL sketches merge map-side), kept
-      // exact here because the oracle hashes exact values.
-      (spark, dir) => {
-        val toks = Tables.documents(spark, dir).select(col("doc_id"),
-            explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
-          .where(col("token") =!= "")
-        toks.groupBy("token")
-          .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs"))
-          .orderBy(col("n_occurrences").desc, col("token").asc)
-          .limit(100)
-      },
+      // corpus vocabulary (Vocab.topK): exactDocFreq = true because the
+      // oracle hashes exact values; the corpus-scale default is the
+      // approx_count_distinct path whose HLL sketches merge map-side
+      // (exact countDistinct funnels a hot token's distinct pairs through
+      // one reducer — see Vocab's scaladoc; approx≈exact parity is
+      // scalatested).
+      (spark, dir) => Vocab.topK(Tables.documents(spark, dir), k = 100,
+        exactDocFreq = true),
       Some("""WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         |  FROM documents

@@ -569,6 +569,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("vocab: approx doc-frequency path tracks the exact one") {
+    val rnd = new scala.util.Random(17)
+    val vocabWords = (0 until 50).map(i => s"word$i")
+    val d = docs((1 to 200).map(i =>
+      i.toLong -> (0 until 20).map(_ => vocabWords(rnd.nextInt(50))).mkString(" ")): _*)
+    val exact = Vocab.topK(d, 30, exactDocFreq = true).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = Vocab.topK(d, 30, exactDocFreq = false).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // occurrence counts (and therefore the selected top-k) are identical —
+    // only the doc-frequency estimator changes
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (tok, (occ, nd)) =>
+      val (occA, ndA) = approx(tok)
+      assert(occ == occA, s"$tok occurrence count must be exact in both modes")
+      assert(math.abs(nd - ndA).toDouble / nd < 0.1,
+        s"$tok approx n_docs $ndA vs exact $nd drifted >10%")
+    }
+  }
+
   test("native CosineSim expression agrees with the composed built-ins formulation") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 200).map(i => (i.toLong,

@@ -111,6 +111,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stateless pipeline columns (pii, repetition) apply to streams unchanged") {
+    // per-row Column ops need no streaming twin: the SAME batch code runs
+    // on an unbounded input — this pins that property so a refactor can't
+    // silently introduce state into these paths
+    import graft.pipeline.{Pii, Repetition}
+    implicit val enc = Encoders.product[(Long, String)]
+    val ms = MemoryStream[(Long, String)](spark)
+    val out = Pii.withScrub(ms.toDF().toDF("doc_id", "text"))
+      .withColumn("rep_keep", Repetition.repetitionKeep(
+        org.apache.spark.sql.functions.col("text")))
+      .select("doc_id", "n_emails", "text_scrubbed", "rep_keep")
+    val q = out.writeStream.format("memory").queryName("stateless_stream")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      ms.addData(Seq(
+        1L -> "write to eve@corp.io about the quick brown fox jumping over dogs",
+        2L -> "spam spam spam spam spam spam"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM stateless_stream").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2), r.getBoolean(3))).toMap
+      assert(got(1L) == ((1, "write to <EMAIL> about the quick brown fox jumping over dogs", true)))
+      assert(got(2L)._1 == 0 && !got(2L)._3)
+    } finally q.stop()
+  }
+
   test("streaming minhash-LSH pairs equal the batch bucket join across micro-batches") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 4
     val words = base.trim.split(" ")
