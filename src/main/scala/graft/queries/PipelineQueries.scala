@@ -117,6 +117,18 @@ object PipelineQueries {
       p
     })
 
+  /** One JSONL export of the documents table per sf dir per JVM (same
+    * build-once pattern as the IVF index): the registered query then
+    * reads it back through the explicit-schema JSONL source, so the
+    * round-trip — writer escaping included — is what gets verified. */
+  private val jsonlDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def jsonlFor(spark: SparkSession, dir: String): String =
+    jsonlDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+      Jsonl.write(Tables.documents(spark, d), p)
+      p
+    })
+
   private val ivfPersistedProbe: Q = (spark, dir) => {
     val path = ivfIndexFor(spark, dir)
     Similarity.ivfQuery(spark, path,
@@ -636,6 +648,50 @@ object PipelineQueries {
           |  regexp_replace(no_ip, '${Pii.PhoneRe}', '<PHONE>', 'g') AS text_scrubbed
           |FROM s2 ORDER BY doc_id""".stripMargin
       }),
+
+    Entry("docs_jsonl_roundtrip",
+      // documents exported to JSONL and read back through the
+      // explicit-schema source, then rolled up per (lang, source): the
+      // oracle computes the same rollup over the ORIGINAL parquet, so a
+      // hash match proves the JSONL round-trip (escaping, types, nulls)
+      // is lossless — including the text bytes, via the fingerprint sum
+      (spark, dir) => Jsonl.readDocuments(spark, jsonlFor(spark, dir))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
+    Entry("length_quantiles",
+      // per-source token-length distribution — the corpus diagnostic every
+      // mixing decision starts from. EXACT interpolated percentiles
+      // (Spark `percentile` == DuckDB `quantile_cont`, both linear), which
+      // buffer per-group value counts at the aggregator: fine while a
+      // group's DISTINCT length count is bounded (token lengths are), but
+      // an unbounded-cardinality metric at 100 TB should use
+      // approx_percentile's fixed-size t-digest sketches instead.
+      (spark, dir) => {
+        val n = size(split(trim(col("text")), "\\s+")).cast("double")
+        Tables.documents(spark, dir).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            r6(percentile(n, lit(0.5))).as("p50_tokens"),
+            r6(percentile(n, lit(0.9))).as("p90_tokens"),
+            r6(percentile(n, lit(0.99))).as("p99_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  ROUND(quantile_cont(n, 0.5), 6)+0.0 AS p50_tokens,
+        |  ROUND(quantile_cont(n, 0.9), 6)+0.0 AS p90_tokens,
+        |  ROUND(quantile_cont(n, 0.99), 6)+0.0 AS p99_tokens
+        |FROM t GROUP BY source ORDER BY source""".stripMargin)),
 
     Entry("multimodal_features",
       // Mixed-modality demo: a third each synthetic WAV / PPM / raw text;

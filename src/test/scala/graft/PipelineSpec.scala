@@ -589,6 +589,51 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("repetition ratios stay bounded and pii scrub is idempotent (randomized corpus)") {
+    val rnd = new scala.util.Random(23)
+    val words = Seq("alpha", "beta", "gamma", "x", "y", "spam", "the", "of")
+    val d = docs((1 to 120).map { i =>
+      val n = rnd.nextInt(30) + 1
+      i.toLong -> (0 until n).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    }: _*)
+    val rows = d.select(
+        Repetition.distinctRatio(col("text")).as("dr"),
+        Repetition.topTokenRatio(col("text")).as("tr"),
+        Repetition.dupNgramRatio(col("text"), 2).as("d2"),
+        Repetition.dupNgramRatio(col("text"), 3).as("d3"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) > 0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(1) > 0 && r.getDouble(1) <= 1.0)
+      Seq(2, 3).foreach(i =>
+        if (!r.isNullAt(i)) assert(r.getDouble(i) >= 0.0 && r.getDouble(i) < 1.0))
+    }
+    // scrubbing already-scrubbed text finds nothing (placeholders match no
+    // pattern) — the scrub is a fixpoint after one pass
+    val scrubbed = Pii.withScrub(Pii.demoPii(d))
+      .select(col("doc_id"), col("text_scrubbed").as("text"))
+    val again = Pii.withScrub(scrubbed)
+      .agg(sum("n_emails"), sum("n_ips"), sum("n_phones")).collect()(0)
+    assert(again.getLong(0) == 0 && again.getLong(1) == 0 && again.getLong(2) == 0)
+  }
+
+  test("jsonl round-trip is lossless for hostile strings") {
+    val tricky = Seq(
+      (1L, "plain ascii", "en", "web", 11L),
+      (2L, "quotes \" and \\ backslash", "en", "web", 24L),
+      (3L, "newline\nand\ttab", "fr", "books", 15L),
+      (4L, "unicode: é中文 😀", "zh", "web", 12L),
+      (5L, null, null, "web", 0L))
+    val df = spark.createDataFrame(tricky).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_rt_").toString
+    graft.pipeline.Jsonl.write(df, dir)
+    val back = graft.pipeline.Jsonl.readDocuments(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2), r.getString(3), r.getLong(4))).toSet
+    assert(back == tricky.toSet)
+  }
+
   test("native CosineSim expression agrees with the composed built-ins formulation") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 200).map(i => (i.toLong,
