@@ -132,6 +132,60 @@ object EtlQueries {
         |  ON t.symbol = q.symbol AND t.ord >= q.qord
         |ORDER BY t.symbol, t.ord""".stripMargin)),
 
+    Entry("user_sessions",
+      // gap-based sessionization over the raw event stream (24 h gap ⇒
+      // ~8 events/session on the synthetic data): per-user lag + running
+      // sum, one hash exchange on user_id, integer-exact fold. The
+      // registered query truncates ts to MICROSECOND grain first (still
+      // int64 nanos, low 3 digits zeroed): DuckDB 1.0 reads
+      // TIMESTAMP(NANOS) parquet as micro-precision TIMESTAMP, so micro
+      // grain is the finest both engines can agree on. The Sessions op
+      // itself stays full-nanos.
+      (spark, dir) => graft.etl.Sessions.sessionStats(
+          Tables.table(spark, dir, "events")
+            .withColumn("ts", expr("(ts div 1000) * 1000")),
+          gapNanos = 24L * 3600 * 1000000000L)
+        .orderBy("user_id", "session_id"),
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, tns,
+        |    CASE WHEN lag(tns) OVER w IS NULL
+        |      OR tns - lag(tns) OVER w > 86400000000000 THEN 1 ELSE 0 END AS opens
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+        |), s AS (
+        |  SELECT user_id, tns,
+        |    sum(opens) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  min(tns) AS start_ns, max(tns) AS end_ns,
+        |  max(tns) - min(tns) AS duration_ns
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)),
+
+    Entry("events_hourly",
+      // the batch twin of StreamingOps.windowedStats: per (event_type,
+      // hour) rollup by integer division of the nano timestamp — a plain
+      // partial-aggregated groupBy, skew-free (hour cardinality grows
+      // with time, event_type × hour keys spread uniformly).
+      // `div`, not `/`: nano timestamps (~1.7e18) exceed double's 2^53
+      // mantissa, so float division would mis-bucket boundary events
+      (spark, dir) => Tables.table(spark, dir, "events")
+        .groupBy(col("event_type"), expr("ts div 3600000000000").as("hour_bucket"))
+        .agg(count(lit(1)).as("n_events"), r6(avg("value")).as("avg_value"),
+          r6(max("value")).as("max_value"))
+        .orderBy("event_type", "hour_bucket"),
+      Some("""SELECT event_type,
+        |  epoch_ns(ts) // 3600000000000 AS hour_bucket,
+        |  count(*) AS n_events,
+        |  ROUND(avg(value), 6)+0.0 AS avg_value,
+        |  ROUND(max(value), 6)+0.0 AS max_value
+        |FROM events GROUP BY event_type, hour_bucket
+        |ORDER BY event_type, hour_bucket""".stripMargin)),
+
     Entry("range_join",
       // points-to-intervals containment via the bucketed equi-join
       // (RangeJoin): every 10th bar opens a [ord, ord+6] interval, every

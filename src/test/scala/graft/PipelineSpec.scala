@@ -634,6 +634,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back == tricky.toSet)
   }
 
+  test("sessionize: gap boundaries, per-user numbering, tie ordering") {
+    val gap = 100L
+    val evts = spark.createDataFrame(Seq(
+      // user 1: gaps 50 (same), 100 (same — boundary is >, not >=), 101 (new)
+      (1L, 0L, 1L), (1L, 50L, 2L), (1L, 150L, 3L), (1L, 251L, 4L),
+      // user 2: equal timestamps — event_id breaks the tie, one session
+      (2L, 500L, 10L), (2L, 500L, 11L),
+      // user 3: single event
+      (3L, 9L, 20L)))
+      .toDF("user_id", "ts", "event_id")
+    val tagged = graft.etl.Sessions.sessionize(evts, gap)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(tagged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      10L -> 1L, 11L -> 1L, 20L -> 1L))
+    val stats = graft.etl.Sessions.sessionStats(evts, gap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(stats((1L, 1L)) == ((3L, 0L, 150L, 150L)))
+    assert(stats((1L, 2L)) == ((1L, 251L, 251L, 0L)))
+    assert(stats((2L, 1L)) == ((2L, 500L, 500L, 0L)))
+    assert(stats((3L, 1L)) == ((1L, 9L, 9L, 0L)))
+  }
+
   test("native CosineSim expression agrees with the composed built-ins formulation") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 200).map(i => (i.toLong,
