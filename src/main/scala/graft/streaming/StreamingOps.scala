@@ -257,6 +257,40 @@ object StreamingOps {
       }.toDF()
   }
 
+  final case class SessEvIn(user_id: Long, ts: Long, event_id: Long)
+  final case class SessState(lastTs: Long, sessionId: Long)
+  final case class SessOut(user_id: Long, event_id: Long, ts: Long, session_id: Long)
+
+  /** Streaming gap sessionization, the twin of etl.Sessions.sessionize:
+    * per-user state is just (last event time, current session number) —
+    * an event later than `gapNanos` after the last one opens a new
+    * session, numbered per user exactly like batch. Same ordering
+    * contract as the other stateful twins: (ts, event_id) within each
+    * micro-batch, arrival order across batches. In production the state
+    * (16 bytes/user) is bounded by a state-TTL policy; sessions
+    * themselves need no watermark because the assignment is a pure
+    * left-to-right fold. */
+  def sessionizeStream(events: DataFrame, gapNanos: Long): DataFrame = {
+    implicit val stEnc = Encoders.product[SessState]
+    implicit val outEnc = Encoders.product[SessOut]
+    events.select(col("user_id").cast("long"), col("ts").cast("long"),
+        col("event_id").cast("long")).as[SessEvIn](Encoders.product[SessEvIn])
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[SessEvIn], state: GroupState[SessState]) =>
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
+          val out = rows.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+            val opens = st.sessionId == 0L || e.ts - st.lastTs > gapNanos
+            val sid = if (opens) st.sessionId + 1 else st.sessionId
+            st = SessState(e.ts, sid)
+            SessOut(uid, e.event_id, e.ts, sid)
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
   /** Streaming train/test decontamination, the twin of
     * Dedup.decontaminate: flag every arriving corpus doc that shares a
     * k-gram fingerprint with the (STATIC) benchmark set. The benchmark is

@@ -657,6 +657,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats((3L, 1L)) == ((1L, 9L, 9L, 0L)))
   }
 
+  test("salted join equals the plain join on skewed data (inner and left)") {
+    val rnd = new scala.util.Random(29)
+    // 90% of rows on one hot key, the rest spread over 9 keys; some big
+    // rows carry keys ABSENT from the dim (exercises left-join nulls)
+    val big = spark.createDataFrame((1 to 2000).map { i =>
+      val k = if (rnd.nextDouble() < 0.9) "hot" else s"k${rnd.nextInt(9)}"
+      (i.toLong, k, rnd.nextDouble())
+    }).toDF("row_id", "key", "v")
+    val dim = spark.createDataFrame(
+      (Seq("hot") ++ (0 until 6).map(i => s"k$i")).map(k => (k, s"label_$k")))
+      .toDF("key", "label")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("row_id", "key", "v", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    val plainInner = canon(big.join(dim, Seq("key")))
+    val saltedInner = canon(graft.etl.SkewJoin.saltedJoin(big, dim, Seq("key"), 8))
+    assert(saltedInner == plainInner && plainInner.nonEmpty)
+    val plainLeft = canon(big.join(dim, Seq("key"), "left"))
+    val saltedLeft = canon(graft.etl.SkewJoin.saltedJoin(big, dim, Seq("key"), 8, "left"))
+    assert(saltedLeft == plainLeft)
+    assert(plainLeft.exists(_._4 == null), "left join must exercise unmatched keys")
+    intercept[IllegalArgumentException] {
+      graft.etl.SkewJoin.saltedJoin(big, dim, Seq("key"), 8, "full")
+    }
+  }
+
   test("native CosineSim expression agrees with the composed built-ins formulation") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 200).map(i => (i.toLong,

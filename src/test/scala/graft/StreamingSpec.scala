@@ -136,6 +136,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming sessionization equals the batch window fold across micro-batches") {
+    val gap = 100L
+    // two users; batch boundary lands MID-session for user 1 (events 3,4
+    // are 50 apart across the boundary) so the state carry is exercised
+    val evts = Seq(
+      (1L, 0L, 1L), (1L, 50L, 2L), (1L, 150L, 3L),   // batch 1
+      (1L, 200L, 4L), (1L, 302L, 5L),                // batch 2: 200-150=50 same, 302-200=102 new
+      (2L, 10L, 10L), (2L, 500L, 11L))
+    implicit val enc = Encoders.product[(Long, Long, Long)]
+    val ms = MemoryStream[(Long, Long, Long)](spark)
+    val q = StreamingOps.sessionizeStream(
+        ms.toDF().toDF("user_id", "ts", "event_id"), gap)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("update").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      val (b1, b2) = evts.splitAt(3)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, session_id FROM sess_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.etl.Sessions.sessionize(
+          spark.createDataFrame(evts).toDF("user_id", "ts", "event_id"), gap)
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got(5L) == 2L && got(4L) == 1L)
+    } finally q.stop()
+  }
+
   test("streaming minhash-LSH pairs equal the batch bucket join across micro-batches") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 4
     val words = base.trim.split(" ")
