@@ -47,11 +47,13 @@ object Packing {
     * states): `shardOf` hashes with pmod while the DuckDB oracle replays
     * sign-following `%`, so the two only agree for ids >= 0. */
   private def withOffsets(docs: DataFrame, shards: Int,
-                          idCol: String, textCol: String): DataFrame = {
+                          idCol: String, textCol: String,
+                          carryText: Boolean = false): DataFrame = {
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col(idCol), shardOf(col(idCol), shards).as("shard"),
-        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+    val base = Seq(col(idCol), shardOf(col(idCol), shards).as("shard"),
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+    docs.select((if (carryText) base :+ col(textCol) else base): _*)
       .withColumn("offset", coalesce(sum("n_tokens").over(w), lit(0L)))
   }
 
@@ -94,18 +96,23 @@ object Packing {
     * Returns (shard, seq_id, idCol, doc_from, take_len, offset_in_seq).
     */
   def packSlices(docs: DataFrame, budget: Int, shards: Int,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    slicesBase(docs, budget, shards, idCol, textCol, carryText = false)
+
+  private def slicesBase(docs: DataFrame, budget: Int, shards: Int,
+                         idCol: String, textCol: String, carryText: Boolean): DataFrame = {
     require(budget > 0 && shards > 0, "budget and shards must be positive")
     val b = lit(budget.toLong)
-    withOffsets(docs, shards, idCol, textCol)
+    val out = Seq(col("shard"), col("seq_id"), col(idCol),
+      greatest(col("seq_id") * b - col("offset"), lit(0L)).as("doc_from"),
+      (least(col("offset") + col("n_tokens"), (col("seq_id") + lit(1L)) * b)
+        - greatest(col("offset"), col("seq_id") * b)).as("take_len"),
+      (greatest(col("offset"), col("seq_id") * b) - col("seq_id") * b).as("offset_in_seq"))
+    withOffsets(docs, shards, idCol, textCol, carryText)
       .withColumn("seq_id", explode(sequence(
         expr(s"offset div $budget"),
         expr(s"(offset + n_tokens - 1) div $budget"))))
-      .select(col("shard"), col("seq_id"), col(idCol),
-        greatest(col("seq_id") * b - col("offset"), lit(0L)).as("doc_from"),
-        (least(col("offset") + col("n_tokens"), (col("seq_id") + lit(1L)) * b)
-          - greatest(col("offset"), col("seq_id") * b)).as("take_len"),
-        (greatest(col("offset"), col("seq_id") * b) - col("seq_id") * b).as("offset_in_seq"))
+      .select((if (carryText) out :+ col(textCol) else out): _*)
   }
 
   /** Assemble the actual training sequences: join the slice map back to
@@ -114,20 +121,23 @@ object Packing {
     * every row is one fixed-budget token sequence (the last sequence of a
     * shard may run short).
     *
-    * Shape at scale: the slice→doc join is an equi-join on the id (both
-    * sides corpus-sized, AQE-planned), and the (shard, seq_id) groupBy is
-    * bounded by the sequence count — collect_list holds ONE sequence's
-    * pieces (≤ budget tokens by construction), never a shard's. Slice
-    * arithmetic is the integer map from packSlices, so the oracle replays
-    * the text assembly exactly (Spark slice(arr, start, len) ↔ DuckDB
-    * list_slice(l, begin, end) with end = start+len−1).
+    * Shape at scale: ONE exchange total (plan-tested). The text rides
+    * the shard shuffle alongside its token count — no join back to the
+    * corpus (the join formulation moved the same bytes through three
+    * more exchanges) — and the (shard, seq_id) groupBy reuses the shard
+    * partitioning (shard ⊂ grouping keys, so the window's exchange
+    * already satisfies the aggregation's distribution). collect_list
+    * holds ONE sequence's pieces (≤ budget tokens by construction),
+    * never a shard's. Slice arithmetic is the integer map from
+    * packSlices, so the oracle replays the text assembly exactly (Spark
+    * slice(arr, start, len) ↔ DuckDB list_slice(l, begin, end) with
+    * end = start+len−1).
     *
     * Returns (shard, seq_id, n_tokens, seq_text).
     */
   def packText(docs: DataFrame, budget: Int, shards: Int,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val pieces = packSlices(docs, budget, shards, idCol, textCol)
-      .join(docs.select(col(idCol), col(textCol)), idCol)
+    val pieces = slicesBase(docs, budget, shards, idCol, textCol, carryText = true)
       .withColumn("piece", concat_ws(" ",
         slice(split(trim(col(textCol)), "\\s+"),
           (col("doc_from") + 1).cast("int"), col("take_len").cast("int"))))

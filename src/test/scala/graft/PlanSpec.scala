@@ -146,6 +146,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rep-filter and star-edge branches must share the window's exchange")
   }
 
+  test("pack text: one exchange total — text rides the shard shuffle, no join-back") {
+    val df = Packing.packText(docs(60), budget = 16, shards = 4)
+    val plan = executedPlan(df)
+    assert(countShuffleExchanges(df) == 1,
+      s"text must be carried through the single shard exchange and the\n" +
+        s"(shard, seq_id) groupBy must reuse that partitioning:\n$plan")
+  }
+
+  test("session stats reuse the user partitioning: one exchange for window + groupBy") {
+    val evts = spark.createDataFrame((1 to 200).map(i =>
+      (i.toLong % 10, i.toLong * 1000L, i.toLong))).toDF("user_id", "ts", "event_id")
+    val df = graft.etl.Sessions.sessionStats(evts, gapNanos = 5000L)
+    assert(countShuffleExchanges(df) == 1,
+      "the (user, session) aggregation must ride the window's user_id exchange")
+  }
+
   test("vocab top-k compiles to TakeOrdered, never a global sort") {
     val toks = docs(60).select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
