@@ -107,6 +107,48 @@ object KernelProps extends Properties("kernels") {
       r.portfolio.cash >= 0.0 && r.portfolio.positions.values.forall(_ >= 0.0)
     }
 
+  private val ohlc: Gen[(Array[Double], Array[Double], Array[Double])] =
+    Gen.choose(5, 60).flatMap { n =>
+      Gen.listOfN(n, Gen.zip(price, Gen.choose(0.0, 5.0), Gen.choose(0.0, 5.0)))
+        .map { rows =>
+          val c = rows.map(_._1).toArray
+          val h = rows.map(r => r._1 + r._2).toArray
+          val l = rows.map(r => math.max(0.01, r._1 - r._3)).toArray
+          (h, l, c)
+        }
+    }
+
+  property("stochastic fast %K bounded in [0, 100]") =
+    forAll(ohlc, Gen.choose(2, 10)) { case ((h, l, c), n) =>
+      Kernels.stochFastK(h, l, c, n).forall(v => v.isNaN || (v >= 0.0 && v <= 100.0))
+    }
+
+  property("ATR is positively homogeneous: atr(k·bars) == k·atr(bars)") =
+    forAll(ohlc, Gen.choose(2, 10), Gen.choose(0.5, 20.0)) { case ((h, l, c), n, k) =>
+      val base = Kernels.atr(h, l, c, n)
+      val scaled = Kernels.atr(h.map(_ * k), l.map(_ * k), c.map(_ * k), n)
+      base.indices.forall(i => eqTol(scaled(i), base(i) * k))
+    }
+
+  property("MACD is homogeneous and its histogram is macd − signal") =
+    forAll(series, Gen.choose(0.5, 10.0)) { (x, k) =>
+      val (d, s, hst) = Kernels.macd(x, 3, 5, 2)
+      val (dk, sk, _) = Kernels.macd(x.map(_ * k), 3, 5, 2)
+      d.indices.forall { i =>
+        eqTol(dk(i), d(i) * k) && eqTol(sk(i), s(i) * k) &&
+          (hst(i).isNaN && (d(i).isNaN || s(i).isNaN) || eqTol(hst(i), d(i) - s(i)))
+      }
+    }
+
+  property("ADX bounded in [0, 100] and ADXR is the two-point average") =
+    forAll(ohlc, Gen.choose(2, 8)) { case ((h, l, c), n) =>
+      val a = Kernels.adx(h, l, c, n)
+      val ar = Kernels.adxr(h, l, c, n)
+      a.forall(v => v.isNaN || (v >= 0.0 && v <= 100.0)) &&
+        ar.indices.forall(i => ar(i).isNaN ||
+          eqTol(ar(i), (a(i) + a(i - n + 1)) / 2))
+    }
+
   // arbitrary unicode tokens incl. supplementary-plane code points — the
   // fused expression's modular composition must equal hashing the literal
   // joined shingle string for ANY input, not just ASCII
