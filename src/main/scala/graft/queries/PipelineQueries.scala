@@ -55,7 +55,7 @@ object PipelineQueries {
     * oracle can never desync from the implementation's knobs. Replays
     * `shardOf` with sign-following `%` (valid because doc_id >= 0 — the
     * documented non-negative-id contract on Packing). */
-  private val packingCtes: String = {
+  private def packingCtesFrom(src: String): String = {
     val P = graft.functions.TextHashes.PolyP
     val a = graft.functions.TextHashes.polyA(Packing.SeedIdx)
     val b = graft.functions.TextHashes.polyB(Packing.SeedIdx)
@@ -63,7 +63,7 @@ object PipelineQueries {
       |  SELECT doc_id,
       |    CAST((($a * (doc_id % $P) + $b) % $P) % ${Packing.DefaultShards} AS INTEGER) AS shard,
       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
-      |  FROM documents
+      |  FROM $src
       |), o AS (
       |  SELECT doc_id, shard, n_tokens,
       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -71,6 +71,35 @@ object PipelineQueries {
       |  FROM t
       |)""".stripMargin
   }
+  private val packingCtes: String = packingCtesFrom("documents")
+
+  /** The repetition-keep predicate as SQL over a relation exposing
+    * (doc_id, text) — the oracle twin of Repetition.repetitionKeep,
+    * shared by repetition_stats and the composed pack_filtered. */
+  private def repKeepCte(src: String): String =
+    s"""rk_base AS (
+      |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS lst FROM $src
+      |), rk_topf AS (
+      |  SELECT doc_id, max(cnt) AS top_cnt FROM (
+      |    SELECT doc_id, tok, count(*) AS cnt
+      |    FROM (SELECT doc_id, unnest(lst) AS tok FROM rk_base)
+      |    GROUP BY doc_id, tok)
+      |  GROUP BY doc_id
+      |), rk_m AS (
+      |  SELECT doc_id, text, len(lst) AS n,
+      |    len(list_distinct(lst)) AS n_distinct,
+      |    CASE WHEN len(lst) >= 2 THEN len(list_distinct(list_transform(
+      |      generate_series(1, len(lst)-1), i -> lst[i] || ' ' || lst[i+1]))) END AS d2,
+      |    CASE WHEN len(lst) >= 3 THEN len(list_distinct(list_transform(
+      |      generate_series(1, len(lst)-2), i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]))) END AS d3
+      |  FROM rk_base
+      |), kept AS (
+      |  SELECT m.doc_id, m.text FROM rk_m m JOIN rk_topf f ON m.doc_id = f.doc_id
+      |  WHERE CAST(n_distinct AS DOUBLE)/n > 0.2
+      |    AND CAST(top_cnt AS DOUBLE)/n < 0.3
+      |    AND coalesce(1.0 - CAST(d2 AS DOUBLE)/(n-1), 0.0) < 0.5
+      |    AND coalesce(1.0 - CAST(d3 AS DOUBLE)/(n-2), 0.0) < 0.4
+      |)""".stripMargin
 
   /** Langid argmax with Spark's zh > fr > es > en > de tie priority. */
   private val langPredSql: String =
@@ -554,6 +583,45 @@ object PipelineQueries {
           |    array_to_string(list_slice(string_split_regex(trim(d.text), '\\s+'),
           |      doc_from + 1, doc_from + take_len), ' ') AS piece
           |  FROM p JOIN documents d ON p.doc_id = d.doc_id
+          |)
+          |SELECT shard, seq_id,
+          |  CAST(sum(take_len) AS BIGINT) AS n_tokens,
+          |  string_agg(piece, ' ' ORDER BY doc_id) AS seq_text
+          |FROM cut GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
+      }),
+
+    Entry("pack_filtered",
+      // operator COMPOSITION, verified end-to-end: repetition-keep filter
+      // feeding sequence packing — dropping a doc shifts every later
+      // offset in its shard, so the hash match proves the two operators
+      // compose exactly (filter semantics AND the re-packed layout). This
+      // is the README's quality-filter -> pack pipeline as a registered
+      // query.
+      (spark, dir) => {
+        val kept = Tables.documents(spark, dir)
+          .where(Repetition.repetitionKeep(col("text")))
+        Packing.packText(kept, budget = Packing.DefaultBudget,
+            shards = Packing.DefaultShards)
+          .orderBy("shard", "seq_id")
+      },
+      Some {
+        val B = Packing.DefaultBudget
+        s"""WITH ${repKeepCte("documents")},
+          |${packingCtesFrom("kept")},
+          |s AS (
+          |  SELECT doc_id, shard, n_tokens, off,
+          |    unnest(generate_series(off // $B, (off + n_tokens - 1) // $B)) AS seq_id
+          |  FROM o
+          |), p AS (
+          |  SELECT shard, seq_id, s.doc_id,
+          |    least(off + s.n_tokens, (seq_id + 1) * $B) - greatest(off, seq_id * $B) AS take_len,
+          |    greatest(seq_id * $B - off, 0) AS doc_from
+          |  FROM s
+          |), cut AS (
+          |  SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, p.doc_id, take_len,
+          |    array_to_string(list_slice(string_split_regex(trim(d.text), '\\s+'),
+          |      doc_from + 1, doc_from + take_len), ' ') AS piece
+          |  FROM p JOIN kept d ON p.doc_id = d.doc_id
           |)
           |SELECT shard, seq_id,
           |  CAST(sum(take_len) AS BIGINT) AS n_tokens,
