@@ -39,6 +39,15 @@ object Packing {
     pmod(h, lit(shards.toLong)).cast("int")
   }
 
+  /** Scala-side twin of `shardOf` (used by the streaming packer's group
+    * key — must stay bit-identical to the Column expression). */
+  private[graft] def shardOfId(id: Long, shards: Int): Int = {
+    val P = graft.functions.TextHashes.PolyP
+    val h = (graft.functions.TextHashes.polyA(SeedIdx) * java.lang.Math.floorMod(id, P) +
+      graft.functions.TextHashes.polyB(SeedIdx)) % P
+    java.lang.Math.floorMod(h, shards.toLong).toInt
+  }
+
   /** Shared base: (idCol, shard, n_tokens, offset) where `offset` is the
     * running token offset of the doc within its shard's back-to-back
     * layout. One hash exchange (on shard) feeds the window; everything

@@ -761,6 +761,23 @@ object PipelineQueries {
         |  ROUND(quantile_cont(n, 0.99), 6)+0.0 AS p99_tokens
         |FROM t GROUP BY source ORDER BY source""".stripMargin)),
 
+    Entry("bigram_top100",
+      // word-bigram vocabulary (Vocab.ngramTopK): per-row gram
+      // construction — no token-table self-join — then the same
+      // TakeOrdered ranking as vocab_top100; exact doc frequency for the
+      // oracle, approx HLL being the corpus-scale default.
+      (spark, dir) => Vocab.ngramTopK(Tables.documents(spark, dir), n = 2,
+        k = 100, exactDocFreq = true),
+      Some("""WITH g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(lst) >= 2 THEN
+        |      list_transform(generate_series(1, len(lst)-1), i -> lst[i] || ' ' || lst[i+1])
+        |    ELSE [] END) AS token
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS lst
+        |        FROM documents)
+        |)
+        |SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin)),
+
     Entry("multimodal_features",
       // Mixed-modality demo: a third each synthetic WAV / PPM / raw text;
       // WAV+PPM are decoded for real (header walk + sample/pixel stats),

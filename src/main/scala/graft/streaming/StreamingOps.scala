@@ -257,6 +257,42 @@ object StreamingOps {
       }.toDF()
   }
 
+  final case class PackDocIn(doc_id: Long, text: String)
+  final case class PackState(offset: Long)
+  final case class PackOut(doc_id: Long, shard: Int, n_tokens: Long,
+                           seq_in_shard: Long, offset_in_seq: Long)
+
+  /** Streaming sequence packing, the twin of Packing.packSequences: the
+    * per-shard state is ONE long (the running token offset), so an
+    * unbounded corpus streams into fixed-budget training sequences with
+    * O(shards) total state. Shard assignment is the same poly hash as
+    * batch (Packing.shardOfId); within a micro-batch docs pack in id
+    * order, across batches in arrival order — the usual stateful-twin
+    * ordering contract, equal to batch whenever ingestion is id-ordered
+    * (tested). Token counting matches the batch split exactly (trim +
+    * \s+, empty text counts 1). */
+  def packStream(docs: DataFrame, budget: Int, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    implicit val stEnc = Encoders.product[PackState]
+    implicit val outEnc = Encoders.product[PackOut]
+    docs.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[PackDocIn](Encoders.product[PackDocIn])
+      .groupByKey(d => graft.pipeline.Packing.shardOfId(d.doc_id, shards))(Encoders.scalaInt)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[PackDocIn], state: GroupState[PackState]) =>
+          var off = state.getOption.map(_.offset).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val n = d.text.trim.split("\\s+").length.toLong
+            val o = PackOut(d.doc_id, shard, n, off / budget, off % budget)
+            off += n
+            o
+          }
+          state.update(PackState(off))
+          out.iterator
+      }.toDF()
+  }
+
   final case class SessEvIn(user_id: Long, ts: Long, event_id: Long)
   final case class SessState(lastTs: Long, sessionId: Long)
   final case class SessOut(user_id: Long, event_id: Long, ts: Long, session_id: Long)

@@ -136,6 +136,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming packing equals the batch window layout across micro-batches") {
+    val docs = (1 to 30).map(i =>
+      (i.toLong, (1 to (i % 5 + 2)).map(j => s"w${i}_$j").mkString(" ")))
+    implicit val enc = Encoders.product[(Long, String)]
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.packStream(
+        ms.toDF().toDF("doc_id", "text"), budget = 8, shards = 3)
+      .writeStream.format("memory").queryName("pack_stream")
+      .outputMode("update").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      // id-ordered ingestion split across three micro-batches: the
+      // running offsets must carry across the boundaries per shard
+      val (b1, rest) = docs.splitAt(10)
+      val (b2, b3) = rest.splitAt(10)
+      Seq(b1, b2, b3).foreach { b => ms.addData(b); q.processAllAvailable() }
+      val got = spark.sql(
+          "SELECT doc_id, shard, n_tokens, seq_in_shard, offset_in_seq FROM pack_stream")
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val batch = graft.pipeline.Packing.packSequences(
+          spark.createDataFrame(docs).toDF("doc_id", "text"), budget = 8, shards = 3)
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == batch, s"stream layout must equal batch layout")
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals the batch window fold across micro-batches") {
     val gap = 100L
     // two users; batch boundary lands MID-session for user 1 (events 3,4
