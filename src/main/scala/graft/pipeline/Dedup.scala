@@ -364,8 +364,9 @@ object Dedup {
     // re-proves the equivalence every round — but the PAIR LIST is not
     // (within-class pairs become stars, cross-class pairs surface once per
     // representative), so pair-list consumers (est-Jaccard style) keep the
-    // default. The signature frame is persisted (spill-safe) because the
-    // collapse makes it feed three consumers.
+    // default. No persist here: the window's single exchange is shared by
+    // the rep-filter and star-edge branches via ReuseExchange
+    // (plan-tested), so the signatures are computed once per action.
     val (sig, identityEdges) =
       if (!collapseIdentical) (rawSig, None)
       else {

@@ -24,11 +24,15 @@ object Jsonl {
     StructField("n_chars", LongType)))
 
   def readDocuments(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(documentsSchema).json(path)
+    read(spark, path, documentsSchema)
 
-  /** Read with a caller-supplied schema (corpora with extra fields). */
+  /** Read with a caller-supplied schema (corpora with extra fields).
+    * FAILFAST, not the PERMISSIVE default: a malformed line (truncated
+    * write, stray log text) must surface as an error, not silently
+    * become an all-null row that downstream dedup/packing miscounts —
+    * the same dirty-data posture as refusing schema inference. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
   def write(docs: DataFrame, path: String): Unit =
     docs.write.mode("overwrite").json(path)

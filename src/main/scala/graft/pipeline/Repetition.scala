@@ -17,9 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Repetition {
 
-  /** Tokens, lowercased: repetition is a lexical property, so "The the
-    * THE" is three repeats. */
-  private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
+  /** Lowercased whitespace tokens — the ONE shared normalization
+    * (Dedup.tokens), so repetition signals can never drift from the
+    * dedup signatures and their SQL oracles. Lowercased because
+    * repetition is a lexical property: "The the THE" is three repeats. */
+  private def toks(text: Column): Column = Dedup.tokens(text)
+
+  /** Keep thresholds, shared with the SQL oracles (PipelineQueries
+    * interpolates these — one definition, three uses). */
+  val MinDistinctRatio = 0.2
+  val MaxTopTokenRatio = 0.3
+  val MaxDup2Ratio = 0.5
+  val MaxDup3Ratio = 0.4
 
   /** Distinct-token fraction (type-token ratio): near 0 ⇒ the doc keeps
     * repeating the same few words. */
@@ -45,13 +54,14 @@ object Repetition {
     best.cast("double") / size(t)
   }
 
-  /** The doc's n-gram list ("a b", "b c", …) as strings — empty when the
-    * doc has fewer than n tokens. */
-  private def ngrams(t: Column, n: Int): Column =
+  /** The n-gram list over a token array ("a b", "b c", …) — empty when
+    * fewer than n tokens. Shared with Vocab.ngramTopK: one gram
+    * construction for the repetition filter and the n-gram vocabulary. */
+  private[pipeline] def ngrams(t: Column, n: Int): Column =
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
-      .otherwise(array())
+      .otherwise(array().cast("array<string>"))
 
   /** Fraction of n-grams that are duplicates of an earlier one:
     * 1 − distinct/total. NULL when the doc has fewer than n tokens (no
@@ -68,8 +78,8 @@ object Repetition {
     * the MassiveText repetition rules, adapted to the two n-gram orders
     * computed here. */
   def repetitionKeep(text: Column): Column =
-    distinctRatio(text) > 0.2 &&
-      topTokenRatio(text) < 0.3 &&
-      coalesce(dupNgramRatio(text, 2), lit(0.0)) < 0.5 &&
-      coalesce(dupNgramRatio(text, 3), lit(0.0)) < 0.4
+    distinctRatio(text) > MinDistinctRatio &&
+      topTokenRatio(text) < MaxTopTokenRatio &&
+      coalesce(dupNgramRatio(text, 2), lit(0.0)) < MaxDup2Ratio &&
+      coalesce(dupNgramRatio(text, 3), lit(0.0)) < MaxDup3Ratio
 }

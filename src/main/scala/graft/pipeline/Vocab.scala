@@ -22,25 +22,24 @@ object Vocab {
 
   def topK(docs: DataFrame, k: Int, exactDocFreq: Boolean = false,
            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // Dedup.tokens: the one shared normalization (same as the dedup
+    // signatures and the repetition filter)
     val toks = docs.select(col(idCol),
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+        explode(Dedup.tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
     rank(toks, k, exactDocFreq, idCol)
   }
 
   /** Word-n-gram vocabulary — same ranking, the unit is an n-token
-    * window ("of the", "in the …"). The n-gram list is built per row
-    * with transform/sequence (no self-join of the token table, which
-    * would shuffle the corpus n times); docs shorter than n contribute
+    * window ("of the", "in the …"). Grams come from Repetition.ngrams
+    * (one construction for the filter and the vocabulary), built per row
+    * with transform/sequence — no self-join of the token table, which
+    * would shuffle the corpus n times; docs shorter than n contribute
     * nothing. */
   def ngramTopK(docs: DataFrame, n: Int, k: Int, exactDocFreq: Boolean = false,
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(n >= 2, "use topK for single tokens")
-    val t = split(trim(lower(col(textCol))), "\\s+")
-    val grams = when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
+    val grams = Repetition.ngrams(Dedup.tokens(col(textCol)), n)
     rank(docs.select(col(idCol), explode(grams).as("token")), k, exactDocFreq, idCol)
   }
 

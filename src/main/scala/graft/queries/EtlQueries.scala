@@ -172,9 +172,14 @@ object EtlQueries {
       // partial-aggregated groupBy, skew-free (hour cardinality grows
       // with time, event_type × hour keys spread uniformly).
       // `div`, not `/`: nano timestamps (~1.7e18) exceed double's 2^53
-      // mantissa, so float division would mis-bucket boundary events
+      // mantissa, so float division would mis-bucket boundary events.
+      // Micro-truncate BEFORE bucketing, like user_sessions: DuckDB sees
+      // micro-precision timestamps, so an event with a non-zero
+      // sub-microsecond part landing within 1 µs after an hour boundary
+      // would otherwise bucket into hour H here and H-1 in the oracle
       (spark, dir) => Tables.table(spark, dir, "events")
-        .groupBy(col("event_type"), expr("ts div 3600000000000").as("hour_bucket"))
+        .groupBy(col("event_type"),
+          expr("((ts div 1000) * 1000) div 3600000000000").as("hour_bucket"))
         .agg(count(lit(1)).as("n_events"), r6(avg("value")).as("avg_value"),
           r6(max("value")).as("max_value"))
         .orderBy("event_type", "hour_bucket"),

@@ -73,10 +73,13 @@ object PipelineQueries {
   }
   private val packingCtes: String = packingCtesFrom("documents")
 
-  /** The repetition-keep predicate as SQL over a relation exposing
-    * (doc_id, text) — the oracle twin of Repetition.repetitionKeep,
-    * shared by repetition_stats and the composed pack_filtered. */
-  private def repKeepCte(src: String): String =
+  /** Repetition-signal CTEs over a relation exposing (doc_id, text):
+    * `rk_r` carries the four raw ratios. ONE definition — repetition_stats
+    * selects the rounded ratios + keep flag from it, pack_filtered builds
+    * its `kept` relation on the same predicate, and the thresholds are
+    * interpolated from Repetition's constants so Scala and SQL can never
+    * disagree. */
+  private def repCtes(src: String): String =
     s"""rk_base AS (
       |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS lst FROM $src
       |), rk_topf AS (
@@ -93,13 +96,52 @@ object PipelineQueries {
       |    CASE WHEN len(lst) >= 3 THEN len(list_distinct(list_transform(
       |      generate_series(1, len(lst)-2), i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]))) END AS d3
       |  FROM rk_base
-      |), kept AS (
-      |  SELECT m.doc_id, m.text FROM rk_m m JOIN rk_topf f ON m.doc_id = f.doc_id
-      |  WHERE CAST(n_distinct AS DOUBLE)/n > 0.2
-      |    AND CAST(top_cnt AS DOUBLE)/n < 0.3
-      |    AND coalesce(1.0 - CAST(d2 AS DOUBLE)/(n-1), 0.0) < 0.5
-      |    AND coalesce(1.0 - CAST(d3 AS DOUBLE)/(n-2), 0.0) < 0.4
+      |), rk_r AS (
+      |  SELECT m.doc_id, m.text,
+      |    CAST(n_distinct AS DOUBLE)/n AS raw_distinct,
+      |    CAST(top_cnt AS DOUBLE)/n AS raw_top,
+      |    CASE WHEN d2 IS NOT NULL THEN 1.0 - CAST(d2 AS DOUBLE)/(n-1) END AS raw_dup2,
+      |    CASE WHEN d3 IS NOT NULL THEN 1.0 - CAST(d3 AS DOUBLE)/(n-2) END AS raw_dup3
+      |  FROM rk_m m JOIN rk_topf f ON m.doc_id = f.doc_id
       |)""".stripMargin
+
+  private val repKeepPredicate: String =
+    s"""raw_distinct > ${Repetition.MinDistinctRatio}
+      |    AND raw_top < ${Repetition.MaxTopTokenRatio}
+      |    AND coalesce(raw_dup2, 0.0) < ${Repetition.MaxDup2Ratio}
+      |    AND coalesce(raw_dup3, 0.0) < ${Repetition.MaxDup3Ratio}""".stripMargin
+
+  private def repKeepCte(src: String): String =
+    s"""${repCtes(src)},
+      |kept AS (
+      |  SELECT doc_id, text FROM rk_r WHERE $repKeepPredicate
+      |)""".stripMargin
+
+  /** The pack_text assembly SQL tail over `o` (from packingCtesFrom) and
+    * a docs relation `src` — shared verbatim by pack_text and
+    * pack_filtered so their slice arithmetic cannot drift. */
+  private def packTextTail(src: String): String = {
+    val B = Packing.DefaultBudget
+    s"""s AS (
+      |  SELECT doc_id, shard, n_tokens, off,
+      |    unnest(generate_series(off // $B, (off + n_tokens - 1) // $B)) AS seq_id
+      |  FROM o
+      |), p AS (
+      |  SELECT shard, seq_id, s.doc_id,
+      |    least(off + s.n_tokens, (seq_id + 1) * $B) - greatest(off, seq_id * $B) AS take_len,
+      |    greatest(seq_id * $B - off, 0) AS doc_from
+      |  FROM s
+      |), cut AS (
+      |  SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, p.doc_id, take_len,
+      |    array_to_string(list_slice(string_split_regex(trim(d.text), '\\s+'),
+      |      doc_from + 1, doc_from + take_len), ' ') AS piece
+      |  FROM p JOIN $src d ON p.doc_id = d.doc_id
+      |)
+      |SELECT shard, seq_id,
+      |  CAST(sum(take_len) AS BIGINT) AS n_tokens,
+      |  string_agg(piece, ' ' ORDER BY doc_id) AS seq_text
+      |FROM cut GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
+  }
 
   /** Langid argmax with Spark's zh > fr > es > en > de tie priority. */
   private val langPredSql: String =
@@ -566,29 +608,8 @@ object PipelineQueries {
       (spark, dir) => Packing.packText(Tables.documents(spark, dir),
           budget = Packing.DefaultBudget, shards = Packing.DefaultShards)
         .orderBy("shard", "seq_id"),
-      Some {
-        val B = Packing.DefaultBudget
-        s"""WITH ${packingCtes},
-          |s AS (
-          |  SELECT doc_id, shard, n_tokens, off,
-          |    unnest(generate_series(off // $B, (off + n_tokens - 1) // $B)) AS seq_id
-          |  FROM o
-          |), p AS (
-          |  SELECT shard, seq_id, s.doc_id,
-          |    least(off + s.n_tokens, (seq_id + 1) * $B) - greatest(off, seq_id * $B) AS take_len,
-          |    greatest(seq_id * $B - off, 0) AS doc_from
-          |  FROM s
-          |), cut AS (
-          |  SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, p.doc_id, take_len,
-          |    array_to_string(list_slice(string_split_regex(trim(d.text), '\\s+'),
-          |      doc_from + 1, doc_from + take_len), ' ') AS piece
-          |  FROM p JOIN documents d ON p.doc_id = d.doc_id
-          |)
-          |SELECT shard, seq_id,
-          |  CAST(sum(take_len) AS BIGINT) AS n_tokens,
-          |  string_agg(piece, ' ' ORDER BY doc_id) AS seq_text
-          |FROM cut GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
-      }),
+      Some(s"""WITH ${packingCtes},
+        |${packTextTail("documents")}""".stripMargin)),
 
     Entry("pack_filtered",
       // operator COMPOSITION, verified end-to-end: repetition-keep filter
@@ -604,30 +625,9 @@ object PipelineQueries {
             shards = Packing.DefaultShards)
           .orderBy("shard", "seq_id")
       },
-      Some {
-        val B = Packing.DefaultBudget
-        s"""WITH ${repKeepCte("documents")},
-          |${packingCtesFrom("kept")},
-          |s AS (
-          |  SELECT doc_id, shard, n_tokens, off,
-          |    unnest(generate_series(off // $B, (off + n_tokens - 1) // $B)) AS seq_id
-          |  FROM o
-          |), p AS (
-          |  SELECT shard, seq_id, s.doc_id,
-          |    least(off + s.n_tokens, (seq_id + 1) * $B) - greatest(off, seq_id * $B) AS take_len,
-          |    greatest(seq_id * $B - off, 0) AS doc_from
-          |  FROM s
-          |), cut AS (
-          |  SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, p.doc_id, take_len,
-          |    array_to_string(list_slice(string_split_regex(trim(d.text), '\\s+'),
-          |      doc_from + 1, doc_from + take_len), ' ') AS piece
-          |  FROM p JOIN kept d ON p.doc_id = d.doc_id
-          |)
-          |SELECT shard, seq_id,
-          |  CAST(sum(take_len) AS BIGINT) AS n_tokens,
-          |  string_agg(piece, ' ' ORDER BY doc_id) AS seq_text
-          |FROM cut GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
-      }),
+      Some(s"""WITH ${repKeepCte("documents")},
+        |${packingCtesFrom("kept")},
+        |${packTextTail("kept")}""".stripMargin)),
 
     Entry("repetition_stats",
       // Gopher/MassiveText-style repetition quality signals: type-token
@@ -646,39 +646,14 @@ object PipelineQueries {
             Repetition.repetitionKeep(t).as("rep_keep"))
           .orderBy("doc_id")
       },
-      Some("""WITH base AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS lst FROM documents
-        |), topf AS (
-        |  SELECT doc_id, max(cnt) AS top_cnt FROM (
-        |    SELECT doc_id, tok, count(*) AS cnt
-        |    FROM (SELECT doc_id, unnest(lst) AS tok FROM base)
-        |    GROUP BY doc_id, tok)
-        |  GROUP BY doc_id
-        |), m AS (
-        |  SELECT doc_id, len(lst) AS n,
-        |    len(list_distinct(lst)) AS n_distinct,
-        |    CASE WHEN len(lst) >= 2 THEN len(list_distinct(list_transform(
-        |      generate_series(1, len(lst)-1), i -> lst[i] || ' ' || lst[i+1]))) END AS d2,
-        |    CASE WHEN len(lst) >= 3 THEN len(list_distinct(list_transform(
-        |      generate_series(1, len(lst)-2), i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]))) END AS d3
-        |  FROM base
-        |), r AS (
-        |  SELECT m.doc_id, n, n_distinct, d2, d3, top_cnt,
-        |    CAST(n_distinct AS DOUBLE)/n AS raw_distinct,
-        |    CAST(top_cnt AS DOUBLE)/n AS raw_top,
-        |    CASE WHEN d2 IS NOT NULL THEN 1.0 - CAST(d2 AS DOUBLE)/(n-1) END AS raw_dup2,
-        |    CASE WHEN d3 IS NOT NULL THEN 1.0 - CAST(d3 AS DOUBLE)/(n-2) END AS raw_dup3
-        |  FROM m JOIN topf ON m.doc_id = topf.doc_id
-        |)
+      Some(s"""WITH ${repCtes("documents")}
         |SELECT doc_id,
         |  ROUND(raw_distinct, 6)+0.0 AS distinct_ratio,
         |  ROUND(raw_top, 6)+0.0 AS top_token_ratio,
         |  ROUND(raw_dup2, 6)+0.0 AS dup_2gram_ratio,
         |  ROUND(raw_dup3, 6)+0.0 AS dup_3gram_ratio,
-        |  raw_distinct > 0.2 AND raw_top < 0.3
-        |    AND coalesce(raw_dup2, 0.0) < 0.5
-        |    AND coalesce(raw_dup3, 0.0) < 0.4 AS rep_keep
-        |FROM r ORDER BY doc_id""".stripMargin)),
+        |  $repKeepPredicate AS rep_keep
+        |FROM rk_r ORDER BY doc_id""".stripMargin)),
 
     Entry("pii_scrub",
       // email/IPv4/phone detection + redaction. The synthetic corpus has

@@ -282,9 +282,13 @@ object StreamingOps {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (shard: Int, rows: Iterator[PackDocIn], state: GroupState[PackState]) =>
           var off = state.getOption.map(_.offset).getOrElse(0L)
-          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
-            val n = d.text.trim.split("\\s+").length.toLong
-            val o = PackOut(d.doc_id, shard, n, off / budget, off % budget)
+          // count tokens BEFORE buffering for the sort: the group buffer
+          // then holds (id, count) pairs, not the document bodies — the
+          // micro-batch's text footprint stays one doc at a time
+          val counted = rows.map(d =>
+            (d.doc_id, d.text.trim.split("\\s+").length.toLong)).toSeq.sortBy(_._1)
+          val out = counted.map { case (id, n) =>
+            val o = PackOut(id, shard, n, off / budget, off % budget)
             off += n
             o
           }
