@@ -224,6 +224,32 @@ def mom(x, n):
     return [NAN] * n + [x[i] - x[i - n] for i in range(n, len(x))]
 
 
+def aroon(h, l, n):
+    # window of n+1 bars; "since" = bars since the MOST RECENT extreme
+    up, dn = [NAN] * len(h), [NAN] * len(h)
+    for i in range(n, len(h)):
+        wh = h[i - n:i + 1]
+        wl = l[i - n:i + 1]
+        mh, ml = max(wh), min(wl)
+        since_h = next(j for j in range(n + 1) if wh[n - j] == mh)
+        since_l = next(j for j in range(n + 1) if wl[n - j] == ml)
+        up[i] = 100.0 * (n - since_h) / n
+        dn[i] = 100.0 * (n - since_l) / n
+    return up, dn
+
+
+def ultosc(h, l, c, n1, n2, n3):
+    # buying pressure / true range ratio-of-sums at 3 horizons, 4/2/1
+    bp = [NAN] + [c[i] - min(l[i], c[i - 1]) for i in range(1, len(c))]
+    tr = [NAN] + [max(h[i], c[i - 1]) - min(l[i], c[i - 1]) for i in range(1, len(c))]
+    out = [NAN] * len(c)
+    for i in range(n3, len(c)):
+        def ratio(n):
+            return sum(bp[i - n + 1:i + 1]) / sum(tr[i - n + 1:i + 1])
+        out[i] = 100.0 / 7.0 * (4 * ratio(n1) + 2 * ratio(n2) + ratio(n3))
+    return out
+
+
 def fmt(v):
     return '' if (isinstance(v, float) and math.isnan(v)) else repr(v)
 
@@ -236,6 +262,7 @@ def main():
     bb_up, bb_mid, bb_lo = bbands(c, 20, 2.0)
     m_line, m_sig, m_hist = macd(c, 12, 26, 9)
     slowk, slowd = stoch(h, l, c, 5, 3, 3)
+    ar_up, ar_dn = aroon(h, l, 14)
     cols = {
         'sma_20': sma(c, 20), 'ema_20': ema(c, 20), 'rsi_14': rsi(c, 14),
         'atr_14': atr(h, l, c, 14), 'adx_14': adx(h, l, c, 14),
@@ -245,6 +272,8 @@ def main():
         'slowk_5_3_3': slowk, 'slowd_5_3_3': slowd,
         'cci_14': cci(h, l, c, 14), 'willr_14': willr(h, l, c, 14),
         'mom_10': mom(c, 10),
+        'aroon_up_14': ar_up, 'aroon_down_14': ar_dn,
+        'ultosc_7_14_28': ultosc(h, l, c, 7, 14, 28),
     }
     print('ord,open,high,low,close,volume,' + ','.join(cols))
     for i in range(N_BARS):

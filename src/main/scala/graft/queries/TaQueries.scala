@@ -682,8 +682,10 @@ object TaQueries {
       frameQ("ultosc" -> (w => Frames.ultosc(col("high"), col("low"), col("close"), 7, 14, 28)(w))),
       Some(s"""$B, t AS (
         |  SELECT symbol, ord,
-        |    close - least(low, lag(close, 1) OVER w) AS bp,
-        |    greatest(high, lag(close, 1) OVER w) - least(low, lag(close, 1) OVER w) AS tr
+        |    CASE WHEN lag(close, 1) OVER w IS NULL THEN NULL
+        |      ELSE close - least(low, lag(close, 1) OVER w) END AS bp,
+        |    CASE WHEN lag(close, 1) OVER w IS NULL THEN NULL
+        |      ELSE greatest(high, lag(close, 1) OVER w) - least(low, lag(close, 1) OVER w) END AS tr
         |  FROM bars WINDOW ${Sql.wDef}
         |)
         |SELECT symbol, ord, ${Sql.gatedR6("bp", 28,

@@ -135,11 +135,15 @@ object Frames {
     gated(pos, n, when(sn === 0, 100.0).otherwise(lit(100) - lit(100) / (lit(1) + sp / sn)))
   }
 
-  /** ULTOSC — BP/TR ratio-of-sums at 3 horizons, weights 4/2/1 — momentum.rs:571-627. */
+  /** ULTOSC — BP/TR ratio-of-sums at 3 horizons, weights 4/2/1 — momentum.rs:571-627.
+    * The first bar has no previous close and must emit NO bp/tr
+    * (TA-Lib lookback: first output at index n3, golden-tested): Spark's
+    * least/greatest IGNORE null args, so without the explicit guard bar 0
+    * would contribute bp = c−l and shift the whole series one bar early. */
   def ultosc(h: Column, l: Column, c: Column, n1: Int, n2: Int, n3: Int)(implicit w: WindowSpec): Column = {
     val pc = lag(c, 1).over(w)
-    val bp = c - least(l, pc)
-    val tr = greatest(h, pc) - least(l, pc)
+    val bp = when(pc.isNull, lit(null)).otherwise(c - least(l, pc))
+    val tr = when(pc.isNull, lit(null)).otherwise(greatest(h, pc) - least(l, pc))
     def ratio(n: Int) = sum(bp).over(W(n)) / sum(tr).over(W(n))
     gated(bp, n3, lit(100.0 / 7.0) * (lit(4) * ratio(n1) + lit(2) * ratio(n2) + ratio(n3)))
   }

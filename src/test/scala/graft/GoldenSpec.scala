@@ -84,7 +84,10 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
         Frames.bbandsLower(sc("close"), 20, 2.0).as("lo"),
         Frames.cci(sc("high"), sc("low"), sc("close"), 14).as("cci"),
         Frames.willr(sc("high"), sc("low"), sc("close"), 14).as("willr"),
-        Frames.mom(sc("close"), 10).as("mom"))
+        Frames.mom(sc("close"), 10).as("mom"),
+        Frames.aroonUp(sc("high"), 14).as("ar_up"),
+        Frames.aroonDown(sc("low"), 14).as("ar_dn"),
+        Frames.ultosc(sc("high"), sc("low"), sc("close"), 7, 14, 28).as("uo"))
       .orderBy("ord").collect()
     def series(name: String) = out.map { r =>
       val i = r.fieldIndex(name); if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
@@ -95,6 +98,9 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSeries("cci_14", series("cci"), col(20))
     assertSeries("willr_14", series("willr"), col(21))
     assertSeries("mom_10", series("mom"), col(22))
+    assertSeries("aroon_up_14", series("ar_up"), col(23))
+    assertSeries("aroon_down_14", series("ar_dn"), col(24))
+    assertSeries("ultosc_7_14_28", series("uo"), col(25))
   }
 
   test("the distributed path reproduces the goldens end-to-end") {
