@@ -250,6 +250,45 @@ def ultosc(h, l, c, n1, n2, n3):
     return out
 
 
+def mfi(h, l, c, v, n):
+    # signed typical-price*volume money flows over n; negative flow 0 -> 100
+    tp = [(h[i] + l[i] + c[i]) / 3 for i in range(len(c))]
+    pos = [NAN] + [tp[i] * v[i] if tp[i] > tp[i - 1] else 0.0 for i in range(1, len(c))]
+    neg = [NAN] + [tp[i] * v[i] if tp[i] < tp[i - 1] else 0.0 for i in range(1, len(c))]
+    out = [NAN] * len(c)
+    for i in range(n, len(c)):
+        sp = sum(pos[i - n + 1:i + 1])
+        sn = sum(neg[i - n + 1:i + 1])
+        out[i] = 100.0 if sn == 0 else 100.0 - 100.0 / (1.0 + sp / sn)
+    return out
+
+
+def cmo(x, n):
+    up = [NAN] + [max(x[i] - x[i - 1], 0.0) for i in range(1, len(x))]
+    dn = [NAN] + [max(x[i - 1] - x[i], 0.0) for i in range(1, len(x))]
+    out = [NAN] * len(x)
+    for i in range(n, len(x)):
+        su = sum(up[i - n + 1:i + 1])
+        sd = sum(dn[i - n + 1:i + 1])
+        out[i] = 0.0 if su + sd == 0 else 100.0 * (su - sd) / (su + sd)
+    return out
+
+
+def dema_tema_trix(x, n):
+    # chained SMA-seeded EMAs: e2/e3 run over the previous level's defined
+    # tail, so levels start at n-1, 2n-2, 3n-3
+    e1 = ema(x, n)
+    e2 = _ema_tail(e1, n - 1, n)
+    e3 = _ema_tail(e2, 2 * n - 2, n)
+    dema = [2 * e1[i] - e2[i] if not math.isnan(e2[i]) else NAN for i in range(len(x))]
+    tema = [3 * e1[i] - 3 * e2[i] + e3[i] if not math.isnan(e3[i]) else NAN
+            for i in range(len(x))]
+    trix = [NAN] * len(x)
+    for i in range(3 * n - 2, len(x)):
+        trix[i] = 100.0 * (e3[i] - e3[i - 1]) / e3[i - 1]
+    return dema, tema, trix
+
+
 def fmt(v):
     return '' if (isinstance(v, float) and math.isnan(v)) else repr(v)
 
@@ -263,6 +302,7 @@ def main():
     m_line, m_sig, m_hist = macd(c, 12, 26, 9)
     slowk, slowd = stoch(h, l, c, 5, 3, 3)
     ar_up, ar_dn = aroon(h, l, 14)
+    dm, tm, tx = dema_tema_trix(c, 10)
     cols = {
         'sma_20': sma(c, 20), 'ema_20': ema(c, 20), 'rsi_14': rsi(c, 14),
         'atr_14': atr(h, l, c, 14), 'adx_14': adx(h, l, c, 14),
@@ -274,6 +314,8 @@ def main():
         'mom_10': mom(c, 10),
         'aroon_up_14': ar_up, 'aroon_down_14': ar_dn,
         'ultosc_7_14_28': ultosc(h, l, c, 7, 14, 28),
+        'mfi_14': mfi(h, l, c, v, 14), 'cmo_14': cmo(c, 14),
+        'dema_10': dm, 'tema_10': tm, 'trix_10': tx,
     }
     print('ord,open,high,low,close,volume,' + ','.join(cols))
     for i in range(N_BARS):

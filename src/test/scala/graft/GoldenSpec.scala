@@ -59,9 +59,12 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSeries("adx_14", Kernels.adx(h, l, c, 14), col(10))
   }
 
-  test("kernels match the goldens for WMA, MACD, and STOCH") {
+  test("kernels match the goldens for WMA, MACD, STOCH, DEMA, TEMA, and TRIX") {
     val (h, l, c) = (col(2), col(3), col(4))
     assertSeries("wma_10", Kernels.wma(c, 10), col(11))
+    assertSeries("dema_10", Kernels.dema(c, 10), col(28))
+    assertSeries("tema_10", Kernels.tema(c, 10), col(29))
+    assertSeries("trix_10", Kernels.trix(c, 10), col(30))
     val (dif, sig, hist) = Kernels.macd(c, 12, 26, 9)
     assertSeries("macd", dif, col(15))
     assertSeries("macd_signal", sig, col(16))
@@ -76,9 +79,11 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val w = org.apache.spark.sql.expressions.Window
       .partitionBy("symbol").orderBy("ord")
     val df = spark.createDataFrame(
-      rows.toSeq.map(r => ("g", r(0).toLong, r(2), r(3), r(4))))
-      .toDF("symbol", "ord", "high", "low", "close")
+      rows.toSeq.map(r => ("g", r(0).toLong, r(2), r(3), r(4), r(5))))
+      .toDF("symbol", "ord", "high", "low", "close", "volume")
     val out = df.select(sc("ord"),
+        Frames.mfi(sc("high"), sc("low"), sc("close"), sc("volume"), 14).as("mfi"),
+        Frames.cmo(sc("close"), 14).as("cmo"),
         Frames.bbandsUpper(sc("close"), 20, 2.0).as("up"),
         Frames.bbandsMiddle(sc("close"), 20).as("mid"),
         Frames.bbandsLower(sc("close"), 20, 2.0).as("lo"),
@@ -101,6 +106,8 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSeries("aroon_up_14", series("ar_up"), col(23))
     assertSeries("aroon_down_14", series("ar_dn"), col(24))
     assertSeries("ultosc_7_14_28", series("uo"), col(25))
+    assertSeries("mfi_14", series("mfi"), col(26))
+    assertSeries("cmo_14", series("cmo"), col(27))
   }
 
   test("the distributed path reproduces the goldens end-to-end") {
