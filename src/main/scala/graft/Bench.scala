@@ -40,9 +40,17 @@ object Bench {
         Window.partitionBy("symbol").orderBy("ord").rowsBetween(-4, 0))).count()
       ta.SeriesOps.overSeries(wdf, Seq("close"), Seq("o"))(a => Array(a(0))).count()
     }
+    // a query that THROWS must be loudly visible, not silently timed as
+    // "fast": the roc family was broken at sf0.1 for rounds (ANSI
+    // divide-by-zero on the six zero closes sf0.01 never sees) while the
+    // swallowed exception kept the bench green
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val timings = toRun.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] FAILED $name: ${e.getMessage.linesIterator.next()}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     if (args.nonEmpty) timings.foreach { case (n, t) => System.err.println(f"[bench] $n%s $t%.3f s") }
@@ -50,7 +58,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -592,23 +592,31 @@ object TaQueries {
 
     Entry("roc_10",
       frameQ("roc" -> (w => Frames.roc(col("close"), 10)(w))),
-      Some(s"""$B SELECT symbol, ord, ${Sql.r6("100 * (close / lag(close, 10) OVER w - 1)", "roc")}
+      Some(s"""$B SELECT symbol, ord, ${Sql.r6(
+           "CASE WHEN lag(close, 10) OVER w = 0 THEN 0.0 " +
+           "ELSE 100 * (close / lag(close, 10) OVER w - 1) END", "roc")}
         |FROM bars ${Sql.windows()} $T""".stripMargin)),
 
     Entry("rocp_10",
       frameQ("rocp" -> (w => Frames.rocp(col("close"), 10)(w))),
       Some(s"""$B SELECT symbol, ord,
-        |${Sql.r6("(close - lag(close, 10) OVER w) / lag(close, 10) OVER w", "rocp")}
+        |${Sql.r6(
+           "CASE WHEN lag(close, 10) OVER w = 0 THEN 0.0 " +
+           "ELSE (close - lag(close, 10) OVER w) / lag(close, 10) OVER w END", "rocp")}
         |FROM bars ${Sql.windows()} $T""".stripMargin)),
 
     Entry("rocr_10",
       frameQ("rocr" -> (w => Frames.rocr(col("close"), 10)(w))),
-      Some(s"""$B SELECT symbol, ord, ${Sql.r6("close / lag(close, 10) OVER w", "rocr")}
+      Some(s"""$B SELECT symbol, ord, ${Sql.r6(
+           "CASE WHEN lag(close, 10) OVER w = 0 THEN 0.0 " +
+           "ELSE close / lag(close, 10) OVER w END", "rocr")}
         |FROM bars ${Sql.windows()} $T""".stripMargin)),
 
     Entry("rocr100_10",
       frameQ("rocr100" -> (w => Frames.rocr100(col("close"), 10)(w))),
-      Some(s"""$B SELECT symbol, ord, ${Sql.r6("100 * close / lag(close, 10) OVER w", "rocr100")}
+      Some(s"""$B SELECT symbol, ord, ${Sql.r6(
+           "CASE WHEN lag(close, 10) OVER w = 0 THEN 0.0 " +
+           "ELSE 100 * close / lag(close, 10) OVER w END", "rocr100")}
         |FROM bars ${Sql.windows()} $T""".stripMargin)),
 
     Entry("cmo_14",

@@ -76,20 +76,36 @@ object Frames {
   /** MOM = x − x[t−n] — momentum.rs:383-397. */
   def mom(x: Column, n: Int)(implicit w: WindowSpec): Column = x - lag(x, n).over(w)
 
-  /** ROC = 100·(x/x[t−n] − 1) — momentum.rs:438-453. */
-  def roc(x: Column, n: Int)(implicit w: WindowSpec): Column =
-    lit(100) * (x / lag(x, n).over(w) - 1)
+  /** A zero n-bars-ago price emits 0, not an error: TA-Lib's ROC-family
+    * convention, and under Spark's default ANSI mode the bare division
+    * would THROW at the first zero in the data (found by a full sf0.1
+    * verify — six zero closes that the sf0.01 gate never sees). */
+  private def refGuard(prev: Column, out: Column): Column =
+    when(prev === 0, 0.0).otherwise(out)
+
+  /** ROC = 100·(x/x[t−n] − 1); x[t−n] = 0 → 0 — momentum.rs:438-453. */
+  def roc(x: Column, n: Int)(implicit w: WindowSpec): Column = {
+    val p = lag(x, n).over(w)
+    refGuard(p, lit(100) * (x / p - 1))
+  }
 
   /** ROCP — momentum.rs:455-470. */
-  def rocp(x: Column, n: Int)(implicit w: WindowSpec): Column =
-    (x - lag(x, n).over(w)) / lag(x, n).over(w)
+  def rocp(x: Column, n: Int)(implicit w: WindowSpec): Column = {
+    val p = lag(x, n).over(w)
+    refGuard(p, (x - p) / p)
+  }
 
   /** ROCR — momentum.rs:472-487. */
-  def rocr(x: Column, n: Int)(implicit w: WindowSpec): Column = x / lag(x, n).over(w)
+  def rocr(x: Column, n: Int)(implicit w: WindowSpec): Column = {
+    val p = lag(x, n).over(w)
+    refGuard(p, x / p)
+  }
 
   /** ROCR100 — momentum.rs:489-504. */
-  def rocr100(x: Column, n: Int)(implicit w: WindowSpec): Column =
-    lit(100) * x / lag(x, n).over(w)
+  def rocr100(x: Column, n: Int)(implicit w: WindowSpec): Column = {
+    val p = lag(x, n).over(w)
+    refGuard(p, lit(100) * x / p)
+  }
 
   /** CMO = 100·(ΣUp−ΣDn)/(ΣUp+ΣDn) over n diffs — momentum.rs:180-223. */
   def cmo(x: Column, n: Int)(implicit w: WindowSpec): Column = {
