@@ -289,6 +289,41 @@ def dema_tema_trix(x, n):
     return dema, tema, trix
 
 
+def apo(x, fast, slow):
+    # SMA legs (TA-Lib matype 0 default)
+    f = sma(x, fast)
+    s = sma(x, slow)
+    return [f[i] - s[i] if not (math.isnan(f[i]) or math.isnan(s[i])) else NAN
+            for i in range(len(x))]
+
+
+def trange(h, l, c):
+    return [NAN] + [max(h[i] - l[i], abs(h[i] - c[i - 1]), abs(l[i] - c[i - 1]))
+                    for i in range(1, len(c))]
+
+
+def ad_line(h, l, c, v):
+    out, s = [], 0.0
+    for i in range(len(c)):
+        if h[i] != l[i]:
+            s += ((c[i] - l[i]) - (h[i] - c[i])) / (h[i] - l[i]) * v[i]
+        out.append(s)
+    return out
+
+
+def obv(c, v):
+    # standard sign convention, seeded +v[0] (the reference inverts the
+    # sign - recorded bug; the engine implements the standard)
+    out, s = [], 0.0
+    for i in range(len(c)):
+        if i == 0 or c[i] > c[i - 1]:
+            s += v[i]
+        elif c[i] < c[i - 1]:
+            s -= v[i]
+        out.append(s)
+    return out
+
+
 def fmt(v):
     return '' if (isinstance(v, float) and math.isnan(v)) else repr(v)
 
@@ -316,6 +351,8 @@ def main():
         'ultosc_7_14_28': ultosc(h, l, c, 7, 14, 28),
         'mfi_14': mfi(h, l, c, v, 14), 'cmo_14': cmo(c, 14),
         'dema_10': dm, 'tema_10': tm, 'trix_10': tx,
+        'apo_12_26': apo(c, 12, 26), 'trange': trange(h, l, c),
+        'ad': ad_line(h, l, c, v), 'obv': obv(c, v),
     }
     print('ord,open,high,low,close,volume,' + ','.join(cols))
     for i in range(N_BARS):

@@ -65,6 +65,11 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSeries("dema_10", Kernels.dema(c, 10), col(28))
     assertSeries("tema_10", Kernels.tema(c, 10), col(29))
     assertSeries("trix_10", Kernels.trix(c, 10), col(30))
+    assertSeries("apo_12_26", {
+      val f = Kernels.ma(c, 12, 0); val s = Kernels.ma(c, 26, 0)
+      Array.tabulate(c.length)(i =>
+        if (!f(i).isNaN && !s(i).isNaN) f(i) - s(i) else Double.NaN)
+    }, col(31))
     val (dif, sig, hist) = Kernels.macd(c, 12, 26, 9)
     assertSeries("macd", dif, col(15))
     assertSeries("macd_signal", sig, col(16))
@@ -84,6 +89,9 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = df.select(sc("ord"),
         Frames.mfi(sc("high"), sc("low"), sc("close"), sc("volume"), 14).as("mfi"),
         Frames.cmo(sc("close"), 14).as("cmo"),
+        Frames.trange(sc("high"), sc("low"), sc("close")).as("tr"),
+        Frames.ad(sc("high"), sc("low"), sc("close"), sc("volume")).as("ad"),
+        Frames.obv(sc("close"), sc("volume")).as("obv"),
         Frames.bbandsUpper(sc("close"), 20, 2.0).as("up"),
         Frames.bbandsMiddle(sc("close"), 20).as("mid"),
         Frames.bbandsLower(sc("close"), 20, 2.0).as("lo"),
@@ -108,6 +116,10 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSeries("ultosc_7_14_28", series("uo"), col(25))
     assertSeries("mfi_14", series("mfi"), col(26))
     assertSeries("cmo_14", series("cmo"), col(27))
+    assertSeries("trange", series("tr"), col(32))
+    // AD/OBV are running sums of ~256 products: allow proportional tolerance
+    assertSeries("ad", series("ad"), col(33), tol = 1e-6)
+    assertSeries("obv", series("obv"), col(34), tol = 1e-6)
   }
 
   test("the distributed path reproduces the goldens end-to-end") {
