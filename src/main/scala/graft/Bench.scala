@@ -47,7 +47,14 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val timings = toRun.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+      // noop sink, NOT .count(): count() lets Catalyst prune every column
+      // a projection computes — a pure-projection query was timed as its
+      // SCAN (repetition_stats measured 0.29 s counted vs 9.6 s actually
+      // computed, round 7). The noop write materializes every output
+      // column, which is what a real consumer pays. r2–r6 walls were
+      // recorded under count() semantics — NOT comparable to r7+.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] FAILED $name: ${e.getMessage.linesIterator.next()}")
       }

@@ -68,15 +68,23 @@ object Align {
     if (valueCols.nonEmpty) {
       val wFwd = Window.partitionBy(symbolCol).orderBy(dateCol)
         .rowsBetween(Window.unboundedPreceding, 0)
-      val wBwd = Window.partitionBy(symbolCol).orderBy(dateCol)
-        .rowsBetween(0, Window.unboundedFollowing)
+      // backward fill = forward fill over the REVERSED date order. The
+      // natural formulation — first(ignoreNulls) over (0,
+      // unboundedFollowing) — makes Spark re-scan the remainder of the
+      // partition for EVERY row (growing-from-below frames are not
+      // maintained incrementally): O(rows²) per symbol, measured 573 s at
+      // sf0.1 vs 8.5 s for the forward twin. A running
+      // (unboundedPreceding, 0) frame over descending dates is the same
+      // value, maintained incrementally — O(rows).
+      val wBwd = Window.partitionBy(symbolCol).orderBy(col(dateCol).desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
       fillNullStrategy match {
         case "forward" =>
           aligned = aligned.select(col(dateCol) +: col(symbolCol) +:
             valueCols.map(c => last(col(c), ignoreNulls = true).over(wFwd).as(c)): _*)
         case "backward" =>
           aligned = aligned.select(col(dateCol) +: col(symbolCol) +:
-            valueCols.map(c => first(col(c), ignoreNulls = true).over(wBwd).as(c)): _*)
+            valueCols.map(c => last(col(c), ignoreNulls = true).over(wBwd).as(c)): _*)
         case "zero" =>
           aligned = aligned.select(col(dateCol) +: col(symbolCol) +:
             valueCols.map(c => coalesce(col(c), lit(0.0)).as(c)): _*)

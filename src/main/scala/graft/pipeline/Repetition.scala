@@ -32,16 +32,22 @@ object Repetition {
 
   /** Distinct-token fraction (type-token ratio): near 0 ⇒ the doc keeps
     * repeating the same few words. */
-  def distinctRatio(text: Column): Column = {
-    val t = toks(text)
+  def distinctRatio(text: Column): Column = distinctRatioOf(toks(text))
+
+  /** Token-array variants (`*Of`): when several signals are computed over
+    * one document, project the token array into a column ONCE and pass
+    * the attribute — each signal referencing a `split` expression
+    * re-tokenizes per reference, and the registered query computes five
+    * signals. */
+  def distinctRatioOf(t: Column): Column =
     size(array_distinct(t)).cast("double") / size(t)
-  }
 
   /** Fraction of tokens taken by the single most frequent token. Computed
     * as the longest run in the SORTED token list — one aggregate() fold,
     * no per-token grouping. */
-  def topTokenRatio(text: Column): Column = {
-    val t = toks(text)
+  def topTokenRatio(text: Column): Column = topTokenRatioOf(toks(text))
+
+  def topTokenRatioOf(t: Column): Column = {
     val best = aggregate(
       array_sort(t),
       struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
@@ -56,18 +62,29 @@ object Repetition {
 
   /** The n-gram list over a token array ("a b", "b c", …) — empty when
     * fewer than n tokens. Shared with Vocab.ngramTopK: one gram
-    * construction for the repetition filter and the n-gram vocabulary. */
+    * construction for the repetition filter and the n-gram vocabulary.
+    *
+    * Built from n shifted SLICES zipped together, NOT per-element
+    * `element_at(t, i+j)` lambdas: Catalyst does no common-subexpression
+    * elimination inside higher-order-function lambdas, so when `t` is an
+    * expression (a split), the element_at form re-evaluated the ENTIRE
+    * tokenization for every gram element — O(tokens²) regex splits per
+    * document (measured: 160+ s for 5 000 docs at sf0.1). The slice form
+    * evaluates `t` O(n) times per ROW; the zip lambdas only touch their
+    * bound element variables. */
   private[pipeline] def ngrams(t: Column, n: Int): Column =
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
+    when(size(t) >= n, {
+      val parts = (0 until n).map(j => slice(t, lit(j + 1), size(t) - (n - 1)))
+      parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+    }).otherwise(array().cast("array<string>"))
 
   /** Fraction of n-grams that are duplicates of an earlier one:
     * 1 − distinct/total. NULL when the doc has fewer than n tokens (no
     * n-grams to judge). */
-  def dupNgramRatio(text: Column, n: Int): Column = {
-    val g = ngrams(toks(text), n)
+  def dupNgramRatio(text: Column, n: Int): Column = dupNgramRatioOf(toks(text), n)
+
+  def dupNgramRatioOf(t: Column, n: Int): Column = {
+    val g = ngrams(t, n)
     when(size(g) > 0,
       lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
   }
@@ -77,9 +94,11 @@ object Repetition {
     * whose vocabulary collapses or whose n-grams loop. Thresholds follow
     * the MassiveText repetition rules, adapted to the two n-gram orders
     * computed here. */
-  def repetitionKeep(text: Column): Column =
-    distinctRatio(text) > MinDistinctRatio &&
-      topTokenRatio(text) < MaxTopTokenRatio &&
-      coalesce(dupNgramRatio(text, 2), lit(0.0)) < MaxDup2Ratio &&
-      coalesce(dupNgramRatio(text, 3), lit(0.0)) < MaxDup3Ratio
+  def repetitionKeep(text: Column): Column = repetitionKeepOf(toks(text))
+
+  def repetitionKeepOf(t: Column): Column =
+    distinctRatioOf(t) > MinDistinctRatio &&
+      topTokenRatioOf(t) < MaxTopTokenRatio &&
+      coalesce(dupNgramRatioOf(t, 2), lit(0.0)) < MaxDup2Ratio &&
+      coalesce(dupNgramRatioOf(t, 3), lit(0.0)) < MaxDup3Ratio
 }

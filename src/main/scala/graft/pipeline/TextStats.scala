@@ -49,21 +49,43 @@ object TextStats {
     size(filter(tokens(lower(text)), t => array_contains(sw, t))).cast("double") / nTokens(text)
   }
 
-  /** Language ID: per-language stopword hit ratio + a CJK character ratio
-    * for zh; argmax with 'und' fallback when nothing scores. */
-  def langId(text: Column): Column = {
+  /** The five language scores (de, en, es, fr, zh — the langScoreLangs
+    * order) as ONE array column: each score is evaluated exactly once
+    * inside the array constructor. Project this into a column and feed
+    * the attribute to `langIdFromScores` — inlining the scores into the
+    * argmax tree (the old langId shape) duplicated every score ~6× (best
+    * appears in each tie-check), each duplicate re-tokenizing: ~30 regex
+    * splits per document, measured as the dominant cost of the langid
+    * queries at sf0.1. */
+  val langScoreLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  def langScores(text: Column): Column = {
     val toks = tokens(lower(text))
     val n = size(toks).cast("double")
-    val scores: Seq[(String, Column)] =
-      stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-        val sw = array(words.map(lit): _*)
-        lang -> size(filter(toks, t => array_contains(sw, t))).cast("double") / n
-      } :+ ("zh" -> length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("double") / length(text))
-    val best = scores.map(_._2).reduce((a, b) => when(a >= b, a).otherwise(b))
-    scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
-      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    val sws = stopwords.toSeq.sortBy(_._1).map { case (_, words) =>
+      val sw = array(words.map(lit): _*)
+      size(filter(toks, t => array_contains(sw, t))).cast("double") / n
+    }
+    array(sws :+
+      (length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("double") / length(text)): _*)
+  }
+
+  /** Argmax over a (projected) langScores attribute, tie priority
+    * zh > fr > es > en > de, 'und' when nothing scores — cheap element_at
+    * reads, no re-evaluation. */
+  def langIdFromScores(scores: Column): Column = {
+    val best = array_max(scores)
+    langScoreLangs.zipWithIndex.foldLeft(lit("und")) { case (acc, (lang, i)) =>
+      when(element_at(scores, i + 1) > 0 && element_at(scores, i + 1) === best, lit(lang))
+        .otherwise(acc)
     }
   }
+
+  /** Language ID: per-language stopword hit ratio + a CJK character ratio
+    * for zh; argmax with 'und' fallback when nothing scores. Convenience
+    * single-column form — when the caller can project, prefer
+    * langScores + langIdFromScores (see langScores' scaladoc). */
+  def langId(text: Column): Column = langIdFromScores(langScores(text))
 
   /** Composite quality score in [0,1]: length sweet-spot, alpha ratio,
     * moderate punctuation, plausible mean token length. */
@@ -104,7 +126,9 @@ object TextStats {
       .withColumn("punct_ratio", punctRatio(t))
       .withColumn("mean_token_len", meanTokenLen(t))
       .withColumn("stopword_ratio_en", stopwordRatio(t))
-      .withColumn("lang_pred", langId(t))
+      .withColumn("__lang_scores", langScores(t))
+      .withColumn("lang_pred", langIdFromScores(col("__lang_scores")))
+      .drop("__lang_scores")
       .withColumn("quality_score", qualityScore(t))
       .withColumn("fingerprint", fingerprint(t))
   }

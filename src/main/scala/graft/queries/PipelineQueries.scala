@@ -236,9 +236,13 @@ object PipelineQueries {
 
     Entry("text_quality",
       (spark, dir) => {
+        // project the language-score array once; the inlined argmax form
+        // re-evaluated every score (and its tokenization) per tie-check
         val t = col("text")
-        Tables.documents(spark, dir).select(col("doc_id"),
-          TextStats.langId(t).as("lang_pred"),
+        Tables.documents(spark, dir)
+          .withColumn("__ls", TextStats.langScores(t))
+          .select(col("doc_id"),
+          TextStats.langIdFromScores(col("__ls")).as("lang_pred"),
           r6(TextStats.qualityScore(t)).as("quality_score"),
           r6(TextStats.stopwordRatio(t)).as("stopword_ratio_en"),
           r6(TextStats.meanTokenLen(t)).as("mean_token_len"),
@@ -270,8 +274,9 @@ object PipelineQueries {
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
         val t = col("text")
-        val scored = docs.select(col("doc_id"),
-          TextStats.langId(t).as("lang_pred"),
+        val scored = docs.withColumn("__ls", TextStats.langScores(t))
+          .select(col("doc_id"),
+          TextStats.langIdFromScores(col("__ls")).as("lang_pred"),
           r6(TextStats.qualityScore(t)).as("quality_score"))
         Dedup.exact(docs).select(col("doc_id"), col("is_canonical"))
           .join(scored, "doc_id")
@@ -519,8 +524,12 @@ object PipelineQueries {
       // both sides; the hash is plain BIGINT arithmetic.
       (spark, dir) => {
         val rates = Map("en" -> 0.25, "fr" -> 0.5, "und" -> 0.1)
-        val lang = TextStats.langId(col("text"))
-        Tables.documents(spark, dir).select(col("doc_id"), lang.as("lang_pred"),
+        // score array projected once; lang_pred and the keep threshold
+        // both read the attribute
+        val lang = TextStats.langIdFromScores(col("__ls"))
+        Tables.documents(spark, dir)
+          .withColumn("__ls", TextStats.langScores(col("text")))
+          .select(col("doc_id"), lang.as("lang_pred"),
             Sampling.stratifiedKeep(col("doc_id"), lang, rates).as("kept"))
           .orderBy("doc_id")
       },
@@ -620,7 +629,9 @@ object PipelineQueries {
       // query.
       (spark, dir) => {
         val kept = Tables.documents(spark, dir)
-          .where(Repetition.repetitionKeep(col("text")))
+          .withColumn("__toks", Dedup.tokens(col("text")))
+          .where(Repetition.repetitionKeepOf(col("__toks")))
+          .drop("__toks")
         Packing.packText(kept, budget = Packing.DefaultBudget,
             shards = Packing.DefaultShards)
           .orderBy("shard", "seq_id")
@@ -637,13 +648,17 @@ object PipelineQueries {
       // scan stage at any corpus size. Ratios are int/int divisions in
       // double, so the oracle's unnest-based replay is IEEE-identical.
       (spark, dir) => {
-        val t = col("text")
-        Tables.documents(spark, dir).select(col("doc_id"),
-            r6(Repetition.distinctRatio(t)).as("distinct_ratio"),
-            r6(Repetition.topTokenRatio(t)).as("top_token_ratio"),
-            r6(Repetition.dupNgramRatio(t, 2)).as("dup_2gram_ratio"),
-            r6(Repetition.dupNgramRatio(t, 3)).as("dup_3gram_ratio"),
-            Repetition.repetitionKeep(t).as("rep_keep"))
+        // tokenize ONCE into an attribute: five signals referencing the
+        // split expression directly would re-tokenize per signal
+        val t = col("__toks")
+        Tables.documents(spark, dir)
+          .withColumn("__toks", Dedup.tokens(col("text")))
+          .select(col("doc_id"),
+            r6(Repetition.distinctRatioOf(t)).as("distinct_ratio"),
+            r6(Repetition.topTokenRatioOf(t)).as("top_token_ratio"),
+            r6(Repetition.dupNgramRatioOf(t, 2)).as("dup_2gram_ratio"),
+            r6(Repetition.dupNgramRatioOf(t, 3)).as("dup_3gram_ratio"),
+            Repetition.repetitionKeepOf(t).as("rep_keep"))
           .orderBy("doc_id")
       },
       Some(s"""WITH ${repCtes("documents")}
