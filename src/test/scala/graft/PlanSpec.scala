@@ -162,6 +162,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the (user, session) aggregation must ride the window's user_id exchange")
   }
 
+  test("backward fill compiles to a running frame, never unbounded-following") {
+    // growing-from-below frames are re-scanned per row (O(rows²) per
+    // symbol — 573 s at sf0.1 before the rewrite); the backward fill must
+    // stay a running (unboundedpreceding, currentrow) frame over
+    // descending dates
+    val bars = spark.createDataFrame((0 until 60).map(i =>
+      (s"s${i % 3}", i.toLong, if (i % 4 == 0) Some(i.toDouble) else None)))
+      .toDF("symbol", "date", "close")
+    val plan = executedPlan(graft.etl.Align.align(bars, fillNullStrategy = "backward"))
+      .toLowerCase
+    assert(!plan.contains("unboundedfollowing"),
+      s"backward fill must run as a reversed running frame:\n$plan")
+  }
+
   test("vocab top-k compiles to TakeOrdered, never a global sort") {
     val toks = docs(60).select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
