@@ -648,17 +648,27 @@ object PipelineQueries {
       // scan stage at any corpus size. Ratios are int/int divisions in
       // double, so the oracle's unnest-based replay is IEEE-identical.
       (spark, dir) => {
-        // tokenize ONCE into an attribute: five signals referencing the
-        // split expression directly would re-tokenize per signal
+        // tokenize ONCE into an attribute, then compute each RAW signal
+        // once and derive both the rounded column and the keep flag from
+        // the raw attributes — the single-projection form evaluated every
+        // HOF signal twice (once for its column, once inside the flag)
         val t = col("__toks")
         Tables.documents(spark, dir)
           .withColumn("__toks", Dedup.tokens(col("text")))
           .select(col("doc_id"),
-            r6(Repetition.distinctRatioOf(t)).as("distinct_ratio"),
-            r6(Repetition.topTokenRatioOf(t)).as("top_token_ratio"),
-            r6(Repetition.dupNgramRatioOf(t, 2)).as("dup_2gram_ratio"),
-            r6(Repetition.dupNgramRatioOf(t, 3)).as("dup_3gram_ratio"),
-            Repetition.repetitionKeepOf(t).as("rep_keep"))
+            Repetition.distinctRatioOf(t).as("rd"),
+            Repetition.topTokenRatioOf(t).as("rt"),
+            Repetition.dupNgramRatioOf(t, 2).as("r2"),
+            Repetition.dupNgramRatioOf(t, 3).as("r3"))
+          .select(col("doc_id"),
+            r6(col("rd")).as("distinct_ratio"),
+            r6(col("rt")).as("top_token_ratio"),
+            r6(col("r2")).as("dup_2gram_ratio"),
+            r6(col("r3")).as("dup_3gram_ratio"),
+            (col("rd") > Repetition.MinDistinctRatio &&
+              col("rt") < Repetition.MaxTopTokenRatio &&
+              coalesce(col("r2"), lit(0.0)) < Repetition.MaxDup2Ratio &&
+              coalesce(col("r3"), lit(0.0)) < Repetition.MaxDup3Ratio).as("rep_keep"))
           .orderBy("doc_id")
       },
       Some(s"""WITH ${repCtes("documents")}
