@@ -1,5 +1,9 @@
 package graft.bt
 
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
 import scala.collection.mutable
 
 /** Event-driven multi-asset backtester — port of reference
@@ -135,5 +139,50 @@ object Sequential {
     val summary = Metrics.summary(equityCurve, benchmark, cfg.initialCapital,
       portfolio.totalTrades, portfolio.winningTrades)
     Result(equityCurve, summary, portfolio)
+  }
+
+  /** Distributed multi-portfolio driver: each portfolio's event loop runs
+    * inside ONE task via `groupByKey(portfolio).flatMapGroups` — the same
+    * shape Vectorized uses per symbol. Portfolios are embarrassingly
+    * parallel across executors; each loop stays sequential, as an
+    * order-queue simulation must. Nothing is collected to the driver: the
+    * aligned bars of one portfolio (its whole simulation input) are
+    * materialized inside the task, bounded by one portfolio's history —
+    * the unit a user sizes anyway.
+    *
+    * @param df         `(portfolio, symbol, ord, close)` — bars of every
+    *                   asset in every portfolio (pre-align sparse symbols
+    *                   with [[graft.etl.Align.align]])
+    * @param mkStrategy builds the per-bar strategy from the portfolio's
+    *                   symbol list (sorted) and per-symbol close arrays
+    *                   indexed by the portfolio's distinct sorted ords;
+    *                   must be serializable (a plain function literal is)
+    * @return           `(portfolio, ord, equity)` — one row per period
+    */
+  def runPortfolios(df: DataFrame,
+                    mkStrategy: (Array[String], Map[String, Array[Double]]) => (OrderContext, Int) => Unit,
+                    cfg: Config = Config()): DataFrame = {
+    val proj = df.select(col("portfolio").cast(StringType), col("symbol").cast(StringType),
+      col("ord").cast(LongType), col("close").cast(DoubleType))
+    val schema = StructType(Seq(
+      StructField("portfolio", StringType), StructField("ord", LongType),
+      StructField("equity", DoubleType)))
+    proj.groupByKey(_.getString(0))(Encoders.STRING)
+      .flatMapGroups { (pf: String, it: Iterator[Row]) =>
+        val rows = it.toArray
+        val ords = rows.map(_.getLong(2)).distinct.sorted
+        val idx = ords.zipWithIndex.toMap
+        val syms = rows.map(_.getString(1)).distinct.sorted
+        // missing (symbol, ord) cells stay 0.0 — OrderContext rejects
+        // zero-price orders, matching the pre-grid default-fill contract
+        val closes: Map[String, Array[Double]] =
+          syms.map(s => s -> new Array[Double](ords.length)).toMap
+        rows.foreach { r =>
+          closes(r.getString(1))(idx(r.getLong(2))) =
+            if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
+        }
+        val res = run(ords.length, mkStrategy(syms, closes), cfg)
+        ords.indices.iterator.map(i => Row(pf, ords(i), res.equity(i)))
+      }(Encoders.row(schema))
   }
 }

@@ -1095,23 +1095,23 @@ object TaQueries {
 
     Entry("bt_sequential",
       // The event-driven engine is inherently serial per portfolio
-      // (SURVEY.md §3.3); the demo runs one symbol's bar stream through a
-      // scripted momentum strategy. Only that single series is collected —
-      // the engine itself is driver-side by design, like the reference.
+      // (SURVEY.md §3.3), but the fold itself runs INSIDE a task:
+      // runPortfolios groups by portfolio and executes the event loop in
+      // flatMapGroups, so nothing crosses the driver and a universe of
+      // portfolios backtests in parallel. The demo runs one symbol's bar
+      // stream through a scripted momentum strategy.
       (spark, dir) => {
         val bars = Tables.bars(spark, dir)
           .where(col("symbol") === "click_0")
-          .select("ord", "close").orderBy("ord").collect()
-        val closes = bars.map(_.getDouble(1))
-        val r = graft.bt.Sequential.run(closes.length, { (ctx, p) =>
-          if (p >= 2 && closes(p) < closes(p - 1) && closes(p - 1) < closes(p - 2))
-            ctx.buy("X", 10, closes(p))
-          else if (p >= 2 && closes(p) > closes(p - 1) && closes(p - 1) > closes(p - 2))
-            ctx.sell("X", 10, closes(p))
+          .select(lit("p0").as("portfolio"), col("symbol"), col("ord"), col("close"))
+        graft.bt.Sequential.runPortfolios(bars, (_, closes) => {
+          val c = closes("click_0")
+          (ctx, p) =>
+            if (p >= 2 && c(p) < c(p - 1) && c(p - 1) < c(p - 2))
+              ctx.buy("X", 10, c(p))
+            else if (p >= 2 && c(p) > c(p - 1) && c(p - 1) > c(p - 2))
+              ctx.sell("X", 10, c(p))
         })
-        import spark.implicits._
-        r.equity.zipWithIndex.toSeq.map { case (e, i) => (bars(i).getLong(0), e) }
-          .toDF("ord", "equity")
           .select(col("ord"), r6(col("equity")).as("equity"))
           .orderBy("ord")
       }, Some(btSeqOracle)),
@@ -1121,30 +1121,24 @@ object TaQueries {
       // exercising Portfolio's cross-asset bookkeeping (per-asset price
       // board, re-buy entry overwrite, oversell/zero-price rejection).
       // Each symbol owns a disjoint ord set, so Align's grid+ffill does
-      // real work before the loop; alignment runs distributed and only
-      // the small aligned frame is collected for the inherently-serial
-      // event loop (same contract as bt_sequential).
+      // real work before the loop; alignment runs distributed and the
+      // event loop folds inside a task via runPortfolios — the strategy
+      // iterates symbols in sorted order, matching the oracle's nested
+      // per-asset fill sequence (cash consumption order matters).
       (spark, dir) => {
         val syms = Seq("click_0", "click_1", "view_0", "view_1")
         val bars4 = Tables.bars(spark, dir).where(col("symbol").isin(syms: _*))
           .select(col("symbol"), col("ord"), col("close"))
-        val aligned = graft.etl.Align.align(bars4, dateCol = "ord").collect()
-        val ords = aligned.map(_.getLong(0)).distinct.sorted
-        val idx = ords.zipWithIndex.toMap
-        val closes: Map[String, Array[Double]] = syms.map { s =>
-          val a = new Array[Double](ords.length)
-          aligned.filter(_.getString(1) == s).foreach(r => a(idx(r.getLong(0))) = r.getDouble(2))
-          s -> a
-        }.toMap
-        val r = graft.bt.Sequential.run(ords.length, { (ctx, p) =>
-          syms.foreach { s =>
-            val c = closes(s)
-            if (p >= 2 && c(p) < c(p - 1) && c(p - 1) < c(p - 2)) ctx.buy(s, 10, c(p))
-            else if (p >= 2 && c(p) > c(p - 1) && c(p - 1) > c(p - 2)) ctx.sell(s, 10, c(p))
-          }
+        val aligned = graft.etl.Align.align(bars4, dateCol = "ord")
+          .select(lit("p0").as("portfolio"), col("symbol"), col("ord"), col("close"))
+        graft.bt.Sequential.runPortfolios(aligned, (ss, closes) => {
+          (ctx, p) =>
+            ss.foreach { s =>
+              val c = closes(s)
+              if (p >= 2 && c(p) < c(p - 1) && c(p - 1) < c(p - 2)) ctx.buy(s, 10, c(p))
+              else if (p >= 2 && c(p) > c(p - 1) && c(p - 1) > c(p - 2)) ctx.sell(s, 10, c(p))
+            }
         })
-        import spark.implicits._
-        ords.zip(r.equity).toSeq.toDF("ord", "equity")
           .select(col("ord"), r6(col("equity")).as("equity"))
           .orderBy("ord")
       }, Some(btMultiOracle))

@@ -189,6 +189,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"orderBy+limit must fuse into per-partition top-k + driver merge:\n$plan")
   }
 
+  test("sequential backtest event loop executes inside a task, not on the driver") {
+    // pre-r8 these queries collected bars to the driver and re-parallelized
+    // the equity curve (a LocalTableScan of driver-computed rows); the
+    // distributed shape folds inside flatMapGroups, so the plan must show a
+    // typed-groups node fed by the parquet scan and no local relation
+    for (name <- Seq("bt_sequential", "bt_multi_asset")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val plan = executedPlan(df)
+      assert(plan.contains("MapGroups"),
+        s"$name: event loop must fold inside a task (flatMapGroups):\n$plan")
+      assert(!plan.contains("LocalTableScan"),
+        s"$name: no driver-side collect/re-parallelize in the query path:\n$plan")
+    }
+  }
+
   test("persisted IVF probe prunes unprobed lists via cid partition filter") {
     val e = embs(80)
     val dir = java.nio.file.Files.createTempDirectory("plan_ivf_").toString
