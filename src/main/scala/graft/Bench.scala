@@ -53,18 +53,25 @@ object Bench {
       // computed, round 7). The noop write materializes every output
       // column, which is what a real consumer pays. r2–r6 walls were
       // recorded under count() semantics — NOT comparable to r7+.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] FAILED $name: ${e.getMessage.linesIterator.next()}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          failed += name
+          // e.toString, not getMessage: a null/empty message (bare NPE)
+          // must not crash the code whose job is making failures visible
+          System.err.println(s"[bench] FAILED $name: ${e.toString.linesIterator.next()}")
+          false
+        }
+      // a failed query reports -1 and is excluded from the total: its
+      // partial time-to-throw would otherwise deflate the wall number
+      // cross-round comparisons use
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     if (args.nonEmpty) timings.foreach { case (n, t) => System.err.println(f"[bench] $n%s $t%.3f s") }
     val results = timings.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0.0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"semantics":"noop-materialize (r7+; r2-r6 used count(), which pruned projection work - see BASELINE.md)","sf":"$sfDir"}""")
     spark.stop()

@@ -55,7 +55,9 @@ object Align {
     align(master, dateCol, symbolCol, fillNullStrategy, defaultFillValue)
   }
 
-  /** Grid + fill on an already-loaded long frame. */
+  /** Grid + fill on an already-loaded long frame. Output rows are ordered
+    * by (date, symbol) — the final orderBy guarantees it for every fill
+    * strategy, including "backward" whose fill window scans descending. */
   def align(master: DataFrame, dateCol: String = "date", symbolCol: String = "symbol",
             fillNullStrategy: String = "forward", defaultFillValue: Double = 0.0): DataFrame = {
     val valueCols = master.columns.filterNot(c => c == dateCol || c == symbolCol).toSeq

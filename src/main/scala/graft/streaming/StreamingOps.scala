@@ -259,7 +259,7 @@ object StreamingOps {
 
   final case class PackDocIn(doc_id: Long, text: String)
   final case class PackState(offset: Long)
-  final case class PackOut(doc_id: Long, shard: Int, n_tokens: Long,
+  final case class PackOut(doc_id: Long, shard: Int, n_tokens: Option[Long],
                            seq_in_shard: Long, offset_in_seq: Long)
 
   /** Streaming sequence packing, the twin of Packing.packSequences: the
@@ -284,12 +284,16 @@ object StreamingOps {
           var off = state.getOption.map(_.offset).getOrElse(0L)
           // count tokens BEFORE buffering for the sort: the group buffer
           // then holds (id, count) pairs, not the document bodies — the
-          // micro-batch's text footprint stays one doc at a time
+          // micro-batch's text footprint stays one doc at a time.
+          // null text → null n_tokens and zero offset advance, matching
+          // the batch twin (size(split(null)) is null; the window sum
+          // skips it) — the documents schema allows null text
           val counted = rows.map(d =>
-            (d.doc_id, d.text.trim.split("\\s+").length.toLong)).toSeq.sortBy(_._1)
+            (d.doc_id, Option(d.text).map(_.trim.split("\\s+").length.toLong)))
+            .toSeq.sortBy(_._1)
           val out = counted.map { case (id, n) =>
             val o = PackOut(id, shard, n, off / budget, off % budget)
-            off += n
+            off += n.getOrElse(0L)
             o
           }
           state.update(PackState(off))

@@ -137,8 +137,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("streaming packing equals the batch window layout across micro-batches") {
+    // doc 7 has NULL text (the documents schema allows it): both paths
+    // must emit null n_tokens and advance the shard offset by zero
     val docs = (1 to 30).map(i =>
-      (i.toLong, (1 to (i % 5 + 2)).map(j => s"w${i}_$j").mkString(" ")))
+      (i.toLong, if (i == 7) null
+                 else (1 to (i % 5 + 2)).map(j => s"w${i}_$j").mkString(" ")))
     implicit val enc = Encoders.product[(Long, String)]
     val ms = MemoryStream[(Long, String)](spark)
     val q = StreamingOps.packStream(
@@ -154,12 +157,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = spark.sql(
           "SELECT doc_id, shard, n_tokens, seq_in_shard, offset_in_seq FROM pack_stream")
         .collect().map(r => r.getLong(0) ->
-          (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+          (r.getInt(1), r.get(2), r.getLong(3), r.getLong(4))).toMap
       val batch = graft.pipeline.Packing.packSequences(
           spark.createDataFrame(docs).toDF("doc_id", "text"), budget = 8, shards = 3)
         .collect().map(r => r.getLong(0) ->
-          (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+          (r.getInt(1), r.get(2), r.getLong(3), r.getLong(4))).toMap
       assert(got == batch, s"stream layout must equal batch layout")
+      assert(got(7L)._2 == null, "null text must surface as null n_tokens")
     } finally q.stop()
   }
 
