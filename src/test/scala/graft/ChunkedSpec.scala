@@ -1,0 +1,103 @@
+package graft
+
+import graft.ta.{Chunked, Kernels, SeriesOps}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity pin for the chunked-state executor: a series forced through
+  * many small chunks must produce BIT-IDENTICAL results to the
+  * whole-series overSeries scan — same nulls, same doubles — for the
+  * flagship recursive kernels (EMA, RSI, ATR). This is the contract that
+  * makes overSeriesChunked a legitimate escape hatch for series longer
+  * than one executor's working set.
+  */
+class ChunkedSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-chunked-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** 3 symbols × 1200 rows of deterministic pseudo-random OHLC with
+    * interior nulls (every 97th close, every 131st high) — nulls must ride
+    * the skip-don't-poison convention across chunk boundaries too. */
+  private def bars() = {
+    val rows = for {
+      s <- 0 until 3
+      i <- 0 until 1200
+    } yield {
+      val base = 100.0 + 10.0 * math.sin(i * 0.05 + s) + (i * 7919 % 13) * 0.3
+      val close = if (i % 97 == 0) None else Some(base)
+      val high = if (i % 131 == 0) None else Some(base + (i * 31 % 7) * 0.2)
+      val low = Some(base - (i * 17 % 5) * 0.25)
+      (s"sym_$s", i.toLong, high, low, close)
+    }
+    spark.createDataFrame(rows).toDF("symbol", "ord", "high", "low", "close")
+  }
+
+  private def collectMap(df: org.apache.spark.sql.DataFrame, outCol: String) =
+    df.select("symbol", "ord", outCol).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (if (r.isNullAt(2)) null else r.getDouble(2)))
+      .toMap
+
+  test("chunked EMA(20) is bit-identical to overSeries across 5 forced chunks") {
+    val df = bars()
+    val whole = SeriesOps.overSeries(df, Seq("close"), Seq("ema"))(
+      a => Array(Kernels.ema(a(0), 20)))
+    val chunked = SeriesOps.overSeriesChunked(
+      df, Seq("close"), Seq("ema"), new Chunked.EmaStep(20), chunkRows = 257)
+    assert(collectMap(chunked, "ema") == collectMap(whole, "ema"))
+  }
+
+  test("chunked RSI(14) is bit-identical to overSeries") {
+    val df = bars()
+    val whole = SeriesOps.overSeries(df, Seq("close"), Seq("rsi"))(
+      a => Array(Kernels.rsi(a(0), 14)))
+    val chunked = SeriesOps.overSeriesChunked(
+      df, Seq("close"), Seq("rsi"), new Chunked.RsiStep(14), chunkRows = 211)
+    assert(collectMap(chunked, "rsi") == collectMap(whole, "rsi"))
+  }
+
+  test("chunked ATR(14) is bit-identical to overSeries") {
+    val df = bars()
+    val whole = SeriesOps.overSeries(df, Seq("high", "low", "close"), Seq("atr"))(
+      a => Array(Kernels.atr(a(0), a(1), a(2), 14)))
+    val chunked = SeriesOps.overSeriesChunked(
+      df, Seq("high", "low", "close"), Seq("atr"), new Chunked.AtrStep(14), chunkRows = 173)
+    assert(collectMap(chunked, "atr") == collectMap(whole, "atr"))
+  }
+
+  test("a chunk smaller than the warmup still seeds correctly") {
+    // chunkRows = 7 < n = 20: the SMA seed accumulates across three chunk
+    // boundaries before the first non-null value appears
+    val df = bars().where(org.apache.spark.sql.functions.col("symbol") === "sym_0")
+    val whole = SeriesOps.overSeries(df, Seq("close"), Seq("ema"))(
+      a => Array(Kernels.ema(a(0), 20)))
+    val chunked = SeriesOps.overSeriesChunked(
+      df, Seq("close"), Seq("ema"), new Chunked.EmaStep(20), chunkRows = 7)
+    assert(collectMap(chunked, "ema") == collectMap(whole, "ema"))
+  }
+
+  test("overSeriesAuto routes an over-bound series to the chunked path instead of throwing") {
+    val df = bars()
+    // force the bound far below the series length: the whole-series path
+    // would trip overSeries' require; auto must route to chunked and agree
+    val auto = SeriesOps.overSeriesAuto(
+      df, Seq("close"), Seq("ema"), new Chunked.EmaStep(20),
+      maxRows = 100, chunkRows = 300)(a => Array(Kernels.ema(a(0), 20)))
+    val whole = SeriesOps.overSeries(df, Seq("close"), Seq("ema"))(
+      a => Array(Kernels.ema(a(0), 20)))
+    assert(collectMap(auto, "ema") == collectMap(whole, "ema"))
+    // and below the bound it uses the whole-series scan (no scratch write)
+    val small = SeriesOps.overSeriesAuto(
+      df, Seq("close"), Seq("ema"), new Chunked.EmaStep(20),
+      maxRows = 10_000)(a => Array(Kernels.ema(a(0), 20)))
+    assert(collectMap(small, "ema") == collectMap(whole, "ema"))
+  }
+}
