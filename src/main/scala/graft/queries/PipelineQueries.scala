@@ -608,6 +608,19 @@ object PipelineQueries {
         |FROM tok WHERE token != ''
         |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin)),
 
+    Entry("vocab_top100_approx",
+      // the corpus-scale doc-frequency leg (Vocab's default): HLL
+      // sketches merge map-side, so a hot token ("the") never funnels
+      // its distinct (token, doc) pairs through one reducer — the skew
+      // funnel the exact leg above accepts for oracle-hashability.
+      // Registered WITHOUT an oracle (rows-only gate): an HLL estimate
+      // can't hash-match DuckDB's different sketch. Numeric coverage
+      // comes from the approx≈exact parity scalatest (PipelineSpec) and
+      // the map-side partial-merge plan test (PlanSpec).
+      (spark, dir) => Vocab.topK(Tables.documents(spark, dir), k = 100,
+        exactDocFreq = false),
+      None),
+
     Entry("pack_text",
       // the assembled training sequences themselves: slice map joined
       // back to the docs, token slices cut and concatenated in doc order

@@ -189,6 +189,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"orderBy+limit must fuse into per-partition top-k + driver merge:\n$plan")
   }
 
+  test("approx doc-frequency aggregates partially map-side (HLL sketch merge)") {
+    // the scale rationale for vocab_top100_approx: the HLL sketch is
+    // algebraic, so a partial aggregate must appear below the exchange —
+    // each mapper merges its own sketch and a hot token's reducer sees one
+    // row per partition, not every distinct (token, doc) pair
+    val df = Vocab.topK(docs(80), k = 10, exactDocFreq = false)
+    val plan = executedPlan(df)
+    assert(plan.contains("partial_approx_count_distinct"),
+      s"HLL doc frequency must partial-aggregate before the shuffle:\n$plan")
+  }
+
   test("sequential backtest event loop executes inside a task, not on the driver") {
     // pre-r8 these queries collected bars to the driver and re-parallelized
     // the equity curve (a LocalTableScan of driver-computed rows); the
