@@ -324,6 +324,208 @@ def obv(c, v):
     return out
 
 
+def sar(h, l, accel=0.02, max_a=0.2):
+    """Wilder's Parabolic SAR (TA-Lib semantics): initial trend from the
+    first pair's +DM vs -DM; each bar emits the CURRENT sar, then advances
+    it by af*(EP - sar) for tomorrow, never into the last two bars' range;
+    penetration flips the position with sar = EP and AF reset."""
+    n = len(h)
+    out = [NAN] * n
+    long = (h[1] - h[0]) >= (l[0] - l[1])
+    af = accel
+    s = l[0] if long else h[0]
+    ep = h[1] if long else l[1]
+    for i in range(1, n):
+        ph, pl = h[i - 1], l[i - 1]
+        if long:
+            if l[i] < s:                      # penetrated: flip short
+                long = False
+                s = ep
+                ep = l[i]
+                af = accel
+                out[i] = s
+                s = s + af * (ep - s)
+                if s < h[i]: s = h[i]
+                if s < ph: s = ph
+            else:
+                out[i] = s
+                if h[i] > ep:
+                    ep = h[i]
+                    af = min(af + accel, max_a)
+                s = s + af * (ep - s)
+                if s > l[i]: s = l[i]
+                if s > pl: s = pl
+        else:
+            if h[i] > s:                      # penetrated: flip long
+                long = True
+                s = ep
+                ep = h[i]
+                af = accel
+                out[i] = s
+                s = s + af * (ep - s)
+                if s > l[i]: s = l[i]
+                if s > pl: s = pl
+            else:
+                out[i] = s
+                if l[i] < ep:
+                    ep = l[i]
+                    af = min(af + accel, max_a)
+                s = s + af * (ep - s)
+                if s < h[i]: s = h[i]
+                if s < ph: s = ph
+    return out
+
+
+def sarext(h, l, start_value=0.0, offset_on_reverse=0.0,
+           ai_l=0.02, a_l=0.02, am_l=0.2, ai_s=0.02, a_s=0.02, am_s=0.2):
+    """SAR with start value / offset-on-reverse and per-side acceleration;
+    short-side SAR is emitted NEGATIVE (TA-Lib sign convention)."""
+    n = len(h)
+    out = [NAN] * n
+    if start_value > 0:
+        long = True
+    elif start_value < 0:
+        long = False
+    else:
+        long = (h[1] - h[0]) >= (l[0] - l[1])
+    af = ai_l if long else ai_s
+    if start_value != 0.0:
+        s = abs(start_value)
+    else:
+        s = l[0] if long else h[0]
+    ep = h[1] if long else l[1]
+    for i in range(1, n):
+        ph, pl = h[i - 1], l[i - 1]
+        if long:
+            if l[i] < s:
+                long = False
+                s = ep * (1 + offset_on_reverse)
+                ep = l[i]
+                af = ai_s
+                out[i] = -s
+                s = s + af * (ep - s)
+                if s < h[i]: s = h[i]
+                if s < ph: s = ph
+            else:
+                out[i] = s
+                if h[i] > ep:
+                    ep = h[i]
+                    af = min(af + a_l, am_l)
+                s = s + af * (ep - s)
+                if s > l[i]: s = l[i]
+                if s > pl: s = pl
+        else:
+            if h[i] > s:
+                long = True
+                s = ep * (1 - offset_on_reverse)
+                ep = h[i]
+                af = ai_l
+                out[i] = s
+                s = s + af * (ep - s)
+                if s > l[i]: s = l[i]
+                if s > pl: s = pl
+            else:
+                out[i] = -s
+                if l[i] < ep:
+                    ep = l[i]
+                    af = min(af + a_s, am_s)
+                s = s + af * (ep - s)
+                if s < h[i]: s = h[i]
+                if s < ph: s = ph
+    return out
+
+
+def mesa(x, fast_limit=0.5, slow_limit=0.05):
+    """The MESA / Hilbert-transform state machine (Ehlers; TA-Lib HT_*
+    family semantics as the reference implements them, cycle.rs:9-448):
+    4-3-2-1 WMA smoother, 7-tap one-sided Hilbert FIR with +-0.0962 /
+    +-0.5769 and adj = 0.075*period + 0.54, quadrature demodulation with
+    0.2/0.8 smoothing, period clamped to [0.67, 1.5]x previous then
+    [6, 50]. Outputs begin at index 31. MAMA/FAMA share the phase
+    machinery (standard Ehlers adaptive alpha = fast/deltaPhase clamped
+    to [slow, fast]). Kept as plain python-list shift registers -- an
+    implementation independent of the Scala ring-buffer port."""
+    n = len(x)
+    keys = ('ht_dcperiod', 'ht_dcphase', 'ht_inphase', 'ht_quadrature',
+            'ht_sine', 'ht_leadsine', 'ht_trendline', 'ht_trendmode',
+            'mama', 'fama')
+    res = {k: [NAN] * n for k in keys}
+    if n < 32:
+        return res
+
+    smooth = [0.0] * n
+    for k in range(3, n):
+        smooth[k] = (4.0 * x[k] + 3.0 * x[k - 1] + 2.0 * x[k - 2] + x[k - 3]) * 0.1
+
+    def fir7(dq, adj):
+        return (0.0962 * dq[0] + 0.5769 * dq[2] - 0.5769 * dq[4] - 0.0962 * dq[6]) * adj
+
+    detrend = [0.0] * 7
+    q1 = [0.0] * 7
+    i1 = [0.0] * 7
+    i2 = q2 = re = im = period = 0.0
+    smooth_period = 0.0
+    phase = mama_v = fama_v = 0.0
+
+    for i in range(6, n):
+        prev_period = period if i > 6 else 6.0
+        adj = 0.075 * prev_period + 0.54
+
+        dt = (0.0962 * smooth[i] + 0.5769 * smooth[i - 2]
+              - 0.5769 * smooth[i - 4] - 0.0962 * smooth[i - 6]) * adj
+        detrend = [dt] + detrend[:6]
+        q1 = [fir7(detrend, adj)] + q1[:6]
+        i1 = [detrend[3]] + i1[:6]
+
+        ji = fir7(i1, adj)
+        jq = fir7(q1, adj)
+
+        i2c = 0.2 * (i1[0] - jq) + 0.8 * i2
+        q2c = 0.2 * (q1[0] + ji) + 0.8 * q2
+        rec = 0.2 * (i2c * i2 + q2c * q2) + 0.8 * re
+        imc = 0.2 * (i2c * q2 - q2c * i2) + 0.8 * im
+        i2, q2, re, im = i2c, q2c, rec, imc
+
+        if im != 0.0 and re != 0.0:
+            period = (2.0 * math.pi) / math.atan(im / re)
+        period = min(max(period, 0.67 * prev_period), 1.5 * prev_period)
+        period = min(max(period, 6.0), 50.0)
+        period = 0.2 * period + 0.8 * prev_period
+        smooth_period = 0.33 * period + 0.67 * smooth_period
+
+        prev_phase = phase
+        phase = math.atan(q1[0] / i1[0]) * 180.0 / math.pi if i1[0] != 0.0 else 0.0
+        delta_phase = prev_phase - phase
+        if delta_phase < 1.0:
+            delta_phase = 1.0
+        alpha = fast_limit / delta_phase
+        if alpha < slow_limit:
+            alpha = slow_limit
+        if alpha > fast_limit:
+            alpha = fast_limit
+        mama_v = alpha * x[i] + (1.0 - alpha) * mama_v
+        fama_v = 0.5 * alpha * mama_v + (1.0 - 0.5 * alpha) * fama_v
+
+        if i >= 31:
+            res['ht_dcperiod'][i] = smooth_period
+            dc_phase = phase + 90.0
+            if i1[0] < 0.0:
+                dc_phase += 180.0
+            if dc_phase > 315.0:
+                dc_phase -= 360.0
+            res['ht_dcphase'][i] = dc_phase
+            res['ht_inphase'][i] = i1[0]
+            res['ht_quadrature'][i] = q1[0]
+            res['ht_sine'][i] = math.sin(phase * math.pi / 180.0)
+            res['ht_leadsine'][i] = math.sin((phase + 45.0) * math.pi / 180.0)
+            tl = (((x[i] + x[i - 1]) + x[i - 2]) + x[i - 3]) * 0.25
+            res['ht_trendline'][i] = tl
+            res['ht_trendmode'][i] = 1.0 if abs(x[i] - tl) > 0.01 * tl else 0.0
+            res['mama'][i] = mama_v
+            res['fama'][i] = fama_v
+    return res
+
+
 def fmt(v):
     return '' if (isinstance(v, float) and math.isnan(v)) else repr(v)
 
@@ -354,6 +556,16 @@ def main():
         'apo_12_26': apo(c, 12, 26), 'trange': trange(h, l, c),
         'ad': ad_line(h, l, c, v), 'obv': obv(c, v),
     }
+    ms = mesa(c)
+    cols.update({
+        'sar_002_02': sar(h, l, 0.02, 0.2),
+        'sarext_def': sarext(h, l),
+        'ht_dcperiod': ms['ht_dcperiod'], 'ht_dcphase': ms['ht_dcphase'],
+        'ht_inphase': ms['ht_inphase'], 'ht_quadrature': ms['ht_quadrature'],
+        'ht_sine': ms['ht_sine'], 'ht_leadsine': ms['ht_leadsine'],
+        'ht_trendline': ms['ht_trendline'], 'ht_trendmode': ms['ht_trendmode'],
+        'mama_05_005': ms['mama'], 'fama_05_005': ms['fama'],
+    })
     print('ord,open,high,low,close,volume,' + ','.join(cols))
     for i in range(N_BARS):
         row = [str(i), fmt(o[i]), fmt(h[i]), fmt(l[i]), fmt(c[i]), fmt(v[i])]

@@ -122,6 +122,36 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSeries("obv", series("obv"), col(34), tol = 1e-6)
   }
 
+  test("SAR/SAREXT state machines match the independent golden transcription") {
+    // flips are discontinuous: any divergence in the sar/ep/af state would
+    // explode past any tolerance, so a pass pins the whole trajectory —
+    // seeding rule, clamp order, flip emission, and sign convention
+    val (h, l) = (col(2), col(3))
+    assertSeries("sar_002_02", Kernels.sar(h, l, 0.02, 0.2), col(35))
+    assertSeries("sarext_def",
+      Kernels.sarext(h, l, 0, 0, 0.02, 0.02, 0.2, 0.02, 0.02, 0.2), col(36))
+  }
+
+  test("the MESA/HT family and MAMA match the independent golden transcription") {
+    // the one state machine the WITH-RECURSIVE oracles replay from OUR
+    // semantics; this pins it against a second implementation (python
+    // list shift-registers vs scala ring buffers). atan/sin differences
+    // between libm and the JVM are sub-ulp here; the period recursion is
+    // contractive, so 1e-8 absolute is far above any accumulated drift
+    val c = col(4)
+    val m = Cycle.mesa(c)
+    assertSeries("ht_dcperiod", m(Cycle.DCPERIOD), col(37))
+    assertSeries("ht_dcphase", m(Cycle.DCPHASE), col(38))
+    assertSeries("ht_inphase", m(Cycle.INPHASE), col(39))
+    assertSeries("ht_quadrature", m(Cycle.QUADRATURE), col(40))
+    assertSeries("ht_sine", m(Cycle.SINE), col(41))
+    assertSeries("ht_leadsine", m(Cycle.LEADSINE), col(42))
+    assertSeries("ht_trendline", m(Cycle.TRENDLINE), col(43))
+    assertSeries("ht_trendmode", m(Cycle.TRENDMODE), col(44))
+    assertSeries("mama_05_005", m(Cycle.MAMA), col(45))
+    assertSeries("fama_05_005", m(Cycle.FAMA), col(46))
+  }
+
   test("the distributed path reproduces the goldens end-to-end") {
     // same contract through the Spark surface (Recursive -> SeriesOps ->
     // Kernels): proves the per-symbol series reassembly, not just the math
