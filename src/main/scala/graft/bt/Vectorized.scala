@@ -118,4 +118,18 @@ object Vectorized {
       Iterator.single(Row.fromSeq(sym +: Metrics.columns.map(m)))
     }
   }
+
+  /** Per-symbol summary with CAPM alpha/beta measured against the
+    * symbol's own price curve as the benchmark (buy-and-hold): the
+    * benchmark series Metrics needs is exactly the bar-aligned price
+    * array the fold already has, so no extra input or join — and beta is
+    * genuinely nonzero whenever the strategy holds the asset at all. */
+  def summaryVsPrice(df: DataFrame, cfg: Config = Config()): DataFrame = {
+    val schema = StructType(StructField("symbol", StringType) ::
+      Metrics.columns.toList.map(StructField(_, DoubleType)))
+    foldGroups(df, schema, cfg) { (sym, _, r, prices) =>
+      val m = Metrics.summary(r.equity, prices, cfg.initialCapital, r.trades, r.wins)
+      Iterator.single(Row.fromSeq(sym +: Metrics.columns.map(m)))
+    }
+  }
 }

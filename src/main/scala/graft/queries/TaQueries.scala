@@ -325,6 +325,84 @@ object TaQueries {
        |FROM bars b LEFT JOIN (SELECT * FROM st WHERE rn >= 32) s ON s.symbol = b.symbol AND s.ord = b.ord
        |ORDER BY b.symbol, b.ord""".stripMargin
 
+  /** The bt_summary / bt_summary_bench oracle: Metrics replayed per symbol
+    * over the recursive equity curve. `withBench` adds the CAPM leg — the
+    * benchmark is the symbol's own buy-and-hold PRICE series, its returns
+    * folded with the same sequential left-fold order Metrics uses
+    * (benchReturns(0) = 0 because prevB seeds at curve(0); covariance and
+    * benchmark variance are ddof-divided zip/list folds; alpha = annret −
+    * (rf + β·(benchAnn − rf)) — metrics.rs:7-152). */
+  private def btSummaryOracle(withBench: Boolean): String = {
+    val ic = Sql.dlit(100000.0)
+    val rbCol = if (!withBench) "" else
+      """,
+        |    CASE WHEN coalesce(lag(price) OVER w, price) > 0
+        |         THEN (price - coalesce(lag(price) OVER w, price)) / coalesce(lag(price) OVER w, price)
+        |         ELSE 0.0 END AS rb""".stripMargin
+    val aggBench = if (!withBench) "" else
+      """,
+        |    list(rb ORDER BY rn) AS bs,
+        |    min_by(price, rn) AS bstart,
+        |    max_by(price, rn) AS bend""".stripMargin
+    val m1Bench = if (!withBench) "" else
+      """, bs, bstart, bend,
+        |    list_reduce(list_prepend(0.0, bs), (a, x) -> a + x) / days AS meanb""".stripMargin
+    val m2Bench = if (!withBench) "" else s""",
+        |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(bs, x -> (x - meanb) * (x - meanb))), (a, x) -> a + x) / ddof > 0.0
+        |         THEN (${Sql.zipFold("0.0", "rs", "bs",
+                   "acc.list_1 + (z.list_1 - meanret) * (z.list_2 - meanb)")} / ddof)
+        |              / (list_reduce(list_prepend(0.0, list_transform(bs, x -> (x - meanb) * (x - meanb))), (a, x) -> a + x) / ddof)
+        |         ELSE 0.0 END AS beta,
+        |    CASE WHEN bstart > 0.0 THEN (bend - bstart) / bstart ELSE 0.0 END AS btotal""".stripMargin
+    val (alphaSel, betaSel) =
+      if (!withBench) ("0.0", "0.0")
+      else ("annret - (0.03 + beta * ((CASE WHEN btotal > -1.0 THEN pow(1.0 + btotal, 252.0 / days) - 1.0 ELSE -1.0 END) - 0.03))",
+            "beta")
+    s"""${B.replaceFirst("WITH ", "WITH RECURSIVE ")}, $btStateCtes,
+      |curve AS (
+      |  SELECT symbol, rn, equity, trades, wins, price,
+      |    CASE WHEN coalesce(lag(equity) OVER w, $ic) > 0
+      |         THEN (equity - coalesce(lag(equity) OVER w, $ic)) / coalesce(lag(equity) OVER w, $ic)
+      |         ELSE 0.0 END AS r,
+      |    greatest($ic, max(equity) OVER wcm) AS peak$rbCol
+      |  FROM st WINDOW w AS (PARTITION BY symbol ORDER BY rn),
+      |              wcm AS (PARTITION BY symbol ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |),
+      |agg AS (
+      |  SELECT symbol,
+      |    CAST(count(*) AS DOUBLE) AS days,
+      |    max(CASE WHEN peak > 0 THEN (peak - equity) / peak ELSE 0.0 END) AS maxdd,
+      |    list(r ORDER BY rn) AS rs,
+      |    max_by(equity, rn) AS finaleq,
+      |    max_by(trades, rn) AS ntrades,
+      |    max_by(wins, rn) AS nwins$aggBench
+      |  FROM curve GROUP BY symbol
+      |),
+      |m1 AS (
+      |  SELECT symbol, days, maxdd, rs, ntrades, nwins,
+      |    (finaleq - $ic) / $ic AS tr,
+      |    list_reduce(list_prepend(0.0, rs), (a, x) -> a + x) / days AS meanret,
+      |    greatest(days - 1.0, 1.0) AS ddof$m1Bench
+      |  FROM agg
+      |),
+      |m2 AS (
+      |  SELECT symbol, days, maxdd, tr, ntrades, nwins,
+      |    CASE WHEN tr > -1.0 THEN pow(1.0 + tr, 252.0 / days) - 1.0 ELSE -1.0 END AS annret,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(rs, x -> (x - meanret) * (x - meanret))), (a, x) -> a + x) / ddof) * sqrt(252.0) AS annvol$m2Bench
+      |  FROM m1
+      |)
+      |SELECT symbol,
+      |  ${Sql.r6("annret", "annualized_return")},
+      |  ${Sql.r6("maxdd", "max_drawdown")},
+      |  ${Sql.r6(alphaSel, "alpha")},
+      |  ${Sql.r6(betaSel, "beta")},
+      |  ${Sql.r6("CASE WHEN annvol > 0 THEN (annret - 0.03) / annvol ELSE 0.0 END", "sharpe_ratio")},
+      |  ${Sql.r6("greatest(tr, 0.0)", "max_profit")},
+      |  ${Sql.r6("CASE WHEN ntrades > 0 THEN CAST(nwins AS DOUBLE) / ntrades ELSE 0.0 END", "win_rate")},
+      |  ${Sql.r6("CAST(ntrades AS DOUBLE)", "total_trades")}
+      |FROM m2 ORDER BY symbol""".stripMargin
+  }
+
   /** bt_sequential oracle: the single-asset event loop as a recursive CTE
     * — state (cash, position, price board), the momentum signals as
     * window lags, fills replaying ExecutionEngine/Portfolio arithmetic
@@ -744,11 +822,15 @@ object TaQueries {
 
     Entry("ppo_12_26",
       recQ("ppo")(df => Recursive.ppo(df, "close", 12, 26, 0)),
-      Some(s"""$B, t AS (
-        |  SELECT symbol, ord,
-        |    CASE WHEN count(close) OVER wn12 >= 12 THEN avg(close) OVER wn12 END AS f,
-        |    CASE WHEN count(close) OVER wn26 >= 26 THEN avg(close) OVER wn26 END AS s
-        |  FROM bars WINDOW ${Sql.wnDef(12)}, ${Sql.wnDef(26)}
+      // replays Kernels.sma's ROLLING sum (seed + (s−old)+new drift), not
+      // avg() OVER: the kernel's running sum accumulates rounding drift a
+      // fresh per-window average doesn't, and the ratio form divides two
+      // such sums — at sf0.1 one of 23M rows landed on the other side of
+      // the 6-decimal boundary under the window-avg oracle
+      Some(s"""$B, $closeList, t AS (
+        |  SELECT symbol, ord, ${Sql.smaRollList("xs", 12)} AS f,
+        |    ${Sql.smaRollList("xs", 26)} AS s
+        |  FROM l
         |)
         |SELECT symbol, ord, ${Sql.r6("CASE WHEN s = 0 THEN NULL ELSE 100.0 * (f - s) / s END", "ppo")}
         |FROM t $T""".stripMargin)),
@@ -1046,52 +1128,21 @@ object TaQueries {
       // Metrics replayed per symbol over the recursive curve: list folds
       // for the sequential mean/variance sums, running-max window for
       // drawdown, final state via max_by(·, rn)
-      Some {
-        val ic = Sql.dlit(100000.0)
-        s"""${B.replaceFirst("WITH ", "WITH RECURSIVE ")}, $btStateCtes,
-          |curve AS (
-          |  SELECT symbol, rn, equity, trades, wins,
-          |    CASE WHEN coalesce(lag(equity) OVER w, $ic) > 0
-          |         THEN (equity - coalesce(lag(equity) OVER w, $ic)) / coalesce(lag(equity) OVER w, $ic)
-          |         ELSE 0.0 END AS r,
-          |    greatest($ic, max(equity) OVER wcm) AS peak
-          |  FROM st WINDOW w AS (PARTITION BY symbol ORDER BY rn),
-          |              wcm AS (PARTITION BY symbol ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          |),
-          |agg AS (
-          |  SELECT symbol,
-          |    CAST(count(*) AS DOUBLE) AS days,
-          |    max(CASE WHEN peak > 0 THEN (peak - equity) / peak ELSE 0.0 END) AS maxdd,
-          |    list(r ORDER BY rn) AS rs,
-          |    max_by(equity, rn) AS finaleq,
-          |    max_by(trades, rn) AS ntrades,
-          |    max_by(wins, rn) AS nwins
-          |  FROM curve GROUP BY symbol
-          |),
-          |m1 AS (
-          |  SELECT symbol, days, maxdd, rs, ntrades, nwins,
-          |    (finaleq - $ic) / $ic AS tr,
-          |    list_reduce(list_prepend(0.0, rs), (a, x) -> a + x) / days AS meanret,
-          |    greatest(days - 1.0, 1.0) AS ddof
-          |  FROM agg
-          |),
-          |m2 AS (
-          |  SELECT symbol, days, maxdd, tr, ntrades, nwins,
-          |    CASE WHEN tr > -1.0 THEN pow(1.0 + tr, 252.0 / days) - 1.0 ELSE -1.0 END AS annret,
-          |    sqrt(list_reduce(list_prepend(0.0, list_transform(rs, x -> (x - meanret) * (x - meanret))), (a, x) -> a + x) / ddof) * sqrt(252.0) AS annvol
-          |  FROM m1
-          |)
-          |SELECT symbol,
-          |  ${Sql.r6("annret", "annualized_return")},
-          |  ${Sql.r6("maxdd", "max_drawdown")},
-          |  ${Sql.r6("0.0", "alpha")},
-          |  ${Sql.r6("0.0", "beta")},
-          |  ${Sql.r6("CASE WHEN annvol > 0 THEN (annret - 0.03) / annvol ELSE 0.0 END", "sharpe_ratio")},
-          |  ${Sql.r6("greatest(tr, 0.0)", "max_profit")},
-          |  ${Sql.r6("CASE WHEN ntrades > 0 THEN CAST(nwins AS DOUBLE) / ntrades ELSE 0.0 END", "win_rate")},
-          |  ${Sql.r6("CAST(ntrades AS DOUBLE)", "total_trades")}
-          |FROM m2 ORDER BY symbol""".stripMargin
-      }),
+      Some(btSummaryOracle(withBench = false))),
+
+    Entry("bt_summary_bench",
+      // CAPM alpha/beta against a REAL benchmark curve (the symbol's own
+      // buy-and-hold price series): exercises Metrics' covariance/variance
+      // arithmetic end-to-end with nonzero beta — the plain bt_summary
+      // passes no benchmark, leaving alpha=beta=0 (metrics.rs:7-152)
+      (spark, dir) => {
+        val sig = btSignals(spark, dir)
+        val cols = graft.bt.Metrics.columns
+        graft.bt.Vectorized.summaryVsPrice(sig)
+          .select(col("symbol") +: cols.map(c => r6(col(c)).as(c)): _*)
+          .orderBy("symbol")
+      },
+      Some(btSummaryOracle(withBench = true))),
 
     Entry("bt_sequential",
       // The event-driven engine is inherently serial per portfolio
