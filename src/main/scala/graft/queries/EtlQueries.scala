@@ -177,19 +177,59 @@ object EtlQueries {
       // micro-precision timestamps, so an event with a non-zero
       // sub-microsecond part landing within 1 µs after an hour boundary
       // would otherwise bucket into hour H here and H-1 in the oracle
+      // the average sums in DECIMAL(38,12): decimal addition is exact and
+      // therefore ORDER-INDEPENDENT, so Spark's partial-aggregate order
+      // and DuckDB's scan order can never land a group on opposite sides
+      // of the 6-decimal rounding boundary (the sf0.1 1-ulp residual a
+      // double sum had). Still fully partial-aggregatable — the decimal
+      // sum merges map-side like any algebraic aggregate.
       (spark, dir) => Tables.table(spark, dir, "events")
         .groupBy(col("event_type"),
           expr("((ts div 1000) * 1000) div 3600000000000").as("hour_bucket"))
-        .agg(count(lit(1)).as("n_events"), r6(avg("value")).as("avg_value"),
+        .agg(count(lit(1)).as("n_events"),
+          r6(sum(col("value").cast("decimal(38,12)")).cast("double") /
+            count(col("value"))).as("avg_value"),
           r6(max("value")).as("max_value"))
         .orderBy("event_type", "hour_bucket"),
       Some("""SELECT event_type,
         |  epoch_ns(ts) // 3600000000000 AS hour_bucket,
         |  count(*) AS n_events,
-        |  ROUND(avg(value), 6)+0.0 AS avg_value,
+        |  ROUND(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(value), 6)+0.0 AS avg_value,
         |  ROUND(max(value), 6)+0.0 AS max_value
         |FROM events GROUP BY event_type, hour_bucket
         |ORDER BY event_type, hour_bucket""".stripMargin)),
+
+    Entry("skew_join",
+      // the salted equi-join over a DELIBERATELY skewed key: ~60% of
+      // events land on key 0 (a null-ish default id, the classic hot-key
+      // shape). saltedJoin spreads the hot key over 16 reducers by
+      // salting on the unique event_id and replicating the 97-row dim
+      // 16x; results are hash-identical to the plain join (the oracle is
+      // DuckDB's ordinary join — same semantics, different algorithm).
+      // Perf evidence vs the unsalted plan is in SkewBench/BASELINE.md.
+      (spark, dir) => {
+        val ev = Tables.table(spark, dir, "events").select(
+          col("event_id"),
+          when(col("user_id") % 97 < 58, 0L)
+            .otherwise(col("user_id") % 97).as("key"),
+          col("value"))
+        val dim = spark.range(97).select(col("id").as("key"),
+          concat(lit("seg_"), col("id")).as("segment"))
+        graft.etl.SkewJoin.saltedJoin(ev, dim, Seq("key"), saltBuckets = 16,
+            saltOn = Some(col("event_id")))
+          .select(col("event_id"), col("key"), col("segment"),
+            r6(col("value")).as("value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_id,
+        |    CASE WHEN user_id % 97 < 58 THEN CAST(0 AS BIGINT) ELSE user_id % 97 END AS key,
+        |    value
+        |  FROM events
+        |), dim AS (SELECT range AS key, 'seg_' || CAST(range AS VARCHAR) AS segment FROM range(97))
+        |SELECT e.event_id, e.key, d.segment, ROUND(e.value, 6)+0.0 AS value
+        |FROM ev e JOIN dim d ON d.key = e.key
+        |ORDER BY e.event_id""".stripMargin)),
 
     Entry("range_join",
       // points-to-intervals containment via the bucketed equi-join
