@@ -97,6 +97,16 @@ object Sql {
   def wilderSumFold(xs: String, n: Int): String =
     s"CASE WHEN len($xs) >= $n THEN list_reduce(list_prepend(${seqSum(xs, n)}, $xs[${n + 1}:]), (acc, x) -> acc - acc / $n + x) END"
 
+  /** Rolling-sum SMA replay — Kernels.sma's exact IEEE order: seed =
+    * sequential Σ of the first n, then s = (s − oldest) + newest per
+    * step. A fresh per-window avg (DuckDB segment tree) computes the
+    * same value in a DIFFERENT order and can land on the other side of
+    * the 6-decimal rounding boundary (the ppo_12_26 sf0.1 residual). */
+  def smaRollList(xs: String, n: Int): String =
+    s"CASE WHEN len($xs) >= $n THEN ${zipFold(seqSum(xs, n),
+      s"$xs[${n + 1}:]", s"$xs[1:len($xs)-$n]",
+      "(acc.list_1 - z.list_2) + z.list_1")} / $n END"
+
   /** Left fold with a DOUBLE accumulator over zip(newL, oldL). DuckDB's
     * list_reduce needs accumulator type == element type, so the scalar
     * accumulator rides in field list_1 of a struct. `rec` sees
