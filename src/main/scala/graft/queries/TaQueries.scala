@@ -608,8 +608,11 @@ object TaQueries {
       Some(kamaSql("ma"))),
     Entry("ma_10_7",
       recQ("ma")(df => Recursive.ma(df, "close", 10, 7, out = "ma")),
-      Some(s"""$B SELECT symbol, ord, ${Sql.gatedR6("close", 10, "avg(close) OVER wn10", "ma")}
-        |FROM bars ${Sql.windows(10)} $T""".stripMargin)),
+      // smaRollList, not avg() OVER: matype 7 runs the ROLLING-sum kernel,
+      // whose drift a fresh per-window average reproduces only to ~1 ulp —
+      // the same class that bit ppo_12_26 at sf0.1
+      Some(s"""$B, $closeList
+        |SELECT symbol, ord, ${Sql.r6(Sql.smaRollList("xs", 10), "ma")} FROM l $T""".stripMargin)),
     Entry("ma_10_8",
       // reference matype 8 = calc_t3(values, timeperiod, 0.0) —
       // overlap.rs:866 — vfactor 0 zeroes c1..c3 and makes c4 = 1, so the
@@ -812,11 +815,11 @@ object TaQueries {
 
     Entry("apo_12_26",
       recQ("apo")(df => Recursive.apo(df, "close", 12, 26, 0)),
-      Some(s"""$B, t AS (
-        |  SELECT symbol, ord,
-        |    CASE WHEN count(close) OVER wn12 >= 12 THEN avg(close) OVER wn12 END AS f,
-        |    CASE WHEN count(close) OVER wn26 >= 26 THEN avg(close) OVER wn26 END AS s
-        |  FROM bars WINDOW ${Sql.wnDef(12)}, ${Sql.wnDef(26)}
+      // rolling-sum replay for the same reason as ppo_12_26/ma_10_7
+      Some(s"""$B, $closeList, t AS (
+        |  SELECT symbol, ord, ${Sql.smaRollList("xs", 12)} AS f,
+        |    ${Sql.smaRollList("xs", 26)} AS s
+        |  FROM l
         |)
         |SELECT symbol, ord, ${Sql.r6("f - s", "apo")} FROM t $T""".stripMargin)),
 
@@ -954,6 +957,20 @@ object TaQueries {
     // ---- recursive family (loop ops; rows-only check + golden scalatests) ----
 
     Entry("ema_20",   recQ("ema")(df => Recursive.ema(df, "close", 20)),
+      Some(s"""$B, $closeList
+        |SELECT symbol, ord, ${Sql.r6(Sql.emaList("xs", 20), "ema")} FROM l $T""".stripMargin)),
+    Entry("ema_20_chunked",
+      // the chunked-state executor under the DRIVER gate: same EMA(20),
+      // but one task never materializes more than 64 rows of a series —
+      // the kernel's scan state (Chunked.EmaStep) carries across chunk
+      // boundaries exactly like the streaming twin carries it across
+      // micro-batches. The oracle is ema_20's, unchanged: the chunked
+      // path must be bit-equivalent to the whole-series scan.
+      (spark, dir) => graft.ta.SeriesOps.overSeriesChunked(
+          Tables.bars(spark, dir), Seq("close"), Seq("ema"),
+          new graft.ta.Chunked.EmaStep(20), chunkRows = 64)
+        .select(col("symbol"), col("ord"), r6(col("ema")).as("ema"))
+        .orderBy("symbol", "ord"),
       Some(s"""$B, $closeList
         |SELECT symbol, ord, ${Sql.r6(Sql.emaList("xs", 20), "ema")} FROM l $T""".stripMargin)),
     Entry("rma_14",   recQ("rma")(df => Recursive.rma(df, "close", 14)),

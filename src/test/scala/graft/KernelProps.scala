@@ -158,6 +158,43 @@ object KernelProps extends Properties("kernels") {
     Gen.const(""), Gen.const("😀🎉"))
   private val tokens: Gen[List[String]] = Gen.choose(0, 12).flatMap(Gen.listOfN(_, token))
 
+  // --- chunked step kernels: the per-row reified forms must be BIT-
+  // identical to the array scans on arbitrary series (incl. interior
+  // NaNs), at any chunk cut — state carry is just the same fold split ---
+
+  private val noisySeries: Gen[Array[Double]] =
+    Gen.choose(2, 120).flatMap(n => Gen.listOfN(n,
+      Gen.frequency(9 -> price, 1 -> Gen.const(Double.NaN)))).map(_.toArray)
+
+  private def stepAll(k: graft.ta.Chunked.StepKernel, ins: Array[Array[Double]]): Array[Double] = {
+    val st = k.init()
+    val buf = new Array[Double](ins.length)
+    Array.tabulate(ins(0).length) { i =>
+      var j = 0
+      while (j < ins.length) { buf(j) = ins(j)(i); j += 1 }
+      k.step(st, buf)(0)
+    }
+  }
+  private def bitEq(a: Array[Double], b: Array[Double]): Boolean =
+    a.length == b.length && a.indices.forall(i =>
+      java.lang.Double.doubleToLongBits(a(i)) == java.lang.Double.doubleToLongBits(b(i)))
+
+  property("EmaStep replays Kernels.ema bit-for-bit (NaNs included)") =
+    forAll(noisySeries, period) { (x, n) =>
+      bitEq(stepAll(new graft.ta.Chunked.EmaStep(n), Array(x)), Kernels.ema(x, n))
+    }
+
+  property("RsiStep replays Kernels.rsi bit-for-bit (NaNs included)") =
+    forAll(noisySeries, period) { (x, n) =>
+      bitEq(stepAll(new graft.ta.Chunked.RsiStep(n), Array(x)), Kernels.rsi(x, n))
+    }
+
+  property("AtrStep replays Kernels.atr bit-for-bit (NaNs included)") =
+    forAll(noisySeries, period) { (c, n) =>
+      val h = c.map(v => v + 1.0); val l = c.map(v => v - 1.0)
+      bitEq(stepAll(new graft.ta.Chunked.AtrStep(n), Array(h, l, c)), Kernels.atr(h, l, c, n))
+    }
+
   property("fused shingle minhash == minhash of joined shingle strings (unicode-safe)") =
     forAll(tokens, Gen.choose(1, 4)) { (toks, k) =>
       import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
