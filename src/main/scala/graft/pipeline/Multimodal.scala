@@ -102,13 +102,12 @@ object Multimodal {
     Some(out)
   }
 
-  /** PPM P6 (binary RGB, maxval ≤ 255) decode → image features:
-    * [0] width, [1] height, [2..4] mean R/G/B in [0,1],
-    * [5..15] 11-bin histogram of Rec.601 luma. */
-  def decodePpm(bytes: Array[Byte]): Option[Array[Float]] = {
-    if (!ascii(bytes, 0, "P6")) return None
+  /** Parse a P6 header starting at `start`: (width, height, maxval,
+    * body offset), or None if it isn't a well-formed P6 prefix. */
+  private[graft] def parsePpmHeader(bytes: Array[Byte], start: Int): Option[(Int, Int, Int, Int)] = {
+    if (!ascii(bytes, start, "P6")) return None
     // header: "P6" <ws> width <ws> height <ws> maxval <single ws> rgb...
-    var o = 2
+    var o = start + 2
     val fields = new Array[Int](3)
     var f = 0
     while (f < 3) {
@@ -125,8 +124,17 @@ object Multimodal {
       }
     }
     o += 1 // the single whitespace after maxval
-    val (w, h, maxv) = (fields(0), fields(1), fields(2))
-    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    if (fields(0) <= 0 || fields(1) <= 0 || fields(2) <= 0 || fields(2) > 255) None
+    else Some((fields(0), fields(1), fields(2), o))
+  }
+
+  /** PPM P6 (binary RGB, maxval ≤ 255) decode → image features:
+    * [0] width, [1] height, [2..4] mean R/G/B in [0,1],
+    * [5..15] 11-bin histogram of Rec.601 luma. */
+  def decodePpm(bytes: Array[Byte]): Option[Array[Float]] = {
+    val hdr = parsePpmHeader(bytes, 0)
+    if (hdr.isEmpty) return None
+    val (w, h, maxv, o) = hdr.get
     // fields are capped at 2^15 so w*h*3 ≤ 3·2^30 still needs a Long
     val needL = w.toLong * h * 3
     if (bytes.length - o < needL) return None
@@ -156,6 +164,62 @@ object Multimodal {
       .orElse(decodePpm(bytes).map((KindPpm, _)))
       .getOrElse((KindRaw, decodeStub(bytes)))
 
+  /** Nearest-neighbor P6 resize, re-emitting P6 bytes: source pixel
+    * (⌊y·h/outH⌋, ⌊x·w/outW⌋) — pure integer index math, so the oracle
+    * replays it exactly. None if the payload isn't a complete P6. */
+  def resizePpm(bytes: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    require(outW > 0 && outH > 0, "output dims must be positive")
+    parsePpmHeader(bytes, 0).flatMap { case (w, h, maxv, off) =>
+      if (bytes.length - off < w.toLong * h * 3) None
+      else {
+        val header = s"P6\n$outW $outH\n$maxv\n".getBytes
+        val body = new Array[Byte](outW * outH * 3)
+        var y = 0
+        while (y < outH) {
+          val sy = (y.toLong * h / outH).toInt
+          var x = 0
+          while (x < outW) {
+            val sx = (x.toLong * w / outW).toInt
+            val src = off + (sy * w + sx) * 3
+            val dst = (y * outW + x) * 3
+            body(dst) = bytes(src); body(dst + 1) = bytes(src + 1); body(dst + 2) = bytes(src + 2)
+            x += 1
+          }
+          y += 1
+        }
+        Some(header ++ body)
+      }
+    }
+  }
+
+  /** Split a concatenated-P6 "video" payload into frames. None unless the
+    * WHOLE payload is a seamless sequence of complete P6 frames (a codec
+    * would own real container formats; the plumbing — schema, fan-out,
+    * per-frame work distribution — is what this exercises). */
+  def splitFrames(bytes: Array[Byte]): Option[IndexedSeq[Array[Byte]]] = {
+    val frames = IndexedSeq.newBuilder[Array[Byte]]
+    var o = 0
+    while (o < bytes.length) {
+      parsePpmHeader(bytes, o) match {
+        case Some((w, h, _, body)) =>
+          val end = body + w * h * 3
+          if (end > bytes.length) return None
+          frames += java.util.Arrays.copyOfRange(bytes, o, end)
+          o = end
+        case None => return None
+      }
+    }
+    Some(frames.result())
+  }
+
+  /** Frame sampling: every `every`-th frame of a concatenated-P6 video,
+    * starting at frame 0 (the standard decimation a video pipeline does
+    * before feature extraction). */
+  def sampleFrames(bytes: Array[Byte], every: Int): Option[IndexedSeq[Array[Byte]]] = {
+    require(every > 0, "every must be positive")
+    splitFrames(bytes).map(_.zipWithIndex.collect { case (f, i) if i % every == 0 => f })
+  }
+
   /** Attach decoded features to a frame with (idCol, binCol) columns.
     * Partition-batched: the decode loop runs once per partition iterator,
     * the schema is explicit, rows stream through without materializing the
@@ -174,6 +238,74 @@ object Multimodal {
           val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
           val (kind, feats) = decode(bytes)
           Row(id, bytes.length, kind, feats.toSeq)
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** Resize every PPM payload to outW×outH and re-extract features —
+    * decode → transform → re-encode → decode, all inside one
+    * partition-batched pass (non-PPM payloads pass through with null
+    * outputs so the caller can filter or inspect). */
+  def withResizedFeatures(df: DataFrame, outW: Int, outH: Int,
+                          idCol: String = "doc_id",
+                          binCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("n_bytes", IntegerType),
+      StructField("features", ArrayType(FloatType))))
+    df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          resizePpm(bytes, outW, outH) match {
+            case Some(resized) =>
+              Row(id, resized.length, decodePpm(resized).map(_.toSeq).orNull)
+            case None => Row(id, null, null)
+          }
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** Explode a video column into its sampled frames: one output row per
+    * KEPT frame, with per-frame mean Rec.601 luma (double, the exact
+    * left-fold order the oracle replays). The fan-out runs inside the
+    * scan stage — no shuffle; a 100 TB video corpus distributes by input
+    * split and each task streams its own payloads. */
+  def withSampledFrames(df: DataFrame, every: Int,
+                        idCol: String = "doc_id",
+                        binCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("luma_mean", DoubleType)))
+    df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          splitFrames(bytes) match {
+            case Some(frames) =>
+              frames.indices.collect { case i if i % every == 0 =>
+                val f = frames(i)
+                val (w, h, maxv, off) = parsePpmHeader(f, 0).get
+                var s = 0.0
+                var p = 0
+                val n = w * h
+                while (p < n) {
+                  val cr = (f(off + 3 * p) & 0xFF) / maxv.toDouble
+                  val cg = (f(off + 3 * p + 1) & 0xFF) / maxv.toDouble
+                  val cb = (f(off + 3 * p + 2) & 0xFF) / maxv.toDouble
+                  s += 0.299 * cr + 0.587 * cg + 0.114 * cb
+                  p += 1
+                }
+                Row(id, i, frames.length, w, h, s / n)
+              }
+            case None => Nil
+          }
         }
       }(Encoders.row(schema))
   }
@@ -231,4 +363,19 @@ object Multimodal {
   /** Demo source kept for compat: fabricate a binary payload from text. */
   def demoBinary(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("payload", encode(col(textCol), "UTF-8"))
+
+  /** Deterministic synthetic "video": (doc_id % 4 + 2) concatenated 8×8
+    * P6 frames, frame f seeded with doc_id + f. */
+  def demoVideo(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("payload", BinaryType)))
+    docs.select(col(idCol).cast(LongType))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val nFrames = (id % 4 + 2).toInt
+          Row(id, (0 until nFrames).map(f => synthPpm(id + f)).reduce(_ ++ _))
+        }
+      }(Encoders.row(schema))
+  }
 }

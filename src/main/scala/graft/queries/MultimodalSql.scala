@@ -153,4 +153,75 @@ object MultimodalSql {
       |allf AS (SELECT * FROM wavf UNION ALL SELECT * FROM ppmf UNION ALL SELECT * FROM rawf)
       |SELECT doc_id, n_bytes, kind, round($sqNorm, 6) + 0.0 AS feature_sq_norm
       |FROM allf ORDER BY doc_id""".stripMargin
+
+  /** Multimodal.resizePpm(8×8 → 4×4) + decodePpm replay: nearest-neighbor
+    * maps destination pixel (y, x) to source pixel (2y, 2x) — pure index
+    * arithmetic — then the feature extraction is the ppmCtes fold over
+    * the 16 mapped pixels. Resized payload = 11 header + 48 body bytes. */
+  val multimodalResizeSql: String = {
+    val bins = (0 until 11).map(b =>
+      s"    CAST(sum(CASE WHEN bin = $b THEN 1 ELSE 0 END) AS FLOAT) / CAST(16 AS FLOAT) AS f${5 + b}")
+      .mkString(",\n")
+    s"""WITH rp AS (
+      |  SELECT d.doc_id, r.q,
+      |    ((r.q // 4) * 2) * 8 + (r.q % 4) * 2 AS src
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 1) d CROSS JOIN range(16) r(q)
+      |),
+      |px AS (
+      |  SELECT doc_id, q,
+      |    CAST((doc_id * 31 + (3 * src + 0) * 17) % 256 AS DOUBLE) / 255.0 AS cr,
+      |    CAST((doc_id * 31 + (3 * src + 1) * 17) % 256 AS DOUBLE) / 255.0 AS cg,
+      |    CAST((doc_id * 31 + (3 * src + 2) * 17) % 256 AS DOUBLE) / 255.0 AS cb
+      |  FROM rp
+      |),
+      |lm AS (
+      |  SELECT doc_id, q, cr, cg, cb,
+      |    least(CAST(trunc((0.299 * cr + 0.587 * cg + 0.114 * cb) * 11) AS INT), 10) AS bin
+      |  FROM px
+      |),
+      |agg AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(cr ORDER BY q)), (x, y) -> x + y) AS sr,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(cg ORDER BY q)), (x, y) -> x + y) AS sg,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(cb ORDER BY q)), (x, y) -> x + y) AS sb,
+      |$bins
+      |  FROM lm GROUP BY doc_id
+      |),
+      |f AS (
+      |  SELECT doc_id, CAST(59 AS INTEGER) AS n_bytes,
+      |    [CAST(4 AS FLOAT), CAST(4 AS FLOAT),
+      |     CAST(sr / 16 AS FLOAT), CAST(sg / 16 AS FLOAT), CAST(sb / 16 AS FLOAT),
+      |     f5, f6, f7, f8, f9, f10, f11, f12, f13, f14, f15] AS feats
+      |  FROM agg
+      |)
+      |SELECT doc_id, n_bytes, round($sqNorm, 6) + 0.0 AS feature_sq_norm
+      |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** Multimodal.demoVideo + withSampledFrames(every=2) replay: doc_id has
+    * (doc_id % 4 + 2) frames, frames 0/2/4 kept; frame f is synthPpm with
+    * seed doc_id + f, mean Rec.601 luma folded in pixel order (the exact
+    * left-fold the Scala loop runs). */
+  val multimodalFramesSql: String =
+    s"""WITH vids AS (
+      |  SELECT doc_id, CAST(doc_id % 4 + 2 AS INT) AS nf FROM documents
+      |),
+      |kept AS (
+      |  SELECT v.doc_id, v.nf, CAST(f.f AS INT) AS frame_idx
+      |  FROM vids v CROSS JOIN range(5) f(f)
+      |  WHERE f.f < v.nf AND f.f % 2 = 0
+      |),
+      |px AS (
+      |  SELECT k.doc_id, k.nf, k.frame_idx, r.p,
+      |    CAST(((k.doc_id + k.frame_idx) * 31 + (3 * r.p + 0) * 17) % 256 AS DOUBLE) / 255.0 AS cr,
+      |    CAST(((k.doc_id + k.frame_idx) * 31 + (3 * r.p + 1) * 17) % 256 AS DOUBLE) / 255.0 AS cg,
+      |    CAST(((k.doc_id + k.frame_idx) * 31 + (3 * r.p + 2) * 17) % 256 AS DOUBLE) / 255.0 AS cb
+      |  FROM kept k CROSS JOIN range(64) r(p)
+      |)
+      |SELECT doc_id, frame_idx, nf AS n_frames,
+      |  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+      |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list(0.299 * cr + 0.587 * cg + 0.114 * cb ORDER BY p)), (x, y) -> x + y) / 64, 6) + 0.0 AS luma_mean
+      |FROM px GROUP BY doc_id, frame_idx, nf
+      |ORDER BY doc_id, frame_idx""".stripMargin
 }

@@ -804,7 +804,35 @@ object PipelineQueries {
           .select(col("doc_id"), col("n_bytes"), col("kind"),
             r6(aggregate(col("features"), lit(0.0), (a, v) => a + v.cast("double") * v.cast("double"))).as("feature_sq_norm"))
           .orderBy("doc_id")
-      }, Some(MultimodalSql.multimodalFeaturesSql))
+      }, Some(MultimodalSql.multimodalFeaturesSql)),
+
+    Entry("multimodal_resize",
+      // image resize as a distributed op: decode → nearest-neighbor 8×8→
+      // 4×4 → re-encode P6 → re-extract features, all per-row inside the
+      // scan stage. The index arithmetic is integral, so the oracle maps
+      // destination pixels straight back to the synthetic source bytes.
+      (spark, dir) => {
+        val ppms = Multimodal.demoMedia(Tables.documents(spark, dir))
+          .where(col("doc_id") % 3 === 1)
+        Multimodal.withResizedFeatures(ppms, outW = 4, outH = 4)
+          .select(col("doc_id"), col("n_bytes"),
+            r6(aggregate(col("features"), lit(0.0), (a, v) => a + v.cast("double") * v.cast("double"))).as("feature_sq_norm"))
+          .orderBy("doc_id")
+      }, Some(MultimodalSql.multimodalResizeSql)),
+
+    Entry("multimodal_frames",
+      // video frame-sampling as a distributed op: every doc carries a
+      // concatenated-P6 "video" of 2–5 frames; withSampledFrames splits
+      // it, keeps every 2nd frame, and emits one row per KEPT frame with
+      // its mean luma — the decimation fan-out runs inside the scan
+      // stage (no shuffle), so a video corpus distributes by input split.
+      (spark, dir) => {
+        val vids = Multimodal.demoVideo(Tables.documents(spark, dir))
+        Multimodal.withSampledFrames(vids, every = 2)
+          .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+            col("width"), col("height"), r6(col("luma_mean")).as("luma_mean"))
+          .orderBy("doc_id", "frame_idx")
+      }, Some(MultimodalSql.multimodalFramesSql))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap

@@ -756,6 +756,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decode(bytes.dropRight(1))._1 == Multimodal.KindRaw)
   }
 
+  test("PPM resize: identity round-trips, downscale picks nearest-neighbor pixels") {
+    val src = Multimodal.synthPpm(7L) // 8×8
+    // identity resize re-emits the exact payload (same header format)
+    assert(java.util.Arrays.equals(Multimodal.resizePpm(src, 8, 8).get, src))
+    // 8×8 → 4×4: destination (y, x) must hold source pixel (2y, 2x)
+    val small = Multimodal.resizePpm(src, 4, 4).get
+    val (w, h, _, off) = Multimodal.parsePpmHeader(small, 0).get
+    assert(w == 4 && h == 4 && small.length == off + 48)
+    val (_, _, _, srcOff) = Multimodal.parsePpmHeader(src, 0).get
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
+      assert(small(off + (y * 4 + x) * 3 + c) == src(srcOff + ((2 * y) * 8 + 2 * x) * 3 + c))
+    // upscale duplicates pixels: (y, x) ← source (y/2, x/2)
+    val big = Multimodal.resizePpm(src, 16, 16).get
+    val (_, _, _, bOff) = Multimodal.parsePpmHeader(big, 0).get
+    for (y <- Seq(0, 1, 15); x <- Seq(0, 1, 15); c <- 0 until 3)
+      assert(big(bOff + (y * 16 + x) * 3 + c) == src(srcOff + ((y / 2) * 8 + x / 2) * 3 + c))
+    // non-PPM payloads are rejected, not garbled
+    assert(Multimodal.resizePpm(Multimodal.synthWav(1L), 4, 4).isEmpty)
+    assert(Multimodal.resizePpm(src.dropRight(1), 4, 4).isEmpty)
+  }
+
+  test("video frame split/sample: seamless round-trip, every-2nd decimation") {
+    val frames = (0 until 5).map(f => Multimodal.synthPpm(100L + f))
+    val video = frames.reduce(_ ++ _)
+    val split = Multimodal.splitFrames(video).get
+    assert(split.length == 5)
+    split.zip(frames).foreach { case (a, b) => assert(java.util.Arrays.equals(a, b)) }
+    val kept = Multimodal.sampleFrames(video, every = 2).get
+    assert(kept.length == 3)
+    Seq(0, 2, 4).zipWithIndex.foreach { case (srcIdx, i) =>
+      assert(java.util.Arrays.equals(kept(i), frames(srcIdx)))
+    }
+    // a trailing partial frame poisons the whole payload (None, not silent drop)
+    assert(Multimodal.splitFrames(video.dropRight(1)).isEmpty)
+    assert(Multimodal.splitFrames(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.splitFrames(Array.emptyByteArray).contains(IndexedSeq.empty))
+  }
+
   test("mixed-modality demo routes each payload to the right decoder") {
     val d = Multimodal.demoMedia(docs(0L -> "a", 1L -> "b", 2L -> "c", 3L -> "d"))
     val kinds = Multimodal.withFeatures(d).collect()
