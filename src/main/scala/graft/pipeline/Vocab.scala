@@ -43,6 +43,45 @@ object Vocab {
     rank(docs.select(col(idCol), explode(grams).as("token")), k, exactDocFreq, idCol)
   }
 
+  /** Per-document TF-IDF top-k terms (keyword extraction for corpus
+    * curation): score = tf · ln(N / df), ranked per document with a
+    * lexicographic tiebreak.
+    *
+    * Scale shape: tf is one partial-aggregated groupBy on (doc, token);
+    * the df join is keyed on TOKEN, where natural-language corpora are
+    * maximally skewed ("the" appears in every document) — `saltBuckets >
+    * 0` routes it through [[graft.etl.SkewJoin.saltedJoin]], spreading
+    * the hot token over that many reducers with identical semantics.
+    * The per-document top-k is a row_number window + filter, which
+    * compiles to WindowGroupLimit (per-partition pruning BEFORE the
+    * per-doc exchange — plan-tested). `exactDocFreq = false` swaps the
+    * df leg onto map-side-merged HLL sketches, same trade as [[topK]].
+    */
+  def tfidfTopK(docs: DataFrame, k: Int, exactDocFreq: Boolean = true,
+                saltBuckets: Int = 0,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+        explode(Dedup.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val docFreq =
+      if (exactDocFreq) countDistinct(col(idCol))
+      else approx_count_distinct(col(idCol))
+    val dfreq = toks.groupBy("token").agg(docFreq.as("df"))
+    val joined =
+      if (saltBuckets > 0)
+        graft.etl.SkewJoin.saltedJoin(tf, dfreq, Seq("token"), saltBuckets)
+      else tf.join(dfreq, "token")
+    val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("token").asc)
+    joined.crossJoin(n)
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("token"), col("tf"), col("score"))
+  }
+
   private def rank(units: DataFrame, k: Int, exactDocFreq: Boolean,
                    idCol: String): DataFrame = {
     val docFreq =

@@ -621,6 +621,38 @@ object PipelineQueries {
         exactDocFreq = false),
       None),
 
+    Entry("tfidf_top3",
+      // per-document TF-IDF keyword extraction, with the df join run
+      // THROUGH the salted skew join (saltBuckets = 8): the token key is
+      // maximally skewed in natural language ("the" hits every doc), and
+      // the hash gate proves salting changes nothing semantically. Exact
+      // ln() on both engines; ties broken lexicographically so the top-3
+      // rows are deterministic.
+      (spark, dir) => Vocab.tfidfTopK(Tables.documents(spark, dir), k = 3,
+          exactDocFreq = true, saltBuckets = 8)
+        .select(col("doc_id"), col("rk"), col("token"), col("tf"),
+          r6(col("score")).as("score"))
+        .orderBy("doc_id", "rk"),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents
+        |), t AS (SELECT doc_id, token FROM tok WHERE token != ''),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |    tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n
+        |), r AS (
+        |  SELECT doc_id, token, tf, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+        |  FROM s
+        |)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, token, tf,
+        |  ROUND(score, 6)+0.0 AS score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
     Entry("pack_text",
       // the assembled training sequences themselves: slice map joined
       // back to the docs, token slices cut and concatenated in doc order

@@ -189,6 +189,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"orderBy+limit must fuse into per-partition top-k + driver merge:\n$plan")
   }
 
+  test("tfidf top-k prunes per-partition before the per-doc exchange") {
+    val df = Vocab.tfidfTopK(docs(60), k = 3)
+    val plan = executedPlan(df)
+    // the row_number <= k filter must fuse into WindowGroupLimit: each
+    // partition keeps only its local top-k (doc, score) rows, so the
+    // per-doc exchange moves O(docs·k), not every (doc, token) pair
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-doc top-k must partial-prune before the exchange:\n$plan")
+  }
+
   test("approx doc-frequency aggregates partially map-side (HLL sketch merge)") {
     // the scale rationale for vocab_top100_approx: the HLL sketch is
     // algebraic, so a partial aggregate must appear below the exchange —
