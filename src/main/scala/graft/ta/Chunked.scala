@@ -81,6 +81,36 @@ object Chunked {
       if (al == 0.0) 100.0 else 100.0 - 100.0 / (1.0 + ag / al)
   }
 
+  /** MACD — the multi-output composite: fast/slow EMA legs on the price,
+    * dif = fast − slow (NaN until both warm), a third EMA leg on dif
+    * (NaN dif rows skip without advancing, exactly like Kernels.ema over
+    * the dif array), hist = dif − signal. Shows the chunked pattern
+    * generalizes to composed state machines: the state vector is just
+    * the three EMA legs' loop variables side by side.
+    * State: [cntF, sumF, emaF, cntS, sumS, emaS, cntG, sumG, emaG]. */
+  final class MacdStep(fast: Int, slow: Int, sig: Int) extends StepKernel {
+    val numInputs = 1; val numOutputs = 3
+    private val aF = 2.0 / (fast + 1)
+    private val aS = 2.0 / (slow + 1)
+    private val aG = 2.0 / (sig + 1)
+    def init(): Array[Double] = Array(0.0, 0.0, NA, 0.0, 0.0, NA, 0.0, 0.0, NA)
+    @inline private def emaAt(st: Array[Double], o: Int, n: Int, alpha: Double, v: Double): Double = {
+      if (!ok(v)) NA
+      else if (st(o) < n) {
+        st(o) += 1; st(o + 1) += v
+        if (st(o) == n) { st(o + 2) = st(o + 1) / n; st(o + 2) } else NA
+      } else { st(o + 2) = alpha * v + (1 - alpha) * st(o + 2); st(o + 2) }
+    }
+    def step(st: Array[Double], in: Array[Double]): Array[Double] = {
+      val v = in(0)
+      val f = emaAt(st, 0, fast, aF, v)
+      val s = emaAt(st, 3, slow, aS, v)
+      val dif = if (ok(f) && ok(s)) f - s else NA
+      val g = emaAt(st, 6, sig, aG, dif)
+      Array(dif, g, if (ok(dif) && ok(g)) dif - g else NA)
+    }
+  }
+
   /** ATR = RMA(TR, n) — the trange scan (volatility.rs:50-84) composed
     * with the RMA recurrence, exactly as Kernels.atr composes the array
     * forms (a NaN true-range row passes through the RMA skip without

@@ -73,6 +73,19 @@ class ChunkedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(collectMap(chunked, "atr") == collectMap(whole, "atr"))
   }
 
+  test("chunked MACD(12,26,9) — a composed multi-output machine — is bit-identical") {
+    val df = bars()
+    val whole = SeriesOps.overSeries(df, Seq("close"),
+      Seq("macd", "macd_signal", "macd_hist")) { a =>
+      val (d, s, h) = Kernels.macd(a(0), 12, 26, 9); Array(d, s, h)
+    }
+    val chunked = SeriesOps.overSeriesChunked(
+      df, Seq("close"), Seq("macd", "macd_signal", "macd_hist"),
+      new Chunked.MacdStep(12, 26, 9), chunkRows = 173)
+    for (c <- Seq("macd", "macd_signal", "macd_hist"))
+      assert(collectMap(chunked, c) == collectMap(whole, c), s"column $c diverged")
+  }
+
   test("a chunk smaller than the warmup still seeds correctly") {
     // chunkRows = 7 < n = 20: the SMA seed accumulates across three chunk
     // boundaries before the first non-null value appears
