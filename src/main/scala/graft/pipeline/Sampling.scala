@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic stratified sampling for training-data pipelines —
@@ -52,5 +52,24 @@ object Sampling {
       when(stratum === k, lit(threshold(r))).otherwise(acc)
     }
     sampleHash(id) < thr
+  }
+
+  /** FIXED-SIZE per-stratum sample: exactly min(k, |stratum|) rows per
+    * group, chosen by ranking the deterministic sample hash (ties broken
+    * by id) — a uniform without-replacement draw that is reproducible
+    * across runs/engines/partitionings, the complement of the
+    * fraction-based [[stratifiedKeep]] ("give me 10k docs per source",
+    * not "keep 3% of each source").
+    *
+    * Scale shape: the rank ≤ k filter compiles to WindowGroupLimit, so
+    * each input partition prunes to its local k per group BEFORE the
+    * group exchange — the shuffle moves O(groups · k · partitions) rows,
+    * never the corpus (plan-tested). */
+  def kPerGroup(df: DataFrame, groupCol: String, k: Int,
+                idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(sampleHash(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k).drop("__rk")
   }
 }

@@ -516,6 +516,33 @@ object PipelineQueries {
           |ORDER BY doc_id""".stripMargin
       }),
 
+    Entry("sample_5_per_source",
+      // FIXED-SIZE stratified sampling: exactly 5 docs per source, drawn
+      // by ranking the deterministic sample hash (ties by id) — the
+      // "give me k per stratum" complement of stratified_sample's rates.
+      // Reproducible across engines, so the oracle replays the draw with
+      // the same BIGINT hash + row_number.
+      (spark, dir) => Sampling.kPerGroup(
+          Tables.documents(spark, dir), groupCol = "source", k = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy("source", "doc_id"),
+      Some {
+        val P = graft.functions.TextHashes.PolyP
+        val a = graft.functions.TextHashes.polyA(Sampling.SeedIdx)
+        val b = graft.functions.TextHashes.polyB(Sampling.SeedIdx)
+        s"""WITH h AS (
+          |  SELECT doc_id, source,
+          |    (($a * (doc_id % $P) + $b) % $P) % 10000 AS sh
+          |  FROM documents
+          |), r AS (
+          |  SELECT doc_id, source,
+          |    row_number() OVER (PARTITION BY source ORDER BY sh, doc_id) AS rk
+          |  FROM h
+          |)
+          |SELECT doc_id, source FROM r WHERE rk <= 5
+          |ORDER BY source, doc_id""".stripMargin
+      }),
+
     Entry("stratified_sample",
       // deterministic language rebalancing: downsample the dominant
       // languages by a hash-of-id threshold (reproducible across runs and

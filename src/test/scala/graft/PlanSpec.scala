@@ -189,6 +189,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"orderBy+limit must fuse into per-partition top-k + driver merge:\n$plan")
   }
 
+  test("k-per-group sampling prunes per-partition before the group exchange") {
+    val d = docs(80).withColumn("source",
+      concat(lit("s"), (col("doc_id") % 4).cast("string")))
+    val plan = executedPlan(Sampling.kPerGroup(d, "source", k = 3))
+    assert(plan.contains("WindowGroupLimit"),
+      s"the rank<=k filter must prune before the shuffle:\n$plan")
+  }
+
   test("tfidf top-k prunes per-partition before the per-doc exchange") {
     val df = Vocab.tfidfTopK(docs(60), k = 3)
     val plan = executedPlan(df)
