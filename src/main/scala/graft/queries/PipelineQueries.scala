@@ -318,6 +318,26 @@ object PipelineQueries {
           .orderBy("a_id", "b_id")
       }, Some(DedupSql.minhashPairsSql)),
 
+    Entry("source_overlap",
+      // cross-source contamination view: which sources near-duplicate
+      // each other, and how hard. Composes the whole verified-pair chain
+      // (LSH candidates -> n-gram jaccard verify -> threshold) with a
+      // doc-metadata join and an unordered-pair rollup. Aggregates are
+      // count/max only — both order-independent, so the hash can't sit
+      // on a summation boundary.
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val pairs = Dedup.ngramJaccard(Dedup.minhashCandidates(docs, portable = true), docs)
+          .where(col("jaccard") >= 0.5)
+        val a = docs.select(col("doc_id").as("a_id"), col("source").as("sa"))
+        val b = docs.select(col("doc_id").as("b_id"), col("source").as("sb"))
+        pairs.join(a, "a_id").join(b, "b_id")
+          .groupBy(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .agg(count(lit(1)).as("n_pairs"), r6(max(col("jaccard"))).as("max_jaccard"))
+          .orderBy("source_a", "source_b")
+      }, Some(DedupSql.sourceOverlapSql(0.5))),
+
     Entry("simhash64",
       (spark, dir) => Dedup.simhash(Tables.documents(spark, dir), portable = true)
         .orderBy("doc_id"),
