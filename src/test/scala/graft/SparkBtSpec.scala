@@ -49,6 +49,37 @@ class SparkBtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(summ.forall(_.getDouble(8) > 0)) // total_trades per symbol
   }
 
+  test("Sequential.runPortfolios: portfolios fold independently and match the local loop") {
+    import graft.bt.Sequential
+    // two portfolios over the same bars — p1 additionally trades symbol B;
+    // each must reproduce the single-portfolio local run exactly
+    val bars = for {
+      (pf, syms) <- Seq("p0" -> Seq("A"), "p1" -> Seq("A", "B"))
+      s <- syms
+      i <- 0 until 40
+    } yield (pf, s, i.toLong, 50.0 + 5 * math.sin(i * 0.7 + s.hashCode % 7))
+    val df = spark.createDataFrame(bars).toDF("portfolio", "symbol", "ord", "close")
+    def strat(ss: Array[String], closes: Map[String, Array[Double]]): (Sequential.OrderContext, Int) => Unit =
+      (ctx, p) => ss.foreach { s =>
+        val c = closes(s)
+        if (p >= 1 && c(p) < c(p - 1)) ctx.buy(s, 5, c(p))
+        else if (p >= 1 && c(p) > c(p - 1)) ctx.sell(s, 5, c(p))
+      }
+    val got = Sequential.runPortfolios(df, strat)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((pf, syms) <- Seq("p0" -> Seq("A"), "p1" -> Seq("A", "B"))) {
+      val closes = syms.map(s => s ->
+        bars.filter(b => b._1 == pf && b._2 == s).sortBy(_._3).map(_._4).toArray).toMap
+      val local = Sequential.run(40, strat(syms.sorted.toArray, closes))
+      (0 until 40).foreach { i =>
+        assert(got((pf, i.toLong)) == local.equity(i), s"$pf equity[$i]")
+      }
+    }
+    // p1's extra symbol must have changed its curve vs p0 (cross-asset
+    // cash coupling is real, not per-symbol accounting)
+    assert((0 until 40).exists(i => got(("p0", i.toLong)) != got(("p1", i.toLong))))
+  }
+
   test("Align.prepareSequentialData: stem symbol injection, grid, forward fill") {
     val dir = java.nio.file.Files.createTempDirectory("align").toFile
     // aaa.csv lacks a symbol column → injected from the stem
