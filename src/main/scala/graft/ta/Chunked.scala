@@ -81,6 +81,54 @@ object Chunked {
       if (al == 0.0) 100.0 else 100.0 - 100.0 / (1.0 + ag / al)
   }
 
+  /** KAMA — the ring-buffer state shape: the kernel's value ring (last
+    * n+1 valid values), diff ring (last n |diffs|) and rolling vol sum
+    * all ride the state vector, so even window-within-recurrence
+    * machines cross chunk boundaries bit-identically.
+    * Layout: [prevVal, prevK, vcnt, vpos, dcnt, dpos, vol,
+    *          vals(n+1)…, diffs(n)…]. */
+  final class KamaStep(n: Int) extends StepKernel {
+    val numInputs = 1; val numOutputs = 1
+    private val fast = 2.0 / (2 + 1); private val slow = 2.0 / (30 + 1)
+    private val V = 7 // vals ring offset; diffs ring at V + n + 1
+    def init(): Array[Double] = {
+      val st = new Array[Double](V + (n + 1) + n)
+      st(0) = NA; st(1) = NA
+      st
+    }
+    def step(st: Array[Double], in: Array[Double]): Array[Double] = {
+      val v = in(0)
+      var out = NA
+      if (ok(v)) {
+        val prevVal = st(0)
+        if (ok(prevVal)) {
+          val d = math.abs(v - prevVal)
+          var dcnt = st(4).toInt; var dpos = st(5).toInt
+          if (dcnt == n) st(6) -= st(V + n + 1 + dpos)
+          st(V + n + 1 + dpos) = d; dpos = (dpos + 1) % n
+          if (dcnt < n) dcnt += 1
+          st(6) += d
+          st(4) = dcnt; st(5) = dpos
+        }
+        var vcnt = st(2).toInt; var vpos = st(3).toInt
+        st(V + vpos) = v; vpos = (vpos + 1) % (n + 1)
+        if (vcnt < n + 1) vcnt += 1
+        st(2) = vcnt; st(3) = vpos
+        if (st(4).toInt == n) {
+          val oldest = st(V + (if (vcnt == n + 1) vpos else 0))
+          val dir = math.abs(v - oldest)
+          val er = if (st(6) == 0.0) 0.0 else dir / st(6)
+          val sc = { val s = er * (fast - slow) + slow; s * s }
+          if (!ok(st(1))) st(1) = prevVal
+          st(1) = st(1) + sc * (v - st(1))
+          out = st(1)
+        }
+        st(0) = v
+      }
+      Array(out)
+    }
+  }
+
   /** MACD — the multi-output composite: fast/slow EMA legs on the price,
     * dif = fast − slow (NaN until both warm), a third EMA leg on dif
     * (NaN dif rows skip without advancing, exactly like Kernels.ema over

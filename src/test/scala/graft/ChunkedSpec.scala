@@ -86,6 +86,15 @@ class ChunkedSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(collectMap(chunked, c) == collectMap(whole, c), s"column $c diverged")
   }
 
+  test("chunked KAMA(10) — ring-buffer state — is bit-identical across chunk cuts") {
+    val df = bars()
+    val whole = SeriesOps.overSeries(df, Seq("close"), Seq("kama"))(
+      a => Array(Kernels.kama(a(0), 10)))
+    val chunked = SeriesOps.overSeriesChunked(
+      df, Seq("close"), Seq("kama"), new Chunked.KamaStep(10), chunkRows = 97)
+    assert(collectMap(chunked, "kama") == collectMap(whole, "kama"))
+  }
+
   test("a chunk smaller than the warmup still seeds correctly") {
     // chunkRows = 7 < n = 20: the SMA seed accumulates across three chunk
     // boundaries before the first non-null value appears

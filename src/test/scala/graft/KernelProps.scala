@@ -195,6 +195,20 @@ object KernelProps extends Properties("kernels") {
       bitEq(stepAll(new graft.ta.Chunked.AtrStep(n), Array(h, l, c)), Kernels.atr(h, l, c, n))
     }
 
+  property("KamaStep replays Kernels.kama bit-for-bit (ring state, NaNs included)") =
+    forAll(noisySeries, period) { (x, n) =>
+      bitEq(stepAll(new graft.ta.Chunked.KamaStep(n), Array(x)), Kernels.kama(x, n))
+    }
+
+  property("MacdStep replays Kernels.macd bit-for-bit (NaNs included)") =
+    forAll(noisySeries, Gen.choose(2, 8), Gen.choose(9, 20), Gen.choose(2, 6)) { (x, f, s, g) =>
+      val (d, sg, h) = Kernels.macd(x, f, s, g)
+      val st = new graft.ta.Chunked.MacdStep(f, s, g)
+      val state = st.init()
+      val got = x.map(v => st.step(state, Array(v)))
+      bitEq(got.map(_(0)), d) && bitEq(got.map(_(1)), sg) && bitEq(got.map(_(2)), h)
+    }
+
   property("fused shingle minhash == minhash of joined shingle strings (unicode-safe)") =
     forAll(tokens, Gen.choose(1, 4)) { (toks, k) =>
       import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
