@@ -853,6 +853,24 @@ object PipelineQueries {
         |  ROUND(quantile_cont(n, 0.99), 6)+0.0 AS p99_tokens
         |FROM t GROUP BY source ORDER BY source""".stripMargin)),
 
+    Entry("length_quantiles_approx",
+      // the 100 TB leg of the same diagnostic: approx_percentile's
+      // fixed-size sketches merge map-side, so group state stays bounded
+      // at ANY distinct-length cardinality (the exact leg's buffer grows
+      // with it). Rows-only gate — a sketch estimate can't hash-match
+      // DuckDB — with a scalatest pinning approx ≈ exact and a plan test
+      // pinning the map-side partial aggregate.
+      (spark, dir) => {
+        val n = size(split(trim(col("text")), "\\s+")).cast("double")
+        Tables.documents(spark, dir).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            r6(approx_percentile(n, lit(0.5), lit(2500))).as("p50_tokens"),
+            r6(approx_percentile(n, lit(0.9), lit(2500))).as("p90_tokens"),
+            r6(approx_percentile(n, lit(0.99), lit(2500))).as("p99_tokens"))
+          .orderBy("source")
+      },
+      None),
+
     Entry("bigram_top100",
       // word-bigram vocabulary (Vocab.ngramTopK): per-row gram
       // construction — no token-table self-join — then the same

@@ -589,6 +589,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("length quantiles: approx_percentile tracks the exact percentile") {
+    val rnd = new scala.util.Random(29)
+    val d = docs((1 to 300).map(i =>
+      i.toLong -> (0 until (5 + rnd.nextInt(120))).map(_ => "w").mkString(" ")): _*)
+      .withColumn("source", concat(lit("s"), (col("doc_id") % 3).cast("string")))
+    val n = size(split(trim(col("text")), "\\s+")).cast("double")
+    def q(agg: (org.apache.spark.sql.Column, Double) => org.apache.spark.sql.Column) =
+      d.groupBy("source").agg(agg(n, 0.5).as("p50"), agg(n, 0.9).as("p90"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = q((c, p) => percentile(c, lit(p)))
+    val approx = q((c, p) => approx_percentile(c, lit(p), lit(2500)))
+    exact.foreach { case (src, (e50, e90)) =>
+      val (a50, a90) = approx(src)
+      // at accuracy 2500 over ≤120 distinct lengths the sketch is near-exact
+      assert(math.abs(a50 - e50) <= 2.0, s"$src p50 $a50 vs $e50")
+      assert(math.abs(a90 - e90) <= 3.0, s"$src p90 $a90 vs $e90")
+    }
+  }
+
   test("repetition ratios stay bounded and pii scrub is idempotent (randomized corpus)") {
     val rnd = new scala.util.Random(23)
     val words = Seq("alpha", "beta", "gamma", "x", "y", "spam", "the", "of")

@@ -207,6 +207,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-doc top-k must partial-prune before the exchange:\n$plan")
   }
 
+  test("approx percentile aggregates partially map-side (sketch merge)") {
+    val d = docs(80).withColumn("source",
+      concat(lit("s"), (col("doc_id") % 4).cast("string")))
+    val q = d.groupBy("source").agg(
+      approx_percentile(length(col("text")).cast("double"), lit(0.5), lit(1000)).as("p50"))
+    val plan = executedPlan(q)
+    assert(plan.contains("partial_approx_percentile"),
+      s"percentile sketches must merge map-side:\n$plan")
+  }
+
   test("approx doc-frequency aggregates partially map-side (HLL sketch merge)") {
     // the scale rationale for vocab_top100_approx: the HLL sketch is
     // algebraic, so a partial aggregate must appear below the exchange —
