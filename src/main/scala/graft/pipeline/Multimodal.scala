@@ -202,10 +202,13 @@ object Multimodal {
     while (o < bytes.length) {
       parsePpmHeader(bytes, o) match {
         case Some((w, h, _, body)) =>
-          val end = body + w * h * 3
+          // Long end: header dims up to 2^15 pass the parser, and
+          // 32768·32768·3 overflows Int — malformed must mean None, not
+          // a negative-range crash inside a task
+          val end = body.toLong + w.toLong * h * 3
           if (end > bytes.length) return None
-          frames += java.util.Arrays.copyOfRange(bytes, o, end)
-          o = end
+          frames += java.util.Arrays.copyOfRange(bytes, o, end.toInt)
+          o = end.toInt
         case None => return None
       }
     }
@@ -275,6 +278,7 @@ object Multimodal {
   def withSampledFrames(df: DataFrame, every: Int,
                         idCol: String = "doc_id",
                         binCol: String = "payload"): DataFrame = {
+    require(every > 0, "every must be positive")
     val schema = StructType(Seq(
       StructField(idCol, LongType),
       StructField("frame_idx", IntegerType),

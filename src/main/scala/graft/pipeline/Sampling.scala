@@ -68,6 +68,8 @@ object Sampling {
   def kPerGroup(df: DataFrame, groupCol: String, k: Int,
                 idCol: String = "doc_id"): DataFrame = {
     require(k > 0, "k must be positive")
+    require(!df.columns.contains("__rk"),
+      "a __rk column already exists — rename it before sampling")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
       .orderBy(sampleHash(col(idCol)).asc, col(idCol).asc)
     df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k).drop("__rk")

@@ -672,9 +672,14 @@ object PipelineQueries {
       // per-document TF-IDF keyword extraction, with the df join run
       // THROUGH the salted skew join (saltBuckets = 8): the token key is
       // maximally skewed in natural language ("the" hits every doc), and
-      // the hash gate proves salting changes nothing semantically. Exact
-      // ln() on both engines; ties broken lexicographically so the top-3
-      // rows are deterministic.
+      // the hash gate proves salting changes nothing semantically. Ties
+      // broken lexicographically so the top-3 rows are deterministic.
+      // Known residual class: ln() is not guaranteed correctly rounded on
+      // either engine, so a (N, df) pair CAN land the two sides 1 ulp
+      // apart — visible only if it crosses the 6-decimal boundary or
+      // flips a rank between near-equal scores (distinct (tf, df) pairs
+      // within 1 ulp). Green at all three SFs; same accepted class as
+      // every transcendental-bearing oracle here.
       (spark, dir) => Vocab.tfidfTopK(Tables.documents(spark, dir), k = 3,
           exactDocFreq = true, saltBuckets = 8)
         .select(col("doc_id"), col("rk"), col("token"), col("tf"),

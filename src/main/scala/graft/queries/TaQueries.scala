@@ -961,16 +961,25 @@ object TaQueries {
         |SELECT symbol, ord, ${Sql.r6(Sql.emaList("xs", 20), "ema")} FROM l $T""".stripMargin)),
     Entry("ema_20_chunked",
       // the chunked-state executor under the DRIVER gate: same EMA(20),
-      // but one task never materializes more than 64 rows of a series —
-      // the kernel's scan state (Chunked.EmaStep) carries across chunk
-      // boundaries exactly like the streaming twin carries it across
-      // micro-batches. The oracle is ema_20's, unchanged: the chunked
-      // path must be bit-equivalent to the whole-series scan.
-      (spark, dir) => graft.ta.SeriesOps.overSeriesChunked(
-          Tables.bars(spark, dir), Seq("close"), Seq("ema"),
-          new graft.ta.Chunked.EmaStep(20), chunkRows = 64)
-        .select(col("symbol"), col("ord"), r6(col("ema")).as("ema"))
-        .orderBy("symbol", "ord"),
+      // but every series is forced across chunk boundaries — the kernel's
+      // scan state (Chunked.EmaStep) carries over them exactly like the
+      // streaming twin carries it across micro-batches. chunkRows adapts
+      // to the data so each series spans ~3 chunks at ANY scale factor:
+      // the state loop is inherently one job per chunk, so a fixed small
+      // chunkRows would turn bigger SFs into a job-launch benchmark
+      // instead of a boundary-crossing test. The oracle is ema_20's,
+      // unchanged: the chunked path must be bit-equivalent to the
+      // whole-series scan.
+      (spark, dir) => {
+        val bars = Tables.bars(spark, dir)
+        val row = bars.groupBy("symbol").count().agg(max("count")).head()
+        val maxLen = if (row.isNullAt(0)) 1L else row.getLong(0)
+        val chunk = math.max(1, math.ceil(maxLen / 3.0).toInt)
+        graft.ta.SeriesOps.overSeriesChunked(bars, Seq("close"), Seq("ema"),
+            new graft.ta.Chunked.EmaStep(20), chunkRows = chunk)
+          .select(col("symbol"), col("ord"), r6(col("ema")).as("ema"))
+          .orderBy("symbol", "ord")
+      },
       Some(s"""$B, $closeList
         |SELECT symbol, ord, ${Sql.r6(Sql.emaList("xs", 20), "ema")} FROM l $T""".stripMargin)),
     Entry("rma_14",   recQ("rma")(df => Recursive.rma(df, "close", 14)),

@@ -89,21 +89,25 @@ object SeriesOps {
     *      (`(row_number − 1) div chunkRows` — the row_number window is a
     *      streaming running count, spill-backed, never an in-memory
     *      materialization) and writes the corpus to scratch parquet
-    *      partitioned by chunk;
-    *   2. chunks are processed IN ORDER, each as one partition-pruned read
-    *      (only chunk k's files are touched — the same pruning the
-    *      persisted IVF index rides) + one flatMapGroups in which every
-    *      series steps its `≤ chunkRows` rows from the broadcast state;
-    *   3. each pass emits its output rows plus one tiny state row per
-    *      series; the states (O(numSeries · stateSize) doubles) are
-    *      collected and broadcast into the next pass.
+    *      partitioned by chunk (session-scoped temp dir, removed on JVM
+    *      exit, unless the caller owns `scratchDir`);
+    *   2. a sequential STATE loop: chunk k runs one partition-pruned,
+    *      state-only pass (the same fold, outputs discarded) that returns
+    *      each present series' (entry, exit) state pair — O(series ·
+    *      stateSize) doubles per chunk, the only driver traffic; each
+    *      pass's broadcast is destroyed as soon as its job finishes;
+    *   3. ONE parallel output pass over the whole staged corpus, grouped
+    *      by (series, chunk): every group replays its rows from the
+    *      recorded entry state. Unlike the state loop, chunks here are
+    *      independent — the pass parallelizes over series × chunks.
     *
-    * Total I/O = one corpus write + one partitioned read, regardless of
-    * chunk count; driver traffic is only the per-series state vectors.
-    * Within a series the recurrence is inherently sequential, so chunk
-    * passes cannot overlap — parallelism comes from series × chunk-local
-    * row processing, exactly like `overSeries`, with memory decoupled
-    * from series length.
+    * Nothing is persisted and no N-way union is built: the result is a
+    * single flatMapGroups over one shuffle. The entry-state broadcast
+    * holds one vector per NON-EMPTY (series, chunk) pair — bounded by
+    * totalRows / chunkRows entries, tiny at any realistic chunk size.
+    * Within a series the recurrence is inherently sequential, so the
+    * state loop cannot overlap chunks; the output pass has no such
+    * constraint, which is where the parallelism comes back.
     *
     * `ord` must be unique per series (same contract as overSeries: ties
     * would make the scan order ambiguous).
@@ -122,8 +126,18 @@ object SeriesOps {
       col("ord").cast(LongType) +:
       carried.map(c => col(c).cast(DoubleType)): _*)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("symbol").orderBy("ord")
-    val scratch = scratchDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_chunked_").toString)
+    val scratch = scratchDir.getOrElse {
+      val d = java.nio.file.Files.createTempDirectory("graft_chunked_")
+      // the returned frame is lazy, so the staged copy must outlive this
+      // call — tie cleanup to JVM exit for caller-less temp dirs
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(d.toFile)
+      }
+      d.toString
+    }
     proj.withColumn("__chunk",
         ((row_number().over(w) - 1) / chunkRows).cast(IntegerType))
       .write.mode("overwrite").partitionBy("__chunk").parquet(scratch)
@@ -133,45 +147,69 @@ object SeriesOps {
     val outSchema = StructType(
       StructField("symbol", StringType) ::
       StructField("ord", LongType) ::
-      (carried.toList ++ out.toList).map(StructField(_, DoubleType)) :::
-      StructField("__state", ArrayType(DoubleType)) :: Nil)
-    var states = Map.empty[String, Array[Double]]
-    val parts = chunkIds.map { k =>
+      (carried.toList ++ out.toList).map(StructField(_, DoubleType)))
+    if (chunkIds.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+
+    /** Fold one series' chunk rows (sorted by ord) from `st`, optionally
+      * emitting output rows; returns the exit state. */
+    def foldRows(rows: Array[Row], st: Array[Double],
+                 emit: Boolean): Iterator[Row] = {
+      java.util.Arrays.sort(rows, Ordering.by((r: Row) => r.getLong(1)))
+      val inBuf = new Array[Double](inIdx.length)
+      val it = rows.iterator.map { r =>
+        var j = 0
+        while (j < inIdx.length) {
+          inBuf(j) = if (r.isNullAt(inIdx(j))) Double.NaN else r.getDouble(inIdx(j))
+          j += 1
+        }
+        val o = kernel.step(st, inBuf)
+        if (emit)
+          Row.fromSeq(
+            r.getString(0) +: r.getLong(1) +:
+            (carried.indices.map(c => if (r.isNullAt(c + 2)) null else r.getDouble(c + 2)) ++
+             o.indices.map(c => if (java.lang.Double.isNaN(o(c))) null else o(c))))
+        else null
+      }
+      if (emit) it else { it.foreach(_ => ()); Iterator.empty }
+    }
+
+    // ---- phase 2: sequential state-only loop ----
+    val stateSchema = StructType(Seq(
+      StructField("symbol", StringType),
+      StructField("entry", ArrayType(DoubleType)),
+      StructField("exit", ArrayType(DoubleType))))
+    var states = Map.empty[String, Array[Double]]                 // exit of last chunk seen
+    val entryStates = Map.newBuilder[(Int, String), Array[Double]]
+    for (k <- chunkIds) {
       val bc = spark.sparkContext.broadcast(states)
-      val res = staged.where(col("__chunk") === k)
-        .select("symbol", ("ord" +: carried): _*)   // __chunk pruned at the source
+      val res = staged.where(col("__chunk") === k)                 // partition-pruned
+        .select("symbol", ("ord" +: carried): _*)
         .groupByKey(_.getString(0))(Encoders.STRING)
         .flatMapGroups { (sym: String, it: Iterator[Row]) =>
-          val rows = it.toArray
-          java.util.Arrays.sort(rows, Ordering.by((r: Row) => r.getLong(1)))
-          val st = bc.value.get(sym).map(_.clone()).getOrElse(kernel.init())
-          val inBuf = new Array[Double](inIdx.length)
-          val dataRows = rows.iterator.map { r =>
-            var j = 0
-            while (j < inIdx.length) {
-              inBuf(j) = if (r.isNullAt(inIdx(j))) Double.NaN else r.getDouble(inIdx(j))
-              j += 1
-            }
-            val o = kernel.step(st, inBuf)
-            Row.fromSeq(
-              sym +: r.getLong(1) +:
-              (carried.indices.map(c => if (r.isNullAt(c + 2)) null else r.getDouble(c + 2)) ++
-               o.indices.map(c => if (java.lang.Double.isNaN(o(c))) null else o(c)) ++
-               Seq(null)))
-          }
-          dataRows ++ Iterator.single(Row.fromSeq(
-            sym +: 0L +: Seq.fill(carried.length + out.length)(null) :+ st.toSeq))
-        }(Encoders.row(outSchema))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      states = states ++ res.where(col("__state").isNotNull)
-        .select("symbol", "__state").collect()
-        .map(r => r.getString(0) -> r.getSeq[Double](1).toArray)
-      res.where(col("__state").isNull).drop("__state")
+          val entry = bc.value.get(sym).map(_.clone()).getOrElse(kernel.init())
+          val st = entry.clone()
+          foldRows(it.toArray, st, emit = false)
+          Iterator.single(Row(sym, entry.toSeq, st.toSeq))
+        }(Encoders.row(stateSchema))
+        .collect()
+      res.foreach { r =>
+        entryStates += (k, r.getString(0)) -> r.getSeq[Double](1).toArray
+        states += r.getString(0) -> r.getSeq[Double](2).toArray
+      }
+      bc.destroy()
     }
-    if (parts.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(outSchema.dropRight(1)))
-    else parts.reduce(_.union(_))
+
+    // ---- phase 3: one parallel output pass over all (series, chunk) ----
+    val bcEntry = spark.sparkContext.broadcast(entryStates.result())
+    val chunkIdx = 2 + carried.length
+    staged.select(col("symbol") +: col("ord") +: carried.map(col) :+ col("__chunk"): _*)
+      .groupByKey(r => (r.getInt(chunkIdx), r.getString(0)))(
+        Encoders.tuple(Encoders.scalaInt, Encoders.STRING))
+      .flatMapGroups { (key: (Int, String), it: Iterator[Row]) =>
+        val st = bcEntry.value(key).clone()
+        foldRows(it.toArray, st, emit = true)
+      }(Encoders.row(outSchema))
   }
 
   /** Size-aware dispatch: run the whole-series executor when every series
@@ -185,8 +223,10 @@ object SeriesOps {
                      chunkRows: Int = 10_000_000,
                      scratchDir: Option[String] = None)
                     (f: Array[Array[Double]] => Array[Array[Double]]): DataFrame = {
-    val longest = df.groupBy("symbol").count()
-      .agg(max("count")).head().getLong(0)
+    // empty input → max() is null; an empty frame trivially fits the
+    // whole-series path
+    val row = df.groupBy("symbol").count().agg(max("count")).head()
+    val longest = if (row.isNullAt(0)) 0L else row.getLong(0)
     if (longest <= maxRows) overSeries(df, in, out)(f)
     else overSeriesChunked(df, in, out, kernel, chunkRows, scratchDir)
   }
