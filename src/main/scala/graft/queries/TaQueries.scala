@@ -594,15 +594,18 @@ object TaQueries {
           |FROM $last $T""".stripMargin
       }),
     Entry("ma_10_5",
-      // n=10 → inner SMA(5), outer SMA(6) (overlap.rs:1313-1326)
+      // n=10 → inner SMA(5), outer SMA(6) (overlap.rs:1313-1326). Both
+      // legs replay the ROLLING sum (smaRollList, outer over the filtered
+      // inner-value list) — matype 5 runs Kernels.sma twice, the same
+      // drift class that bit ppo_12_26 at sf0.1 under avg() OVER oracles
       recQ("ma")(df => Recursive.ma(df, "close", 10, 5, out = "ma")),
-      Some(s"""$B, s1 AS (
-        |  SELECT symbol, ord,
-        |         CASE WHEN count(close) OVER wn5 >= 5 THEN avg(close) OVER wn5 END AS s
-        |  FROM bars WINDOW ${Sql.wnDef(5)}
+      Some(s"""$B, $closeList, t AS (
+        |  SELECT symbol, ord, ${Sql.smaRollList("xs", 5)} AS s FROM l
+        |), l2 AS (
+        |  SELECT symbol, ord, ${Sql.filt("s")} AS ys FROM t WINDOW ${Sql.wcDef}
         |)
-        |SELECT symbol, ord, ${Sql.gatedR6("s", 6, "avg(s) OVER wn6", "ma")}
-        |FROM s1 WINDOW ${Sql.wnDef(6)} $T""".stripMargin)),
+        |SELECT symbol, ord, ${Sql.r6(Sql.smaRollList("ys", 6), "ma")}
+        |FROM l2 $T""".stripMargin)),
     Entry("ma_10_6",
       recQ("ma")(df => Recursive.ma(df, "close", 10, 6, out = "ma")),
       Some(kamaSql("ma"))),
@@ -841,15 +844,16 @@ object TaQueries {
     Entry("macdext_sma",
       recQ("macd", "macd_signal", "macd_hist")(df =>
         Recursive.macdext(df, "close", 12, 0, 26, 0, 9, 0)),
-      Some(s"""$B, t AS (
+      // all three SMA legs replay the rolling sum (drift class of
+      // ppo_12_26); the signal leg folds over the filtered dif list
+      Some(s"""$B, $closeList, t AS (
         |  SELECT symbol, ord,
-        |    (CASE WHEN count(close) OVER wn12 >= 12 THEN avg(close) OVER wn12 END) -
-        |    (CASE WHEN count(close) OVER wn26 >= 26 THEN avg(close) OVER wn26 END) AS dif
-        |  FROM bars WINDOW ${Sql.wnDef(12)}, ${Sql.wnDef(26)}
+        |    ${Sql.smaRollList("xs", 12)} - ${Sql.smaRollList("xs", 26)} AS dif
+        |  FROM l
+        |), tl AS (
+        |  SELECT symbol, ord, dif, ${Sql.filt("dif")} AS ds FROM t WINDOW ${Sql.wcDef}
         |), t2 AS (
-        |  SELECT symbol, ord, dif,
-        |    CASE WHEN count(dif) OVER wn9 >= 9 THEN avg(dif) OVER wn9 END AS sig
-        |  FROM t WINDOW ${Sql.wnDef(9)}
+        |  SELECT symbol, ord, dif, ${Sql.smaRollList("ds", 9)} AS sig FROM tl
         |)
         |SELECT symbol, ord, ${Sql.r6("dif", "macd")}, ${Sql.r6("sig", "macd_signal")},
         |  ${Sql.r6("dif - sig", "macd_hist")}
@@ -865,28 +869,35 @@ object TaQueries {
         |     ELSE 100.0 * (close - min(low) OVER wn5) / (max(high) OVER wn5 - min(low) OVER wn5) END)
         |  END AS fastk
         |  FROM bars WINDOW ${Sql.wnDef(5)}
+        |), tl AS (
+        |  SELECT symbol, ord, fastk, ${Sql.filt("fastk")} AS ks FROM t WINDOW ${Sql.wcDef}
         |)
         |SELECT symbol, ord, ${Sql.r6("fastk", "fastk")},
-        |  ${Sql.gatedR6("fastk", 3, "avg(fastk) OVER wn3", "fastd")}
-        |FROM t ${Sql.windows(3)} $T""".stripMargin)),
+        |  ${Sql.r6(Sql.smaRollList("ks", 3), "fastd")}
+        |FROM tl $T""".stripMargin)),
 
     Entry("stoch_5_3_3",
       recQ("slowk", "slowd")(df =>
         Recursive.stoch(df, fastkN = 5, slowkN = 3, slowkType = 0, slowdN = 3, slowdType = 0)),
+      // both SMA legs replay the rolling sum (Kernels.ma matype 0 inside
+      // Kernels.stoch) — same drift class as ppo_12_26; fastk itself is
+      // window min/max arithmetic, exact on both engines
       Some(s"""$B, t AS (
         |  SELECT symbol, ord, CASE WHEN count(high) OVER wn5 >= 5 THEN
         |    (CASE WHEN max(high) OVER wn5 = min(low) OVER wn5 THEN 0.0
         |     ELSE 100.0 * (close - min(low) OVER wn5) / (max(high) OVER wn5 - min(low) OVER wn5) END)
         |  END AS fastk
         |  FROM bars WINDOW ${Sql.wnDef(5)}
+        |), tl AS (
+        |  SELECT symbol, ord, ${Sql.filt("fastk")} AS ks FROM t WINDOW ${Sql.wcDef}
         |), t2 AS (
-        |  SELECT symbol, ord,
-        |    CASE WHEN count(fastk) OVER wn3 >= 3 THEN avg(fastk) OVER wn3 END AS slowk
-        |  FROM t WINDOW ${Sql.wnDef(3)}
+        |  SELECT symbol, ord, ${Sql.smaRollList("ks", 3)} AS slowk FROM tl
+        |), t2l AS (
+        |  SELECT symbol, ord, slowk, ${Sql.filt("slowk")} AS ds FROM t2 WINDOW ${Sql.wcDef}
         |)
         |SELECT symbol, ord, ${Sql.r6("slowk", "slowk")},
-        |  ${Sql.gatedR6("slowk", 3, "avg(slowk) OVER wn3", "slowd")}
-        |FROM t2 ${Sql.windows(3)} $T""".stripMargin)),
+        |  ${Sql.r6(Sql.smaRollList("ds", 3), "slowd")}
+        |FROM t2l $T""".stripMargin)),
 
     Entry("stoch_ema",
       recQ("slowk", "slowd")(df =>
@@ -1086,10 +1097,11 @@ object TaQueries {
         |fk AS (SELECT symbol, ord, CASE WHEN count(rsi) OVER wn5 >= 5 THEN
         |    (CASE WHEN max(rsi) OVER wn5 = min(rsi) OVER wn5 THEN 0.0
         |     ELSE 100.0 * (rsi - min(rsi) OVER wn5) / (max(rsi) OVER wn5 - min(rsi) OVER wn5) END)
-        |  END AS fastk FROM r WINDOW ${Sql.wnDef(5)})
+        |  END AS fastk FROM r WINDOW ${Sql.wnDef(5)}),
+        |fkl AS (SELECT symbol, ord, fastk, ${Sql.filt("fastk")} AS ks FROM fk WINDOW ${Sql.wcDef})
         |SELECT symbol, ord, ${Sql.r6("fastk", "fastk_rsi")},
-        |  ${Sql.gatedR6("fastk", 3, "avg(fastk) OVER wn3", "fastd_rsi")}
-        |FROM fk WINDOW ${Sql.wnDef(3)} $T""".stripMargin)),
+        |  ${Sql.r6(Sql.smaRollList("ks", 3), "fastd_rsi")}
+        |FROM fkl $T""".stripMargin)),
 
     // ---- cycle / Hilbert family (one mesa pass; trendline+trendmode are
     //      window-expressible → oracle-checked, the rest golden-tested) ----
