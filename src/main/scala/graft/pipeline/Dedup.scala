@@ -314,6 +314,93 @@ object Dedup {
       .drop("a_sh", "b_sh", "inter", "uni")
   }
 
+  /** Contamination FRACTION — the graded refinement of [[decontaminate]]'s
+    * boolean flag: for each corpus doc, the share of its distinct k-shingle
+    * fingerprints that appear anywhere in the benchmark set. Pipelines use
+    * the fraction to rank partial overlaps (a quote vs a verbatim copy)
+    * where the boolean can only drop.
+    *
+    * Scale shape: the benchmark fp set (small by nature — eval suites, not
+    * corpora) is collapsed to ONE row and cross-joined broadcast, so the
+    * corpus pass is FULLY map-side: per-row `array_intersect` against the
+    * broadcast array, zero corpus-side shuffles — strictly less movement
+    * than decontaminate's explode + semi-join + re-join, because the
+    * per-doc fp arrays never leave their rows. `n_fps` ≥ 1 always (the
+    * short-text shingle fallback emits one shingle), so the division is
+    * total. */
+  def contaminationStats(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         shingleK: Int = 5): DataFrame = {
+    def docFps =
+      array_distinct(graft.functions.TextHashes.shingleFps(tokens(col(textCol)), shingleK))
+    val bench = benchmark.select(explode(docFps).as("fp")).distinct()
+      .agg(collect_list(col("fp")).as("bench_fps"))
+    corpus.select(col(idCol), docFps.as("fps"))
+      .crossJoin(broadcast(bench))
+      .select(col(idCol), size(col("fps")).as("n_fps"),
+        size(array_intersect(col("fps"), col("bench_fps"))).as("n_hits"))
+      .withColumn("contam_frac", col("n_hits").cast("double") / col("n_fps"))
+  }
+
+  /** Corpus-frequent k-gram spans ("boilerplate" detection, the flat-text
+    * analogue of C4's repeated-line removal — the unit is a word k-gram
+    * here because the unit of repetition is a delimiter choice, not an
+    * algorithm change): spans appearing in ≥ `minDocs` DISTINCT documents,
+    * with their document frequencies.
+    *
+    * Scale: `array_distinct` before the explode caps a span's rows at one
+    * per containing doc; `countDistinct` plans as two hash aggregates keyed
+    * (gram, id) then (gram) — the first exchange is spread by the id
+    * component, so a corpus-wide hot span never funnels through one
+    * reducer as raw occurrences. */
+  def frequentSpans(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                    k: Int = 3, minDocs: Int = 2): DataFrame =
+    docs.select(col(idCol), explode(array_distinct(shingles(col(textCol), k))).as("gram"))
+      .groupBy("gram").agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document boilerplate exposure: how many of a doc's distinct
+    * k-gram spans are corpus-frequent ([[frequentSpans]] members on
+    * FINGERPRINTS — no span strings are built), and the fraction. High
+    * `boiler_frac` marks template/boilerplate documents a quality filter
+    * should drop.
+    *
+    * Scale: one aggregation pass builds the frequent-fp set (bounded above
+    * by total spans / `minDocs` — the same self-limiting bound the CC
+    * driver finish uses), collapsed to a single broadcast row; the scoring
+    * pass is then fully map-side per-row `array_intersect`, zero
+    * corpus-side shuffles. */
+  def spanBoilerplateStats(docs: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id", k: Int = 3,
+                           minDocs: Int = 10): DataFrame = {
+    def docFps =
+      array_distinct(graft.functions.TextHashes.shingleFps(tokens(col(textCol)), k))
+    val bp = docs.select(col(idCol), explode(docFps).as("fp"))
+      .groupBy("fp").agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .agg(collect_list(col("fp")).as("bp_fps"))
+    docs.select(col(idCol), docFps.as("fps"))
+      .crossJoin(broadcast(bp))
+      .select(col(idCol), size(col("fps")).as("n_spans"),
+        size(array_intersect(col("fps"), col("bp_fps"))).as("n_boiler"))
+      .withColumn("boiler_frac", col("n_boiler").cast("double") / col("n_spans"))
+  }
+
+  /** Within-document repeated-unit removal: rebuild each doc keeping only
+    * the FIRST occurrence of every token (the flat-text analogue of
+    * within-page duplicate-line stripping; the unit is again a delimiter
+    * choice). `array_distinct` preserves first-occurrence order, so the
+    * rebuild is one per-row expression — zero shuffles, the whole op runs
+    * inside the scan stage at any corpus size. Tokenization is
+    * [[tokens]] (lowered), keeping oracle parity with DedupSql.tokCte. */
+  def dedupDocTokens(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val ded = array_distinct(toks)
+    docs.select(col(idCol), size(toks).as("n_tokens"),
+      size(ded).as("n_distinct"), concat_ws(" ", ded).as("text_dedup"))
+  }
+
   /** 64-bit SimHash via the native SimHash64 expression — one pass over
     * the token array inside the scan (map-side only; the round-1
     * formulation exploded tokens into a 64-aggregate groupBy).

@@ -536,6 +536,91 @@ object PipelineQueries {
           |ORDER BY doc_id""".stripMargin
       }),
 
+    Entry("contamination_frac",
+      // graded decontamination: same benchmark split as `decontaminate`,
+      // but scoring the FRACTION of each doc's distinct 5-gram
+      // fingerprints found in the benchmark — ranks partial overlaps the
+      // boolean collapses. Corpus pass is fully map-side (broadcast
+      // single-row bench array + per-row intersect).
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Dedup.contaminationStats(docs.where(col("doc_id") % 50 =!= 0),
+            docs.where(col("doc_id") % 50 === 0))
+          .select(col("doc_id"), col("n_fps"), col("n_hits"),
+            r6(col("contam_frac")).as("contam_frac"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val k = 5
+        val shK = s"""sh AS (
+          |  SELECT doc_id, CASE WHEN len(toks) < $k THEN [array_to_string(toks, ' ')]
+          |    ELSE list_transform(range(1, len(toks) - $k + 2),
+          |      i -> array_to_string(toks[i:i+${k - 1}], ' ')) END AS sh
+          |  FROM tok
+          |)""".stripMargin
+        s"""WITH ${DedupSql.tokCte}, $shK,
+          |f AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${DedupSql.fpLambda("s")})) AS fps FROM sh),
+          |bench AS (SELECT coalesce(list(DISTINCT fp), []) AS bfps
+          |          FROM (SELECT unnest(fps) AS fp FROM f WHERE doc_id % 50 = 0))
+          |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps,
+          |  CAST(len(list_intersect(fps, bfps)) AS INTEGER) AS n_hits,
+          |  round(len(list_intersect(fps, bfps)) * 1.0 / len(fps), 6) + 0.0 AS contam_frac
+          |FROM f CROSS JOIN bench WHERE doc_id % 50 != 0 ORDER BY doc_id""".stripMargin
+      }),
+
+    Entry("frequent_spans",
+      // corpus-frequent 3-gram spans (C4-style boilerplate detection on
+      // flat text): top-50 by document frequency. TakeOrdered path — the
+      // LIMIT prunes partially per partition, no global sort.
+      (spark, dir) =>
+        Dedup.frequentSpans(Tables.documents(spark, dir), minDocs = 2)
+          .orderBy(col("n_docs").desc, col("gram")).limit(50),
+      Some(
+        s"""WITH ${DedupSql.tokCte}, ${DedupSql.shCte},
+          |g AS (SELECT doc_id, unnest(list_distinct(sh)) AS gram FROM sh),
+          |c AS (SELECT gram, count(DISTINCT doc_id) AS n_docs FROM g
+          |      GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+          |SELECT gram, CAST(n_docs AS BIGINT) AS n_docs FROM c
+          |ORDER BY n_docs DESC, gram LIMIT 50""".stripMargin)),
+
+    Entry("span_boilerplate",
+      // per-doc boilerplate exposure: share of a doc's distinct 3-gram
+      // fingerprints that are corpus-frequent (≥10 docs). One agg pass
+      // builds the frequent set; the scoring pass is map-side only.
+      (spark, dir) =>
+        Dedup.spanBoilerplateStats(Tables.documents(spark, dir), minDocs = 10)
+          .select(col("doc_id"), col("n_spans"), col("n_boiler"),
+            r6(col("boiler_frac")).as("boiler_frac"))
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH ${DedupSql.tokCte}, ${DedupSql.shCte},
+          |f AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${DedupSql.fpLambda("s")})) AS fps FROM sh),
+          |bp AS (SELECT coalesce(list(fp), []) AS bpf FROM (
+          |  SELECT fp FROM (SELECT doc_id, unnest(fps) AS fp FROM f)
+          |  GROUP BY fp HAVING count(DISTINCT doc_id) >= 10))
+          |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_spans,
+          |  CAST(len(list_intersect(fps, bpf)) AS INTEGER) AS n_boiler,
+          |  round(len(list_intersect(fps, bpf)) * 1.0 / len(fps), 6) + 0.0 AS boiler_frac
+          |FROM f CROSS JOIN bp ORDER BY doc_id""".stripMargin)),
+
+    Entry("dedup_doc_tokens",
+      // within-doc repeated-unit removal: keep each token's FIRST
+      // occurrence, rebuild the text in place — pure per-row expression,
+      // zero shuffles (the streaming-safe complement of corpus-wide
+      // dedup). array_distinct preserves first-occurrence order; the
+      // oracle re-derives that order via min(position).
+      (spark, dir) =>
+        Dedup.dedupDocTokens(Tables.documents(spark, dir)).orderBy("doc_id"),
+      Some(
+        s"""WITH ${DedupSql.tokCte},
+          |pos AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS p FROM tok),
+          |firsts AS (SELECT doc_id, t, min(p) AS fp FROM pos GROUP BY doc_id, t)
+          |SELECT f.doc_id, CAST(any_value(tk.ntk) AS INTEGER) AS n_tokens,
+          |  CAST(count(*) AS INTEGER) AS n_distinct,
+          |  string_agg(t, ' ' ORDER BY fp) AS text_dedup
+          |FROM firsts f JOIN (SELECT doc_id, len(toks) AS ntk FROM tok) tk USING (doc_id)
+          |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin)),
+
     Entry("sample_5_per_source",
       // FIXED-SIZE stratified sampling: exactly 5 docs per source, drawn
       // by ranking the deterministic sample hash (ties by id) — the

@@ -821,4 +821,53 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kinds(1L) == Multimodal.KindPpm)
     assert(kinds(2L) == Multimodal.KindRaw)
   }
+
+  test("contaminationStats: fraction grades what decontaminate's boolean flags") {
+    val corpus = docs(
+      1L -> base,                          // verbatim copy of the benchmark doc
+      2L -> (base + " extra trailing words append here now"), // partial overlap
+      3L -> "completely unrelated content about spark catalyst optimizer rules")
+    val bench = docs(99L -> base)
+    val frac = Dedup.contaminationStats(corpus, bench).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    // verbatim: every shingle hits
+    assert(frac(1L)._1 == frac(1L)._2 && frac(1L)._3 == 1.0)
+    // partial: strictly between 0 and 1
+    assert(frac(2L)._3 > 0.0 && frac(2L)._3 < 1.0)
+    assert(frac(3L)._2 == 0 && frac(3L)._3 == 0.0)
+    // boolean consistency: contam_frac > 0 ⟺ decontaminate flags it
+    val flags = Dedup.decontaminate(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    frac.foreach { case (id, (_, hits, _)) => assert((hits > 0) == flags(id), s"doc $id") }
+  }
+
+  test("frequentSpans + spanBoilerplateStats: hand-checked document frequencies") {
+    val d = docs(
+      1L -> "a b c d e",   // spans: "a b c" "b c d" "c d e"
+      2L -> "a b c x y",   // shares "a b c"
+      3L -> "a b c d q",   // shares "a b c" "b c d"
+      4L -> "z z z z z")
+    val freq = Dedup.frequentSpans(d, minDocs = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freq == Map("a b c" -> 3L, "b c d" -> 2L))
+    val stats = Dedup.spanBoilerplateStats(d, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(stats(1L) == (3, 2)) // "a b c", "b c d" frequent; "c d e" not
+    assert(stats(2L) == (3, 1))
+    assert(stats(3L) == (3, 2))
+    assert(stats(4L) == (1, 0)) // "z z z" spans dedup to one, nowhere else
+    // invariant: n_boiler ≤ n_spans, and n_spans ≥ 1 even for short docs
+    val short = Dedup.spanBoilerplateStats(docs(9L -> "hi"), minDocs = 2).collect()(0)
+    assert(short.getInt(1) == 1 && short.getInt(2) == 0)
+  }
+
+  test("dedupDocTokens keeps first occurrences in order, zero shuffles") {
+    val out = Dedup.dedupDocTokens(docs(1L -> "B a b A c a", 2L -> "x")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    // lowered tokenization: b a c, first-occurrence order preserved
+    assert(out(1L) == (6, 3, "b a c"))
+    assert(out(2L) == (1, 1, "x"))
+    val plan = Dedup.dedupDocTokens(docs(1L -> "a b a")).queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"), "per-row op must not shuffle")
+  }
 }
