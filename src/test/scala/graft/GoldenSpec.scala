@@ -170,4 +170,34 @@ class GoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSeries("spark rsi_14", series(rI), col(8))
     assertSeries("spark adx_14", series(aI), col(10))
   }
+
+  test("the 17 hardest pattern recognizers match an independent transcription") {
+    // scripts/gen_golden_patterns.py re-reads pattern.rs from scratch —
+    // a third opinion uncorrelated with the Scala DSL / DuckDB SQL pair,
+    // which share one authoring pass. The crafted trigger blocks give the
+    // fixture teeth: every column fires at least once (generator-asserted
+    // AND re-asserted here), so an always-zero recognizer cannot pass.
+    import org.apache.spark.sql.functions.{col => sc}
+    implicit val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("symbol").orderBy("ord")
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/talib_golden_patterns.csv"))
+    val lines = try src.getLines().toArray finally src.close()
+    val names = lines.head.split(",").drop(5)
+    val data = lines.tail.map(_.split(",", -1))
+    val df = spark.createDataFrame(
+      data.toSeq.map(r => ("g", r(0).toLong, r(1).toDouble, r(2).toDouble, r(3).toDouble, r(4).toDouble)))
+      .toDF("symbol", "ord", "open", "high", "low", "close")
+    val pats = names.map(n => Patterns.all.find(_.name == n)
+      .getOrElse(fail(s"golden names a pattern the engine lacks: $n")))
+    val out = df.select(sc("ord") +: pats.map(_.column): _*).orderBy("ord").collect()
+    names.zipWithIndex.foreach { case (name, j) =>
+      val exp = data.map(_(5 + j).toInt)
+      val got = out.map(_.getInt(j + 1))
+      got.indices.foreach { i =>
+        assert(got(i) == exp(i), s"$name[$i]: got ${got(i)}, expected ${exp(i)}")
+      }
+      assert(exp.exists(_ != 0), s"$name: golden column never fires — fixture lost its teeth")
+    }
+  }
 }
