@@ -54,6 +54,43 @@ object Sampling {
     sampleHash(id) < thr
   }
 
+  /** Temperature-resampled source mixture — the standard rebalancing move
+    * for multi-source training corpora: target share q_s ∝ n_s^α (α < 1
+    * flattens the source distribution toward uniform; α = 1 is
+    * proportional, i.e. no-op), realized as per-source keep rates
+    * r_s = min(1, q_s · N_target / n_s) over the SAME deterministic
+    * fixed-point hash as [[stratifiedKeep]]. Unlike stratifiedKeep's
+    * caller-fixed rates, these DERIVE from the data: one tiny per-source
+    * count aggregate, collected to the driver (bounded by the number of
+    * distinct sources — small by nature, same posture as the IVF
+    * centroid collect) and folded into the when-chain of thresholds.
+    *
+    * Replay determinism: α = 0.5 routes through `sqrt` (correctly rounded
+    * by IEEE in both JVM and SQL engines) rather than `pow` (only
+    * 1-ulp-accurate, and differently so per libm), and the normalizer
+    * Σ n_s^α folds in ASCENDING SOURCE-NAME order — the oracle sums the
+    * same values in the same order, so every intermediate double is
+    * bit-identical and the rounded per-myriad threshold cannot straddle
+    * an engine boundary. */
+  def temperatureMixture(df: DataFrame, sourceCol: String = "source",
+                         alpha: Double = 0.5, targetFraction: Double = 0.2,
+                         idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction must be in (0,1], got $targetFraction")
+    def powA(x: Double): Double = if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    val counts = df.groupBy(sourceCol).count()
+      .orderBy(sourceCol).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    val z = counts.map(c => powA(c._2.toDouble)).foldLeft(0.0)(_ + _)
+    val nTarget = targetFraction * total
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0, powA(n.toDouble) / z * nTarget / n)
+    }.toMap
+    df.where(stratifiedKeep(col(idCol), col(sourceCol), rates, defaultRate = 0.0))
+  }
+
   /** FIXED-SIZE per-stratum sample: exactly min(k, |stratum|) rows per
     * group, chosen by ranking the deterministic sample hash (ties broken
     * by id) — a uniform without-replacement draw that is reproducible

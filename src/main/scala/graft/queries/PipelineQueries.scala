@@ -680,6 +680,32 @@ object PipelineQueries {
           |FROM lp ORDER BY doc_id""".stripMargin
       }),
 
+    Entry("mixture_sample",
+      // temperature-resampled source mixture (α = 0.5, target 20%):
+      // per-source keep rates DERIVED from corpus counts — q_s ∝ √n_s
+      // flattens the source distribution. The oracle re-derives the
+      // thresholds in SQL from the same counts; √ is IEEE
+      // correctly-rounded in both engines (unlike pow) and the
+      // normalizer folds in ascending source order on both sides, so
+      // every intermediate double is bit-identical and the per-myriad
+      // threshold cannot straddle an engine boundary.
+      (spark, dir) => Sampling.temperatureMixture(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("source")).orderBy("doc_id"),
+      Some {
+        val P = graft.functions.TextHashes.PolyP
+        val a = graft.functions.TextHashes.polyA(Sampling.SeedIdx)
+        val b = graft.functions.TextHashes.polyB(Sampling.SeedIdx)
+        s"""WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+          |tot AS (SELECT sum(n) AS nt FROM cnt),
+          |z AS (SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source), (x, y) -> x + y) AS z FROM cnt),
+          |thr AS (SELECT source,
+          |  CAST(round(least(1.0, sqrt(CAST(n AS DOUBLE)) / z.z * (0.2 * nt) / n) * 10000) AS BIGINT) AS t
+          |  FROM cnt, tot, z)
+          |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+          |WHERE (($a * (d.doc_id % $P) + $b) % $P % 10000) < t
+          |ORDER BY doc_id""".stripMargin
+      }),
+
     Entry("pack_sequences",
       // LLM-pretraining sequence packing: docs are laid back-to-back in id
       // order within a hash shard and cut into 512-token sequences

@@ -822,6 +822,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kinds(2L) == Multimodal.KindRaw)
   }
 
+  test("temperatureMixture: α<1 flattens toward uniform, deterministically") {
+    import org.apache.spark.sql.functions.lit
+    // 400 docs from a dominant source, 100 from a rare one
+    val d = spark.range(500).toDF("doc_id")
+      .withColumn("source", org.apache.spark.sql.functions
+        .when(org.apache.spark.sql.functions.col("doc_id") < 400, lit("big")).otherwise(lit("rare")))
+    def keptBySource(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = Sampling.temperatureMixture(d, alpha = 0.5, targetFraction = 0.2)
+    val kept = keptBySource(m)
+    // α=0.5 targets q ∝ √n: √400:√100 = 2:1 instead of 4:1 — the rare
+    // source's KEEP RATE must exceed the big source's
+    assert(kept("rare").toDouble / 100 > kept("big").toDouble / 400)
+    // hash-deterministic: a second run keeps the same rows
+    val again = Sampling.temperatureMixture(d, alpha = 0.5, targetFraction = 0.2)
+    assert(m.collect().map(_.getLong(0)).sorted.sameElements(again.collect().map(_.getLong(0)).sorted))
+    // α=1 degenerates to proportional sampling: both rates ≈ targetFraction
+    val prop = keptBySource(Sampling.temperatureMixture(d, alpha = 1.0, targetFraction = 0.2))
+    // exact expectation: threshold(0.2) = 2000 per-myriad on the id hash
+    val thr = Sampling.threshold(0.2)
+    val expBig = d.where(org.apache.spark.sql.functions.col("source") === "big")
+      .where(Sampling.sampleHash(org.apache.spark.sql.functions.col("doc_id")) < thr).count()
+    assert(prop("big") == expBig)
+  }
+
   test("contaminationStats: fraction grades what decontaminate's boolean flags") {
     val corpus = docs(
       1L -> base,                          // verbatim copy of the benchmark doc
