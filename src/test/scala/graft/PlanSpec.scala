@@ -254,4 +254,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cid"),
       s"probe must prune list partitions at the source:\n$plan")
   }
+
+  test("contamination scoring joins broadcast-only: corpus rows never shuffle") {
+    val d = docs(40)
+    val bench = d.where(col("doc_id") % 10 === 0)
+    val plan = physicalNodes(
+      { val df = Dedup.contaminationStats(d.where(col("doc_id") % 10 =!= 0), bench)
+        df.collect(); df.queryExecution.executedPlan })
+    // the only exchanges allowed belong to the single-row bench-set build
+    // (distinct + global collect_list); the corpus side rides a broadcast
+    // nested-loop join with per-row intersect — no sort-merge, no
+    // corpus-keyed exchange
+    assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "corpus must not sort-merge against the benchmark set")
+    assert(plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "bench set should ride a broadcast to the corpus rows")
+  }
+
+  test("mixture sampling compiles to a pure scan filter: zero exchanges") {
+    val d = docs(40).withColumn("source",
+      org.apache.spark.sql.functions.when(col("doc_id") % 3 === 0, "a").otherwise("b"))
+    // rates resolve to literals at plan time (the bounded count collect
+    // happens before the returned plan), so the kept-rows query is a
+    // shuffle-free filter any scan stage absorbs
+    assert(countShuffleExchanges(Sampling.temperatureMixture(d)) == 0)
+  }
 }
