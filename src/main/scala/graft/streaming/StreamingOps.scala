@@ -365,6 +365,30 @@ object StreamingOps {
     corpus.select(col(idCol), hit(docFps(col(textCol))).as("contaminated"))
   }
 
+  /** Streaming boilerplate scoring: grade each arriving doc against a
+    * STATIC corpus-frequent span set (built once by the batch
+    * [[graft.pipeline.Dedup.frequentSpans]] pass over the reference
+    * corpus — recomputing corpus frequencies per micro-batch is
+    * meaningless on a stream). Same broadcast-set-probe shape as
+    * [[decontaminateStream]]: stateless, shuffle-free, per-doc semantics
+    * identical to the batch [[graft.pipeline.Dedup.spanBoilerplateStats]]
+    * given the same frequent set. Returns (idCol, n_spans, n_boiler,
+    * boiler_frac) per arriving doc. */
+  def boilerplateScoreStream(corpus: DataFrame, frequentFps: Set[Long],
+                             textCol: String = "text", idCol: String = "doc_id",
+                             shingleK: Int = 3): DataFrame = {
+    import graft.functions.TextHashes
+    def docFps(c: org.apache.spark.sql.Column) =
+      array_distinct(TextHashes.shingleFps(graft.pipeline.Dedup.tokens(c), shingleK))
+    val bc = corpus.sparkSession.sparkContext.broadcast(frequentFps)
+    val nBoiler = udf { (arr: Seq[Long]) =>
+      if (arr == null) 0 else arr.count(bc.value.contains) }
+    corpus.select(col(idCol), docFps(col(textCol)).as("__fps"))
+      .select(col(idCol), size(col("__fps")).as("n_spans"),
+        nBoiler(col("__fps")).as("n_boiler"))
+      .withColumn("boiler_frac", col("n_boiler").cast("double") / col("n_spans"))
+  }
+
   /** Watermarked event-time windowed aggregation over the raw event
     * stream: per (event_type, window) count/avg — the canonical streaming
     * rollup for the events table. `ts` must be a timestamp column. */

@@ -111,6 +111,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming boilerplate scoring equals the batch stats for the same frequent set") {
+    // the frequent-span set comes from a batch pass over a reference
+    // corpus; arriving docs are graded against it statelessly
+    val refCorpus = (0L until 8L).map(i => (i, "common header line here " +
+      (if (i % 2 == 0) s"unique body $i words" else s"other content $i today")))
+    val refDf = spark.createDataFrame(refCorpus).toDF("doc_id", "text")
+    val freq = graft.pipeline.Dedup.frequentSpans(refDf, minDocs = 4)
+    // frequentSpans emits gram STRINGS; their polyFingerprint equals the
+    // composed shingle fp the batch scorer uses (the composition identity
+    // the SQL oracles already pin)
+    val fps = freq.collect().map(r => graft.functions.TextHashes.polyFingerprint(
+      org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))).toSet
+    val arriving = Seq(
+      10L -> "common header line here and then novel trailing content",
+      11L -> "entirely fresh document with no shared spans at all")
+    implicit val enc = Encoders.product[(Long, String)]
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.boilerplateScoreStream(ms.toDF().toDF("doc_id", "text"), fps)
+      .writeStream.format("memory").queryName("bp_stream")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      ms.addData(arriving); q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, n_spans, n_boiler, boiler_frac FROM bp_stream")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+      // doc 10 shares the "common header line"/"header line here" spans;
+      // doc 11 shares none
+      assert(got(10L)._2 > 0 && got(11L)._2 == 0)
+      // parity: batch scorer over (ref ∪ arriving) with the same minDocs
+      // yields the same counts for the arriving docs (the arrivals are too
+      // few to change the frequent set at minDocs=4)
+      val all = spark.createDataFrame(refCorpus ++ arriving).toDF("doc_id", "text")
+      val batch = graft.pipeline.Dedup.spanBoilerplateStats(all, minDocs = 4).collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+      arriving.foreach { case (id, _) => assert(got(id) == batch(id), s"doc $id") }
+    } finally q.stop()
+  }
+
   test("stateless pipeline columns (pii, repetition) apply to streams unchanged") {
     // per-row Column ops need no streaming twin: the SAME batch code runs
     // on an unbounded input — this pins that property so a refactor can't
