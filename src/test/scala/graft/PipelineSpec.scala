@@ -864,6 +864,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val flags = Dedup.decontaminate(corpus, bench).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     frac.foreach { case (id, (_, hits, _)) => assert((hits > 0) == flags(id), s"doc $id") }
+    // self-benchmark: every doc is 100% contaminated against itself
+    Dedup.contaminationStats(corpus, corpus).collect()
+      .foreach(r => assert(r.getDouble(3) == 1.0, s"doc ${r.getLong(0)} vs itself"))
   }
 
   test("frequentSpans + spanBoilerplateStats: hand-checked document frequencies") {
@@ -894,5 +897,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == (1, 1, "x"))
     val plan = Dedup.dedupDocTokens(docs(1L -> "a b a")).queryExecution.executedPlan
     assert(!plan.toString.contains("Exchange"), "per-row op must not shuffle")
+    // idempotence: re-deduping the deduped text is the identity
+    val once = Dedup.dedupDocTokens(docs(1L -> base, 2L -> (base + " " + base)))
+      .select(col("doc_id"), col("text_dedup").as("text"))
+    Dedup.dedupDocTokens(once).collect().foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"doc ${r.getLong(0)}: second pass changed tokens")
+    }
   }
 }
