@@ -540,8 +540,8 @@ object PipelineQueries {
       // graded decontamination: same benchmark split as `decontaminate`,
       // but scoring the FRACTION of each doc's distinct 5-gram
       // fingerprints found in the benchmark — ranks partial overlaps the
-      // boolean collapses. Corpus pass is fully map-side (broadcast
-      // single-row bench array + per-row intersect).
+      // boolean collapses. Bench set rides a broadcast hash join; hits
+      // count through one doc-keyed partial aggregation.
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
         Dedup.contaminationStats(docs.where(col("doc_id") % 50 =!= 0),
@@ -586,7 +586,8 @@ object PipelineQueries {
     Entry("span_boilerplate",
       // per-doc boilerplate exposure: share of a doc's distinct 3-gram
       // fingerprints that are corpus-frequent (≥10 docs). One agg pass
-      // builds the frequent set; the scoring pass is map-side only.
+      // builds the frequent set (broadcast-hash-joined, probe hash built
+      // once per task); hits count through one doc-keyed aggregation.
       (spark, dir) =>
         Dedup.spanBoilerplateStats(Tables.documents(spark, dir), minDocs = 10)
           .select(col("doc_id"), col("n_spans"), col("n_boiler"),

@@ -255,20 +255,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"probe must prune list partitions at the source:\n$plan")
   }
 
-  test("contamination scoring joins broadcast-only: corpus rows never shuffle") {
+  test("contamination scoring probes a broadcast hash, never a sort-merge join") {
     val d = docs(40)
     val bench = d.where(col("doc_id") % 10 === 0)
-    val plan = physicalNodes(
-      { val df = Dedup.contaminationStats(d.where(col("doc_id") % 10 =!= 0), bench)
-        df.collect(); df.queryExecution.executedPlan })
-    // the only exchanges allowed belong to the single-row bench-set build
-    // (distinct + global collect_list); the corpus side rides a broadcast
-    // nested-loop join with per-row intersect — no sort-merge, no
-    // corpus-keyed exchange
+    val df = Dedup.contaminationStats(d.where(col("doc_id") % 10 =!= 0), bench)
+    val plan = physicalNodes({ df.collect(); df.queryExecution.executedPlan })
+    // the bench set rides a BroadcastHashJoin (probe hash built once per
+    // task — a per-row array_intersect against a broadcast array would
+    // rebuild the set hash for every corpus row, O(|corpus|·|set|)); the
+    // only corpus-keyed movement is the single doc-keyed hit aggregation
     assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
       "corpus must not sort-merge against the benchmark set")
-    assert(plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
-      "bench set should ride a broadcast to the corpus rows")
+    assert(plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "bench set should ride a broadcast hash join")
+    assert(countShuffleExchanges(df) <= 2,
+      "bench-distinct + doc-keyed agg are the only exchanges allowed")
   }
 
   test("mixture sampling compiles to a pure scan filter: zero exchanges") {
