@@ -271,6 +271,30 @@ object Dedup {
       (col("id") === col("label")).as("is_representative"))
   }
 
+  /** Choose one KEEPER per near-dup cluster by an explicit preference —
+    * longest text, highest quality score, newest version — instead of
+    * [[components]]' structural min-label representative: real dedup
+    * pipelines keep the best duplicate, not the smallest id. Emits a
+    * keep flag for EVERY doc, so keeps and drops are both verifiable.
+    * Ties break on ascending id; nulls rank last on both engines
+    * (explicit, because Spark's desc defaults nulls-last while SQL
+    * engines default nulls-first). For oracle-gated use, rank by an
+    * engine-exact column (length, counts) — a full-precision double
+    * rank can flip near-ties across engines.
+    *
+    * Scale: one doc-keyed join + one cluster-keyed window — both
+    * exchanges uniform (cluster sizes are near-dup class sizes, bounded
+    * by the same collapse argument as [[minhashCandidates]]). */
+  def clusterRepresentatives(clusters: DataFrame, docs: DataFrame, rankBy: Column,
+                             idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(rankBy.desc_nulls_last, col(idCol).asc)
+    clusters.select(col(idCol), col("cluster_id"))
+      .join(docs, Seq(idCol))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster_id"), col("keep"))
+  }
+
   /** Train/test decontamination: flag every corpus doc sharing at least
     * one k-gram with the benchmark set. The check runs on shingle
     * FINGERPRINTS (ShingleFps — the same modular composition the fused

@@ -163,10 +163,10 @@ object DedupSql {
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
       |ORDER BY a_id, b_id""".stripMargin
 
-  /** Simhash pairs → connected components → canonical representative
-    * (min-label transitive closure, same CTE shape as graph_components). */
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE $tokCte, $simVoteCtes,
+  /** Simhash pairs → min-label transitive closure (shared by the
+    * cluster-shaped oracles below; same CTE shape as graph_components). */
+  private val componentCtes: String =
+    s"""$tokCte, $simVoteCtes,
       |s AS (SELECT doc_id, $simSigExpr AS simhash FROM v),
       |p AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -178,7 +178,22 @@ object DedupSql {
       |  SELECT doc_id AS id, doc_id AS label FROM documents
       |  UNION
       |  SELECT e.src AS id, lab.label FROM edges e JOIN lab ON lab.id = e.dst
-      |)
+      |)""".stripMargin
+
+  /** Simhash pairs → connected components → canonical representative. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $componentCtes
       |SELECT id AS doc_id, min(label) AS cluster_id, min(label) = id AS is_representative
       |FROM lab GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Components + keep-longest representative selection: rank within each
+    * cluster by text length (engine-exact, no fp ordering), ties on
+    * ascending id. */
+  val clusterKeepLongestSql: String =
+    s"""WITH RECURSIVE $componentCtes,
+      |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM lab GROUP BY id)
+      |SELECT c.doc_id, c.cluster_id,
+      |  row_number() OVER (PARTITION BY c.cluster_id
+      |    ORDER BY length(d.text) DESC NULLS LAST, c.doc_id ASC) = 1 AS keep
+      |FROM cl c JOIN documents d USING (doc_id) ORDER BY c.doc_id""".stripMargin
 }

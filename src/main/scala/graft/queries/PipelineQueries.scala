@@ -506,6 +506,20 @@ object PipelineQueries {
           .orderBy("doc_id")
       }, Some(DedupSql.dedupClustersSql)),
 
+    Entry("cluster_keep_longest",
+      // representative selection policy on top of the near-dup clusters:
+      // keep the LONGEST member of each cluster (rank engine-exact on
+      // length, ties on id) — what a real dedup pipeline keeps, vs the
+      // structural min-label canonical of dedup_clusters.
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val clusters = Dedup.components(
+          Dedup.simhashCandidates(docs, portable = true, collapseIdentical = true),
+          docs.select("doc_id"))
+        Dedup.clusterRepresentatives(clusters, docs, length(col("text")))
+          .orderBy("doc_id")
+      }, Some(DedupSql.clusterKeepLongestSql)),
+
     Entry("decontaminate",
       // train/test decontamination: every 50th doc plays the benchmark;
       // the rest are flagged iff they share any 5-gram with it. Runs on

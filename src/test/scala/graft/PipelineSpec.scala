@@ -304,6 +304,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> (4L, true), 5L -> (5L, true), 6L -> (5L, false), 7L -> (7L, true)))
   }
 
+  test("clusterRepresentatives: keep-longest policy, id tiebreak, nulls lose") {
+    // cluster 10: lengths 3/5/5 → longest wins, tie broken by ascending id
+    // cluster 20: null text vs short text → null ranks last, short kept
+    // cluster 30: singleton → trivially kept
+    val clusters = spark.createDataFrame(Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L), (6L, 30L)
+    )).toDF("doc_id", "cluster_id")
+    val d = spark.createDataFrame(Seq(
+      (1L, Option("abc")), (2L, Option("abcde")), (3L, Option("vwxyz")),
+      (4L, Option.empty[String]), (5L, Option("x")), (6L, Option("any"))
+    )).toDF("doc_id", "text")
+    val keep = Dedup.clusterRepresentatives(clusters, d, length(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep == Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> false, 5L -> true, 6L -> true))
+  }
+
   test("components: long chain converges within the iteration bound") {
     val n = 30
     val pairs = spark.createDataFrame(
