@@ -66,6 +66,70 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Sign of the (j,k) random-projection weight: an LCG over the flat
+    * index j·outDim+k, thresholded to {+1,−1,0} with density 1/3
+    * (Achlioptas 2003, "Database-friendly random projections"). Pure
+    * integer arithmetic, so any SQL engine derives the SAME matrix from
+    * the same formula — no shared state, no serialized matrix. */
+  def rpSign(j: Int, k: Int, outDim: Int): Double = {
+    val a = (1103515245L * (j.toLong * outDim + k) + 12345L) % 2147483648L
+    a % 6 match { case 0 => 1.0; case 1 => -1.0; case _ => 0.0 }
+  }
+
+  /** Deterministic sparse random projection: appends `outCol` =
+    * Array[Double](outDim) with out(k) = Σ_j v(j)·rpSign(j,k). The usual
+    * √(3/outDim) scale factor is dropped — cosine is scale-invariant,
+    * and {±1,0} weights keep the fold bit-reproducible across engines.
+    *
+    * Zero-weight terms are skipped (the sum is emitted as a literal
+    * ±element_at chain, ~inDim·outDim/3 fused adds inside codegen): an
+    * oracle replaying the FULL left fold adds v(j)·0 = ±0.0 there, and
+    * IEEE `acc + ±0.0 == acc` for every acc this fold produces — the
+    * accumulator starts at +0.0 and an exact-zero sum rounds to +0.0
+    * under round-to-nearest, so it is never −0.0 — hence the skip is
+    * bit-exact, not approximate.
+    *
+    * Scale: pure map-side projection, zero shuffles — the standard
+    * candidate-generation move for ANN over a 100 TB corpus: shortlist
+    * in the low-dim space, re-rank exact on the full vectors
+    * ([[rpRerankTopK]]). */
+  def randomProject(df: DataFrame, inDim: Int, outDim: Int,
+                    vecCol: String = "embedding", outCol: String = "rp"): DataFrame = {
+    val dims = (0 until outDim).map { k =>
+      (0 until inDim).foldLeft(lit(0.0)) { (acc, j) =>
+        rpSign(j, k, outDim) match {
+          case 1.0  => acc + element_at(col(vecCol), j + 1).cast("double")
+          case -1.0 => acc - element_at(col(vecCol), j + 1).cast("double")
+          case _    => acc
+        }
+      }
+    }
+    df.withColumn(outCol, array(dims: _*))
+  }
+
+  /** Project → shortlist → exact re-rank ANN: cosine top-`shortlist` in
+    * the `outDim`-dim projected space (cheap), then exact cosine over the
+    * full `inDim`-dim vectors on that candidate set only, top-`k`. The
+    * candidate set is queries·shortlist rows — broadcast back against the
+    * corpus, so the full vectors of non-candidates are never scored. */
+  def rpRerankTopK(corpus: DataFrame, queries: DataFrame, inDim: Int, outDim: Int,
+                   shortlist: Int = 20, k: Int = 5,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val rc = randomProject(corpus, inDim, outDim, vecCol).select(col(idCol), col("rp"))
+    val rq = randomProject(queries, inDim, outDim, vecCol).select(col(idCol), col("rp"))
+    val cand = bruteForceTopK(rc, rq, k = shortlist, idCol = idCol, vecCol = "rp")
+      .select("query_id", "corpus_id")
+    val cv = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("c_vec"))
+    val qv = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+    val scored = cv.join(broadcast(cand), "corpus_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Random-hyperplane signature for one LSH table (native expression;
     * see TextHashes.HyperplaneSigs — all tables in one fused loop). */
   def lshSignature(vec: Column, planes: Int = 6, table: Int = 0): Column =

@@ -371,6 +371,46 @@ object PipelineQueries {
         |SELECT query_id, corpus_id, round(cos, 6) + 0.0 AS cosine, CAST(rnk AS INTEGER) AS rank
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    Entry("ann_rp_rerank_top5",
+      // sparse-random-projection ANN: Achlioptas {±1,0} projection 64→16
+      // (deterministic integer sign matrix — both engines derive it from
+      // the same LCG formula, nothing serialized), cosine shortlist of 20
+      // in the projected space, exact 64-dim re-rank on candidates only.
+      // The projection is pure map-side; the re-rank joins the small
+      // candidate set back against the corpus by broadcast.
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.rpRerankTopK(emb, emb.where(col("vec_id") < 10),
+            inDim = 64, outDim = 16, shortlist = 20, k = 5)
+          .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |rp AS (SELECT vec_id,
+        |  list_transform(range(0, 16), k ->
+        |    list_reduce(list_prepend(0.0, list_transform(range(0, 64), j ->
+        |      v[j+1] * (CASE ((1103515245*(j*16+k)+12345) % 2147483648) % 6
+        |                 WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
+        |      (acc, x) -> acc + x)) AS rv
+        |  FROM e),
+        |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |         list_cosine_similarity(q.rv, c.rv) AS rcos
+        |       FROM rp c, rp q WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+        |cand AS (SELECT query_id, corpus_id FROM
+        |  (SELECT query_id, corpus_id,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY rcos DESC, corpus_id ASC) AS rnk
+        |   FROM sc) WHERE rnk <= 20),
+        |ex AS (SELECT cand.query_id, cand.corpus_id,
+        |         list_cosine_similarity(qe.v, ce.v) AS cos
+        |       FROM cand JOIN e ce ON ce.vec_id = cand.corpus_id
+        |                 JOIN e qe ON qe.vec_id = cand.query_id),
+        |r AS (SELECT query_id, corpus_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rnk
+        |      FROM ex)
+        |SELECT query_id, corpus_id, round(cos, 6) + 0.0 AS cosine, CAST(rnk AS INTEGER) AS rank
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     Entry("ann_lsh_top5",
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)

@@ -163,6 +163,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clusters(3L) == (3L, true))
   }
 
+  test("randomProject: zero-term skip is bit-identical to the full fold") {
+    // the scaladoc claims skipping zero-weight terms equals the complete
+    // left fold (acc + v·0 == acc); pin it bit-for-bit against a plain
+    // Scala replay of the FULL fold, zero terms included
+    val inDim = 16; val outDim = 8
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(inDim)(d => (math.sin(i * 37.0 + d) * 3).toFloat)))
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(df, inDim, outDim).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      val want = Array.tabulate(outDim) { k =>
+        (0 until inDim).foldLeft(0.0)((acc, j) =>
+          acc + v(j).toDouble * Similarity.rpSign(j, k, outDim))
+      }
+      assert(java.util.Arrays.equals(got(id), want), s"vec $id drifted")
+    }
+  }
+
+  test("rp re-rank: exact cosines on the candidate set, identical-vector recall") {
+    // 0 and 1 identical ⇒ each must shortlist the other (rp spaces
+    // preserve equality exactly) and re-rank it first with cosine 1
+    val vecs = (0L until 12L).map {
+      case 0L => (0L, Array.tabulate(6)(d => (d + 1).toFloat))
+      case 1L => (1L, Array.tabulate(6)(d => (d + 1).toFloat))
+      case i  => (i, Array.tabulate(6)(d => math.cos(i * 13.0 + d * 5).toFloat))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val top = Similarity.rpRerankTopK(df, df.where(col("vec_id") < 2),
+        inDim = 6, outDim = 4, shortlist = 4, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3).toLong) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(top((0L, 1L)) == (1L, 1.0))
+    assert(top((1L, 1L)) == (0L, 1.0))
+  }
+
   test("brute-force ANN ranks an identical vector first with cosine 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -272,6 +272,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bench-distinct + doc-keyed agg are the only exchanges allowed")
   }
 
+  test("random projection is map-side: zero exchanges, no shuffle for the transform") {
+    val e = embs(50, dim = 8)
+    assert(countShuffleExchanges(Similarity.randomProject(e, inDim = 8, outDim = 4)) == 0,
+      "the projection is a per-row literal sum chain — nothing to shuffle")
+  }
+
+  test("rp re-rank broadcasts the candidate set back against the corpus") {
+    val e = embs(60, dim = 8)
+    val plan = executedPlan(Similarity.rpRerankTopK(
+      e, e.where(col("vec_id") < 3), inDim = 8, outDim = 4, shortlist = 5, k = 2))
+    // both the shortlist stage (queries side) and the re-rank stage
+    // (candidate ids) must ride broadcasts — the full corpus is never
+    // shuffled by either stage
+    assert(plan.contains("BroadcastExchange"),
+      s"candidates must broadcast against the corpus:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"both top-k stages must partial-prune before their exchange:\n$plan")
+  }
+
   test("mixture sampling compiles to a pure scan filter: zero exchanges") {
     val d = docs(40).withColumn("source",
       org.apache.spark.sql.functions.when(col("doc_id") % 3 === 0, "a").otherwise("b"))
