@@ -321,6 +321,76 @@ object Dedup {
       .select(col(idCol), coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 
+  /** Bloom position streams live at index 8192+ in the shared splitmix
+    * affine family — disjoint from minhash (i = p) and simhash
+    * (i = 4096 + j), so no permutation is reused across sketches. */
+  private val BloomSeedBase = 8192L
+
+  private def bloomPosition(fp: Column, i: Int, mBits: Long): Column = {
+    import graft.functions.TextHashes.{polyA, polyB, PolyP}
+    ((fp * lit(polyA(BloomSeedBase + i)) + lit(polyB(BloomSeedBase + i))) % lit(PolyP)) % lit(mBits)
+  }
+
+  /** Distributed Bloom-bitmap build over a fingerprint column: k affine
+    * positions per fp ((a_i·fp + b_i) mod P mod m — the same portable
+    * integer family as the minhash permutations, so any SQL engine
+    * derives identical bits), OR-folded into 64-bit words by a
+    * partial-aggregated groupBy. The driver collect is bounded by
+    * m/64 WORDS — independent of input size, which is the point: a
+    * billion-entry reference set becomes an mBits/8-byte array, where
+    * the exact fingerprint set behind [[decontaminate]]'s broadcast
+    * semi-join would not fit an executor. */
+  def bloomBitmap(fps: DataFrame, fpCol: String = "fp",
+                  mBits: Int = 1 << 20, k: Int = 3): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0 && mBits < graft.functions.TextHashes.PolyP,
+      s"mBits must be a positive multiple of 64 below PolyP, got $mBits")
+    val posExprs = (0 until k).map(i => bloomPosition(col(fpCol), i, mBits))
+    val words = fps.select(explode(array(posExprs: _*)).as("pos"))
+      .groupBy((col("pos") / 64).cast("long").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
+    val arr = new Array[Long](mBits / 64)
+    words.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Membership probe against a built bitmap — pure Columns over an
+    * array<bigint> literal, so the test stays inside codegen with no
+    * join, no UDF, and no per-row state. */
+  def bloomMightContain(bitmap: Array[Long], fp: Column, k: Int = 3): Column = {
+    val words = typedLit(bitmap)
+    val mBits = bitmap.length * 64L
+    (0 until k).map { i =>
+      val pos = bloomPosition(fp, i, mBits)
+      val word = element_at(words, (pos / 64).cast("int") + 1)
+      call_function("shiftright", word, (pos % 64).cast("int")) % 2 =!= 0
+    }.reduce(_ && _)
+  }
+
+  /** Sketch decontamination: [[decontaminate]]'s semantics through a
+    * Bloom filter — one-sided error (may flag a clean doc, never clears
+    * a contaminated one), FULLY deterministic: the false positives are a
+    * pure function of the integer hash family, so an oracle replaying
+    * the position arithmetic reproduces the flags bit-for-bit, FPs
+    * included.
+    *
+    * Scale shape: this is the path for a reference set too large for the
+    * exact broadcast semi-join — the probe side is a zero-shuffle,
+    * zero-join per-row `exists` over the doc's shingle fps against the
+    * mBits/8-byte bitmap (vs the join + re-aggregate the exact flag
+    * pays), and the build side collapses any reference size into the
+    * m-bounded bitmap aggregation. Size mBits for the target fill: FP
+    * rate per fp ≈ fill^k with fill ≈ 1 − exp(−k·n_fps/m). */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         shingleK: Int = 5, mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    def docFps = graft.functions.TextHashes.shingleFps(tokens(col(textCol)), shingleK)
+    val bitmap = bloomBitmap(
+      benchmark.select(explode(array_distinct(docFps)).as("fp")), "fp", mBits, k)
+    corpus.select(col(idCol),
+      exists(array_distinct(docFps), fp => bloomMightContain(bitmap, fp, k))
+        .as("contaminated"))
+  }
+
   /** Exact n-gram Jaccard for given candidate pairs (verification step —
     * only runs on candidates, never the full cross product). Extra columns
     * on `pairs` (e.g. the MinHash `est_jaccard`) are carried through, so

@@ -590,6 +590,43 @@ object PipelineQueries {
           |ORDER BY doc_id""".stripMargin
       }),
 
+    Entry("bloom_decontaminate",
+      // decontaminate's sketch twin: same split, same 5-gram fps, but the
+      // benchmark set is collapsed into a 2^20-bit Bloom bitmap and the
+      // corpus probes it with a zero-shuffle per-row exists — the path
+      // for reference sets too big for the exact broadcast semi-join.
+      // One-sided error, and DETERMINISTIC: the oracle replays the
+      // position arithmetic, so any false positive appears identically
+      // on both engines and still hash-matches.
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Dedup.decontaminateBloom(docs.where(col("doc_id") % 50 =!= 0),
+            docs.where(col("doc_id") % 50 === 0))
+          .orderBy("doc_id")
+      },
+      Some {
+        val k = 5
+        val m = 1L << 20
+        val shK = s"""sh AS (
+          |  SELECT doc_id, CASE WHEN len(toks) < $k THEN [array_to_string(toks, ' ')]
+          |    ELSE list_transform(range(1, len(toks) - $k + 2),
+          |      i -> array_to_string(toks[i:i+${k - 1}], ' ')) END AS sh
+          |  FROM tok
+          |)""".stripMargin
+        val pos = (0 until 3).map(i => DedupSql.bloomPos(i, "fp", m))
+        s"""WITH ${DedupSql.tokCte}, $shK,
+          |f AS (SELECT doc_id, unnest(list_distinct(list_transform(sh, s -> ${DedupSql.fpLambda("s")}))) AS fp FROM sh),
+          |bpos AS (SELECT DISTINCT unnest([${pos.mkString(", ")}]) AS pos
+          |         FROM (SELECT DISTINCT fp FROM f WHERE doc_id % 50 = 0)),
+          |probe AS (SELECT doc_id,
+          |    (${pos(0)}) IN (SELECT pos FROM bpos)
+          |    AND (${pos(1)}) IN (SELECT pos FROM bpos)
+          |    AND (${pos(2)}) IN (SELECT pos FROM bpos) AS hit
+          |  FROM f WHERE doc_id % 50 != 0)
+          |SELECT doc_id, bool_or(hit) AS contaminated
+          |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
     Entry("contamination_frac",
       // graded decontamination: same benchmark split as `decontaminate`,
       // but scoring the FRACTION of each doc's distinct 5-gram

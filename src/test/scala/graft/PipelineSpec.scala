@@ -340,6 +340,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> (4L, true), 5L -> (5L, true), 6L -> (5L, false), 7L -> (7L, true)))
   }
 
+  test("bloom decontamination: superset of exact, one-sided error under saturation") {
+    val benchText = base
+    val cleanText = "completely unrelated content about catalyst physical plans and codegen stages today"
+    val corpus = docs(1L -> benchText, 2L -> cleanText)
+    val bench = docs(10L -> benchText)
+    // roomy bitmap: bloom agrees with the exact flag (no FPs at 2^20 bits)
+    val roomy = Dedup.decontaminateBloom(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(roomy == Map(1L -> true, 2L -> false))
+    // saturated bitmap: a wide benchmark (hundreds of distinct shingles,
+    // ~3x that in positions) into 64 bits sets EVERY bit, so the clean
+    // doc is flagged too — the one-sided error is real and deterministic,
+    // and the contaminated doc can never be cleared
+    val wideBench = docs((0 until 40).map(i =>
+      (100L + i) -> (0 until 8).map(w => s"tok${i}x$w").mkString(" ")): _*)
+    val tiny = Dedup.decontaminateBloom(corpus, bench.unionByName(wideBench), mBits = 64)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(tiny(1L), "true contamination must survive any bitmap size")
+    assert(tiny(2L), "a 64-bit bitmap over dozens of fps must saturate and flag the clean doc")
+  }
+
   test("clusterRepresentatives: keep-longest policy, id tiebreak, nulls lose") {
     // cluster 10: lengths 3/5/5 → longest wins, tie broken by ascending id
     // cluster 20: null text vs short text → null ranks last, short kept

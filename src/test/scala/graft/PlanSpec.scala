@@ -291,6 +291,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"both top-k stages must partial-prune before their exchange:\n$plan")
   }
 
+  test("bloom decontamination probe is a pure scan: zero exchanges, no join") {
+    val d = docs(40)
+    val probe = Dedup.decontaminateBloom(d.where(col("doc_id") % 5 =!= 0),
+      d.where(col("doc_id") % 5 === 0), mBits = 1 << 12)
+    // the bitmap build pays its own bounded aggregation BEFORE this plan
+    // exists (driver-side Array[Long]); the returned probe query must be
+    // join-free and shuffle-free — that is the sketch's entire point
+    assert(countShuffleExchanges(probe) == 0,
+      "probing a literal bitmap must not shuffle")
+    assert(!executedPlan(probe).contains("Join"),
+      "probing a literal bitmap must not join")
+  }
+
   test("mixture sampling compiles to a pure scan filter: zero exchanges") {
     val d = docs(40).withColumn("source",
       org.apache.spark.sql.functions.when(col("doc_id") % 3 === 0, "a").otherwise("b"))
