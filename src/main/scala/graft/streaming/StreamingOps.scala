@@ -365,6 +365,25 @@ object StreamingOps {
     corpus.select(col(idCol), hit(docFps(col(textCol))).as("contaminated"))
   }
 
+  /** Streaming Bloom decontamination: probe each arriving doc against a
+    * bitmap built ONCE by the batch [[graft.pipeline.Dedup.bloomBitmap]]
+    * pass over the reference set. Unlike [[decontaminateStream]]'s exact
+    * broadcast-set UDF, the probe is pure Columns over the bitmap
+    * literal — stateless, shuffle-free, codegen'd — and the bitmap stays
+    * mBits/8 bytes however large the reference set is, which is exactly
+    * the property an unbounded stream against a giant reference needs.
+    * Per-doc semantics identical to the batch
+    * [[graft.pipeline.Dedup.decontaminateBloom]] given the same bitmap. */
+  def decontaminateBloomStream(corpus: DataFrame, bitmap: Array[Long],
+                               textCol: String = "text", idCol: String = "doc_id",
+                               shingleK: Int = 5, k: Int = 3): DataFrame = {
+    import graft.pipeline.Dedup
+    val fps = array_distinct(
+      graft.functions.TextHashes.shingleFps(Dedup.tokens(col(textCol)), shingleK))
+    corpus.select(col(idCol),
+      exists(fps, fp => Dedup.bloomMightContain(bitmap, fp, k)).as("contaminated"))
+  }
+
   /** Streaming boilerplate scoring: grade each arriving doc against a
     * STATIC corpus-frequent span set (built once by the batch
     * [[graft.pipeline.Dedup.frequentSpans]] pass over the reference

@@ -111,6 +111,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming bloom decontamination equals the batch probe for the same bitmap") {
+    import org.apache.spark.sql.functions.{array_distinct, col, explode}
+    val bench = Seq("the quick brown fox jumps over the lazy dog",
+      "to be or not to be that is the question")
+    val corpus = (0L until 10L).map { i =>
+      val text =
+        if (i % 3 == 0) s"prefix $i the quick brown fox jumps over something else"
+        else s"completely unrelated document number $i with its own words"
+      (i, text)
+    }
+    val benchDf = spark.createDataFrame(bench.map(Tuple1(_))).toDF("text")
+    val bitmap = graft.pipeline.Dedup.bloomBitmap(
+      benchDf.select(explode(array_distinct(graft.functions.TextHashes.shingleFps(
+        graft.pipeline.Dedup.tokens(col("text")), 5))).as("fp")), mBits = 1 << 12)
+    implicit val enc = Encoders.product[(Long, String)]
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.decontaminateBloomStream(
+        ms.toDF().toDF("doc_id", "text"), bitmap)
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      val (b1, b2) = corpus.splitAt(4)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, contaminated FROM bloom_stream").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val corpusDf = spark.createDataFrame(corpus).toDF("doc_id", "text")
+      val batch = graft.pipeline.Dedup
+        .decontaminateBloom(corpusDf, benchDf, mBits = 1 << 12).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == batch, s"stream flags must equal batch flags\n got=$got\n batch=$batch")
+      assert(got(0L) && got(3L) && !got(1L))
+    } finally q.stop()
+  }
+
   test("streaming boilerplate scoring equals the batch stats for the same frequent set") {
     // the frequent-span set comes from a batch pass over a reference
     // corpus; arriving docs are graded against it statelessly
