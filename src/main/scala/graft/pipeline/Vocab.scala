@@ -82,6 +82,43 @@ object Vocab {
       .select(col(idCol), col("rk"), col("token"), col("tf"), col("score"))
   }
 
+  /** Dense token-id assignment for training tokenization: ids 1..k by
+    * (occurrences desc, token asc); 0 stays reserved for
+    * out-of-vocabulary. The count aggregation partial-aggregates
+    * map-side; the top-k compiles to TakeOrderedAndProject; the
+    * row_number window then runs over the ALREADY-LIMITED set — k rows
+    * on one partition is bounded by construction (it is the vocabulary,
+    * not the corpus), so the single-partition window is not a scale
+    * hazard. */
+  def assignIds(docs: DataFrame, vocabSize: Int,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(Dedup.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc).limit(vocabSize)
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("token").asc)).cast("int"))
+  }
+
+  /** Encode every document as its token-id sequence (order preserved,
+    * empty tokens dropped, OOV → 0): the id map rides the plan as ONE
+    * map<string,int> literal — vocabSize-bounded by construction, the
+    * same literal pattern as the IVF centroids — so the corpus side is a
+    * zero-shuffle, zero-join per-row transform. A vocabulary too large
+    * for a plan literal (millions of entries) would instead posexplode +
+    * broadcast-join + re-assemble; at the 30–60k vocabularies training
+    * tokenizers actually use, the literal is the faster and simpler
+    * shape. */
+  def encode(docs: DataFrame, vocab: DataFrame,
+             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val idMap = typedLit(vocab.select(col("token"), col("id")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap)
+    docs.select(col(idCol),
+      transform(filter(Dedup.tokens(col(textCol)), _ =!= ""),
+        t => coalesce(element_at(idMap, t), lit(0))).as("ids"))
+  }
+
   private def rank(units: DataFrame, k: Int, exactDocFreq: Boolean,
                    idCol: String): DataFrame = {
     val docFreq =

@@ -841,6 +841,34 @@ object PipelineQueries {
           |FROM s ORDER BY shard, seq_id, doc_id""".stripMargin
       }),
 
+    Entry("vocab_encode",
+      // tokenization for training: ids 1..100 by (count desc, token asc),
+      // 0 = OOV; docs re-emitted as positional id sequences. The id map
+      // is a plan literal (vocab-bounded), so encoding is a zero-shuffle
+      // per-row transform; output exploded positionally on a bounded doc
+      // subset so the oracle pins ids AND order exactly.
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val vocab = Vocab.assignIds(docs, vocabSize = 100)
+        Vocab.encode(docs.where(col("doc_id") < 300), vocab)
+          .select(col("doc_id"), posexplode(col("ids")).as(Seq("pos", "id")))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+        |),
+        |tc AS (SELECT token, count(*) AS cnt FROM
+        |  (SELECT unnest(toks) AS token FROM tok) WHERE token != '' GROUP BY token),
+        |v AS (SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INTEGER) AS id
+        |      FROM tc ORDER BY cnt DESC, token ASC LIMIT 100),
+        |enc AS (SELECT doc_id, list_filter(toks, t -> t != '') AS ft
+        |        FROM tok WHERE doc_id < 300),
+        |ex AS (SELECT doc_id, unnest(ft) AS tkn,
+        |         CAST(generate_subscripts(ft, 1) - 1 AS INTEGER) AS pos FROM enc)
+        |SELECT e.doc_id, e.pos, CAST(coalesce(v.id, 0) AS INTEGER) AS id
+        |FROM ex e LEFT JOIN v ON v.token = e.tkn
+        |ORDER BY e.doc_id, e.pos""".stripMargin)),
+
     Entry("vocab_top100",
       // corpus vocabulary (Vocab.topK): exactDocFreq = true because the
       // oracle hashes exact values; the corpus-scale default is the

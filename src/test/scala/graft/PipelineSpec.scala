@@ -340,6 +340,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> (4L, true), 5L -> (5L, true), 6L -> (5L, false), 7L -> (7L, true)))
   }
 
+  test("vocab encode: rank-by-frequency ids, OOV to 0, token order preserved") {
+    val d = docs(
+      1L -> "b b b a a c",
+      2L -> "a b zzz",   // zzz falls outside vocabSize=3? no — 4 distinct; cap at 3
+      3L -> "c a")
+    // counts: b=4, a=4, c=2, zzz=1 → vocab(3): a=1 (tie a<b), b=2, c=3; zzz OOV
+    val vocab = Vocab.assignIds(d, vocabSize = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(vocab == Map("a" -> 1, "b" -> 2, "c" -> 3))
+    val enc = Vocab.encode(d, Vocab.assignIds(d, vocabSize = 3))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc(1L) == Seq(2, 2, 2, 1, 1, 3))
+    assert(enc(2L) == Seq(1, 2, 0), "out-of-vocabulary must encode as 0")
+    assert(enc(3L) == Seq(3, 1))
+  }
+
   test("bloom decontamination: superset of exact, one-sided error under saturation") {
     val benchText = base
     val cleanText = "completely unrelated content about catalyst physical plans and codegen stages today"

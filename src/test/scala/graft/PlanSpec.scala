@@ -291,6 +291,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"both top-k stages must partial-prune before their exchange:\n$plan")
   }
 
+  test("vocab encoding is a pure scan: the id map is a plan literal, no join") {
+    val d = docs(30)
+    val enc = Vocab.encode(d, Vocab.assignIds(d, vocabSize = 20))
+    // assignIds pays its own bounded aggregation before this plan exists
+    // (collected into the map literal); the returned encode query must be
+    // join-free and shuffle-free
+    assert(countShuffleExchanges(enc) == 0, "encoding against a literal map must not shuffle")
+    assert(!executedPlan(enc).contains("Join"), "encoding against a literal map must not join")
+  }
+
   test("bloom decontamination probe is a pure scan: zero exchanges, no join") {
     val d = docs(40)
     val probe = Dedup.decontaminateBloom(d.where(col("doc_id") % 5 =!= 0),
