@@ -82,6 +82,41 @@ object Vocab {
       .select(col(idCol), col("rk"), col("token"), col("tf"), col("score"))
   }
 
+  /** CCNet-style unigram language-model quality score: per document, the
+    * mean log-probability of its tokens under the corpus unigram
+    * distribution — low (very negative) means rare/garbled content, high
+    * means common fluent text; pipelines threshold or bucket on it the
+    * way CCNet buckets on LM perplexity. Docs with zero non-empty tokens
+    * emit nothing (there is no distribution to score them under).
+    *
+    * Scale + determinism shape: tf is one partial-aggregated (doc,
+    * token) groupBy; the corpus-count join is keyed on TOKEN (maximally
+    * skewed — `saltBuckets > 0` routes it through the salted join like
+    * [[tfidfTopK]]); the per-doc summation order is engine- and
+    * partition-nondeterministic, so each tf·ln(n/N) term is cast to
+    * DECIMAL(38,12) first — decimal addition is exact, hence
+    * order-independent — and only the final mean returns to double. */
+  def unigramScore(docs: DataFrame, saltBuckets: Int = 0,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(Dedup.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("n"))
+    val total = broadcast(counts.agg(sum(col("n")).as("n_total")))
+    val joined =
+      if (saltBuckets > 0)
+        graft.etl.SkewJoin.saltedJoin(tf, counts, Seq("token"), saltBuckets)
+      else tf.join(counts, "token")
+    joined.crossJoin(total)
+      .withColumn("term",
+        (col("tf") * log(col("n").cast("double") / col("n_total"))).cast("decimal(38,12)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_toks"), sum(col("term")).as("s"))
+      .select(col(idCol), col("n_toks"),
+        (col("s").cast("double") / col("n_toks")).as("logprob"))
+  }
+
   /** Dense token-id assignment for training tokenization: ids 1..k by
     * (occurrences desc, token asc); 0 stays reserved for
     * out-of-vocabulary. The count aggregation partial-aggregates

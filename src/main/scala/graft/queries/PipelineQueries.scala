@@ -841,6 +841,29 @@ object PipelineQueries {
           |FROM s ORDER BY shard, seq_id, doc_id""".stripMargin
       }),
 
+    Entry("unigram_logprob",
+      // CCNet-style unigram LM quality score, df join salted (the token
+      // key is maximally skewed). Per-doc summation is order-independent
+      // by construction (terms cast to DECIMAL(38,12) before the sum),
+      // so the only cross-engine hazard is the accepted ln() 1-ulp
+      // residual class documented at tfidf_top3.
+      (spark, dir) => Vocab.unigramScore(Tables.documents(spark, dir), saltBuckets = 8)
+        .select(col("doc_id"), col("n_toks"), r6(col("logprob")).as("logprob"))
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents
+        |), t AS (SELECT doc_id, token FROM tok WHERE token != ''),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+        |c AS (SELECT token, count(*) AS n FROM t GROUP BY token),
+        |tot AS (SELECT count(*) AS n_total FROM t),
+        |s AS (SELECT tf.doc_id, tf.tf,
+        |        CAST(tf.tf * ln(CAST(c.n AS DOUBLE) / n_total) AS DECIMAL(38,12)) AS term
+        |      FROM tf JOIN c USING (token) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+        |  round(CAST(sum(term) AS DOUBLE) / sum(tf), 6) + 0.0 AS logprob
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Entry("vocab_encode",
       // tokenization for training: ids 1..100 by (count desc, token asc),
       // 0 = OOV; docs re-emitted as positional id sequences. The id map

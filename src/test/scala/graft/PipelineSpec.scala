@@ -340,6 +340,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> (4L, true), 5L -> (5L, true), 6L -> (5L, false), 7L -> (7L, true)))
   }
 
+  test("unigram LM score: hand-computed means, salted path bit-identical") {
+    // corpus: N=5 tokens; n(a)=3, n(b)=1, n(c)=1
+    val d = docs(1L -> "a a b", 2L -> "a c")
+    def lp(n: Long) = math.log(n / 5.0)
+    val want = Map(
+      1L -> (3L, (2 * lp(3) + lp(1)) / 3),
+      2L -> (2L, (lp(3) + lp(1)) / 2))
+    val got = Vocab.unigramScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    want.foreach { case (id, (n, v)) =>
+      assert(got(id)._1 == n)
+      assert(math.abs(got(id)._2 - v) < 1e-9, s"doc $id: ${got(id)._2} vs $v")
+    }
+    // salting only re-partitions; the decimal-term sum is exact, so the
+    // salted result must be IDENTICAL, not merely close
+    val salted = Vocab.unigramScore(d, saltBuckets = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted == got)
+  }
+
   test("vocab encode: rank-by-frequency ids, OOV to 0, token order preserved") {
     val d = docs(
       1L -> "b b b a a c",
