@@ -321,10 +321,12 @@ object Dedup {
       .select(col(idCol), coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 
-  /** Bloom position streams live at index 8192+ in the shared splitmix
-    * affine family — disjoint from minhash (i = p) and simhash
-    * (i = 4096 + j), so no permutation is reused across sketches. */
-  private val BloomSeedBase = 8192L
+  /** Bloom position streams live at index 40960+ in the shared splitmix
+    * affine family — disjoint from minhash (i = p), simhash (4096 + j),
+    * the IVF sample hash (8192), sampling (16384), split assignment
+    * (24576) and packing shards (32768), so no permutation is reused
+    * across sketches. */
+  private val BloomSeedBase = 40960L
 
   private def bloomPosition(fp: Column, i: Int, mBits: Long): Column = {
     import graft.functions.TextHashes.{polyA, polyB, PolyP}

@@ -187,11 +187,11 @@ object DedupSql {
       |FROM lab GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** Bloom position stream i of fingerprint expression `x` modulo m —
-    * replays Dedup.bloomPosition (seed stream 8192+, disjoint from
-    * minhash/simhash). Pure BIGINT arithmetic: a,b,x < P ≈ 1e9 keeps
+    * replays Dedup.bloomPosition (seed stream 40960+, disjoint from
+    * every other sketch stream). Pure BIGINT arithmetic: a,b,x < P ≈ 1e9 keeps
     * a·x ≈ 1e18 inside 64-bit range on both engines. */
   def bloomPos(i: Int, x: String, m: Long): String =
-    s"(((${polyA(8192L + i)} * $x + ${polyB(8192L + i)}) % $P) % $m)"
+    s"(((${polyA(40960L + i)} * $x + ${polyB(40960L + i)}) % $P) % $m)"
 
   /** Components + keep-longest representative selection: rank within each
     * cluster by text length (engine-exact, no fp ordering), ties on
