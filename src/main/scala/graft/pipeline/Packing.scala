@@ -144,6 +144,33 @@ object Packing {
     *
     * Returns (shard, seq_id, n_tokens, seq_text).
     */
+  /** Token-window document chunking (the RAG/context-window splitter, a
+    * different beast from sequence packing: chunking SPLITS one long doc
+    * into overlapping windows, packing CONCATENATES short docs into full
+    * sequences). Windows start every `size − overlap` tokens; a doc of
+    * ≤ size tokens yields exactly one chunk; the final window may run
+    * short rather than spill past the doc. Pure per-row explode — zero
+    * shuffles, no state: each doc computes its own windows in the scan.
+    * Output: (idCol, chunk_id, n_tokens, chunk_text). */
+  def chunkTokens(docs: DataFrame, size: Int = 64, overlap: Int = 8,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val sz = org.apache.spark.sql.functions.size(col("__toks"))
+    // n_chunks = 1 + ceil((len − size)/stride) for len > size; the double
+    // division is exact at any real token count (< 2^52)
+    val nChunks = when(sz <= size, lit(1L))
+      .otherwise(floor((sz - lit(size) + lit(stride) - 1).cast("double") / lit(stride)) + 1)
+    val chunk = slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"), lit(size))
+    docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        org.apache.spark.sql.functions.size(chunk).as("n_tokens"),
+        concat_ws(" ", chunk).as("chunk_text"))
+  }
+
   def packText(docs: DataFrame, budget: Int, shards: Int,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val pieces = slicesBase(docs, budget, shards, idCol, textCol, carryText = true)

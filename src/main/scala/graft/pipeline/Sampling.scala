@@ -44,6 +44,31 @@ object Sampling {
       lit(graft.functions.TextHashes.polyB(SeedIdx))) % lit(P)) % lit(D)
   }
 
+  private[graft] val SplitSeedIdx = 24576L
+
+  /** Deterministic train/val/test split assignment: the same fixed-point
+    * per-myriad decision as [[sampleHash]] but on a DISJOINT affine
+    * stream (index 24576), so the split is statistically independent of
+    * any sampling decision made on the same ids — a row's keep/drop and
+    * its split never correlate. Pure projection (no shuffle, no RNG
+    * state): reproducible across runs, engines and partitionings, which
+    * is what makes a held-out set auditable. Fractions are rounded to
+    * per-myriad fixed point on both sides, so no float comparison sits
+    * on a split boundary. */
+  def assignSplit(df: DataFrame, trainFrac: Double = 0.98, valFrac: Double = 0.01,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      s"fractions must be non-negative and sum <= 1, got $trainFrac + $valFrac")
+    val P = graft.functions.TextHashes.PolyP
+    val h = ((lit(graft.functions.TextHashes.polyA(SplitSeedIdx)) *
+      pmod(col(idCol).cast("long"), lit(P)) +
+      lit(graft.functions.TextHashes.polyB(SplitSeedIdx))) % lit(P)) % lit(D)
+    df.withColumn("split",
+      when(h < threshold(trainFrac), "train")
+        .when(h < threshold(trainFrac) + threshold(valFrac), "val")
+        .otherwise("test"))
+  }
+
   /** Keep-decision for a stratified sample: per-stratum rates, with a
     * default for strata not listed. */
   def stratifiedKeep(id: Column, stratum: Column, rates: Map[String, Double],

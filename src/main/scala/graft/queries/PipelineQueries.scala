@@ -841,6 +841,44 @@ object PipelineQueries {
           |FROM s ORDER BY shard, seq_id, doc_id""".stripMargin
       }),
 
+    Entry("split_assign",
+      // deterministic 98/1/1 train/val/test assignment: fixed-point
+      // per-myriad thresholds on the disjoint 24576 affine stream (pure
+      // scan projection — reproducible across runs, engines, partition
+      // layouts; independent of the 16384 sampling decisions).
+      (spark, dir) => Sampling.assignSplit(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("split")).orderBy("doc_id"),
+      Some {
+        import graft.functions.TextHashes.{polyA, polyB, PolyP}
+        val i = Sampling.SplitSeedIdx
+        val h = s"(((${polyA(i)} * (doc_id % $PolyP) + ${polyB(i)}) % $PolyP) % 10000)"
+        s"""SELECT doc_id,
+          |  CASE WHEN $h < 9800 THEN 'train'
+          |       WHEN $h < 9900 THEN 'val' ELSE 'test' END AS split
+          |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    Entry("chunk_tokens",
+      // token-window chunking (context-window splitter): windows of 64
+      // tokens starting every 56, short docs yield one chunk, the last
+      // window runs short. Pure per-row explode — zero shuffles; all
+      // arithmetic integral, text reassembly exact on both engines.
+      (spark, dir) => Packing.chunkTokens(Tables.documents(spark, dir),
+          size = 64, overlap = 8)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+        |),
+        |c AS (SELECT doc_id, toks,
+        |        CASE WHEN len(toks) <= 64 THEN 1
+        |             ELSE CAST(floor((len(toks) - 64 + 55) / 56.0) AS BIGINT) + 1 END AS nch
+        |      FROM tok),
+        |e AS (SELECT doc_id, toks, unnest(range(0, nch)) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(toks[chunk_id*56+1 : chunk_id*56+64]) AS INTEGER) AS n_tokens,
+        |  array_to_string(toks[chunk_id*56+1 : chunk_id*56+64], ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin)),
+
     Entry("unigram_logprob",
       // CCNet-style unigram LM quality score, df join salted (the token
       // key is maximally skewed). Per-doc summation is order-independent

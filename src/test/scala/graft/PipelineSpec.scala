@@ -340,6 +340,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> (4L, true), 5L -> (5L, true), 6L -> (5L, false), 7L -> (7L, true)))
   }
 
+  test("chunkTokens: window starts, short tail, single-chunk short docs, full coverage") {
+    // doc 1: 11 tokens, size 4, stride 3 → nch = 1+ceil(7/3) = 4, starts
+    // 0,3,6,9; the last window runs short (t10 t11). A 10-token doc needs
+    // only 3 (start 6 already covers through t10) — no degenerate
+    // fully-contained tail chunk is emitted.
+    val d = docs(
+      1L -> (1 to 11).map(i => s"t$i").mkString(" "),
+      2L -> "a b c",   // shorter than size → exactly one chunk
+      3L -> (1 to 10).map(i => s"t$i").mkString(" "))
+    val got = Packing.chunkTokens(d, size = 4, overlap = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getString(3))).toMap
+    assert(got((1L, 0L)) == (4, "t1 t2 t3 t4"))
+    assert(got((1L, 1L)) == (4, "t4 t5 t6 t7"))
+    assert(got((1L, 2L)) == (4, "t7 t8 t9 t10"))
+    assert(got((1L, 3L)) == (2, "t10 t11"), "final window runs short, never spills past the doc")
+    assert(got((2L, 0L)) == (3, "a b c"))
+    assert(got.keys.count(_._1 == 3L) == 3)
+    assert(got.size == 8)
+    // every token index is covered by at least one chunk (the defining
+    // property: no token of any doc is lost to the chunking)
+    val covered = got.keys.filter(_._1 == 1L).map(_._2).flatMap(c => (c * 3 + 1) to math.min(c * 3 + 4, 11)).toSet
+    assert(covered == (1 to 11).toSet)
+  }
+
+  test("assignSplit: deterministic, fractions roughly honored, independent of sampling") {
+    val ids = spark.range(0, 10000).toDF("doc_id")
+    val s1 = Sampling.assignSplit(ids).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Sampling.assignSplit(ids.repartition(7)).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2, "assignment must not depend on partition layout")
+    val byClass = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byClass("train") > 9600 && byClass("val") > 40 && byClass("test") > 40,
+      s"98/1/1 fractions should roughly hold on 10k uniform ids: $byClass")
+    assert(byClass.values.sum == 10000)
+  }
+
   test("unigram LM score: hand-computed means, salted path bit-identical") {
     // corpus: N=5 tokens; n(a)=3, n(b)=1, n(c)=1
     val d = docs(1L -> "a a b", 2L -> "a c")
