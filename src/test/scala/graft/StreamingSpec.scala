@@ -206,6 +206,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(1L) == ((1, "write to <EMAIL> about the quick brown fox jumping over dogs", true)))
       assert(got(2L)._1 == 0 && !got(2L)._3)
     } finally q.stop()
+    // token-window chunking is per-row too (the explode is stateless):
+    // the SAME batch code chunks an unbounded stream
+    val ms2 = MemoryStream[(Long, String)](spark)
+    val q2 = graft.pipeline.Packing
+      .chunkTokens(ms2.toDF().toDF("doc_id", "text"), size = 3, overlap = 1)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      ms2.addData(Seq(1L -> "a b c d e"))
+      q2.processAllAvailable()
+      val chunks = spark.sql("SELECT chunk_id, chunk_text FROM chunk_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(chunks == Map(0L -> "a b c", 1L -> "c d e"))
+    } finally q2.stop()
   }
 
   test("streaming packing equals the batch window layout across micro-batches") {
