@@ -284,13 +284,17 @@ object Dedup {
     *
     * Scale: one doc-keyed join + one cluster-keyed window — both
     * exchanges uniform (cluster sizes are near-dup class sizes, bounded
-    * by the same collapse argument as [[minhashCandidates]]). */
+    * by the same collapse argument as [[minhashCandidates]]). The rank
+    * expression is evaluated on `docs` BEFORE the join, so only
+    * (id, rank) rides the exchange — never the doc payload — and a
+    * cluster_id/keep column already present on `docs` can't collide. */
   def clusterRepresentatives(clusters: DataFrame, docs: DataFrame, rankBy: Column,
                              idCol: String = "doc_id"): DataFrame = {
+    val ranked = docs.select(col(idCol), rankBy.as("__rank"))
     val w = Window.partitionBy("cluster_id")
-      .orderBy(rankBy.desc_nulls_last, col(idCol).asc)
+      .orderBy(col("__rank").desc_nulls_last, col(idCol).asc)
     clusters.select(col(idCol), col("cluster_id"))
-      .join(docs, Seq(idCol))
+      .join(ranked, Seq(idCol))
       .withColumn("keep", row_number().over(w) === 1)
       .select(col(idCol), col("cluster_id"), col("keep"))
   }
@@ -333,7 +337,16 @@ object Dedup {
     ((fp * lit(polyA(BloomSeedBase + i)) + lit(polyB(BloomSeedBase + i))) % lit(PolyP)) % lit(mBits)
   }
 
-  /** Distributed Bloom-bitmap build over a fingerprint column: k affine
+  /** A built Bloom sketch: the bit words TOGETHER WITH the k they were
+    * built under. The pairing is load-bearing — probing with a larger k
+    * than the build tests never-set position streams and voids the
+    * one-sided-error guarantee (a contaminated doc could come back
+    * clean), so the k never travels separately from the bits. */
+  final case class BloomSketch(words: Array[Long], k: Int) {
+    def mBits: Long = words.length * 64L
+  }
+
+  /** Distributed Bloom-sketch build over a fingerprint column: k affine
     * positions per fp ((a_i·fp + b_i) mod P mod m — the same portable
     * integer family as the minhash permutations, so any SQL engine
     * derives identical bits), OR-folded into 64-bit words by a
@@ -343,7 +356,7 @@ object Dedup {
     * the exact fingerprint set behind [[decontaminate]]'s broadcast
     * semi-join would not fit an executor. */
   def bloomBitmap(fps: DataFrame, fpCol: String = "fp",
-                  mBits: Int = 1 << 20, k: Int = 3): Array[Long] = {
+                  mBits: Int = 1 << 20, k: Int = 3): BloomSketch = {
     require(mBits > 0 && mBits % 64 == 0 && mBits < graft.functions.TextHashes.PolyP,
       s"mBits must be a positive multiple of 64 below PolyP, got $mBits")
     val posExprs = (0 until k).map(i => bloomPosition(col(fpCol), i, mBits))
@@ -352,21 +365,28 @@ object Dedup {
       .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
     val arr = new Array[Long](mBits / 64)
     words.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
-    arr
+    BloomSketch(arr, k)
   }
 
-  /** Membership probe against a built bitmap — pure Columns over an
+  /** Membership probe against a built sketch — pure Columns over an
     * array<bigint> literal, so the test stays inside codegen with no
     * join, no UDF, and no per-row state. */
-  def bloomMightContain(bitmap: Array[Long], fp: Column, k: Int = 3): Column = {
-    val words = typedLit(bitmap)
-    val mBits = bitmap.length * 64L
-    (0 until k).map { i =>
-      val pos = bloomPosition(fp, i, mBits)
+  def bloomMightContain(sketch: BloomSketch, fp: Column): Column = {
+    val words = typedLit(sketch.words)
+    (0 until sketch.k).map { i =>
+      val pos = bloomPosition(fp, i, sketch.mBits)
       val word = element_at(words, (pos / 64).cast("int") + 1)
       call_function("shiftright", word, (pos % 64).cast("int")) % 2 =!= 0
     }.reduce(_ && _)
   }
+
+  /** Per-doc probe column: true iff ANY distinct shingle fingerprint of
+    * `text` might be in the sketch. The ONE probe definition shared by
+    * the batch and streaming decontaminators, so their per-doc semantics
+    * cannot drift. */
+  def bloomProbe(text: Column, sketch: BloomSketch, shingleK: Int = 5): Column =
+    exists(array_distinct(graft.functions.TextHashes.shingleFps(tokens(text), shingleK)),
+      fp => bloomMightContain(sketch, fp))
 
   /** Sketch decontamination: [[decontaminate]]'s semantics through a
     * Bloom filter — one-sided error (may flag a clean doc, never clears
@@ -386,11 +406,10 @@ object Dedup {
                          textCol: String = "text", idCol: String = "doc_id",
                          shingleK: Int = 5, mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
     def docFps = graft.functions.TextHashes.shingleFps(tokens(col(textCol)), shingleK)
-    val bitmap = bloomBitmap(
+    val sketch = bloomBitmap(
       benchmark.select(explode(array_distinct(docFps)).as("fp")), "fp", mBits, k)
     corpus.select(col(idCol),
-      exists(array_distinct(docFps), fp => bloomMightContain(bitmap, fp, k))
-        .as("contaminated"))
+      bloomProbe(col(textCol), sketch, shingleK).as("contaminated"))
   }
 
   /** Exact n-gram Jaccard for given candidate pairs (verification step —

@@ -144,6 +144,19 @@ object Packing {
     *
     * Returns (shard, seq_id, n_tokens, seq_text).
     */
+  def packText(docs: DataFrame, budget: Int, shards: Int,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pieces = slicesBase(docs, budget, shards, idCol, textCol, carryText = true)
+      .withColumn("piece", concat_ws(" ",
+        slice(split(trim(col(textCol)), "\\s+"),
+          (col("doc_from") + 1).cast("int"), col("take_len").cast("int"))))
+    pieces.groupBy("shard", "seq_id")
+      .agg(sum("take_len").as("n_tokens"),
+        array_sort(collect_list(struct(col(idCol), col("piece")))).as("ps"))
+      .select(col("shard"), col("seq_id"), col("n_tokens"),
+        concat_ws(" ", transform(col("ps"), p => p.getField("piece"))).as("seq_text"))
+  }
+
   /** Token-window document chunking (the RAG/context-window splitter, a
     * different beast from sequence packing: chunking SPLITS one long doc
     * into overlapping windows, packing CONCATENATES short docs into full
@@ -169,18 +182,5 @@ object Packing {
       .select(col(idCol), col("chunk_id"),
         org.apache.spark.sql.functions.size(chunk).as("n_tokens"),
         concat_ws(" ", chunk).as("chunk_text"))
-  }
-
-  def packText(docs: DataFrame, budget: Int, shards: Int,
-               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val pieces = slicesBase(docs, budget, shards, idCol, textCol, carryText = true)
-      .withColumn("piece", concat_ws(" ",
-        slice(split(trim(col(textCol)), "\\s+"),
-          (col("doc_from") + 1).cast("int"), col("take_len").cast("int"))))
-    pieces.groupBy("shard", "seq_id")
-      .agg(sum("take_len").as("n_tokens"),
-        array_sort(collect_list(struct(col(idCol), col("piece")))).as("ps"))
-      .select(col("shard"), col("seq_id"), col("n_tokens"),
-        concat_ws(" ", transform(col("ps"), p => p.getField("piece"))).as("seq_text"))
   }
 }

@@ -59,6 +59,8 @@ object Sampling {
                   idCol: String = "doc_id"): DataFrame = {
     require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
       s"fractions must be non-negative and sum <= 1, got $trainFrac + $valFrac")
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column; drop or rename it first")
     val P = graft.functions.TextHashes.PolyP
     val h = ((lit(graft.functions.TextHashes.polyA(SplitSeedIdx)) *
       pmod(col(idCol).cast("long"), lit(P)) +

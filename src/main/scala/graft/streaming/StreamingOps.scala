@@ -374,15 +374,11 @@ object StreamingOps {
     * the property an unbounded stream against a giant reference needs.
     * Per-doc semantics identical to the batch
     * [[graft.pipeline.Dedup.decontaminateBloom]] given the same bitmap. */
-  def decontaminateBloomStream(corpus: DataFrame, bitmap: Array[Long],
+  def decontaminateBloomStream(corpus: DataFrame, sketch: graft.pipeline.Dedup.BloomSketch,
                                textCol: String = "text", idCol: String = "doc_id",
-                               shingleK: Int = 5, k: Int = 3): DataFrame = {
-    import graft.pipeline.Dedup
-    val fps = array_distinct(
-      graft.functions.TextHashes.shingleFps(Dedup.tokens(col(textCol)), shingleK))
+                               shingleK: Int = 5): DataFrame =
     corpus.select(col(idCol),
-      exists(fps, fp => Dedup.bloomMightContain(bitmap, fp, k)).as("contaminated"))
-  }
+      graft.pipeline.Dedup.bloomProbe(col(textCol), sketch, shingleK).as("contaminated"))
 
   /** Streaming boilerplate scoring: grade each arriving doc against a
     * STATIC corpus-frequent span set (built once by the batch
