@@ -432,6 +432,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tiny(2L), "a 64-bit bitmap over dozens of fps must saturate and flag the clean doc")
   }
 
+  test("bloom bitmap build is partition-layout-independent") {
+    // bit_or commutes and the positions are a pure function of the fp, so
+    // the collected words must be identical under any repartitioning —
+    // the property that makes the sketch reproducible on a cluster
+    val fps = spark.range(0, 500).selectExpr("(id * 7919) % 1000000007 AS fp")
+    val a = Dedup.bloomBitmap(fps, mBits = 1 << 12)
+    val b = Dedup.bloomBitmap(fps.repartition(13), mBits = 1 << 12)
+    assert(a.k == b.k && java.util.Arrays.equals(a.words, b.words))
+  }
+
   test("clusterRepresentatives: keep-longest policy, id tiebreak, nulls lose") {
     // cluster 10: lengths 3/5/5 → longest wins, tie broken by ascending id
     // cluster 20: null text vs short text → null ranks last, short kept
