@@ -82,6 +82,27 @@ object Vocab {
       .select(col(idCol), col("rk"), col("token"), col("tf"), col("score"))
   }
 
+  /** Top-k vocabulary through the Misra–Gries heavy-hitters aggregate
+    * (functions.MisraGries — a native TypedImperativeAggregate): every
+    * map-side partial is capped at `capacity` entries regardless of
+    * corpus size, and partials merge by the Agarwal et al. mergeable-
+    * summaries rule, so the reduce side sees O(partitions · capacity)
+    * rows — the vocabulary path for a corpus whose token groupBy would
+    * otherwise funnel hot keys. With capacity ≥ distinct tokens the
+    * counts are exact (no decrement ever fires) — the regime the
+    * hash-gated query runs in; below that, counts carry the one-sided
+    * −N/(capacity+1) bound and any token above that frequency is
+    * guaranteed present. */
+  def topKHeavyHitters(docs: DataFrame, k: Int, capacity: Int,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(explode(Dedup.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .agg(graft.functions.MisraGries.misraGries(col("token"), capacity).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.token").as("token"), col("e.n_occurrences").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+
   /** CCNet-style unigram language-model quality score: per document, the
     * mean log-probability of its tokens under the corpus unigram
     * distribution — low (very negative) means rare/garbled content, high

@@ -930,6 +930,22 @@ object PipelineQueries {
         |FROM ex e LEFT JOIN v ON v.token = e.tkn
         |ORDER BY e.doc_id, e.pos""".stripMargin)),
 
+    Entry("vocab_top100_mg",
+      // the SAME top-100 through the Misra-Gries sketch aggregate:
+      // capacity 1024 >> the corpus's distinct tokens, so the sketch runs
+      // in its exact regime (no decrement ever fires) and hash-matches
+      // the exact oracle, while exercising the genuine bounded-memory
+      // update/merge/serialize path a 100 TB vocabulary needs.
+      (spark, dir) => Vocab.topKHeavyHitters(Tables.documents(spark, dir),
+        k = 100, capacity = 1024),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents
+        |)
+        |SELECT token, count(*) AS n_occurrences
+        |FROM tok WHERE token != ''
+        |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin)),
+
     Entry("vocab_top100",
       // corpus vocabulary (Vocab.topK): exactDocFreq = true because the
       // oracle hashes exact values; the corpus-scale default is the

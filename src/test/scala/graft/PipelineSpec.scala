@@ -375,6 +375,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byClass.values.sum == 10000)
   }
 
+  test("Misra-Gries vocabulary: exact regime equals groupBy, layout-independent") {
+    // 40 docs over an 8-token vocabulary, capacity 64 >> 8 → exact
+    val d = docs((0 until 40).map(i =>
+      i.toLong -> (0 to i % 7).map(w => s"w${(i + w) % 8}").mkString(" ")): _*)
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      Vocab.topKHeavyHitters(df, k = 20, capacity = 64)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toList
+    val exact = Vocab.topK(d, k = 20, exactDocFreq = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toList
+    assert(counts(d) == exact)
+    // repartitioning forces real partial merges + buffer (de)serialization
+    // through the shuffle; exact regime must be layout-independent
+    assert(counts(d.repartition(11)) == exact)
+  }
+
+  test("Misra-Gries vocabulary: approximate regime keeps the heavy hitter in bound") {
+    // 60x "hot" among 30 distinct cold tokens, capacity 4: the MG bound
+    // says est >= true - N/(capacity+1) = 60 - 90/5 = 42 and the heavy
+    // hitter (freq > N/(capacity+1)) is GUARANTEED to survive
+    val rows = (0 until 60).map(i => (i.toLong, "hot")) ++
+      (0 until 30).map(i => (100L + i, s"cold$i"))
+    val d = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val got = Vocab.topKHeavyHitters(d, k = 4, capacity = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.contains("hot"), "a token above N/(capacity+1) frequency must survive")
+    assert(got("hot") >= 42 && got("hot") <= 60,
+      s"estimate must be one-sided within N/(capacity+1): ${got("hot")}")
+  }
+
   test("unigram LM score: hand-computed means, salted path bit-identical") {
     // corpus: N=5 tokens; n(a)=3, n(b)=1, n(c)=1
     val d = docs(1L -> "a a b", 2L -> "a c")

@@ -291,6 +291,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"both top-k stages must partial-prune before their exchange:\n$plan")
   }
 
+  test("Misra-Gries vocabulary partial-aggregates map-side (bounded summaries)") {
+    // the scale rationale for vocab_top100_mg: each mapper builds its own
+    // capacity-bounded summary and the single reduce sees O(partitions *
+    // capacity) entries — a partial misra_gries must appear below the
+    // exchange, not a raw per-token shuffle
+    val plan = executedPlan(Vocab.topKHeavyHitters(docs(60), k = 5, capacity = 32))
+    assert(plan.contains("partial_misra_gries"),
+      s"the MG summary must partial-aggregate before the shuffle:\n$plan")
+  }
+
   test("vocab encoding is a pure scan: the id map is a plan literal, no join") {
     val d = docs(30)
     val enc = Vocab.encode(d, Vocab.assignIds(d, vocabSize = 20))
