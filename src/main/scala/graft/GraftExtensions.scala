@@ -51,6 +51,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TextHashes.SimHash64(args(0))
       }))
 
+    ext.injectFunction((FunctionIdentifier("misra_gries"),
+      info("misra_gries", "misra_gries(token, capacity) - heavy-hitters summary " +
+        "aggregate: array<struct<token,n_occurrences>> sorted by count desc; exact " +
+        "when capacity >= distinct keys"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "misra_gries(token, capacity)")
+        graft.functions.MisraGries(args(0), intArg(args(1), "misra_gries", 2))
+      }))
+
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles, numPerms) - MinHash signature array"),
       (args: Seq[Expression]) => {

@@ -62,6 +62,19 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getSeq[Long](2) == viaCols.getSeq[Long](2))
   }
 
+  test("misra_gries callable from SQL as a real aggregate, GROUP BY included") {
+    val rows = spark.sql(
+      "SELECT g, misra_gries(t, 16) AS mg FROM VALUES " +
+      "(1, 'a'), (1, 'a'), (1, 'b'), (2, 'c') AS v(g, t) GROUP BY g ORDER BY g")
+      .collect()
+    val g1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(g1 == Seq("a" -> 2L, "b" -> 1L))
+    val g2 = rows(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(g2 == Seq("c" -> 1L))
+  }
+
   test("non-literal period argument is rejected with a clear error") {
     val e = intercept[Exception](
       spark.sql("SELECT minhash_sig(array('a'), CAST(rand() * 4 AS INT))").head())
