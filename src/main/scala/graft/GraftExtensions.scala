@@ -18,6 +18,7 @@ import graft.functions.{CosineSim, TextHashes}
   *
   * Registered: cosine_sim(arr, arr), simhash64(tokens),
   * minhash_sig(shingles, numPerms), hyperplane_sigs(vec, planes, tables),
+  * the misra_gries(token, capacity) heavy-hitters aggregate,
   * and the engine-portable (mod-prime, SQL-replayable) family the driver
   * oracles verify: simhash_poly64(tokens),
   * minhash_sig_poly(shingles, numPerms),
