@@ -95,8 +95,23 @@ object Vocab {
     * guaranteed present. */
   def topKHeavyHitters(docs: DataFrame, k: Int, capacity: Int,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.select(explode(Dedup.tokens(col(textCol))).as("token"))
-      .where(col("token") =!= "")
+    heavyHitters(docs.select(explode(Dedup.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= ""), k, capacity)
+
+  /** Word-n-gram heavy hitters — the unit where the sketch matters most:
+    * the n-gram key space grows combinatorially (this corpus has ~24×
+    * more bigram types than tokens), so the exact groupBy's reducer
+    * state grows with it while the MG summary stays at `capacity`
+    * entries per partial at ANY n. */
+  def ngramTopKHeavyHitters(docs: DataFrame, n: Int, k: Int, capacity: Int,
+                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2, "use topKHeavyHitters for single tokens")
+    heavyHitters(docs.select(
+      explode(Repetition.ngrams(Dedup.tokens(col(textCol)), n)).as("token")), k, capacity)
+  }
+
+  private def heavyHitters(units: DataFrame, k: Int, capacity: Int): DataFrame =
+    units
       .agg(graft.functions.MisraGries.misraGries(col("token"), capacity).as("mg"))
       .select(explode(col("mg")).as("e"))
       .select(col("e.token").as("token"), col("e.n_occurrences").as("n_occurrences"))

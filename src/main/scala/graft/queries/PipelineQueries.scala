@@ -1201,6 +1201,25 @@ object PipelineQueries {
         |SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
         |FROM g GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin)),
 
+    Entry("bigram_top100_mg",
+      // the bigram top-100 through the Misra-Gries sketch: the unit where
+      // bounded partials matter most (931 bigram types vs 31 tokens at
+      // sf0.1 — the n-gram key space grows combinatorially while the MG
+      // summary stays at capacity entries). capacity 4096 >> types keeps
+      // the sketch in its exact regime, so it hash-matches the exact
+      // oracle while running the genuine update/merge/serialize path.
+      (spark, dir) => Vocab.ngramTopKHeavyHitters(Tables.documents(spark, dir),
+        n = 2, k = 100, capacity = 4096),
+      Some("""WITH g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(lst) >= 2 THEN
+        |      list_transform(generate_series(1, len(lst)-1), i -> lst[i] || ' ' || lst[i+1])
+        |    ELSE [] END) AS token
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS lst
+        |        FROM documents)
+        |)
+        |SELECT token, count(*) AS n_occurrences
+        |FROM g GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin)),
+
     Entry("multimodal_features",
       // Mixed-modality demo: a third each synthetic WAV / PPM / raw text;
       // WAV+PPM are decoded for real (header walk + sample/pixel stats),
