@@ -474,8 +474,13 @@ object Dedup {
     * reducer as raw occurrences. */
   def frequentSpans(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                     k: Int = 3, minDocs: Int = 2): DataFrame =
+    // (gram, doc) pairs are DISTINCT BY CONSTRUCTION (array_distinct runs
+    // per doc before the explode), so document frequency is a plain
+    // count(*) — algebraic, map-side partial, no hot-gram funnel — where
+    // countDistinct would pay a second distinct-aggregation pass to
+    // re-establish a distinctness the input already has
     docs.select(col(idCol), explode(array_distinct(shingles(col(textCol), k))).as("gram"))
-      .groupBy("gram").agg(countDistinct(col(idCol)).as("n_docs"))
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
   /** Per-document boilerplate exposure: how many of a doc's distinct
@@ -497,8 +502,10 @@ object Dedup {
                            minDocs: Int = 10): DataFrame = {
     def docFps =
       array_distinct(graft.functions.TextHashes.shingleFps(tokens(col(textCol)), k))
+    // same distinct-by-construction argument as frequentSpans: docFps is
+    // per-doc distinct, so the doc count is algebraic
     val bp = docs.select(col(idCol), explode(docFps).as("fp"))
-      .groupBy("fp").agg(countDistinct(col(idCol)).as("nd"))
+      .groupBy("fp").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("fp"), lit(true).as("__bp"))
     docs.select(col(idCol), docFps.as("fps"))
