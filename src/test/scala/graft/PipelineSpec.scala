@@ -390,6 +390,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts(d.repartition(11)) == exact)
   }
 
+  test("Misra-Gries bigram leg: exact regime equals the exact n-gram ranking") {
+    val d = docs((0 until 30).map(i =>
+      i.toLong -> (0 to 3 + i % 4).map(w => s"w${(i * 3 + w) % 6}").mkString(" ")): _*)
+    val mg = Vocab.ngramTopKHeavyHitters(d, n = 2, k = 15, capacity = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toList
+    val exact = Vocab.ngramTopK(d, n = 2, k = 15, exactDocFreq = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toList
+    assert(mg == exact)
+  }
+
   test("Misra-Gries vocabulary: approximate regime keeps the heavy hitter in bound") {
     // 60x "hot" among 30 distinct cold tokens, capacity 4: the MG bound
     // says est >= true - N/(capacity+1) = 60 - 90/5 = 42 and the heavy
