@@ -173,13 +173,15 @@ object Sequential {
         val ords = rows.map(_.getLong(2)).distinct.sorted
         val idx = ords.zipWithIndex.toMap
         val syms = rows.map(_.getString(1)).distinct.sorted
-        // missing (symbol, ord) cells stay 0.0 — OrderContext rejects
-        // zero-price orders, matching the pre-grid default-fill contract
+        // missing (symbol, ord) cells AND null closes stay 0.0 —
+        // OrderContext rejects zero-price orders, matching the pre-grid
+        // default-fill contract (a NaN here would instead make strategy
+        // comparisons silently false, bypassing that rejection path)
         val closes: Map[String, Array[Double]] =
           syms.map(s => s -> new Array[Double](ords.length)).toMap
         rows.foreach { r =>
           closes(r.getString(1))(idx(r.getLong(2))) =
-            if (r.isNullAt(3)) Double.NaN else r.getDouble(3)
+            if (r.isNullAt(3)) 0.0 else r.getDouble(3)
         }
         val res = run(ords.length, mkStrategy(syms, closes), cfg)
         ords.indices.iterator.map(i => Row(pf, ords(i), res.equity(i)))

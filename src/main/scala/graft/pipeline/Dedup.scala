@@ -383,10 +383,14 @@ object Dedup {
   /** Per-doc probe column: true iff ANY distinct shingle fingerprint of
     * `text` might be in the sketch. The ONE probe definition shared by
     * the batch and streaming decontaminators, so their per-doc semantics
-    * cannot drift. */
+    * cannot drift. Null text coalesces to false — `exists` over a null
+    * array is null, and the exact [[decontaminate]] twin already maps
+    * no-shingle docs to clean, so the sketch leg must agree. */
   def bloomProbe(text: Column, sketch: BloomSketch, shingleK: Int = 5): Column =
-    exists(array_distinct(graft.functions.TextHashes.shingleFps(tokens(text), shingleK)),
-      fp => bloomMightContain(sketch, fp))
+    coalesce(
+      exists(array_distinct(graft.functions.TextHashes.shingleFps(tokens(text), shingleK)),
+        fp => bloomMightContain(sketch, fp)),
+      lit(false))
 
   /** Sketch decontamination: [[decontaminate]]'s semantics through a
     * Bloom filter — one-sided error (may flag a clean doc, never clears

@@ -66,14 +66,24 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Sign of the (j,k) random-projection weight: an LCG over the flat
+  /** Sign of the (j,k) random-projection weight: splitmix64 of the flat
     * index j·outDim+k, thresholded to {+1,−1,0} with density 1/3
-    * (Achlioptas 2003, "Database-friendly random projections"). Pure
-    * integer arithmetic, so any SQL engine derives the SAME matrix from
-    * the same formula — no shared state, no serialized matrix. */
+    * (Achlioptas 2003, "Database-friendly random projections"). The mix
+    * matters: a raw power-of-two-modulus LCG here preserves the index's
+    * parity, which with an even `outDim` locks every output dimension to
+    * weights of a single sign — subset sums, not signed projections —
+    * quietly degrading shortlist recall on vectors with a nonzero mean
+    * component. splitmix64 (TextHashes.splitmix, the same mix the
+    * hyperplane LSH uses) has full avalanche, so signs decorrelate from
+    * index structure. Deterministic integer arithmetic end to end — the
+    * oracle precomputes the identical matrix from THIS function and
+    * embeds it as a literal ±v[j] chain (PipelineQueries), nothing
+    * serialized at runtime. */
   def rpSign(j: Int, k: Int, outDim: Int): Double = {
-    val a = (1103515245L * (j.toLong * outDim + k) + 12345L) % 2147483648L
-    a % 6 match { case 0 => 1.0; case 1 => -1.0; case _ => 0.0 }
+    val z = graft.functions.TextHashes.splitmix(j.toLong * outDim + k)
+    java.lang.Math.floorMod(z, 6L) match {
+      case 0L => 1.0; case 1L => -1.0; case _ => 0.0
+    }
   }
 
   /** Deterministic sparse random projection: appends `outCol` =

@@ -116,6 +116,51 @@ object TextStats {
   def fingerprint64(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Bound-twin gate for the t-digest percentile leg: per group, compute
+    * `approx_percentile(v, p, accuracy)` for each requested percentile
+    * AND — in a second pass joined back over the (tiny, one-row-per-group,
+    * broadcast) sketch output — the exact rank window the returned value
+    * occupies. The sketch's published guarantee is a RANK error of at
+    * most `N / accuracy`, so the engine-checkable assertion is rank-space,
+    * not value-space: with `cnt_le = #{v ≤ v_p}` and `cnt_lt = #{v < v_p}`,
+    * require `cnt_le ≥ p·N − (N/accuracy + 1)` and
+    * `cnt_lt ≤ p·N + (N/accuracy + 1)` (the +1 absorbs the two engines'
+    * discrete-rank conventions). Output is one row per group: the exact
+    * row count plus one boolean per percentile — the oracle replays the
+    * exact count and the constant `TRUE`, so a sketch outside its rank
+    * budget flips a boolean and fails the hash. The sketch itself is
+    * deterministic (Greenwald–Khanna compression of a fixed input order
+    * per partition is not order-stable in general, but the ±N/accuracy
+    * bound holds for EVERY merge order, which is exactly what this
+    * asserts). The production-shape leg (sketches merging map-side, no
+    * second pass) is [[graft]] PlanSpec's partial_approx_percentile
+    * pin; this is its verification twin. */
+  def quantileBoundCheck(docs: DataFrame, groupCol: String, valueExpr: Column,
+                         percentiles: Seq[Double], accuracy: Int): DataFrame = {
+    val d = docs.select(col(groupCol), valueExpr.as("__v"))
+    val ps = array(percentiles.map(lit): _*)
+    val sketch = d.groupBy(groupCol).agg(
+      count(lit(1)).as("__n"),
+      percentile_approx(col("__v"), ps, lit(accuracy)).as("__vp"))
+    val j = d.join(broadcast(sketch), groupCol)
+    val aggs = percentiles.zipWithIndex.flatMap { case (_, i) =>
+      Seq(
+        sum(when(col("__v") <= element_at(col("__vp"), i + 1), 1L).otherwise(0L))
+          .as(s"__le_$i"),
+        sum(when(col("__v") < element_at(col("__vp"), i + 1), 1L).otherwise(0L))
+          .as(s"__lt_$i"))
+    }
+    val counted = j.groupBy(col(groupCol))
+      .agg(first(col("__n")).as("n_docs"), aggs: _*)
+    val slack = col("n_docs").cast("double") / accuracy + 1.0
+    val checks = percentiles.zipWithIndex.map { case (p, i) =>
+      ((col(s"__le_$i").cast("double") >= col("n_docs") * p - slack) &&
+        (col(s"__lt_$i").cast("double") <= col("n_docs") * p + slack))
+        .as(s"p${(p * 100).round}_ok")
+    }
+    counted.select(col(groupCol) +: col("n_docs") +: checks: _*)
+  }
+
   /** Convenience: attach the standard stats columns. */
   def withStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -200,4 +200,35 @@ object Vocab {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
   }
+
+  /** Bound-twin gate for the HLL doc-frequency leg: ONE aggregation
+    * computes the exact document frequency AND the
+    * `approx_count_distinct` HLL estimate per token, then emits the
+    * exact columns plus a boolean asserting the sketch landed within its
+    * error budget — `|hll − exact| ≤ max(1, ceil(4·rsd·exact))`, four
+    * standard errors of the sketch's configured relative standard
+    * deviation plus an absolute floor of 1 for the small-cardinality
+    * sparse regime. The exact columns hash-verify against the oracle for
+    * real; the boolean is the sketch gate — DuckDB replays the exact leg
+    * and the constant `TRUE`, so an estimate drifting outside the bound
+    * flips the column and fails the hash. HLL++ is deterministic
+    * (xxhash64-seeded registers), so a green run is a stable fact, not a
+    * lucky draw. This is the verification twin of [[topK]]'s
+    * `exactDocFreq = false` corpus path (whose map-side sketch-merge
+    * plan PlanSpec pins separately). */
+  def topKHllBound(docs: DataFrame, k: Int, rsd: Double = 0.05,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(Dedup.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    toks.groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"),
+        approx_count_distinct(col(idCol), rsd).as("n_docs_hll"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+      .select(col("token"), col("n_occurrences"), col("n_docs"),
+        (abs(col("n_docs_hll") - col("n_docs")) <=
+          greatest(lit(1L), ceil(col("n_docs") * lit(4 * rsd)))).as("hll_ok"))
+  }
 }

@@ -176,6 +176,24 @@ object PipelineQueries {
   private val embCte =
     s"emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
+  /** Random-projection oracle: the {±1,0} Achlioptas matrix is splitmix-
+    * derived (Similarity.rpSign — wrap arithmetic, not SQL-inlinable),
+    * so like the hyperplane dotChain it is precomputed HERE from the
+    * very function the Spark side uses and embedded as explicit
+    * left-parenthesized ±v[j] folds — the identical IEEE add order as
+    * randomProject's codegen fold (zero-weight terms skipped on both
+    * sides, bit-exact per Similarity.randomProject's scaladoc). */
+  private def rpProjSql(inDim: Int, outDim: Int): String =
+    (0 until outDim).map { k =>
+      (0 until inDim).foldLeft("0.0") { (acc, j) =>
+        graft.pipeline.Similarity.rpSign(j, k, outDim) match {
+          case 1.0  => s"($acc + v[${j + 1}])"
+          case -1.0 => s"($acc - v[${j + 1}])"
+          case _    => acc
+        }
+      }
+    }.mkString("[", ", ", "]")
+
   /** One persisted IVF index per sf dir per JVM: built on first use (a
     * fresh temp dir, so a code change can never probe a stale index),
     * probed by every later call. */
@@ -373,11 +391,12 @@ object PipelineQueries {
 
     Entry("ann_rp_rerank_top5",
       // sparse-random-projection ANN: Achlioptas {±1,0} projection 64→16
-      // (deterministic integer sign matrix — both engines derive it from
-      // the same LCG formula, nothing serialized), cosine shortlist of 20
-      // in the projected space, exact 64-dim re-rank on candidates only.
-      // The projection is pure map-side; the re-rank joins the small
-      // candidate set back against the corpus by broadcast.
+      // (deterministic splitmix-derived sign matrix — the oracle embeds
+      // the matrix precomputed from Similarity.rpSign itself, see
+      // rpProjSql), cosine shortlist of 20 in the projected space, exact
+      // 64-dim re-rank on candidates only. The projection is pure
+      // map-side; the re-rank joins the small candidate set back against
+      // the corpus by broadcast.
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
         Similarity.rpRerankTopK(emb, emb.where(col("vec_id") < 10),
@@ -386,13 +405,8 @@ object PipelineQueries {
             col("rank").cast("int").as("rank"))
           .orderBy("query_id", "rank")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |rp AS (SELECT vec_id,
-        |  list_transform(range(0, 16), k ->
-        |    list_reduce(list_prepend(0.0, list_transform(range(0, 64), j ->
-        |      v[j+1] * (CASE ((1103515245*(j*16+k)+12345) % 2147483648) % 6
-        |                 WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
-        |      (acc, x) -> acc + x)) AS rv
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |rp AS (SELECT vec_id, ${rpProjSql(64, 16)} AS rv
         |  FROM e),
         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
         |         list_cosine_similarity(q.rv, c.rv) AS rcos
@@ -964,17 +978,26 @@ object PipelineQueries {
         |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin)),
 
     Entry("vocab_top100_approx",
-      // the corpus-scale doc-frequency leg (Vocab's default): HLL
-      // sketches merge map-side, so a hot token ("the") never funnels
-      // its distinct (token, doc) pairs through one reducer — the skew
-      // funnel the exact leg above accepts for oracle-hashability.
-      // Registered WITHOUT an oracle (rows-only gate): an HLL estimate
-      // can't hash-match DuckDB's different sketch. Numeric coverage
-      // comes from the approx≈exact parity scalatest (PipelineSpec) and
-      // the map-side partial-merge plan test (PlanSpec).
-      (spark, dir) => Vocab.topK(Tables.documents(spark, dir), k = 100,
-        exactDocFreq = false),
-      None),
+      // the corpus-scale doc-frequency leg, now HASH-GATED via the
+      // bound-twin pattern (same trick as the MG exact-regime queries):
+      // one aggregation computes exact doc frequency AND the HLL
+      // estimate, emitting the exact columns plus an in-engine
+      // `|hll − exact| ≤ max(1, ceil(4·rsd·exact))` boolean. DuckDB
+      // replays the exact leg and the constant TRUE — an estimate
+      // outside four standard errors flips the boolean and fails the
+      // hash. HLL++ is deterministic, so green here is a stable fact.
+      // The production plan shape (map-side sketch merge, no exact leg)
+      // is Vocab.topK(exactDocFreq = false), plan-pinned in PlanSpec.
+      (spark, dir) => Vocab.topKHllBound(Tables.documents(spark, dir),
+        k = 100, rsd = 0.05),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents
+        |)
+        |SELECT token, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs, TRUE AS hll_ok
+        |FROM tok WHERE token != ''
+        |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin)),
 
     Entry("tfidf_top3",
       // per-document TF-IDF keyword extraction, with the df join run
@@ -1167,22 +1190,23 @@ object PipelineQueries {
         |FROM t GROUP BY source ORDER BY source""".stripMargin)),
 
     Entry("length_quantiles_approx",
-      // the 100 TB leg of the same diagnostic: approx_percentile's
-      // fixed-size sketches merge map-side, so group state stays bounded
-      // at ANY distinct-length cardinality (the exact leg's buffer grows
-      // with it). Rows-only gate — a sketch estimate can't hash-match
-      // DuckDB — with a scalatest pinning approx ≈ exact and a plan test
-      // pinning the map-side partial aggregate.
-      (spark, dir) => {
-        val n = size(split(trim(col("text")), "\\s+")).cast("double")
-        Tables.documents(spark, dir).groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            r6(approx_percentile(n, lit(0.5), lit(2500))).as("p50_tokens"),
-            r6(approx_percentile(n, lit(0.9), lit(2500))).as("p90_tokens"),
-            r6(approx_percentile(n, lit(0.99), lit(2500))).as("p99_tokens"))
-          .orderBy("source")
-      },
-      None),
+      // the 100 TB leg of the same diagnostic, now HASH-GATED via the
+      // bound-twin pattern: the t-digest sketch's published guarantee is
+      // a RANK error ≤ N/accuracy, so TextStats.quantileBoundCheck joins
+      // the (broadcast, one-row-per-source) sketch output back over the
+      // corpus and asserts the returned value's exact rank window sits
+      // inside that budget — one boolean per percentile, TRUE in the
+      // oracle, so a sketch outside its guarantee fails the hash. The
+      // production shape (sketches merging map-side, no second pass) is
+      // PlanSpec's partial_approx_percentile pin.
+      (spark, dir) => TextStats.quantileBoundCheck(
+          Tables.documents(spark, dir), "source",
+          size(split(trim(col("text")), "\\s+")).cast("double"),
+          percentiles = Seq(0.5, 0.9, 0.99), accuracy = 2500)
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+        |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     Entry("bigram_top100",
       // word-bigram vocabulary (Vocab.ngramTopK): per-row gram

@@ -182,6 +182,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rpSign matrix mixes signs within every output dimension") {
+    // regression for the LCG-parity flaw: with a power-of-two-modulus LCG
+    // the flat index's parity leaked through %6, so every output dim got
+    // weights of one sign only (subset sums — no JL property). splitmix
+    // decorrelates: each dim must see BOTH signs, and global density must
+    // sit near the Achlioptas 1/3-per-sign split
+    val inDim = 64; val outDim = 16
+    val signs = Array.tabulate(outDim)(k =>
+      (0 until inDim).map(j => Similarity.rpSign(j, k, outDim)))
+    signs.zipWithIndex.foreach { case (colSigns, k) =>
+      assert(colSigns.contains(1.0) && colSigns.contains(-1.0),
+        s"output dim $k is single-signed: ${colSigns.distinct}")
+    }
+    val all = signs.flatten
+    val plus = all.count(_ == 1.0).toDouble / all.length
+    val minus = all.count(_ == -1.0).toDouble / all.length
+    assert(math.abs(plus - 1.0 / 6) < 0.05 && math.abs(minus - 1.0 / 6) < 0.05,
+      s"density drifted off the Achlioptas 1/6-per-sign split: +$plus −$minus")
+  }
+
   test("rp re-rank: exact cosines on the candidate set, identical-vector recall") {
     // 0 and 1 identical ⇒ each must shortlist the other (rp spaces
     // preserve equality exactly) and re-rank it first with cosine 1
@@ -799,6 +819,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       // at accuracy 2500 over ≤120 distinct lengths the sketch is near-exact
       assert(math.abs(a50 - e50) <= 2.0, s"$src p50 $a50 vs $e50")
       assert(math.abs(a90 - e90) <= 3.0, s"$src p90 $a90 vs $e90")
+    }
+  }
+
+  test("vocab HLL bound-twin: exact columns match topK, every sketch lands in bound") {
+    val rnd = new scala.util.Random(31)
+    val vocabWords = (0 until 60).map(i => s"tok$i")
+    val d = docs((1 to 250).map(i =>
+      i.toLong -> (0 until 15).map(_ => vocabWords(rnd.nextInt(60))).mkString(" ")): _*)
+    val twin = Vocab.topKHllBound(d, k = 40).collect()
+    val exact = Vocab.topK(d, k = 40, exactDocFreq = true).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(twin.length == exact.size)
+    twin.foreach { r =>
+      val (occ, nd) = exact(r.getString(0))
+      assert(r.getLong(1) == occ && r.getLong(2) == nd,
+        s"${r.getString(0)}: twin exact columns must equal the exact leg")
+      assert(r.getBoolean(3), s"${r.getString(0)}: HLL estimate outside 4·rsd bound")
+    }
+  }
+
+  test("quantile bound-twin: sketch rank window holds at high and low accuracy") {
+    val rnd = new scala.util.Random(37)
+    val d = docs((1 to 400).map(i =>
+      i.toLong -> (0 until (3 + rnd.nextInt(200))).map(_ => "w").mkString(" ")): _*)
+      .withColumn("source", concat(lit("s"), (col("doc_id") % 4).cast("string")))
+    val n = size(split(trim(col("text")), "\\s+")).cast("double")
+    for (acc <- Seq(2500, 50)) {
+      val rows = TextStats.quantileBoundCheck(d, "source", n,
+        percentiles = Seq(0.5, 0.9, 0.99), accuracy = acc).collect()
+      assert(rows.length == 4)
+      rows.foreach { r =>
+        assert(r.getLong(1) == 100, s"${r.getString(0)}: exact group count")
+        for (i <- 2 to 4)
+          assert(r.getBoolean(i),
+            s"${r.getString(0)} acc=$acc col=$i: sketch outside its rank budget")
+      }
     }
   }
 
