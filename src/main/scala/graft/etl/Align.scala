@@ -55,11 +55,20 @@ object Align {
     align(master, dateCol, symbolCol, fillNullStrategy, defaultFillValue)
   }
 
-  /** Grid + fill on an already-loaded long frame. Output rows are ordered
+  /** Grid + fill on an already-loaded long frame. With `sorted = true`
+    * (the default, reference-parity presentation) output rows are ordered
     * by (date, symbol) — the final orderBy guarantees it for every fill
-    * strategy, including "backward" whose fill window scans descending. */
+    * strategy, including "backward" whose fill window scans descending.
+    * That orderBy is a full range exchange + global sort that exists for
+    * OUTPUT ORDERING only — the grid and fills are complete without it —
+    * and at corpus scale it is the operator's single biggest cost (the
+    * #1 line of the sf0.1 bench). Pass `sorted = false` when downstream
+    * consumers don't care about row order (joins, aggregations, writes
+    * partitioned by symbol): the plan then ends at the fill projection
+    * with no global Sort/RangeExchange (plan-pinned in PlanSpec). */
   def align(master: DataFrame, dateCol: String = "date", symbolCol: String = "symbol",
-            fillNullStrategy: String = "forward", defaultFillValue: Double = 0.0): DataFrame = {
+            fillNullStrategy: String = "forward", defaultFillValue: Double = 0.0,
+            sorted: Boolean = true): DataFrame = {
     val valueCols = master.columns.filterNot(c => c == dateCol || c == symbolCol).toSeq
 
     val dates = master.select(dateCol).distinct()
@@ -95,6 +104,6 @@ object Align {
       aligned = aligned.select(col(dateCol) +: col(symbolCol) +:
         valueCols.map(c => coalesce(col(c), lit(defaultFillValue)).as(c)): _*)
     }
-    aligned.orderBy(dateCol, symbolCol)
+    if (sorted) aligned.orderBy(dateCol, symbolCol) else aligned
   }
 }

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE (byte-pair-encoding) tokenizer TRAINING and encoding over a
+  * document corpus — the classic subword-vocabulary learner (Sennrich et
+  * al. 2016) as a Spark-first iterative pipeline.
+  *
+  * Algorithm (exact, greedy): start from the per-WORD character
+  * sequences, then for `numMerges` rounds pick the adjacent symbol pair
+  * with the highest corpus frequency (weighted by word count; ties break
+  * lexicographically so the learned table is deterministic) and merge
+  * every left-to-right occurrence into one symbol.
+  *
+  * Scale shape — the reason this trains on word COUNTS, not raw text:
+  * the working state is the DISTINCT-word table (Heaps-law bounded —
+  * millions of rows for a 100 TB corpus, not trillions), produced by one
+  * map-side-partial corpus aggregation. Each round is then one
+  * vocabulary-sized job: pair explode → partial-aggregated groupBy →
+  * TakeOrdered(1) (never a global sort), with only the single winning
+  * pair returning to the driver — O(numMerges) driver traffic total.
+  * The symbol-array column is rewritten per round and localCheckpointed:
+  * the checkpoint materializes the vocabulary-sized state and cuts the
+  * growing lineage, so round k's plan does not replay rounds 1..k−1.
+  * Per-round pair counts are exact (the aggregation is algebraic); on a
+  * corpus whose DISTINCT-WORD table itself became unmanageable, the same
+  * loop runs with the Misra–Gries aggregate per round — the bricks
+  * already exist (functions.MisraGries).
+  *
+  * No reference analog (the reference is a TA library): brief-driven,
+  * built on the tokens/vocabulary bricks of [[Vocab]]/[[Dedup]].
+  */
+object Bpe {
+
+  /** Trained model: `merges` = (round, a, b, n) — the ordered merge
+    * table, the artifact a tokenizer ships; `wordPieces` = (word, syms)
+    * — every corpus word's final subword sequence, i.e. the merge table
+    * pre-applied to the training vocabulary. */
+  final case class Model(merges: DataFrame, wordPieces: DataFrame)
+
+  /** Corpus word counts under the shared [[Dedup.tokens]] normalization. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(Dedup.tokens(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent symbol pairs of one array: zip with its own tail. */
+  private def adjacentPairs(s: Column): Column =
+    zip_with(slice(s, lit(1), size(s) - 1), slice(s, lit(2), size(s) - 1),
+      (x, y) => struct(x.as("a"), y.as("b")))
+
+  /** Greedy left-to-right merge of adjacent (a, b) into the single
+    * symbol a+b: a running fold — the merged symbol joins the
+    * accumulator, so "aaa" under (a,a) becomes ["aa","a"], never
+    * ["aa","aa"] — exactly the non-overlapping replace the reference
+    * BPE formulation performs. */
+  private def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, typedLit(Seq.empty[String]),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Learn `numMerges` merges from the corpus. Stops early if the
+    * vocabulary runs out of adjacent pairs (every word collapsed to one
+    * symbol). The returned merge table is driver-built — it is the
+    * O(numMerges) model artifact, same adjudication as the IVF centroid
+    * and vocab-id literals. */
+  def train(docs: DataFrame, numMerges: Int, textCol: String = "text"): Model = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = docs.sparkSession
+    var st = wordCounts(docs, textCol)
+      .select(col("word"), col("cnt"), split(col("word"), "").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val top = st
+        .select(col("cnt"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, n))
+        st = st.withColumn("syms", mergePair(col("syms"), a, b)).localCheckpoint()
+        r += 1
+      }
+    }
+    Model(
+      spark.createDataFrame(merges.toSeq).toDF("round", "a", "b", "n"),
+      st.select("word", "syms"))
+  }
+
+  /** Encode every document as its subword sequence: tokens in order,
+    * each word replaced by its trained pieces. posexplode + broadcast
+    * join + ordered re-assembly — the join-based encode shape that keeps
+    * working when the vocabulary outgrows a plan literal (the corpus
+    * side stays one shuffle on doc_id for the re-assembly; the
+    * vocabulary side is broadcast, Heaps-bounded). Words outside
+    * `wordPieces` are dropped (cannot occur when encoding the training
+    * corpus itself); docs with zero non-empty tokens emit nothing. */
+  def encode(docs: DataFrame, wordPieces: DataFrame,
+             textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(filter(Dedup.tokens(col(textCol)), _ =!= ""))
+          .as(Seq("pos", "word")))
+      .join(broadcast(wordPieces), "word")
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("syms")))),
+        x => x("syms"))).as("pieces"))
+}

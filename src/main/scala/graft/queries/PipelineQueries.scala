@@ -176,6 +176,43 @@ object PipelineQueries {
   private val embCte =
     s"emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
+  /** One BPE model per sf dir per JVM (same memo pattern as the IVF
+    * index): bpe_merges and bpe_encode share a single training run. */
+  private val BpeNumMerges = 20
+  private val bpeModels = new java.util.concurrent.ConcurrentHashMap[String, Bpe.Model]()
+  private def bpeModelFor(spark: SparkSession, dir: String): Bpe.Model =
+    bpeModels.computeIfAbsent(dir, d => Bpe.train(Tables.documents(spark, d), BpeNumMerges))
+
+  /** DuckDB replay of the BPE training loop (Bpe.train): a recursive CTE
+    * carries the (word, syms, cnt) state across rounds; the recursive
+    * term cross-joins the state with its own winning pair (aggregate +
+    * ORDER BY/LIMIT are legal in DuckDB's recursive term) and re-folds
+    * every word's symbol list under the same greedy left-to-right merge
+    * as Bpe.mergePair. Early exhaustion agrees too: no pairs → empty tp
+    * → the recursion stops, exactly when Bpe.train breaks. */
+  private val bpeStateCtes: String =
+    s"""tok AS (
+      |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents
+      |), words AS (
+      |  SELECT word, count(*) AS cnt FROM tok WHERE word != '' GROUP BY word
+      |), st(round, word, syms, cnt) AS (
+      |  SELECT 0, word, string_split(word, ''), cnt FROM words
+      |  UNION ALL
+      |  SELECT round + 1, word,
+      |    list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+      |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = tp.a AND x[1] = tp.b
+      |                       THEN list_append(acc[1:-2], acc[-1] || x[1])
+      |                       ELSE list_append(acc, x[1]) END),
+      |    cnt
+      |  FROM st, (
+      |    SELECT a, b FROM (
+      |      SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt) AS n
+      |      FROM st, unnest(range(1, len(syms))) AS u(i)
+      |      GROUP BY 1, 2)
+      |    ORDER BY n DESC, a, b LIMIT 1) tp(a, b)
+      |  WHERE round < $BpeNumMerges
+      |)""".stripMargin
+
   /** Random-projection oracle: the {±1,0} Achlioptas matrix is splitmix-
     * derived (Similarity.rpSign — wrap arithmetic, not SQL-inlinable),
     * so like the hyperplane dotChain it is precomputed HERE from the
@@ -943,6 +980,59 @@ object PipelineQueries {
         |SELECT e.doc_id, e.pos, CAST(coalesce(v.id, 0) AS INTEGER) AS id
         |FROM ex e LEFT JOIN v ON v.token = e.tkn
         |ORDER BY e.doc_id, e.pos""".stripMargin)),
+
+    Entry("bpe_merges",
+      // BPE tokenizer TRAINING (Bpe.train): 20 exact greedy merge rounds
+      // over the distinct-word table, each round one vocabulary-sized
+      // partial-aggregated job with only the winning pair hitting the
+      // driver. The oracle replays the whole training loop in a DuckDB
+      // recursive CTE (bpeStateCtes) and re-derives each round's merge
+      // as the argmax over the previous round's state — the full learned
+      // merge table is hash-gated, rounds, pairs and counts alike.
+      (spark, dir) => bpeModelFor(spark, dir).merges.orderBy("round"),
+      Some(s"""WITH RECURSIVE $bpeStateCtes,
+        |pairs AS (
+        |  SELECT round, syms[i] AS a, syms[i+1] AS b, sum(cnt) AS n
+        |  FROM st, unnest(range(1, len(syms))) AS u(i)
+        |  GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT round, a, b, n,
+        |    row_number() OVER (PARTITION BY round ORDER BY n DESC, a, b) AS rk
+        |  FROM pairs
+        |)
+        |SELECT CAST(round + 1 AS INTEGER) AS round, a, b, CAST(n AS BIGINT) AS n
+        |FROM ranked WHERE rk = 1 AND round < $BpeNumMerges ORDER BY round""".stripMargin)),
+
+    Entry("bpe_encode",
+      // subword encoding under the trained merges (Bpe.encode): tokens
+      // posexploded, broadcast-joined to their learned pieces, and
+      // re-assembled in document order — the join-based encode shape
+      // that survives vocabularies too large for a plan literal. Output
+      // exploded positionally on the same bounded doc subset as
+      // vocab_encode, so piece identity AND order are pinned; the oracle
+      // applies the recursive CTE's final-round word→pieces state.
+      (spark, dir) => {
+        val m = bpeModelFor(spark, dir)
+        val docs = Tables.documents(spark, dir)
+        Bpe.encode(docs.where(col("doc_id") < 300), m.wordPieces)
+          .select(col("doc_id"), posexplode(col("pieces")).as(Seq("pos", "piece")))
+          .orderBy("doc_id", "pos")
+      },
+      Some(s"""WITH RECURSIVE $bpeStateCtes,
+        |fin AS (SELECT word, syms FROM st WHERE round = (SELECT max(round) FROM st)),
+        |tokl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w != '') AS ws
+        |  FROM documents WHERE doc_id < 300
+        |), tokp AS (
+        |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS wpos FROM tokl
+        |), enc AS (
+        |  SELECT t.doc_id, flatten(list(f.syms ORDER BY t.wpos)) AS pieces
+        |  FROM tokp t JOIN fin f USING (word) GROUP BY t.doc_id
+        |)
+        |SELECT doc_id, CAST(generate_subscripts(pieces, 1) - 1 AS INTEGER) AS pos,
+        |  unnest(pieces) AS piece
+        |FROM enc ORDER BY doc_id, pos""".stripMargin)),
 
     Entry("vocab_top100_mg",
       // the SAME top-100 through the Misra-Gries sketch aggregate:

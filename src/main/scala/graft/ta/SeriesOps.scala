@@ -92,22 +92,27 @@ object SeriesOps {
     *      partitioned by chunk (session-scoped temp dir, removed on JVM
     *      exit, unless the caller owns `scratchDir`);
     *   2. a sequential STATE loop: chunk k runs one partition-pruned,
-    *      state-only pass (the same fold, outputs discarded) that returns
-    *      each present series' (entry, exit) state pair — O(series ·
-    *      stateSize) doubles per chunk, the only driver traffic; each
-    *      pass's broadcast is destroyed as soon as its job finishes;
-    *   3. ONE parallel output pass over the whole staged corpus, grouped
-    *      by (series, chunk): every group replays its rows from the
-    *      recorded entry state. Unlike the state loop, chunks here are
-    *      independent — the pass parallelizes over series × chunks.
+    *      state-only pass (the same fold, outputs discarded) that
+    *      cogroups the chunk's rows with the PREVIOUS chunk's exit-state
+    *      parquet by series and writes this chunk's (entry, exit) states
+    *      back to scratch — state never touches the driver, so the loop
+    *      carries O(#series) vectors in executor/parquet space, not
+    *      driver memory (a series' chunk indices are contiguous from 0,
+    *      so "exit of chunk k−1" covers every series present in chunk k);
+    *   3. ONE parallel output pass over the whole staged corpus,
+    *      cogrouped with the union of the per-chunk entry-state files on
+    *      (series, chunk): every group replays its rows from its recorded
+    *      entry state. Unlike the state loop, chunks here are independent
+    *      — the pass parallelizes over series × chunks.
     *
-    * Nothing is persisted and no N-way union is built: the result is a
-    * single flatMapGroups over one shuffle. The entry-state broadcast
-    * holds one vector per NON-EMPTY (series, chunk) pair — bounded by
-    * totalRows / chunkRows entries, tiny at any realistic chunk size.
-    * Within a series the recurrence is inherently sequential, so the
-    * state loop cannot overlap chunks; the output pass has no such
-    * constraint, which is where the parallelism comes back.
+    * Nothing is collected and no N-way union of row data is built: the
+    * result is one cogroup over one shuffle of the staged corpus plus a
+    * shuffle of the state rows (O(non-empty (series, chunk) pairs) tiny
+    * array rows). Driver footprint is O(#chunks) path strings — many
+    * short series are as safe as one long one. Within a series the
+    * recurrence is inherently sequential, so the state loop cannot
+    * overlap chunks; the output pass has no such constraint, which is
+    * where the parallelism comes back.
     *
     * `ord` must be unique per series (same contract as overSeries: ties
     * would make the scan order ambiguous).
@@ -138,10 +143,11 @@ object SeriesOps {
       }
       d.toString
     }
+    val dataDir = s"$scratch/data"
     proj.withColumn("__chunk",
         ((row_number().over(w) - 1) / chunkRows).cast(IntegerType))
-      .write.mode("overwrite").partitionBy("__chunk").parquet(scratch)
-    val staged = spark.read.parquet(scratch)
+      .write.mode("overwrite").partitionBy("__chunk").parquet(dataDir)
+    val staged = spark.read.parquet(dataDir)
     val chunkIds = staged.select("__chunk").distinct()
       .collect().map(_.getInt(0)).sorted
     val outSchema = StructType(
@@ -174,41 +180,63 @@ object SeriesOps {
       if (emit) it else { it.foreach(_ => ()); Iterator.empty }
     }
 
-    // ---- phase 2: sequential state-only loop ----
+    // ---- phase 2: sequential state-only loop, state kept distributed ----
+    // each chunk's pass cogroups the chunk's rows with the previous
+    // chunk's exit-state parquet by series and writes (symbol, entry,
+    // exit, __chunk) back to scratch: no collect, no driver-side map —
+    // per-chunk parquet also cuts the lineage, so the loop's plan depth
+    // stays O(1) per chunk
     val stateSchema = StructType(Seq(
       StructField("symbol", StringType),
-      StructField("entry", ArrayType(DoubleType)),
-      StructField("exit", ArrayType(DoubleType))))
-    var states = Map.empty[String, Array[Double]]                 // exit of last chunk seen
-    val entryStates = Map.newBuilder[(Int, String), Array[Double]]
+      StructField("entry", ArrayType(DoubleType, containsNull = false)),
+      StructField("exit", ArrayType(DoubleType, containsNull = false)),
+      StructField("__chunk", IntegerType)))
+    def stateDir(k: Int) = s"$scratch/state/$k"
+    var prevExit: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("symbol", StringType),
+        StructField("exit", ArrayType(DoubleType, containsNull = false)))))
     for (k <- chunkIds) {
-      val bc = spark.sparkContext.broadcast(states)
-      val res = staged.where(col("__chunk") === k)                 // partition-pruned
+      staged.where(col("__chunk") === k)                           // partition-pruned
         .select("symbol", ("ord" +: carried): _*)
         .groupByKey(_.getString(0))(Encoders.STRING)
-        .flatMapGroups { (sym: String, it: Iterator[Row]) =>
-          val entry = bc.value.get(sym).map(_.clone()).getOrElse(kernel.init())
-          val st = entry.clone()
-          foldRows(it.toArray, st, emit = false)
-          Iterator.single(Row(sym, entry.toSeq, st.toSeq))
+        .cogroup(prevExit.groupByKey(_.getString(0))(Encoders.STRING)) {
+          (sym: String, rowsIt: Iterator[Row], prevIt: Iterator[Row]) =>
+            val rows = rowsIt.toArray
+            if (rows.isEmpty) Iterator.empty // series ended before this chunk
+            else {
+              val entry = prevIt.nextOption().map(_.getSeq[Double](1).toArray)
+                .getOrElse(kernel.init())
+              val st = entry.clone()
+              foldRows(rows, st, emit = false)
+              Iterator.single(Row(sym, entry.toSeq, st.toSeq, k))
+            }
         }(Encoders.row(stateSchema))
-        .collect()
-      res.foreach { r =>
-        entryStates += (k, r.getString(0)) -> r.getSeq[Double](1).toArray
-        states += r.getString(0) -> r.getSeq[Double](2).toArray
-      }
-      bc.destroy()
+        .write.mode("overwrite").parquet(stateDir(k))
+      prevExit = spark.read.parquet(stateDir(k)).select("symbol", "exit")
     }
 
     // ---- phase 3: one parallel output pass over all (series, chunk) ----
-    val bcEntry = spark.sparkContext.broadcast(entryStates.result())
+    // the staged corpus cogroups with the union of the per-chunk entry
+    // states on (chunk, symbol): the state side is O(non-empty pairs)
+    // tiny rows shuffled alongside the one corpus shuffle — nothing is
+    // broadcast, so a corpus of millions of short series costs the same
+    // driver memory as one long series
+    val entries = spark.read.parquet(chunkIds.map(stateDir): _*)
+      .select(col("__chunk"), col("symbol"), col("entry"))
     val chunkIdx = 2 + carried.length
+    val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
     staged.select(col("symbol") +: col("ord") +: carried.map(col) :+ col("__chunk"): _*)
-      .groupByKey(r => (r.getInt(chunkIdx), r.getString(0)))(
-        Encoders.tuple(Encoders.scalaInt, Encoders.STRING))
-      .flatMapGroups { (key: (Int, String), it: Iterator[Row]) =>
-        val st = bcEntry.value(key).clone()
-        foldRows(it.toArray, st, emit = true)
+      .groupByKey(r => (r.getInt(chunkIdx), r.getString(0)))(keyEnc)
+      .cogroup(entries.groupByKey(r => (r.getInt(0), r.getString(1)))(keyEnc)) {
+        (key: (Int, String), rowsIt: Iterator[Row], entryIt: Iterator[Row]) =>
+          val rows = rowsIt.toArray
+          if (rows.isEmpty) Iterator.empty
+          else {
+            require(entryIt.hasNext, s"missing entry state for $key")
+            val st = entryIt.next().getSeq[Double](2).toArray
+            foldRows(rows, st, emit = true)
+          }
       }(Encoders.row(outSchema))
   }
 

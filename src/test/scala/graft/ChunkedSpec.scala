@@ -106,6 +106,26 @@ class ChunkedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(collectMap(chunked, "ema") == collectMap(whole, "ema"))
   }
 
+  test("many short series through the chunked path: parity, uneven lengths, no driver state") {
+    // the r8 weak: driver-side state maps grew O(#series). The state now
+    // stays in scratch parquet, so a corpus of MANY short series (here
+    // 200, lengths 1..40 — most shorter than one chunk, many ending
+    // mid-loop) must route fine and agree with overSeries bit-for-bit
+    val rows = for {
+      s <- 0 until 200
+      i <- 0 until (1 + s % 40)
+    } yield {
+      val v = 50.0 + math.sin(i * 0.3 + s) * 5 + (s % 7) * 0.1
+      (s"s_$s", i.toLong, if ((i + s) % 23 == 0) None else Some(v))
+    }
+    val df = spark.createDataFrame(rows).toDF("symbol", "ord", "close")
+    val whole = SeriesOps.overSeries(df, Seq("close"), Seq("ema"))(
+      a => Array(Kernels.ema(a(0), 5)))
+    val chunked = SeriesOps.overSeriesChunked(
+      df, Seq("close"), Seq("ema"), new Chunked.EmaStep(5), chunkRows = 4)
+    assert(collectMap(chunked, "ema") == collectMap(whole, "ema"))
+  }
+
   test("overSeriesAuto routes an over-bound series to the chunked path instead of throwing") {
     val df = bars()
     // force the bound far below the series length: the whole-series path

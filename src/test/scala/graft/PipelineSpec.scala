@@ -822,6 +822,43 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("BPE training: hand-checked merge sequence and word pieces (Sennrich example)") {
+    // word counts low:5 lower:2 newest:6 widest:3 — the classic corpus.
+    // Hand-derived: r1 (e,s,9); r2 (es,t,9); r3 (l,o,7 — ties ow at 7,
+    // lexicographic tiebreak); r4 (lo,w,7)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val d = docs(words.zipWithIndex.map { case (w, i) => (i + 1).toLong -> w }: _*)
+    val m = Bpe.train(d, numMerges = 4)
+    val got = m.merges.orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+    val pieces = m.wordPieces.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(pieces("low") == List("low"))
+    assert(pieces("lower") == List("low", "e", "r"))
+    assert(pieces("newest") == List("n", "e", "w", "est"))
+    assert(pieces("widest") == List("w", "i", "d", "est"))
+    // encode re-assembles pieces in document token order
+    val enc = Bpe.encode(docs(1L -> "newest low", 2L -> "widest lower"), m.wordPieces)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(enc(1L) == List("n", "e", "w", "est", "low"))
+    assert(enc(2L) == List("w", "i", "d", "est", "low", "e", "r"))
+  }
+
+  test("BPE greedy merge is non-overlapping left-to-right") {
+    // "aaa" under (a,a) must become [aa, a]; "aaaa" must become [aa, aa]
+    val d = docs(1L -> "aaa aaa aaa aaaa")
+    val m = Bpe.train(d, numMerges = 1)
+    val first = m.merges.collect().map(r => (r.getString(1), r.getString(2))).head
+    assert(first == ("a", "a"))
+    val pieces = m.wordPieces.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(pieces("aaa") == List("aa", "a"))
+    assert(pieces("aaaa") == List("aa", "aa"))
+  }
+
   test("vocab HLL bound-twin: exact columns match topK, every sketch lands in bound") {
     val rnd = new scala.util.Random(31)
     val vocabWords = (0 until 60).map(i => s"tok$i")

@@ -176,6 +176,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"backward fill must run as a reversed running frame:\n$plan")
   }
 
+  test("align with sorted=false ends at the fill, no global sort / range exchange") {
+    // the terminal (date, symbol) orderBy is presentation-only — at scale
+    // it is align's single biggest cost, so the unsorted path must not
+    // pay it: no rangepartitioning exchange and no global Sort anywhere
+    // (the window fills keep their LOCAL per-partition sorts)
+    val bars = spark.createDataFrame((0 until 60).map(i =>
+      (s"s${i % 3}", i.toLong, if (i % 4 == 0) Some(i.toDouble) else None)))
+      .toDF("symbol", "date", "close")
+    val df = graft.etl.Align.align(bars, sorted = false)
+    assert(!executedPlan(df).toLowerCase.contains("rangepartitioning"),
+      "unsorted align must not range-exchange for output order")
+    val globalSorts = physicalNodes(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, s"unsorted align must have no global sort: $globalSorts")
+    // and the sorted default still delivers the reference-parity order
+    val sortedPlan = executedPlan(graft.etl.Align.align(bars)).toLowerCase
+    assert(sortedPlan.contains("rangepartitioning"),
+      "sorted align must keep the global (date, symbol) order")
+  }
+
   test("vocab top-k compiles to TakeOrdered, never a global sort") {
     val toks = docs(60).select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
