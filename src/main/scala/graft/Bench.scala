@@ -69,11 +69,21 @@ object Bench {
     }
     if (args.nonEmpty) timings.foreach { case (n, t) => System.err.println(f"[bench] $n%s $t%.3f s") }
     val results = timings.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision: sub-ms digits are pure noise and the shorter
+    // line helps the whole map survive the driver's stdout capture
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0.0).sum
+    val total = r3(results.values.filter(_ >= 0.0).sum)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"semantics":"noop-materialize (r7+; r2-r6 used count(), which pruned projection work - see BASELINE.md)","sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"semantics":"noop-materialize (r7+; r2-r6 used count(), which pruned projection work - see BASELINE.md)","sf":"$sfDir"}"""
+    println(json)
+    // the driver's stdout capture kept only ~67 of 200 per-query timings
+    // in r8 — ALSO persist the identical line to a repo file Bench owns,
+    // so cross-round per-query comparison always has the full map
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     spark.stop()
   }
 }

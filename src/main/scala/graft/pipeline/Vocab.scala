@@ -172,22 +172,70 @@ object Vocab {
         Window.orderBy(col("n_occurrences").desc, col("token").asc)).cast("int"))
   }
 
+  /** Default cutover from the plan-literal encode to the join-based one:
+    * ~64k entries is the upper end of the vocabularies that are cheaper
+    * as one codegen'd map literal than as a broadcast join. */
+  val MaxLiteralVocab: Int = 65536
+
   /** Encode every document as its token-id sequence (order preserved,
-    * empty tokens dropped, OOV → 0): the id map rides the plan as ONE
-    * map<string,int> literal — vocabSize-bounded by construction, the
-    * same literal pattern as the IVF centroids — so the corpus side is a
-    * zero-shuffle, zero-join per-row transform. A vocabulary too large
-    * for a plan literal (millions of entries) would instead posexplode +
-    * broadcast-join + re-assemble; at the 30–60k vocabularies training
-    * tokenizers actually use, the literal is the faster and simpler
-    * shape. */
+    * empty tokens dropped, OOV → 0), auto-dispatched on vocabulary size:
+    *
+    *   - up to `maxLiteralVocab` entries, the id map rides the plan as
+    *     ONE map<string,int> literal — the same literal pattern as the
+    *     IVF centroids — so the corpus side is a zero-shuffle, zero-join
+    *     per-row transform (the shape for the 30–60k vocabularies
+    *     training tokenizers actually use);
+    *   - beyond it, [[encodeJoin]] — a vocabulary that no longer fits a
+    *     plan literal must not be collected to the driver at all.
+    *
+    * The probe collects at most maxLiteralVocab+1 (token, id) rows, so
+    * dispatch itself never materializes an oversized vocabulary. */
   def encode(docs: DataFrame, vocab: DataFrame,
-             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val idMap = typedLit(vocab.select(col("token"), col("id")).collect()
-      .map(r => r.getString(0) -> r.getInt(1)).toMap)
+             textCol: String = "text", idCol: String = "doc_id",
+             maxLiteralVocab: Int = MaxLiteralVocab): DataFrame = {
+    val head = vocab.select(col("token"), col("id"))
+      .limit(maxLiteralVocab + 1).collect()
+    if (head.length > maxLiteralVocab) encodeJoin(docs, vocab, textCol, idCol)
+    else {
+      val idMap = typedLit(head.map(r => r.getString(0) -> r.getInt(1)).toMap)
+      docs.select(col(idCol),
+        transform(filter(Dedup.tokens(col(textCol)), _ =!= ""),
+          t => coalesce(element_at(idMap, t), lit(0))).as("ids"))
+    }
+  }
+
+  /** Join-based encode for vocabularies too large for a plan literal:
+    * posexplode the corpus tokens, broadcast-join the (token → id) map,
+    * re-assemble per document in position order, then left-join back to
+    * the corpus so the output contract matches [[encode]]'s literal path
+    * EXACTLY — one row per input doc, `null` ids for null text, an empty
+    * array for docs with no non-empty tokens, OOV → 0 (parity-tested).
+    *
+    * Scale: the corpus side pays one doc_id shuffle for the re-assembly
+    * (the literal path pays zero — that is the price of an unbounded
+    * vocabulary); the vocabulary side is broadcast, which holds to
+    * ~10⁷ entries. Past that, swap the hint for
+    * [[graft.etl.SkewJoin.saltedJoin]] on `word` — natural-language
+    * token keys are maximally skewed, so a plain shuffle join would
+    * funnel the hot tokens. */
+  def encodeJoin(docs: DataFrame, vocab: DataFrame,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(filter(Dedup.tokens(col(textCol)), _ =!= ""))
+        .as(Seq("pos", "word")))
+    val enc = toks
+      .join(broadcast(vocab.select(col("token").as("word"), col("id"))), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), coalesce(col("id"), lit(0)).as("id")))),
+        x => x("id")).as("__ids"))
     docs.select(col(idCol),
-      transform(filter(Dedup.tokens(col(textCol)), _ =!= ""),
-        t => coalesce(element_at(idMap, t), lit(0))).as("ids"))
+        filter(Dedup.tokens(col(textCol)), _ =!= "").as("__toks"))
+      .join(enc, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__toks").isNull, lit(null).cast("array<int>"))
+          .when(col("__ids").isNull, typedLit(Seq.empty[Int]))
+          .otherwise(col("__ids")).as("ids"))
   }
 
   private def rank(units: DataFrame, k: Int, exactDocFreq: Boolean,

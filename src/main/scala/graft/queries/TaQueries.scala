@@ -993,6 +993,30 @@ object TaQueries {
       },
       Some(s"""$B, $closeList
         |SELECT symbol, ord, ${Sql.r6(Sql.emaList("xs", 20), "ema")} FROM l $T""".stripMargin)),
+    Entry("ema_20_auto",
+      // the size-dispatch probe under the DRIVER gate: overSeriesAuto
+      // counts the longest series (one partial-aggregated job) and
+      // routes — maxRows is pinned BELOW the data's series length (half
+      // the longest), so this query exercises probe → chunked-path
+      // dispatch end to end at every SF (the whole-series branch is
+      // covered by every other TA query; the probe itself is what was
+      // only unit-tested before). chunkRows adapts like ema_20_chunked's
+      // (~3 chunks per series at any SF). Same unchanged EMA(20) oracle:
+      // routing must never change values.
+      (spark, dir) => {
+        val bars = Tables.bars(spark, dir)
+        val row = bars.groupBy("symbol").count().agg(max("count")).head()
+        val maxLen = if (row.isNullAt(0)) 1L else row.getLong(0)
+        graft.ta.SeriesOps.overSeriesAuto(bars, Seq("close"), Seq("ema"),
+            new graft.ta.Chunked.EmaStep(20),
+            maxRows = math.max(1, (maxLen / 2).toInt),
+            chunkRows = math.max(1, math.ceil(maxLen / 3.0).toInt))(
+            a => Array(graft.ta.Kernels.ema(a(0), 20)))
+          .select(col("symbol"), col("ord"), r6(col("ema")).as("ema"))
+          .orderBy("symbol", "ord")
+      },
+      Some(s"""$B, $closeList
+        |SELECT symbol, ord, ${Sql.r6(Sql.emaList("xs", 20), "ema")} FROM l $T""".stripMargin)),
     Entry("rma_14",   recQ("rma")(df => Recursive.rma(df, "close", 14)),
       Some(s"""$B, $closeList
         |SELECT symbol, ord, ${Sql.r6(Sql.rmaList("xs", 14), "rma")} FROM l $T""".stripMargin)),

@@ -470,6 +470,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(enc(3L) == Seq(3, 1))
   }
 
+  test("vocab encode: join path is row-for-row identical to the literal path") {
+    // force the dispatch both ways over a corpus with the edge shapes:
+    // OOV token, empty-token doc, null text, duplicate tokens
+    val d = spark.createDataFrame(Seq(
+        (1L, "b b b a a c"), (2L, "a b zzz"), (3L, "c a"), (4L, "   ")))
+      .toDF("doc_id", "text")
+      .unionByName(spark.sql("SELECT CAST(5 AS LONG) AS doc_id, CAST(NULL AS STRING) AS text"))
+    val vocab = Vocab.assignIds(d, vocabSize = 3)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Int](1).toList)).toMap
+    val literal = asMap(Vocab.encode(d, vocab))
+    val joined = asMap(Vocab.encodeJoin(d, vocab))
+    assert(literal == joined, s"literal $literal vs join $joined")
+    assert(joined(4L) == Nil, "whitespace-only doc must encode to an empty sequence")
+    assert(joined(5L) == null, "null text must encode to null")
+    // and the auto dispatch actually routes: maxLiteralVocab=1 < |vocab|
+    assert(asMap(Vocab.encode(d, vocab, maxLiteralVocab = 1)) == literal)
+  }
+
   test("bloom decontamination: superset of exact, one-sided error under saturation") {
     val benchText = base
     val cleanText = "completely unrelated content about catalyst physical plans and codegen stages today"
