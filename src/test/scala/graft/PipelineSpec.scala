@@ -434,6 +434,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"estimate must be one-sided within N/(capacity+1): ${got("hot")}")
   }
 
+  test("Misra-Gries lazy-offset buffer is bit-identical to the eager formulation") {
+    // the amortized decrement is a REPRESENTATION change: the live set and
+    // every estimate must match the textbook decrement-every-counter loop
+    // on any stream, including the adversarial min-entry/unseen alternation
+    // that stresses the stale-min purge path
+    def eager(stream: Seq[String], cap: Int): Map[String, Long] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      stream.foreach { t =>
+        if (m.contains(t)) m(t) += 1
+        else if (m.size < cap) m(t) = 1L
+        else m.keys.toArray.foreach { k =>
+          if (m(k) == 1L) m.remove(k) else m(k) -= 1 }
+      }
+      m.toMap
+    }
+    def viaSpark(stream: Seq[String], cap: Int): Map[String, Long] = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val rdd = spark.sparkContext.parallelize(stream.map(Row(_)), numSlices = 1)
+      spark.createDataFrame(rdd, StructType(Seq(StructField("token", StringType))))
+        .agg(graft.functions.MisraGries.misraGries(col("token"), cap).as("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.token"), col("e.n_occurrences"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val rnd = new scala.util.Random(41)
+    val longTail = (0 until 3000).map { _ =>
+      val r = rnd.nextInt(100)
+      if (r < 40) "hot" else if (r < 60) s"warm${r % 5}" else s"cold${rnd.nextInt(400)}"
+    }
+    // adversarial: keep re-hitting a low counter between unseen arrivals
+    val adversarial = (0 until 500).flatMap(i => Seq("lowcount", s"unseen$i"))
+    val mixed = rnd.shuffle(longTail ++ adversarial).toList
+    for ((stream, label) <- Seq((longTail, "long-tail"), (adversarial, "adversarial"),
+        (mixed, "mixed")); cap <- Seq(3, 8, 64)) {
+      assert(viaSpark(stream, cap) == eager(stream, cap),
+        s"$label stream at capacity $cap diverged from the eager reference")
+    }
+  }
+
   test("unigram LM score: hand-computed means, salted path bit-identical") {
     // corpus: N=5 tokens; n(a)=3, n(b)=1, n(c)=1
     val d = docs(1L -> "a a b", 2L -> "a c")

@@ -197,6 +197,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sorted align must keep the global (date, symbol) order")
   }
 
+  test("bpe encode joins the vocabulary by broadcast, corpus never shuffles for it") {
+    // the join-based encode's contract: the (word → pieces) side rides a
+    // broadcast, so the corpus pays shuffles only for the per-doc
+    // re-assembly and the row-restoring rejoin — never a word-keyed
+    // corpus exchange (natural-language word keys are maximally skewed)
+    val d = docs(40)
+    val m = Bpe.train(d, numMerges = 3)
+    val df = Bpe.encode(d, m.wordPieces)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocabulary side must broadcast:\n$plan")
+    assert(countShuffleExchanges(df) <= 1,
+      s"corpus must shuffle only for the doc_id re-assembly:\n$plan")
+  }
+
   test("vocab top-k compiles to TakeOrdered, never a global sort") {
     val toks = docs(60).select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
