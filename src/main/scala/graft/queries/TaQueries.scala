@@ -1238,11 +1238,14 @@ object TaQueries {
       // event loop folds inside a task via runPortfolios — the strategy
       // iterates symbols in sorted order, matching the oracle's nested
       // per-asset fill sequence (cash consumption order matters).
+      // sorted = false: runPortfolios groups and re-orders per portfolio
+      // itself, so align's terminal global sort would be pure waste here
+      // (the consumer-is-a-shuffle case the parameter exists for).
       (spark, dir) => {
         val syms = Seq("click_0", "click_1", "view_0", "view_1")
         val bars4 = Tables.bars(spark, dir).where(col("symbol").isin(syms: _*))
           .select(col("symbol"), col("ord"), col("close"))
-        val aligned = graft.etl.Align.align(bars4, dateCol = "ord")
+        val aligned = graft.etl.Align.align(bars4, dateCol = "ord", sorted = false)
           .select(lit("p0").as("portfolio"), col("symbol"), col("ord"), col("close"))
         graft.bt.Sequential.runPortfolios(aligned, (ss, closes) => {
           (ctx, p) =>

@@ -906,6 +906,62 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(enc(2L) == List("w", "i", "d", "est", "low", "e", "r"))
   }
 
+  test("BPE training matches an independent reference implementation on random corpora") {
+    // plain-Scala reference: same algorithm, written against the spec
+    // (not the Spark code) — word counts, overlapping-adjacent pair
+    // counts, (n desc, a asc, b asc) argmax, greedy left-to-right merge
+    def refTrain(words: Map[String, Long], numMerges: Int)
+        : (List[(Int, String, String, Long)], Map[String, List[String]]) = {
+      var st = words.map { case (w, c) => (w.split("").toList, c) }
+      val merges = List.newBuilder[(Int, String, String, Long)]
+      var done = false
+      for (r <- 1 to numMerges if !done) {
+        val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        st.foreach { case (syms, c) =>
+          syms.zip(syms.drop(1)).foreach(p => pairCounts(p) = pairCounts.getOrElse(p, 0L) + c)
+        }
+        if (pairCounts.isEmpty) done = true
+        else {
+          val ((a, b), n) = pairCounts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+          merges += ((r, a, b, n))
+          st = st.map { case (syms, c) =>
+            val out = scala.collection.mutable.ListBuffer.empty[String]
+            syms.foreach { s =>
+              if (out.nonEmpty && out.last == a && s == b)
+                out(out.length - 1) = a + b
+              else out += s
+            }
+            (out.toList, c)
+          }
+        }
+      }
+      (merges.result(),
+        words.keys.map(w => w -> st.find(_._1.mkString == w)).toMap.collect {
+          case (w, Some((syms, _))) => w -> syms
+        })
+    }
+    val rnd = new scala.util.Random(43)
+    for (trial <- 0 until 3) {
+      val alphabet = "abcde"
+      val words = (0 until 30).map { _ =>
+        (0 until (2 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val corpus = (0 until 200).map(i => (i.toLong, words(rnd.nextInt(words.length))))
+      val d = spark.createDataFrame(corpus).toDF("doc_id", "text")
+      val wc = corpus.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+      val m = Bpe.train(d, numMerges = 8)
+      val gotMerges = m.merges.orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+      val (wantMerges, wantPieces) = refTrain(wc, 8)
+      assert(gotMerges == wantMerges, s"trial $trial merge tables diverged")
+      val gotPieces = m.wordPieces.collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      wantPieces.foreach { case (w, syms) =>
+        assert(gotPieces(w) == syms, s"trial $trial word '$w' pieces diverged")
+      }
+    }
+  }
+
   test("BPE greedy merge is non-overlapping left-to-right") {
     // "aaa" under (a,a) must become [aa, a]; "aaaa" must become [aa, aa]
     val d = docs(1L -> "aaa aaa aaa aaaa")
