@@ -18,7 +18,8 @@ import graft.functions.{CosineSim, TextHashes}
   *
   * Registered: cosine_sim(arr, arr), simhash64(tokens),
   * minhash_sig(shingles, numPerms), hyperplane_sigs(vec, planes, tables),
-  * the misra_gries(token, capacity) heavy-hitters aggregate,
+  * the misra_gries(token, capacity) and
+  * misra_gries_weighted(token, weight, capacity) heavy-hitters aggregates,
   * and the engine-portable (mod-prime, SQL-replayable) family the driver
   * oracles verify: simhash_poly64(tokens),
   * minhash_sig_poly(shingles, numPerms),
@@ -59,6 +60,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "misra_gries(token, capacity)")
         graft.functions.MisraGries(args(0), intArg(args(1), "misra_gries", 2))
+      }))
+
+    ext.injectFunction((FunctionIdentifier("misra_gries_weighted"),
+      info("misra_gries_weighted", "misra_gries_weighted(token, weight, capacity) - " +
+        "weighted heavy-hitters summary aggregate (each row counts `weight`); exact " +
+        "when capacity >= distinct keys"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "misra_gries_weighted(token, weight, capacity)")
+        graft.functions.MisraGriesWeighted(args(0), args(1),
+          intArg(args(2), "misra_gries_weighted", 3))
       }))
 
     ext.injectFunction((FunctionIdentifier("minhash_sig"),

@@ -184,4 +184,120 @@ object MisraGries {
   def misraGries(c: Column, capacity: Int): Column =
     GraftBridge.column(
       MisraGries(GraftBridge.expression(c), capacity).toAggregateExpression())
+
+  /** Weighted variant: array<struct<token,n_occurrences>> with each row
+    * contributing `weight` instead of 1. */
+  def misraGriesWeighted(c: Column, weight: Column, capacity: Int): Column =
+    GraftBridge.column(
+      MisraGriesWeighted(GraftBridge.expression(c),
+        GraftBridge.expression(weight.cast("long")), capacity).toAggregateExpression())
+}
+
+/** WEIGHTED Misra–Gries heavy hitters: each input row carries a long
+  * weight (e.g. a pre-aggregated count), and estimates bound
+  * `true_weight ≥ estimate ≥ true_weight − W/(capacity+1)` for total
+  * weight W. Implemented in the mergeable-summaries formulation
+  * throughout (Agarwal et al., PODS 2012): inserting a weighted key is
+  * a merge with a singleton summary, and overflow is resolved by
+  * subtracting the (capacity+1)-th largest count — each subtraction of
+  * s destroys ≥ (capacity+1)·s total mass, which is what yields the
+  * W/(capacity+1) bound for ANY interleaving of updates and merges.
+  * The buffer is allowed to grow to 2×capacity between trims, so the
+  * O(capacity log capacity) trim amortizes to O(log capacity) per new
+  * key instead of firing on every insertion (the decrement-all/offset
+  * machinery of the unweighted [[MisraGries]] does not carry over:
+  * weighted arrivals decrement by varying amounts, so there is no
+  * single global offset to defer).
+  *
+  * EXACTNESS ESCAPE, same as the unweighted sketch: with capacity ≥
+  * distinct keys no trim ever fires and every count is exact — the
+  * regime that lets the sketched BPE trainer hash-match the exact
+  * oracle ([[graft.pipeline.Bpe]]). */
+case class MisraGriesWeighted(child: Expression, weight: Expression, capacity: Int,
+                              mutableAggBufferOffset: Int = 0,
+                              inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  require(capacity > 0, s"capacity must be positive, got $capacity")
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  /** Subtract the (capacity+1)-th largest count from everyone; entries
+    * at or below it drop, so the result fits capacity again. */
+  private def trim(b: mutable.HashMap[String, Long]): Unit =
+    if (b.size > capacity) {
+      val counts = b.values.toArray
+      java.util.Arrays.sort(counts)
+      val sub = counts(counts.length - capacity - 1)
+      b.filterInPlace((_, c) => c > sub)
+      b.mapValuesInPlace((_, c) => c - sub)
+    }
+
+  override def update(b: mutable.HashMap[String, Long], input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null) {
+      // any integral weight type (SQL callers pass what they have)
+      val wl = w.asInstanceOf[Number].longValue()
+      if (wl > 0L) {
+        val t = v.asInstanceOf[UTF8String].toString
+        b.update(t, b.getOrElse(t, 0L) + wl)
+        // slack to 2×capacity so the O(cap log cap) trim amortizes
+        if (b.size > 2 * capacity) trim(b)
+      }
+    }
+    b
+  }
+
+  override def merge(b: mutable.HashMap[String, Long], o: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    o.foreach { case (k, c) => b.update(k, b.getOrElse(k, 0L) + c) }
+    trim(b)
+    b
+  }
+
+  override def eval(b: mutable.HashMap[String, Long]): Any = {
+    trim(b)
+    val rows: Array[Any] = b.toArray.sortBy { case (t, c) => (-c, t) }
+      .map { case (t, c) => InternalRow(UTF8String.fromString(t), c) }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(b: mutable.HashMap[String, Long]): Array[Byte] = {
+    trim(b) // capacity-bounded on the shuffle path, not 2×
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(b.size)
+    b.foreach { case (k, c) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(c)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+      b.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
+    b
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType), StructField("n_occurrences", LongType))), containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: weight :: Nil
+  override def prettyName: String = "misra_gries_weighted"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesWeighted =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesWeighted =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head, weight = newChildren(1))
 }

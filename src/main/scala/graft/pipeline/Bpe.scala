@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   * The symbol-array column is rewritten per round and localCheckpointed:
   * the checkpoint materializes the vocabulary-sized state and cuts the
   * growing lineage, so round k's plan does not replay rounds 1..k−1.
-  * Per-round pair counts are exact (the aggregation is algebraic); on a
-  * corpus whose DISTINCT-WORD table itself became unmanageable, the same
-  * loop runs with the Misra–Gries aggregate per round — the bricks
-  * already exist (functions.MisraGries).
+  * Per-round pair counts are exact by default (the aggregation is
+  * algebraic); `pairCapacity` swaps in the weighted Misra–Gries
+  * aggregate (functions.MisraGriesWeighted) for capacity-bounded pair
+  * partials when the pair space itself is the memory hazard — identical
+  * merges in the sketch's exact regime, parity-tested.
   *
   * No reference analog (the reference is a TA library): brief-driven,
   * built on the tokens/vocabulary bricks of [[Vocab]]/[[Dedup]].
@@ -66,8 +67,21 @@ object Bpe {
     * vocabulary runs out of adjacent pairs (every word collapsed to one
     * symbol). The returned merge table is driver-built — it is the
     * O(numMerges) model artifact, same adjudication as the IVF centroid
-    * and vocab-id literals. */
-  def train(docs: DataFrame, numMerges: Int, textCol: String = "text"): Model = {
+    * and vocab-id literals.
+    *
+    * `pairCapacity`: per-round pair counting. `None` (default) = exact
+    * groupBy-sum — reducer state grows with the round's DISTINCT-PAIR
+    * count, which is the loop's only unbounded aggregation state (the
+    * pair space can approach vocab² as merges build longer symbols).
+    * `Some(c)` routes each round through the weighted Misra–Gries
+    * aggregate instead: every partial is capped at c entries whatever
+    * the pair space does, and the argmax carries MG's one-sided
+    * W/(c+1) bound — with c ≥ the round's distinct pairs the counts
+    * are exact and the learned table is IDENTICAL to the exact path
+    * (parity-tested), which is also what makes the sketched trainer
+    * hash-gateable. */
+  def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
+            pairCapacity: Option[Int] = None): Model = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = docs.sparkSession
     var st = wordCounts(docs, textCol)
@@ -77,12 +91,25 @@ object Bpe {
     var r = 1
     var exhausted = false
     while (r <= numMerges && !exhausted) {
-      val top = st
-        .select(col("cnt"), explode(adjacentPairs(col("syms"))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum("cnt").as("n"))
-        .orderBy(col("n").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
+      val pairs = st.select(col("cnt"), explode(adjacentPairs(col("syms"))).as("p"))
+      val top = pairCapacity match {
+        case None =>
+          pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum("cnt").as("n"))
+            .orderBy(col("n").desc, col("a").asc, col("b").asc)
+            .limit(1).collect()
+        case Some(c) =>
+          // pair → single key with a NUL separator: NUL sorts below any
+          // real character, so MG's (count desc, key asc) output order
+          // equals the exact path's (n desc, a asc, b asc) tiebreak
+          pairs.select(concat(col("p.a"), lit("\u0000"), col("p.b")).as("k"), col("cnt"))
+            .agg(graft.functions.MisraGries.misraGriesWeighted(col("k"), col("cnt"), c).as("mg"))
+            .select(explode(col("mg")).as("e")).limit(1)
+            .select(split(col("e.token"), "\u0000").getItem(0).as("a"),
+              split(col("e.token"), "\u0000").getItem(1).as("b"),
+              col("e.n_occurrences").as("n"))
+            .collect()
+      }
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))

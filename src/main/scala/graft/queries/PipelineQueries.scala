@@ -1003,6 +1003,28 @@ object PipelineQueries {
         |SELECT CAST(round + 1 AS INTEGER) AS round, a, b, CAST(n AS BIGINT) AS n
         |FROM ranked WHERE rk = 1 AND round < $BpeNumMerges ORDER BY round""".stripMargin)),
 
+    Entry("bpe_merges_mg",
+      // the SAME training loop with pair counts through the WEIGHTED
+      // Misra-Gries aggregate (capacity 4096 >> any round's distinct
+      // pairs at these SFs → exact regime): the genuine capacity-bounded
+      // partial path a vocab²-sized pair space needs at corpus scale,
+      // hash-matched against the same recursive-CTE oracle as the exact
+      // trainer — same merges, same counts, or the gate fails.
+      (spark, dir) => Bpe.train(Tables.documents(spark, dir), BpeNumMerges,
+        pairCapacity = Some(4096)).merges.orderBy("round"),
+      Some(s"""WITH RECURSIVE $bpeStateCtes,
+        |pairs AS (
+        |  SELECT round, syms[i] AS a, syms[i+1] AS b, sum(cnt) AS n
+        |  FROM st, unnest(range(1, len(syms))) AS u(i)
+        |  GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT round, a, b, n,
+        |    row_number() OVER (PARTITION BY round ORDER BY n DESC, a, b) AS rk
+        |  FROM pairs
+        |)
+        |SELECT CAST(round + 1 AS INTEGER) AS round, a, b, CAST(n AS BIGINT) AS n
+        |FROM ranked WHERE rk = 1 AND round < $BpeNumMerges ORDER BY round""".stripMargin)),
+
     Entry("bpe_encode",
       // subword encoding under the trained merges (Bpe.encode): tokens
       // posexploded, broadcast-joined to their learned pieces, and

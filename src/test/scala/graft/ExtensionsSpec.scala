@@ -75,6 +75,16 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g2 == Seq("c" -> 1L))
   }
 
+  test("misra_gries_weighted callable from SQL, weights summed per key") {
+    val rows = spark.sql(
+      "SELECT misra_gries_weighted(t, w, 16) AS mg FROM VALUES " +
+      "('a', 3), ('a', 2), ('b', 4), ('c', 1) AS v(t, w)")
+      .collect()
+    val got = rows(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got == Seq("a" -> 5L, "b" -> 4L, "c" -> 1L))
+  }
+
   test("non-literal period argument is rejected with a clear error") {
     val e = intercept[Exception](
       spark.sql("SELECT minhash_sig(array('a'), CAST(rand() * 4 AS INT))").head())

@@ -962,6 +962,57 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("weighted Misra-Gries: exact regime equals groupBy-sum, layout-independent") {
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 300).map(i =>
+      (s"k${rnd.nextInt(20)}", 1L + rnd.nextInt(9).toLong))
+    val d = spark.createDataFrame(rows).toDF("k", "w")
+    def viaMg(df: org.apache.spark.sql.DataFrame) = df
+      .agg(graft.functions.MisraGries.misraGriesWeighted(col("k"), col("w"), 64).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.token"), col("e.n_occurrences"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toList
+    val exact = d.groupBy("k").agg(sum("w").as("n"))
+      .orderBy(col("n").desc, col("k").asc)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toList
+    assert(viaMg(d) == exact)
+    // repartition forces real partial merges + (de)serialization
+    assert(viaMg(d.repartition(13)) == exact)
+  }
+
+  test("weighted Misra-Gries: approximate regime keeps the heavy key within W/(c+1)") {
+    // heavy key weight 600 among 50 distinct cold keys (weight 5 each),
+    // capacity 4: W = 850, bound W/(c+1) = 170 → est in [430, 600] and
+    // the heavy key (weight > bound) is guaranteed present
+    val rows = Seq(("hot", 600L)) ++ (0 until 50).map(i => (s"cold$i", 5L))
+    val d = spark.createDataFrame(new scala.util.Random(51).shuffle(rows))
+      .toDF("k", "w").repartition(7)
+    val got = d
+      .agg(graft.functions.MisraGries.misraGriesWeighted(col("k"), col("w"), 4).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.token"), col("e.n_occurrences"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.contains("hot"), "a key above W/(capacity+1) must survive")
+    assert(got("hot") >= 430L && got("hot") <= 600L,
+      s"estimate must be one-sided within W/(capacity+1): ${got("hot")}")
+  }
+
+  test("BPE sketched pair counting learns the identical merge table in exact regime") {
+    val rnd = new scala.util.Random(53)
+    val words = (0 until 25).map(_ =>
+      (0 until (2 + rnd.nextInt(5))).map(_ => "abcd"(rnd.nextInt(4))).mkString)
+    val d = docs((0 until 150).map(i =>
+      i.toLong -> words(rnd.nextInt(words.length))): _*)
+    val exact = Bpe.train(d, numMerges = 6)
+    val sketched = Bpe.train(d, numMerges = 6, pairCapacity = Some(1024))
+    def tbl(m: Bpe.Model) = m.merges.orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    assert(tbl(sketched) == tbl(exact))
+    def pieces(m: Bpe.Model) = m.wordPieces.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(pieces(sketched) == pieces(exact))
+  }
+
   test("BPE greedy merge is non-overlapping left-to-right") {
     // "aaa" under (a,a) must become [aa, a]; "aaaa" must become [aa, aa]
     val d = docs(1L -> "aaa aaa aaa aaaa")
