@@ -79,14 +79,30 @@ object Bpe {
     * W/(c+1) bound — with c ≥ the round's distinct pairs the counts
     * are exact and the learned table is IDENTICAL to the exact path
     * (parity-tested), which is also what makes the sketched trainer
-    * hash-gateable. */
+    * hash-gateable.
+    *
+    * `scratchDir`: how the per-round word state is materialized. `None`
+    * (default) = `localCheckpoint` — fastest, but executor-resident
+    * blocks with CUT lineage, so an executor loss mid-training fails the
+    * job (rerun from scratch). `Some(dir)` stages each round to parquet
+    * under `dir` instead — fault-tolerant and resumable, the same
+    * scratch-staging trade [[graft.ta.SeriesOps.overSeriesChunked]]
+    * makes; the caller owns the directory's lifecycle. Identical
+    * results either way (parity-tested). */
   def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
-            pairCapacity: Option[Int] = None): Model = {
+            pairCapacity: Option[Int] = None,
+            scratchDir: Option[String] = None): Model = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = docs.sparkSession
-    var st = wordCounts(docs, textCol)
-      .select(col("word"), col("cnt"), split(col("word"), "").as("syms"))
-      .localCheckpoint()
+    def stage(df: DataFrame, round: Int): DataFrame = scratchDir match {
+      case None => df.localCheckpoint()
+      case Some(dir) =>
+        val p = s"$dir/bpe_round_$round"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+    }
+    var st = stage(wordCounts(docs, textCol)
+      .select(col("word"), col("cnt"), split(col("word"), "").as("syms")), 0)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -114,7 +130,7 @@ object Bpe {
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, a, b, n))
-        st = st.withColumn("syms", mergePair(col("syms"), a, b)).localCheckpoint()
+        st = stage(st.withColumn("syms", mergePair(col("syms"), a, b)), r)
         r += 1
       }
     }

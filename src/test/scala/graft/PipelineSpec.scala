@@ -997,6 +997,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"estimate must be one-sided within W/(capacity+1): ${got("hot")}")
   }
 
+  test("BPE parquet-staged training is identical to the localCheckpoint path") {
+    val rnd = new scala.util.Random(59)
+    val words = (0 until 20).map(_ =>
+      (0 until (2 + rnd.nextInt(5))).map(_ => "wxyz"(rnd.nextInt(4))).mkString)
+    val d = docs((0 until 100).map(i =>
+      i.toLong -> words(rnd.nextInt(words.length))): _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_test_").toString
+    try {
+      val fast = Bpe.train(d, numMerges = 5)
+      val staged = Bpe.train(d, numMerges = 5, scratchDir = Some(dir))
+      def tbl(m: Bpe.Model) = m.merges.orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+      assert(tbl(staged) == tbl(fast))
+      def pieces(m: Bpe.Model) = m.wordPieces.collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      assert(pieces(staged) == pieces(fast))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("BPE sketched pair counting learns the identical merge table in exact regime") {
     val rnd = new scala.util.Random(53)
     val words = (0 until 25).map(_ =>
