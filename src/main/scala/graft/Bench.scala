@@ -72,17 +72,27 @@ object Bench {
     // millisecond precision: sub-ms digits are pure noise and the shorter
     // line helps the whole map survive the driver's stdout capture
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def qJson(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = r3(results.values.filter(_ >= 0.0).sum)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"semantics":"noop-materialize (r7+; r2-r6 used count(), which pruned projection work - see BASELINE.md)","sf":"$sfDir"}"""
-    println(json)
-    // the driver's stdout capture kept only ~67 of 200 per-query timings
-    // in r8 — ALSO persist the identical line to a repo file Bench owns,
-    // so cross-round per-query comparison always has the full map
+    // STDOUT gets a COMPACT line: the driver's stdout capture keeps only
+    // a ~2 KB tail, and r9's full 204-query line blew past it — the
+    // captured fragment lost its opening brace and the driver recorded
+    // parsed:null, i.e. NO bench number for the whole round. The headline
+    // subset (the plan-audited expensive queries + one representative per
+    // family) keeps the line a few hundred bytes; the FULL map goes to
+    // BENCH_FULL.json, which is committed and diffable across rounds.
+    val headline = Seq("align_grid", "align_grid_backward", "frequent_spans",
+      "minhash_pairs", "ann_ivf_top5", "repetition_stats", "bigram_top100",
+      "bpe_merges", "bt_sequential", "events_hourly", "user_sessions",
+      "sma_20", "ema_20_chunked", "cdlengulfing", "vocab_top100")
+    val headlineQs = headline.flatMap(n => results.get(n).map(n -> _))
+    def line(qs: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"failed":$failedJson,"full_map":"BENCH_FULL.json","semantics":"noop-materialize (r7+; r2-r6 used count(), which pruned projection work - see BASELINE.md)","sf":"$sfDir"}"""
+    println(line(qJson(headlineQs)))
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (line(qJson(results)) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     spark.stop()
   }

@@ -21,11 +21,33 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS); Spark 4 rejects it unless mapped to
-    // long. Runtime-settable, and set here (not only in our mains) because
-    // the driver smoke-runs entry() with its own SparkSession.
+    // Some driver datasets write events.ts as TIMESTAMP(NANOS); Spark 4
+    // rejects that unless mapped to long. Runtime-settable, and set here
+    // (not only in our mains) because the driver smoke-runs entry() with
+    // its own SparkSession. Session tz pinned to UTC so a TIMESTAMP_NTZ →
+    // TIMESTAMP cast (eventsNs) is a deterministic identity on the wall
+    // clock — the same convention DuckDB's epoch_ns applies to naive
+    // timestamps, so both engines agree on the epoch value.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The events table with `ts` normalized to BIGINT nanoseconds since
+    * epoch, whatever the parquet writer chose: TIMESTAMP(NANOS) arrives as
+    * long already (nanosAsLong); TIMESTAMP(MICROS/MILLIS) arrives as a
+    * timestamp type and is converted via unix_micros under the UTC session
+    * tz. Every downstream consumer (sessionization, hourly rollup, the
+    * DuckDB oracles via epoch_ns) works in integral nanos, so all gap /
+    * bucket arithmetic is exact and engine-portable. The conversion is a
+    * per-row projection — nothing about pushdown or partitioning changes.
+    */
+  def eventsNs(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    }
   }
 
   /** Number of user-hash buckets folded into the series key. 80 series

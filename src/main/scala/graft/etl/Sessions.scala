@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * session number) — a single hash exchange on the user key, the same
   * shape as the packing offsets. Parallelism is user-count, which is
   * unbounded at scale; session numbering is per-user so no global
-  * coordination exists. Timestamps are raw int64 nanos (the engine reads
-  * TIMESTAMP(NANOS) parquet as long — Tables.table), so all arithmetic
+  * coordination exists. Timestamps are raw int64 nanos (Tables.eventsNs
+  * normalizes whatever unit the parquet writer chose), so all arithmetic
   * is integral and a SQL oracle replays it exactly.
   */
 object Sessions {

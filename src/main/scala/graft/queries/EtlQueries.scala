@@ -142,7 +142,7 @@ object EtlQueries {
       // grain is the finest both engines can agree on. The Sessions op
       // itself stays full-nanos.
       (spark, dir) => graft.etl.Sessions.sessionStats(
-          Tables.table(spark, dir, "events")
+          Tables.eventsNs(spark, dir)
             .withColumn("ts", expr("(ts div 1000) * 1000")),
           gapNanos = 24L * 3600 * 1000000000L)
         .orderBy("user_id", "session_id"),
@@ -183,7 +183,7 @@ object EtlQueries {
       // of the 6-decimal rounding boundary (the sf0.1 1-ulp residual a
       // double sum had). Still fully partial-aggregatable — the decimal
       // sum merges map-side like any algebraic aggregate.
-      (spark, dir) => Tables.table(spark, dir, "events")
+      (spark, dir) => Tables.eventsNs(spark, dir)
         .groupBy(col("event_type"),
           expr("((ts div 1000) * 1000) div 3600000000000").as("hour_bucket"))
         .agg(count(lit(1)).as("n_events"),

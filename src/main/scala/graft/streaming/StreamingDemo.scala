@@ -20,13 +20,17 @@ object StreamingDemo {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stage.resolve("events.parquet"))
 
-    val schema = graft.Tables.table(spark, sfDir, "events").schema // sets nanosAsLong
+    val schema = graft.Tables.table(spark, sfDir, "events").schema // sets nanosAsLong + UTC tz
     val raw = spark.readStream.schema(schema).parquet(stage.toString)
 
-    // ts arrives as nanos-since-epoch long (nanosAsLong) → timestamp
-    val events = raw.select(
-      timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
-      col("event_type"), col("value"))
+    // ts arrives as nanos-since-epoch long (TIMESTAMP(NANOS) data under
+    // nanosAsLong) or as a timestamp type (MICROS data) — windowedStats
+    // wants a timestamp column either way
+    val tsCol =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros((col("ts") / 1000).cast("long"))
+      else col("ts").cast("timestamp")
+    val events = raw.select(tsCol.as("ts"), col("event_type"), col("value"))
     val winQ = StreamingOps.windowedStats(events, "6 hours", "6 hours", "1 hour")
       .writeStream.format("memory").queryName("win").outputMode("update")
       .option("checkpointLocation",
