@@ -370,7 +370,28 @@ object EtlQueries {
         |SELECT d.lang, count(*) AS n_docs,
         |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
         |FROM documents d JOIN keep k ON k.lang = d.lang
-        |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
+    Entry("props_json_stats",
+      // schema-on-read over the semi-structured props column: ONE
+      // from_json parse per row inside the scan stage (codegen'd, no UDF,
+      // no re-parse per extracted field — the get_json_object-per-field
+      // antipattern parses the document once per field), then a plain
+      // partial-aggregated rollup. The scalable shape for "events carry a
+      // JSON blob" at corpus scale: parse cost is linear in rows and the
+      // only exchange is the 5-key group-by.
+      (spark, dir) => Tables.table(spark, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+        |  min(CAST(props->>'k' AS INT)) AS min_k,
+        |  max(CAST(props->>'k' AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap
