@@ -396,4 +396,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
   case class Ev(ts: String, event_type: String, value: Double)
+
+  test("streaming partitioned parquet sink: hive dirs, exactly-once, prunable") {
+    import org.apache.spark.sql.functions.col
+    implicit val enc = Encoders.product[(Long, String, String)]
+    // the sink-side twin of the batch partitioned layout (Bucketing
+    // .writePartitioned): a stream lands as lang=xx/ directories through
+    // the transactional file sink, so a downstream batch reader gets the
+    // same directory pruning the batch writer would have produced —
+    // including across a restart replaying the same batch (exactly-once
+    // via the sink's _spark_metadata log, not writer idempotence)
+    val ms = MemoryStream[(Long, String, String)](spark)
+    val out = java.nio.file.Files.createTempDirectory("stream_part_").toString
+    val ck = tmpCheckpoint()
+    def start() = ms.toDF().toDF("doc_id", "lang", "text")
+      .writeStream.format("parquet").partitionBy("lang")
+      .option("path", out).option("checkpointLocation", ck).start()
+    val q = start()
+    try {
+      ms.addData((1L, "en", "a"), (2L, "de", "b"), (3L, "en", "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val q2 = start()
+    try {
+      ms.addData((4L, "fr", "d"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+      .filterNot(_ == "_spark_metadata").sorted
+    assert(dirs.toSeq == Seq("lang=de", "lang=en", "lang=fr"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 4, "restart must not duplicate rows (file-sink log)")
+    assert(back.where(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
 }
