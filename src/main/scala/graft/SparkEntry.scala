@@ -31,7 +31,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.TaQueries.queries ++ graft.queries.PatternQueries.queries ++
-      graft.queries.PipelineQueries.queries ++ graft.queries.EtlQueries.queries
+      graft.queries.PipelineQueries.queries ++ graft.queries.EtlQueries.queries ++
+      graft.queries.RelationalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible (recursive)
@@ -39,5 +40,6 @@ object SparkEntry {
     * scalatests instead. */
   def oracleSql: Map[String, String] =
     graft.queries.TaQueries.oracle ++ graft.queries.PatternQueries.oracle ++
-      graft.queries.PipelineQueries.oracle ++ graft.queries.EtlQueries.oracle
+      graft.queries.PipelineQueries.oracle ++ graft.queries.EtlQueries.oracle ++
+      graft.queries.RelationalQueries.oracle
 }

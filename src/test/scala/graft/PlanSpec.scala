@@ -444,4 +444,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val partsRead = scans.head.metrics("numPartitions").value
     assert(partsRead == 2, s"two lang directories after runtime pruning, got $partsRead")
   }
+
+  test("relational pricing summary pushes the date filter and prunes columns") {
+    val df = graft.queries.RelationalQueries
+      .queries("relational_pricing_summary")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val scans = physicalNodes(df.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a parquet scan of lineitem")
+    val meta = scans.head.metadata
+    // a CAST(ts AS DATE) predicate would leave PushedFilters empty — the
+    // direct timestamp comparison must reach the reader
+    assert(meta("PushedFilters").contains("LessThanOrEqual(l_shipdate"),
+      s"shipdate filter must push into parquet, got ${meta("PushedFilters")}")
+    // 7 of lineitem's 11 columns feed the rollup; the scan must not read
+    // the other 4
+    val read = scans.head.schema.fieldNames.toSet
+    assert(read == Set("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate"),
+      s"scan must read exactly the 7 needed columns, got $read")
+  }
 }
