@@ -107,7 +107,32 @@ object RelationalQueries {
         |  AND l_shipdate > TIMESTAMP '1995-03-15 23:59:59.999999'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey
-        |LIMIT 10""".stripMargin))
+        |LIMIT 10""".stripMargin)),
+
+    Entry("relational_rollup",
+      // ROLLUP subtotal lattice: (flag, status) → (flag) → grand total in
+      // ONE pass — Spark expands the grouping sets BEFORE the exchange,
+      // so partial aggregation still applies and no second job re-reads
+      // the table for subtotals. grouping_id disambiguates a real NULL
+      // key from a subtotal row; keys are COALESCEd to 'ALL' for a
+      // deterministic, engine-portable output shape.
+      (spark, dir) => Tables.table(spark, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          r6(sum(dec(col("l_quantity"))).cast("double")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("gid"), col("n"), col("sum_qty"))
+        .orderBy("gid", "returnflag", "linestatus"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6)+0.0 AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap
