@@ -388,6 +388,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("bucket-key aggregation reuses the write-time partitioning: zero exchanges") {
+    // the same property as the join, one hop earlier: a groupBy on the
+    // bucket column reads pre-hashed buckets and needs no exchange at all.
+    // Stages its own table so the test runs standalone.
+    val base = java.nio.file.Files.createTempDirectory("bkt_agg_plan_").toString
+    graft.etl.Bucketing.writeBucketed(
+      spark.range(0, 1000).select((col("id") % 50).as("user_id"),
+        (col("id") * 1.5).as("value")),
+      "plan_bkt_agg", s"$base/ev", "user_id", 4, Some("user_id"))
+    val agg = spark.table("plan_bkt_agg").groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    assert(countShuffleExchanges(agg) == 0,
+      "aggregation on the bucket key must not shuffle")
+    assert(agg.count() == 50)
+  }
+
   test("partitioned scan prunes to the selected partition directory") {
     val p = java.nio.file.Files.createTempDirectory("part_plan_").toString
     val d = docs(40).withColumn("lang",
