@@ -132,7 +132,36 @@ object RelationalQueries {
         |  ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6)+0.0 AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY gid, returnflag, linestatus""".stripMargin))
+        |ORDER BY gid, returnflag, linestatus""".stripMargin)),
+
+    Entry("relational_setops",
+      // INTERSECT / EXCEPT over key sets (set semantics, deduplicating —
+      // Spark plans them as left-semi/anti joins over distinct inputs, so
+      // they shuffle once on the key like any equi-join and broadcast
+      // when one side is small). Customers who placed an order before
+      // 1995 INTERSECT the BUILDING segment, EXCEPT those who also
+      // ordered on/after 1995-06 — three scans, two semi/anti joins,
+      // no driver-side set logic.
+      (spark, dir) => {
+        val before = Tables.table(spark, dir, "orders")
+          .where(col("o_orderdate") < lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+          .select(col("o_custkey").as("custkey"))
+        val building = Tables.table(spark, dir, "customer")
+          .where(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))
+        val late = Tables.table(spark, dir, "orders")
+          .where(col("o_orderdate") >= lit("1995-06-01 00:00:00").cast("timestamp_ntz"))
+          .select(col("o_custkey").as("custkey"))
+        before.intersect(building).except(late).orderBy("custkey")
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |ORDER BY custkey""".stripMargin))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap
