@@ -33,7 +33,12 @@ object PatternQueries {
     Patterns.cdldarkcloudcoverP(0.5, "cdldarkcloudcover_p50"),
     Patterns.cdlmorningstarP(0.5, "cdlmorningstar_p50"),
     Patterns.cdleveningstarP(0.5, "cdleveningstar_p50"),
-    Patterns.cdlpiercingP(0.5, "cdlpiercing_p50"))
+    Patterns.cdlpiercingP(0.5, "cdlpiercing_p50"),
+    // the remaining three wrappers with a `penetration` arg (reference
+    // pattern.py:60,144,298), registered at their documented defaults
+    Patterns.cdlabandonedbabyP(0.3, "cdlabandonedbaby_p30"),
+    Patterns.cdleveningdojistarP(0.3, "cdleveningdojistar_p30"),
+    Patterns.cdlmatholdP(0.5, "cdlmathold_p50"))
 
   private val allPatterns = Patterns.all ++ parameterized
 

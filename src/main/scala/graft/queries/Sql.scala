@@ -107,6 +107,17 @@ object Sql {
       s"$xs[${n + 1}:]", s"$xs[1:len($xs)-$n]",
       "(acc.list_1 - z.list_2) + z.list_1")} / $n END"
 
+  /** WMA replay over the last n values of xs — Kernels.wma's IEEE order:
+    * oldest-first accumulation of value·weight (weights 1..n, newest
+    * heaviest), then one division by n(n+1)/2. Zips the tail slice with a
+    * literal weight list so the fold visits values in kernel order. */
+  def wmaList(xs: String, n: Int): String = {
+    val weights = (1 to n).map(k => s"$k.0").mkString("[", ", ", "]")
+    s"CASE WHEN len($xs) >= $n THEN ${zipFold("0.0",
+      s"$xs[len($xs) - ${n - 1}:]", weights,
+      "acc.list_1 + z.list_1 * z.list_2")} / ${n * (n + 1) / 2}.0 END"
+  }
+
   /** Left fold with a DOUBLE accumulator over zip(newL, oldL). DuckDB's
     * list_reduce needs accumulator type == element type, so the scalar
     * accumulator rides in field list_1 of a struct. `rec` sees

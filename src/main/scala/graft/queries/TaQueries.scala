@@ -628,6 +628,15 @@ object TaQueries {
           |FROM $last $T""".stripMargin
       }),
 
+    Entry("ma_10_0",
+      // matype 0 = SMA through the dispatcher (overlap.rs:858) — the one
+      // arm that had no period-10 registry leg of its own. Same
+      // rolling-sum replay as ma_10_7 (the SMA stub): both arms call
+      // Kernels.sma, so both need smaRollList, not avg() OVER.
+      recQ("ma")(df => Recursive.ma(df, "close", 10, 0, out = "ma")),
+      Some(s"""$B, $closeList
+        |SELECT symbol, ord, ${Sql.r6(Sql.smaRollList("xs", 10), "ma")} FROM l $T""".stripMargin)),
+
     Entry("trima_10",
       frameQ("trima" -> (w => Frames.trima(col("close"), 10)(w))),
       // n=10 → inner SMA(5), outer SMA(6) (overlap.rs:1313-1326)
@@ -854,6 +863,25 @@ object TaQueries {
         |  SELECT symbol, ord, dif, ${Sql.filt("dif")} AS ds FROM t WINDOW ${Sql.wcDef}
         |), t2 AS (
         |  SELECT symbol, ord, dif, ${Sql.smaRollList("ds", 9)} AS sig FROM tl
+        |)
+        |SELECT symbol, ord, ${Sql.r6("dif", "macd")}, ${Sql.r6("sig", "macd_signal")},
+        |  ${Sql.r6("dif - sig", "macd_hist")}
+        |FROM t2 $T""".stripMargin)),
+
+    Entry("macdext_ema_wma",
+      // cross-matype composition through the dispatcher — fast=EMA(12),
+      // slow=WMA(26), signal=EMA(9), per-leg matype per momentum.py:83-88.
+      // Gates the per-leg dispatch path macdext_sma (all-SMA) cannot see.
+      recQ("macd", "macd_signal", "macd_hist")(df =>
+        Recursive.macdext(df, "close", 12, 1, 26, 2, 9, 1)),
+      Some(s"""$B, $closeList, t AS (
+        |  SELECT symbol, ord,
+        |    ${Sql.emaList("xs", 12)} - ${Sql.wmaList("xs", 26)} AS dif
+        |  FROM l
+        |), tl AS (
+        |  SELECT symbol, ord, dif, ${Sql.filt("dif")} AS ds FROM t WINDOW ${Sql.wcDef}
+        |), t2 AS (
+        |  SELECT symbol, ord, dif, ${Sql.emaList("ds", 9)} AS sig FROM tl
         |)
         |SELECT symbol, ord, ${Sql.r6("dif", "macd")}, ${Sql.r6("sig", "macd_signal")},
         |  ${Sql.r6("dif - sig", "macd_hist")}

@@ -80,6 +80,20 @@ object Patterns {
       bear(b1) && longBody(b1) && doji(b2) && (b2.h < b1.l) && bull(cur) && (cur.l > b2.h),
       bull(b1) && longBody(b1) && doji(b2) && (b2.l > b1.h) && bear(cur) && (cur.h < b2.l)) }
 
+  /** Parameterized abandoned baby — the reference wrapper (pattern.py:60)
+    * takes `penetration` (default 0.3) but its kernel ignores it
+    * (pattern.rs:268-306). We pin the standard TA-Lib semantics
+    * (ta_CDLABANDONEDBABY.c): on top of the default instance's strict
+    * high/low gaps, the third bar must close more than pen·body1 beyond
+    * the first bar's close. */
+  def cdlabandonedbabyP(pen: Double = 0.3, name: String = "cdlabandonedbaby_p"): Pattern = {
+    val b1 = Bar(2); val b2 = Bar(1)
+    p(name, 2,
+      bear(b1) && longBody(b1) && doji(b2) && (b2.h < b1.l) && bull(cur) && (cur.l > b2.h) &&
+        (cur.c > (b1.c + (bodyAbs(b1) * num(pen)))),
+      bull(b1) && longBody(b1) && doji(b2) && (b2.l > b1.h) && bear(cur) && (cur.h < b2.l) &&
+        (cur.c < (b1.c - (bodyAbs(b1) * num(pen))))) }
+
   // pattern.rs:309-342 (advance block is a bearish warning: −100)
   val cdladvanceblock: Pattern = { val b1 = Bar(2); val b2 = Bar(1)
     pBear("cdladvanceblock", 2,
@@ -295,6 +309,21 @@ object Patterns {
       bull(b1) && longBody(b1) && shortBody(b2) && (b2.o > b1.c) &&
         shortBody(b3) && shortBody(b4) &&
         (b2.l > b1.o) && (b3.l > b1.o) && (b4.l > b1.o) &&
+        bull(cur) && (cur.c > b1.c)) }
+
+  /** Parameterized mat hold — the reference wrapper (pattern.py:298) takes
+    * `penetration` (default 0.5) but its kernel ignores it
+    * (pattern.rs:1375-1412). We pin the standard TA-Lib hold level
+    * (ta_CDLMATHOLD.c): the three small bars' lows must stay above
+    * close1 − pen·body1. The default instance's fixed predicate (lows
+    * above open1) is the pen→1 limit of this. */
+  def cdlmatholdP(pen: Double = 0.5, name: String = "cdlmathold_p"): Pattern = {
+    val b1 = Bar(4); val b2 = Bar(3); val b3 = Bar(2); val b4 = Bar(1)
+    val hold = b1.c - (bodyAbs(b1) * num(pen))
+    pBull(name, 4,
+      bull(b1) && longBody(b1) && shortBody(b2) && (b2.o > b1.c) &&
+        shortBody(b3) && shortBody(b4) &&
+        (b2.l > hold) && (b3.l > hold) && (b4.l > hold) &&
         bull(cur) && (cur.c > b1.c)) }
 
   // pattern.rs:1415-1450

@@ -90,6 +90,36 @@ class SparkTaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(patternValues(Patterns.cdlmorningstarP(0.5), rows) == Seq(0, 0, 0))
   }
 
+  test("penetration parameter gates the abandoned-baby reversal depth") {
+    // b1 bear body 10 (110→100); doji gaps below b1.l; cur gaps back up
+    // and closes at 104 = 40% recovery: fires at pen 0.3 (c > 103), not
+    // at 0.5 (c > 105); the fixed default instance has no depth term.
+    val rows = Seq(
+      (110.0, 111.0, 99.0, 100.0),
+      (95.0, 95.5, 94.5, 95.02),      // doji, high 95.5 < b1.l 99
+      (96.0, 106.0, 95.6, 104.0)      // bull, low 95.6 > doji high
+    )
+    assert(patternValues(Patterns.cdlabandonedbaby, rows) == Seq(0, 0, 100))
+    assert(patternValues(Patterns.cdlabandonedbabyP(0.3), rows) == Seq(0, 0, 100))
+    assert(patternValues(Patterns.cdlabandonedbabyP(0.5), rows) == Seq(0, 0, 0))
+  }
+
+  test("penetration parameter sets the mat-hold hold level") {
+    // b1 bull body 10 (100→110); three small bars with lows at 103: above
+    // the fixed instance's hold (open1 = 100) but below the pen=0.5 hold
+    // (close1 − 5 = 105); raising the lows to 106 satisfies both.
+    def rows(lo: Double) = Seq(
+      (100.0, 110.5, 99.5, 110.0),
+      (111.0, 112.0, lo, 110.6),
+      (110.0, 111.0, lo, 110.4),
+      (110.0, 111.0, lo, 110.5),
+      (108.0, 116.0, 107.5, 115.0)
+    )
+    assert(patternValues(Patterns.cdlmathold, rows(103.0)) == Seq(0, 0, 0, 0, 100))
+    assert(patternValues(Patterns.cdlmatholdP(0.5), rows(103.0)) == Seq(0, 0, 0, 0, 0))
+    assert(patternValues(Patterns.cdlmatholdP(0.5), rows(106.0)) == Seq(0, 0, 0, 0, 100))
+  }
+
   test("cdl3whitesoldiers fires on three long advancing bulls") {
     val rows = Seq(
       (100.0, 110.2, 99.9, 110.0),
