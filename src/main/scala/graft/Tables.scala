@@ -28,6 +28,11 @@ object Tables {
     // TIMESTAMP cast (eventsNs) is a deterministic identity on the wall
     // clock — the same convention DuckDB's epoch_ns applies to naive
     // timestamps, so both engines agree on the epoch value.
+    // NOTE: this mutates SESSION-GLOBAL state on every table read — a
+    // deliberate repo-wide convention (every query in this library is
+    // tz-invariant or assumes UTC); callers embedding this library next
+    // to session-tz-dependent code should set their tz after, not
+    // before, the first table() call.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$dir/$name.parquet")

@@ -34,23 +34,35 @@ object EtlQueries {
     * the storage-side answer to "this join shuffles 100 TB every night".
     */
   private val bucketedDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-  private def bucketedTablesFor(spark: SparkSession, dir: String): (String, String) =
-    bucketedDirs.computeIfAbsent(dir, d => {
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+  private def buildBucketed(spark: SparkSession, dir: String, base: String,
+                            evT: String, usrT: String): Unit = {
+    val ev = Tables.table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val usr = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      // DECIMAL sum: exact ⇒ order-independent, so Spark's partial-agg
+      // order and DuckDB's scan order can't disagree at 6 decimals
+      r6(sum(col("value").cast("decimal(38,12)")).cast("double")).as("total_value"))
+    graft.etl.Bucketing.writeBucketed(ev, evT, s"$base/ev", "user_id", 8, Some("user_id"))
+    graft.etl.Bucketing.writeBucketed(usr, usrT, s"$base/usr", "user_id", 8, Some("user_id"))
+  }
+  private def bucketedTablesFor(spark: SparkSession, dir: String): (String, String) = {
+    val (evT, usrT, base) = bucketedDirs.computeIfAbsent(dir, d => {
       val tag = (d.hashCode & 0x7fffffff).toHexString
-      val base = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
-      val ev = Tables.table(spark, d, "events")
-        .select(col("event_id"), col("user_id"), col("value"))
-      val usr = ev.groupBy("user_id").agg(
-        count(lit(1)).as("n_events"),
-        // DECIMAL sum: exact ⇒ order-independent, so Spark's partial-agg
-        // order and DuckDB's scan order can't disagree at 6 decimals
-        r6(sum(col("value").cast("decimal(38,12)")).cast("double")).as("total_value"))
-      val evT = s"graft_bkt_ev_$tag"; val usrT = s"graft_bkt_usr_$tag"
-      graft.etl.Bucketing.writeBucketed(ev, evT, s"$base/ev", "user_id", 8, Some("user_id"))
-      graft.etl.Bucketing.writeBucketed(usr, usrT, s"$base/usr", "user_id", 8, Some("user_id"))
-      (evT, usrT)
+      val b = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+      (s"graft_bkt_ev_$tag", s"graft_bkt_usr_$tag", b)
     })
+    // Table NAMES live in the in-memory catalog of the session that made
+    // them; the data paths outlive it. A fresh SparkSession in the same
+    // JVM (driver smoke-run, then a new session) hits the JVM-global
+    // cache but has an empty catalog — re-run the bucketed write into the
+    // cached location so the names resolve again (build-once per session,
+    // same pattern as the path-cached IVF index).
+    if (!spark.catalog.tableExists(evT) || !spark.catalog.tableExists(usrT))
+      buildBucketed(spark, dir, base, evT, usrT)
+    (evT, usrT)
+  }
 
   private val bucketedJoinQ: Q = (spark, dir) => {
     val (evT, usrT) = bucketedTablesFor(spark, dir)
@@ -354,7 +366,10 @@ object EtlQueries {
         val total = Tables.documents(spark, dir).count()
         val dim = Tables.documents(spark, dir)
           .groupBy("lang").agg(count(lit(1)).as("n"))
-          .where(col("n") < lit(0.17) * lit(total))
+          // integral on both engines: n·100 < 17·total in BIGINT, so an
+          // exact-boundary count can't straddle a DOUBLE-vs-DECIMAL
+          // rounding of 0.17·total between Spark and the oracle
+          .where(col("n") * lit(100L) < lit(17L) * lit(total))
           .select(col("lang"))
         facts.join(broadcast(dim), Seq("lang"))
           .groupBy("lang")
@@ -365,7 +380,7 @@ object EtlQueries {
       Some("""WITH c AS (
         |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
         |), keep AS (
-        |  SELECT lang FROM c WHERE n < 0.17 * (SELECT count(*) FROM documents)
+        |  SELECT lang FROM c WHERE n * 100 < 17 * (SELECT count(*) FROM documents)
         |)
         |SELECT d.lang, count(*) AS n_docs,
         |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars

@@ -388,6 +388,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("bucketed registry query recovers when the catalog loses its tables") {
+    // the JVM-global build-once cache stores table NAMES whose catalog
+    // entries die with the session that made them; a later session must
+    // re-register, not throw TABLE_OR_VIEW_NOT_FOUND. Simulated here by
+    // dropping the names from the live catalog between two invocations.
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.SparkEntry.queries("bucketed_join")
+    val n1 = q(spark, dir).count()
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_bkt_")).foreach(t => spark.sql(s"DROP TABLE `$t`"))
+    assert(q(spark, dir).count() == n1)
+  }
+
   test("bucket-key aggregation reuses the write-time partitioning: zero exchanges") {
     // the same property as the join, one hop earlier: a groupBy on the
     // bucket column reads pre-hashed buckets and needs no exchange at all.
