@@ -471,21 +471,85 @@ object Dedup {
     * algorithm change): spans appearing in ≥ `minDocs` DISTINCT documents,
     * with their document frequencies.
     *
-    * Scale: `array_distinct` before the explode caps a span's rows at one
-    * per containing doc; `countDistinct` plans as two hash aggregates keyed
-    * (gram, id) then (gram) — the first exchange is spread by the id
-    * component, so a corpus-wide hot span never funnels through one
-    * reducer as raw occurrences. */
+    * Scale: at corpus scale most k-grams are SINGLETONS (the long tail),
+    * so a direct groupBy on gram strings shuffles ~k× the text volume
+    * mostly to count things to 1 and discard them. This runs two legs
+    * instead: (1) doc-frequency per 8-byte span FINGERPRINT — the only
+    * corpus-wide exchange, narrow keys, map-side partials — filtered to
+    * ≥ `minDocs`; (2) a second scan recovers the STRINGS of surviving
+    * spans only (fp→gram zip, broadcast-semi-joined against the frequent
+    * set inside the scan stage) and recounts per gram exactly. The
+    * recount makes the result exact under any fp behavior: a colliding
+    * fp can only ADD a candidate (its count is the union's), never drop
+    * a frequent gram, and the final `HAVING` re-applies `minDocs` per
+    * STRING. The frequent set is bounded by totalSpans/minDocs (the
+    * spanBoilerplateStats broadcast bound). Trade: one extra scan of the
+    * text column buys removal of the long tail from the wide shuffle —
+    * at 100 TB the tail is nearly the whole corpus.
+    *
+    * `array_distinct` before each explode keeps (gram, doc) pairs
+    * distinct by construction, so both doc-frequency legs are plain
+    * algebraic counts — no countDistinct re-distinct pass, no hot-gram
+    * funnel of raw occurrences. */
   def frequentSpans(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                    k: Int = 3, minDocs: Int = 2): DataFrame =
-    // (gram, doc) pairs are DISTINCT BY CONSTRUCTION (array_distinct runs
-    // per doc before the explode), so document frequency is a plain
-    // count(*) — algebraic, map-side partial, no hot-gram funnel — where
-    // countDistinct would pay a second distinct-aggregation pass to
-    // re-establish a distinctness the input already has
-    docs.select(col(idCol), explode(array_distinct(shingles(col(textCol), k))).as("gram"))
+                    k: Int = 3, minDocs: Int = 2,
+                    fpPrefilter: Boolean = true): DataFrame = {
+    val direct = docs
+      .select(col(idCol), explode(array_distinct(shingles(col(textCol), k))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+    if (!fpPrefilter) direct
+    else {
+      // xxhash64 of the gram STRING, not the poly rolling hash: on
+      // structured corpora (arithmetic-progression tokens, templated
+      // ids) the polynomial family collides systematically — measured
+      // 36k correlated collisions on a 40M-gram synthetic — while
+      // xxhash64's avalanche keeps collisions at the ~2^-64 birthday
+      // floor. Collisions here cost only superset looseness (the
+      // recount re-applies minDocs per STRING), but a tight candidate
+      // set is the whole point of the prefilter.
+      val freqFps = docs
+        .select(explode(array_distinct(
+          transform(shingles(col(textCol), k), g => xxhash64(g)))).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select("fp")
+      val pairs = array_distinct(transform(shingles(col(textCol), k),
+        g => struct(g.as("gram"), xxhash64(g).as("fp"))))
+      docs.select(explode(pairs).as("p"))
+        .select(col("p.gram").as("gram"), col("p.fp").as("fp"))
+        .join(broadcast(freqFps), Seq("fp"), "left_semi")
+        .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= minDocs)
+    }
+  }
+
+  /** Sampled gram-regime probe: the fraction of gram INSTANCES that are
+    * distinct on a deterministic ~1/`sampleMod` document sample. Near 1
+    * means singleton-dominated (web-text regime — the long tail can't be
+    * collapsed map-side, fp prefiltering pays); low means
+    * repeated-vocabulary (template corpora — partials collapse the
+    * string shuffle on their own, the direct path is cheaper). The
+    * sketch cardinality is a dispatch heuristic only — BOTH dispatch
+    * targets are exact, so its ±2% error moves cost, never answers. */
+  private[pipeline] def singletonDominated(docs: DataFrame, gramsExpr: Column,
+      idCol: String, sampleMod: Int = 101, threshold: Double = 0.5): Boolean = {
+    val r = docs.where(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+      .select(explode(gramsExpr).as("g"))
+      .agg(count(lit(1)).as("n"), approx_count_distinct(col("g")).as("d"))
+      .head()
+    r.getLong(0) > 0 && r.getLong(1).toDouble / r.getLong(0) >= threshold
+  }
+
+  /** Regime-dispatched [[frequentSpans]]: probe a ~1% doc sample, then
+    * run the fp-prefiltered plan on singleton-dominated corpora and the
+    * direct string groupBy on repeated-vocabulary ones. Results are
+    * identical either way; only the shuffle shape differs. */
+  def frequentSpansAuto(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", k: Int = 3,
+                        minDocs: Int = 2): DataFrame =
+    frequentSpans(docs, textCol, idCol, k, minDocs,
+      fpPrefilter = singletonDominated(docs, shingles(col(textCol), k), idCol))
 
   /** Per-document boilerplate exposure: how many of a doc's distinct
     * k-gram spans are corpus-frequent ([[frequentSpans]] members on

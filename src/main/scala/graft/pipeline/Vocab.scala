@@ -238,6 +238,104 @@ object Vocab {
           .otherwise(col("__ids")).as("ids"))
   }
 
+  /** Fingerprint-prefiltered exact n-gram top-k — same contract and same
+    * result as [[ngramTopK]]`(exactDocFreq = true)`, restructured so gram
+    * STRINGS never ride the corpus-wide shuffle. At corpus scale most
+    * n-grams are singletons, so the direct string groupBy shuffles ~n×
+    * the text volume mostly to count tail grams to 1 and discard them.
+    *
+    * Two passes: (1) occurrence counts per 8-byte gram fingerprint — the
+    * only corpus-wide exchange, narrow keys, map-side partials; one
+    * BOUNDED driver collect (≤ maxCandidates+1 (fp, count) rows, the
+    * [[MaxLiteralVocab]] convention) yields the k-th count and every fp
+    * at-or-above it. (2) a second scan recovers strings for candidate
+    * fps only — a plan-literal InSet probe inside the scan stage, no
+    * join — and recounts occurrences + exact doc frequency per STRING,
+    * so the ranking and tiebreak are computed on true per-gram values.
+    * Candidates are k plus count-ties at the threshold; if ties overflow
+    * the collect bound (degenerate near-all-singleton corpora, where no
+    * prefilter can help) it falls back to the direct path. Trade: one
+    * extra text-column scan buys the long tail's removal from the wide
+    * shuffle — the same trade [[graft.pipeline.Dedup.frequentSpans]]
+    * makes, and the right one whenever shuffle IO prices above scan IO. */
+  def ngramTopKFp(docs: DataFrame, n: Int, k: Int,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  maxCandidates: Int = MaxLiteralVocab): DataFrame = {
+    require(n >= 2, "use topK for single tokens")
+    val toks = Dedup.tokens(col(textCol))
+    val grams = Repetition.ngrams(toks, n)
+    // xxhash64 of the gram STRING (not the poly rolling hash, whose
+    // structured-input collisions measurably inflate fp counts — see
+    // Dedup.frequentSpans). An fp count can only sit AT or ABOVE its
+    // gram's true count, which the exactness argument below leans on.
+    val fpCounts = docs.select(explode(transform(grams, g => xxhash64(g))).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n_occ"))
+    // two-phase candidate collect: a TakeOrdered heap of `limit` entries
+    // costs every input row a log(limit) tuple comparison, so probe with
+    // a small slack first (covers ordinary tie counts) and escalate to
+    // the full literal bound only when ties overflow it
+    def headAt(limit: Int): Array[org.apache.spark.sql.Row] =
+      fpCounts.orderBy(col("n_occ").desc, col("fp")).limit(limit + 1).collect()
+    // a collect at `limit` is complete when it was exhaustive (≤ limit
+    // rows came back for a limit+1 ask) or when the k-th count's ties
+    // are strictly inside it (the last row sorts below the threshold)
+    def complete(h: Array[org.apache.spark.sql.Row], limit: Int): Boolean =
+      h.length <= limit || h.last.getLong(1) < h(k - 1).getLong(1)
+    val slack = math.max(k, math.min(8 * k, maxCandidates))
+    val probe = headAt(slack)
+    val (head, lim) =
+      if (complete(probe, slack) || slack >= maxCandidates) (probe, slack)
+      else (headAt(maxCandidates), maxCandidates)
+    val thresh = if (head.length <= k) Long.MinValue else head(k - 1).getLong(1)
+    val cand = head.takeWhile(r => head.length <= k || r.getLong(1) >= thresh)
+      .map(_.getLong(0))
+    lazy val direct = ngramTopK(docs, n, k, exactDocFreq = true, textCol, idCol)
+    if (head.isEmpty || !complete(head, lim)) direct
+    else {
+      // pass 2: only candidate grams' occurrences reach the string-keyed
+      // aggregation (plan-literal InSet probe inside the scan — no join).
+      // Every gram with true count ≥ thresh IS a candidate (its fp count
+      // is at least its true count), so the recount sees the complete
+      // ≥-thresh population and ranks it on TRUE per-string values.
+      val pairs = transform(grams, g => struct(g.as("gram"), xxhash64(g).as("fp")))
+      val res = docs.select(col(idCol), explode(pairs).as("p"))
+        .select(col(idCol), col("p.gram").as("token"), col("p.fp").as("fp"))
+        .where(col("fp").isin(cand.toSeq: _*))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_occurrences"), countDistinct(col(idCol)).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("token").asc)
+        .limit(k)
+      val rows = res.collect()
+      // exactness gate: with ≥ k recounted grams at-or-above thresh, no
+      // non-candidate gram can rank top-k (each has true count < thresh
+      // — else its fp would be a candidate). An fp collision among the
+      // heavy hitters could inflate thresh past the true k-th count and
+      // starve the recount below k; vanishingly unlikely under xxhash64,
+      // and detected here deterministically → direct path.
+      val exact = rows.length >= k && rows.lastOption.forall(_.getLong(1) >= thresh)
+      if (exact || head.length <= k)
+        docs.sparkSession.createDataFrame(
+          docs.sparkSession.sparkContext.parallelize(rows.toSeq, 1), res.schema)
+      else direct
+    }
+  }
+
+  /** Regime-dispatched exact n-gram top-k: probe a ~1% doc sample
+    * ([[Dedup.singletonDominated]]), then run [[ngramTopKFp]] on
+    * singleton-dominated corpora (web-text regime — the fp prefilter
+    * keeps the long tail off the wide shuffle) and the direct
+    * [[ngramTopK]]`(exactDocFreq = true)` on repeated-vocabulary ones
+    * (template regime — map-side partials already collapse the string
+    * shuffle, and a degenerate near-all-singleton TOP-k would make the
+    * fp path pay its pass 1 only to fall back). Identical results either
+    * way. */
+  def ngramTopKAuto(docs: DataFrame, n: Int, k: Int,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    if (Dedup.singletonDominated(docs,
+        Repetition.ngrams(Dedup.tokens(col(textCol)), n), idCol))
+      ngramTopKFp(docs, n, k, textCol, idCol)
+    else ngramTopK(docs, n, k, exactDocFreq = true, textCol, idCol)
+
   private def rank(units: DataFrame, k: Int, exactDocFreq: Boolean,
                    idCol: String): DataFrame = {
     val docFreq =

@@ -712,10 +712,32 @@ object PipelineQueries {
 
     Entry("frequent_spans",
       // corpus-frequent 3-gram spans (C4-style boilerplate detection on
-      // flat text): top-50 by document frequency. TakeOrdered path — the
-      // LIMIT prunes partially per partition, no global sort.
+      // flat text): top-50 by document frequency, regime-dispatched — a
+      // sampled probe picks the direct string groupBy on this
+      // repeated-vocabulary corpus and the fp-prefiltered plan on
+      // singleton-dominated ones (GramBench measures the 2×+ shuffle cut
+      // there). TakeOrdered path — the LIMIT prunes per partition.
       (spark, dir) =>
-        Dedup.frequentSpans(Tables.documents(spark, dir), minDocs = 2)
+        Dedup.frequentSpansAuto(Tables.documents(spark, dir), minDocs = 2)
+          .orderBy(col("n_docs").desc, col("gram")).limit(50),
+      Some(
+        s"""WITH ${DedupSql.tokCte}, ${DedupSql.shCte},
+          |g AS (SELECT doc_id, unnest(list_distinct(sh)) AS gram FROM sh),
+          |c AS (SELECT gram, count(DISTINCT doc_id) AS n_docs FROM g
+          |      GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+          |SELECT gram, CAST(n_docs AS BIGINT) AS n_docs FROM c
+          |ORDER BY n_docs DESC, gram LIMIT 50""".stripMargin)),
+
+    Entry("frequent_spans_fp",
+      // the fp-prefiltered leg pinned explicitly against the SAME oracle:
+      // doc frequency per 8-byte xxhash64 gram fingerprint (the only
+      // corpus-wide exchange), then a second scan recovers and recounts
+      // the surviving grams per STRING — exact under any fp behavior
+      // (collisions only widen the candidate set; the final HAVING
+      // re-applies minDocs on true per-gram counts).
+      (spark, dir) =>
+        Dedup.frequentSpans(Tables.documents(spark, dir), minDocs = 2,
+            fpPrefilter = true)
           .orderBy(col("n_docs").desc, col("gram")).limit(50),
       Some(
         s"""WITH ${DedupSql.tokCte}, ${DedupSql.shCte},
@@ -1321,12 +1343,32 @@ object PipelineQueries {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     Entry("bigram_top100",
-      // word-bigram vocabulary (Vocab.ngramTopK): per-row gram
-      // construction — no token-table self-join — then the same
-      // TakeOrdered ranking as vocab_top100; exact doc frequency for the
-      // oracle, approx HLL being the corpus-scale default.
-      (spark, dir) => Vocab.ngramTopK(Tables.documents(spark, dir), n = 2,
-        k = 100, exactDocFreq = true),
+      // word-bigram vocabulary, regime-dispatched (Vocab.ngramTopKAuto):
+      // a sampled probe picks the direct TakeOrdered ranking on this
+      // repeated-vocabulary corpus and the fingerprint-prefiltered exact
+      // path on singleton-dominated ones; exact doc frequency either
+      // way, same oracle.
+      (spark, dir) => Vocab.ngramTopKAuto(Tables.documents(spark, dir), n = 2,
+        k = 100),
+      Some("""WITH g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(lst) >= 2 THEN
+        |      list_transform(generate_series(1, len(lst)-1), i -> lst[i] || ' ' || lst[i+1])
+        |    ELSE [] END) AS token
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS lst
+        |        FROM documents)
+        |)
+        |SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin)),
+
+    Entry("bigram_top100_fp",
+      // the fingerprint-prefiltered leg pinned explicitly against the
+      // SAME oracle: occurrence counts per 8-byte xxhash64 gram fp (the
+      // only corpus-wide exchange; two-phase bounded candidate collect),
+      // then a second scan recounts candidate grams per STRING — with a
+      // deterministic exactness gate that falls back to the direct path
+      // if fp collisions ever starve the threshold population.
+      (spark, dir) => Vocab.ngramTopKFp(Tables.documents(spark, dir), n = 2,
+        k = 100),
       Some("""WITH g AS (
         |  SELECT doc_id, unnest(CASE WHEN len(lst) >= 2 THEN
         |      list_transform(generate_series(1, len(lst)-1), i -> lst[i] || ' ' || lst[i+1])

@@ -1366,6 +1366,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(short.getInt(1) == 1 && short.getInt(2) == 0)
   }
 
+  test("fp-prefiltered gram paths equal the direct ones in every regime") {
+    // zipfian: common head + unique tail (the web-text regime the fp
+    // path targets), with count ties at the top-k boundary
+    val zipf = docs((0 until 400).map { i =>
+      i.toLong -> ((0 until 12).map { w =>
+        val h = (i * 12 + w) * 2654435761L % 99999989L
+        if (h % 10 < 3) s"c${(h / 10) % 12}" else s"w$h"
+      }.mkString(" ") + (if (i % 20 == 0) " terms of service apply here" else ""))
+    }: _*)
+    // degenerate: all-singleton grams — threshold 1, tie overflow; the
+    // fp top-k must detect it and fall back, still exact
+    val singleton = docs((0 until 200).map { i =>
+      i.toLong -> (0 until 8).map(w => s"u${i * 8 + w}").mkString(" ")
+    }: _*)
+    for (d <- Seq(zipf, singleton)) {
+      val direct = Dedup.frequentSpans(d, minDocs = 2, fpPrefilter = false)
+        .orderBy(col("n_docs").desc, col("gram")).collect().toSeq
+      val fp = Dedup.frequentSpans(d, minDocs = 2)
+        .orderBy(col("n_docs").desc, col("gram")).collect().toSeq
+      assert(fp == direct)
+      val dk = Vocab.ngramTopK(d, n = 2, k = 25, exactDocFreq = true).collect().toSeq
+      assert(Vocab.ngramTopKFp(d, n = 2, k = 25).collect().toSeq == dk)
+      assert(Vocab.ngramTopKAuto(d, n = 2, k = 25).collect().toSeq == dk)
+    }
+    // repeated-vocabulary corpus: auto dispatch must still be exact
+    val rep = docs((0 until 100).map(i => i.toLong -> "a b c d e f g"): _*)
+    assert(Dedup.frequentSpansAuto(rep, minDocs = 2).orderBy("gram").collect().toSeq ==
+      Dedup.frequentSpans(rep, minDocs = 2, fpPrefilter = false)
+        .orderBy("gram").collect().toSeq)
+  }
+
   test("dedupDocTokens keeps first occurrences in order, zero shuffles") {
     val out = Dedup.dedupDocTokens(docs(1L -> "B a b A c a", 2L -> "x")).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
