@@ -116,8 +116,15 @@ object Dedup {
     // (bucketing + both sides of the pair-verify). Under memory pressure at
     // 100 TB, MEMORY_ONLY silently evicts and recomputes the shingle+minhash
     // pass per join; spilling the overflow to local disk is strictly cheaper.
-    val rawSig = minhashSignatures(docs, textCol, idCol, numPerms, shingleK, portable)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // storage-level guard: a re-entrant call with the same corpus/args
+    // builds an IDENTICAL logical plan, which CacheManager would match
+    // and warn about ("already cached") — reuse the live entry instead,
+    // so that warning stays a real finding when it appears
+    val sigPlan = minhashSignatures(docs, textCol, idCol, numPerms, shingleK, portable)
+    val rawSig =
+      if (sigPlan.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        sigPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigPlan
     val (sig, identityEdges) =
       if (!collapseIdentical) (rawSig, None)
       else {

@@ -216,9 +216,13 @@ object Similarity {
           lit(graft.functions.TextHashes.polyB(8192L))) % lit(P)
       else xxhash64(col(idCol))
     // the build phase runs 1 + lloydIters actions over the same projection
-    // — cache it so parquet is read once, not per action
-    val c = corpus.select(seedHash.as("h"), col(idCol).cast("long").as("sid"),
-      asDouble(col(vecCol)).as("v")).cache()
+    // — cache it so parquet is read once, not per action. Storage-level
+    // guarded: a re-entrant build over the same corpus would otherwise
+    // re-cache an identical plan and draw the CacheManager warning.
+    val cPlan = corpus.select(seedHash.as("h"), col(idCol).cast("long").as("sid"),
+      asDouble(col(vecCol)).as("v"))
+    val cWasCached = cPlan.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val c = if (cWasCached) cPlan else cPlan.cache()
     try {
       // secondary sort on id: limit-under-ties must be deterministic for
       // the oracle (XXH64 never collides in practice, the poly hash can)
@@ -239,7 +243,7 @@ object Similarity {
         cents = cents.indices.map(i => means.getOrElse(i + 1, cents(i))).toArray
       }
       cents
-    } finally c.unpersist(blocking = false)
+    } finally if (!cWasCached) c.unpersist(blocking = false)
   }
 
   /** The Lloyd refinement sample. Two modes:

@@ -159,18 +159,22 @@ object Vocab {
     * map-side; the top-k compiles to TakeOrderedAndProject; the
     * row_number window then runs over the ALREADY-LIMITED set — k rows
     * on one partition is bounded by construction (it is the vocabulary,
-    * not the corpus), so the single-partition window is not a scale
-    * hazard. */
+    * not the corpus). The id comes from a single-partition in-order
+    * index (coalesce + sortWithinPartitions + monotonically_increasing_id
+    * — partition 0, so the raw id IS the row index), not a global
+    * row_number window: same execution shape, but WindowExec's "No
+    * Partition Defined" warning stays reserved for windows that are
+    * global over UNBOUNDED input — so when that warning appears in a
+    * bench tail it is a real finding, not noise. */
   def assignIds(docs: DataFrame, vocabSize: Int,
-                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(explode(Dedup.tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("token").asc).limit(vocabSize)
-      .withColumn("id", row_number().over(
-        Window.orderBy(col("n_occurrences").desc, col("token").asc)).cast("int"))
-  }
+      .coalesce(1)
+      .sortWithinPartitions(col("n_occurrences").desc, col("token").asc)
+      .withColumn("id", (monotonically_increasing_id() + 1).cast("int"))
 
   /** Default cutover from the plan-literal encode to the join-based one:
     * ~64k entries is the upper end of the vocabularies that are cheaper
