@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-point harness (round 11): re-run the top-wall registry queries
+  * on a ×N replica of the sf0.1 pipeline tables, recording wall time AND
+  * per-query shuffle bytes from task metrics. The ≤sf0.1 scaling slopes
+  * are dominated by fixed plan/JVM overhead on 0.3–5 s queries; this adds
+  * the point where DATA dominates, which is the regime that predicts
+  * 100× behavior — and shuffle bytes are captured because they, not
+  * wall, are the metric a 1000-executor cluster actually pays for.
+  *
+  * The replica preserves every distribution instead of naively copying
+  * rows (which would graft an artificial exact-duplicate structure onto
+  * the corpus and blow up pair-finding out of distribution):
+  *  - documents: per (copy, doc) the WORDS are deterministically
+  *    permuted (position-keyed xxhash64 sort), so length/vocab/word-freq
+  *    and lang/source joints are identical but shingle sets across
+  *    copies are unrelated — near-dup density per doc-PAIR stays at the
+  *    corpus's own level;
+  *  - events: ids and users shift per copy (10× users, same 30-day
+  *    window → same per-user event density; series per symbol get ×N
+  *    longer, which is the regime the chunked-EMA path targets);
+  *  - embeddings: per-component deterministic jitter (±5e-4) keeps the
+  *    spatial distribution while breaking exact duplication.
+  *
+  * Usage: runMain graft.ScaleBench [mult] [query ...]
+  * The replica is generated once per mult into /tmp/graft_scale_x<mult>
+  * and reused (delete the dir to regenerate).
+  */
+object ScaleBench {
+  val DefaultQueries: Seq[String] = Seq(
+    "align_grid", "align_grid_backward", "minhash_pairs", "pack_filtered",
+    "source_overlap", "repetition_stats", "ema_20_auto", "frequent_spans",
+    "ann_ivf_top5", "text_quality")
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val queries = if (args.length > 1) args.drop(1).toSeq else DefaultQueries
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = s"/tmp/graft_scale_x$mult"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          shuffleBytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def drained(): Long = {
+      var last = -1L; var stable = 0; var waited = 0
+      while (stable < 3 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val cur = shuffleBytes.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      shuffleBytes.get()
+    }
+
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/_DONE")))
+      generate(spark, base, out, mult)
+
+    // same warmups as Bench: tables + window/overSeries machinery
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Tables.bars(spark, out).limit(1).collect()
+    Tables.documents(spark, out).limit(1).collect()
+    Tables.embeddings(spark, out).limit(1).collect()
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val wdf = spark.range(0, 64).selectExpr("CAST(id % 2 AS STRING) AS symbol",
+        "id AS ord", "CAST(id AS DOUBLE) AS close")
+      wdf.select(avg(col("close")).over(
+        Window.partitionBy("symbol").orderBy("ord").rowsBetween(-4, 0))).count()
+      ta.SeriesOps.overSeries(wdf, Seq("close"), Seq("o"))(a => Array(a(0))).count()
+    }
+
+    queries.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      drained(); shuffleBytes.set(0)
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, out).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"[scale x$mult] $name%-22s wall ${wall}%7.2f s   shuffle-write ${drained() / 1e6}%9.2f MB")
+      } catch { case e: Throwable =>
+        println(s"[scale x$mult] $name FAILED: ${e.toString.linesIterator.next()}")
+      }
+    }
+    spark.stop()
+  }
+
+  /** Build the ×mult replica (see class doc for the distribution
+    * argument per table). One-time; `_DONE` marks completion. */
+  def generate(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
+    println(s"[scale x$mult] generating replica at $out from $base ...")
+    val copies = explode(sequence(lit(0), lit(mult - 1))).as("copy")
+
+    val docs = Tables.documents(spark, base)
+    val nDocs = docs.count()
+    val words = split(trim(lower(col("text"))), "\\s+")
+    // position-keyed deterministic permutation: key depends on (position,
+    // doc, copy) only, so duplicate words do NOT cluster and each copy
+    // draws an unrelated permutation
+    val permuted = transform(
+      array_sort(transform(words, (w, i) => struct(
+        xxhash64(concat_ws("_", i.cast("string"), col("doc_id").cast("string"),
+          col("copy").cast("string"))).as("k"),
+        w.as("w")))),
+      s => s.getField("w"))
+    docs.select(col("*"), copies)
+      .select(
+        (col("copy") * nDocs + col("doc_id")).as("doc_id"),
+        concat_ws(" ", permuted).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val ev = Tables.table(spark, base, "events")
+    val nEv = ev.count()
+    val nUsers = 1500L
+    ev.select(col("*"), copies)
+      .select(
+        (col("copy") * nEv + col("event_id")).as("event_id"),
+        col("ts"),
+        (col("copy") * nUsers + col("user_id")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val emb = Tables.embeddings(spark, base)
+    val nEmb = emb.count()
+    emb.select(col("*"), copies)
+      .select(
+        (col("copy") * nEmb + col("vec_id")).as("vec_id"),
+        transform(col("embedding"), (x, i) => (x + (pmod(
+          xxhash64(concat_ws("_", i.cast("string"), col("vec_id").cast("string"),
+            col("copy").cast("string"))), lit(1000L)).cast("double") - 500.0) / 1e6)
+          .cast("float"))
+          .as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$out/_DONE"))
+    println(s"[scale x$mult] replica ready: docs ${nDocs * mult}, events ${nEv * mult}, embeddings ${nEmb * mult}")
+  }
+}

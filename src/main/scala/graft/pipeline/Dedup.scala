@@ -531,6 +531,26 @@ object Dedup {
     }
   }
 
+  /** Per-bucket STAR edges from LSH bucket membership: one (bucket-min
+    * id → member) edge per other member of each (band, bucket) —
+    * component-IDENTICAL to the all-pairs bucket join (within a bucket a
+    * star connects exactly what a clique connects) while emitting edges
+    * LINEAR in bucket size where all-pairs is quadratic. This is the
+    * clustering scale path behind minhash_pairs' measured output-bound
+    * growth (BASELINE.md round 11): pair ENUMERATION is Θ(true pairs) by
+    * definition and a dense corpus has quadratically many, but
+    * connectivity only ever needs a spanning set. Consumers that verify
+    * edges (est-jaccard gates) should note the star verifies min↔member
+    * links only — the standard LSH-dedup recall trade; unverified
+    * bucket-connectivity clustering loses nothing. */
+  def bucketStarEdges(buckets: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val bm = buckets.groupBy("band", "bucket").agg(min(col(idCol)).as("a_id"))
+    buckets.join(bm, Seq("band", "bucket"))
+      .where(col(idCol) =!= col("a_id"))
+      .select(col("a_id"), col(idCol).as("b_id"))
+      .distinct()
+  }
+
   /** Sampled gram-regime probe: the fraction of gram INSTANCES that are
     * distinct on a deterministic ~1/`sampleMod` document sample. Near 1
     * means singleton-dominated (web-text regime — the long tail can't be

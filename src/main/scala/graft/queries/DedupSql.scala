@@ -186,6 +186,29 @@ object DedupSql {
       |SELECT id AS doc_id, min(label) AS cluster_id, min(label) = id AS is_representative
       |FROM lab GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Minhash-LSH bucket STAR edges → min-label transitive closure →
+    * components: replays Dedup.bucketStarEdges over the portable minhash
+    * buckets (one bucket-min → member edge per bucket membership), then
+    * the same least-fixpoint closure the simhash cluster oracles use.
+    * Components equal the all-pairs bucket join's by construction — the
+    * oracle pins that the linear-edge construction changes nothing. */
+  val minhashStarClustersSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+      |bm AS (SELECT band, bucket, min(doc_id) AS a_id FROM b GROUP BY band, bucket),
+      |p AS (
+      |  SELECT DISTINCT bm.a_id, b2.doc_id AS b_id
+      |  FROM b b2 JOIN bm ON b2.band = bm.band AND b2.bucket = bm.bucket
+      |  WHERE b2.doc_id != bm.a_id
+      |),
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
+      |lab AS (
+      |  SELECT doc_id AS id, doc_id AS label FROM documents
+      |  UNION
+      |  SELECT e.src AS id, lab.label FROM edges e JOIN lab ON lab.id = e.dst
+      |)
+      |SELECT id AS doc_id, min(label) AS cluster_id, min(label) = id AS is_representative
+      |FROM lab GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** Bloom position stream i of fingerprint expression `x` modulo m —
     * replays Dedup.bloomPosition (seed stream 40960+, disjoint from
     * every other sketch stream). Pure BIGINT arithmetic: a,b,x < P ≈ 1e9 keeps

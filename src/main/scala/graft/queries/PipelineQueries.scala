@@ -597,6 +597,22 @@ object PipelineQueries {
           .orderBy("doc_id")
       }, Some(DedupSql.dedupClustersSql)),
 
+    Entry("dedup_clusters_star",
+      // minhash-LSH clustering on LINEAR star edges (one bucket-min →
+      // member edge per bucket membership, Dedup.bucketStarEdges) instead
+      // of the quadratic all-pairs bucket join — the scale path the
+      // round-11 x100 audit motivated: pair ENUMERATION output is
+      // Θ(true pairs) and a dense corpus has quadratically many, while
+      // bucket-connectivity components need only a spanning set. The
+      // oracle replays the star construction + closure, pinning that the
+      // components equal the all-pairs bucket join's by construction.
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val sig = Dedup.minhashSignatures(docs, portable = true)
+        val edges = Dedup.bucketStarEdges(Dedup.lshBuckets(sig, portable = true))
+        Dedup.components(edges, docs.select("doc_id")).orderBy("doc_id")
+      }, Some(DedupSql.minhashStarClustersSql)),
+
     Entry("cluster_keep_longest",
       // representative selection policy on top of the near-dup clusters:
       // keep the LONGEST member of each cluster (rank engine-exact on

@@ -404,6 +404,25 @@ object StreamingOps {
       .withColumn("boiler_frac", col("n_boiler").cast("double") / col("n_spans"))
   }
 
+  /** Watermarked streaming twin of the props_json_stats rollup
+    * (EtlQueries): ONE codegen'd from_json parse per arriving event
+    * inside the streaming scan — the same schema-on-read shape as batch,
+    * no UDF, no per-field re-parse — then a watermarked event-time
+    * windowed rollup keyed (event_type, window). The parse itself
+    * carries no state; aggregation state is bounded by watermark
+    * retention × key cardinality, so the query holds at any stream
+    * rate. Malformed JSON parses to null k (counted in n, absent from
+    * the k stats), matching the batch semantics. */
+  def propsJsonStatsStream(events: DataFrame, windowDur: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k"))
+      .groupBy(col("event_type"), window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
   /** Watermarked event-time windowed aggregation over the raw event
     * stream: per (event_type, window) count/avg — the canonical streaming
     * rollup for the events table. `ts` must be a timestamp column. */

@@ -647,6 +647,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getInt(1)).distinct.length == 3)
   }
 
+  test("bucketStarEdges: linear edge count, components equal the all-pairs bucket join") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+    // a 5-member near-dup class + a 2-member class + singletons
+    val d = docs(
+      ((1L to 5L).map(i => i -> (base.trim + s" tail$i")) :+
+        (10L -> "parquet footers and shuffle partitions make a fine evening read") :+
+        (11L -> "parquet footers and shuffle partitions make a fine evening chat") :+
+        (20L -> "completely unrelated content about catalyst rules and codegen")): _*)
+    val buckets = Dedup.lshBuckets(Dedup.minhashSignatures(d, portable = true), portable = true)
+    val star = Dedup.bucketStarEdges(buckets)
+    val allPairs = {
+      val a = buckets.toDF("a_id", "band", "bucket")
+      val b = buckets.toDF("b_id", "band", "bucket")
+      a.join(b, Seq("band", "bucket")).where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+    }
+    // stars never out-count cliques, and every star edge leads from a
+    // bucket minimum
+    val nStar = star.count(); val nPairs = allPairs.count()
+    assert(nStar <= nPairs && nStar > 0)
+    // components are IDENTICAL: within a bucket the star spans the clique
+    val ids = d.select("doc_id")
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.components(pairs, ids).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(star) == comps(allPairs))
+    // linearity on a planted b-member bucket: a clique is b(b-1)/2, the
+    // star is b-1 — check the structural bound per (band, bucket)
+    val sizes = buckets.groupBy("band", "bucket").count().collect().map(_.getLong(2))
+    val starBound = sizes.map(_ - 1).sum
+    assert(nStar <= starBound)
+  }
+
   test("collapseIdentical: star edges for duplicate classes, identical components") {
     // 4 exact copies (one duplicate class) + 2 near-dups of the class +
     // unrelated docs

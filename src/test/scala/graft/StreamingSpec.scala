@@ -397,6 +397,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   case class Ev(ts: String, event_type: String, value: Double)
 
+  test("streaming props json rollup equals the batch schema-on-read stats") {
+    import org.apache.spark.sql.functions.{col, count, from_json, lit, max, min, sum, window}
+    implicit val enc = Encoders.product[(String, String, String)]
+    val ms = MemoryStream[(String, String, String)](spark)
+    val q = StreamingOps.propsJsonStatsStream(
+        ms.toDF().selectExpr("CAST(_1 AS TIMESTAMP) ts", "_2 event_type", "_3 props"))
+      .writeStream.format("memory").queryName("props_stream")
+      .outputMode("update").option("checkpointLocation", tmpCheckpoint()).start()
+    val evts = Seq(
+      ("2024-01-01 00:10:00", "click", """{"k": 5}"""),
+      ("2024-01-01 00:40:00", "click", """{"k": 7}"""),
+      ("2024-01-01 00:20:00", "view", """{"k": 2}"""),
+      ("2024-01-01 01:10:00", "click", """{"k": 11}"""),
+      // batch 2 lands in the already-open 00:00 windows → state update
+      ("2024-01-01 00:50:00", "click", """{"k": 1}"""),
+      ("2024-01-01 00:30:00", "view", "not json")) // malformed → null k, still counted
+    try {
+      val (b1, b2) = evts.splitAt(4)
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getTimestamp(1).toString, r.getLong(2),
+          r.get(3), r.get(4), r.get(5))
+      val got = spark.sql(
+          "SELECT event_type, window.start, n, sum_k, min_k, max_k FROM props_stream")
+        .collect().map(key).toSet
+      // independent batch replay of the props_json_stats shape, windowed
+      val batch = spark.createDataFrame(evts).toDF("ts", "event_type", "props")
+        .selectExpr("CAST(ts AS TIMESTAMP) ts", "event_type", "props")
+        .select(col("ts"), col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .select(col("event_type"), col("window.start"), col("n"),
+          col("sum_k"), col("min_k"), col("max_k"))
+        .collect().map(key)
+      batch.foreach(b => assert(got.contains(b), s"final row $b missing from stream"))
+      // the mid-window arrival really updated state: 00:00 click window
+      // reached n=3 (5,7 then +1) with min 1
+      assert(got.exists(r => r._1 == "click" && r._3 == 3L && r._5 == 1))
+    } finally q.stop()
+  }
+
   test("streaming partitioned parquet sink: hive dirs, exactly-once, prunable") {
     import org.apache.spark.sql.functions.col
     implicit val enc = Encoders.product[(Long, String, String)]
