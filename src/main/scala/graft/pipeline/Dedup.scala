@@ -552,16 +552,30 @@ object Dedup {
   }
 
   /** Sampled gram-regime probe: the fraction of gram INSTANCES that are
-    * distinct on a deterministic ~1/`sampleMod` document sample. Near 1
+    * distinct on a deterministic ~`targetDocs`-document sample. Near 1
     * means singleton-dominated (web-text regime — the long tail can't be
     * collapsed map-side, fp prefiltering pays); low means
     * repeated-vocabulary (template corpora — partials collapse the
-    * string shuffle on their own, the direct path is cheaper). The
-    * sketch cardinality is a dispatch heuristic only — BOTH dispatch
-    * targets are exact, so its ±2% error moves cost, never answers. */
+    * string shuffle on their own, the direct path is cheaper).
+    *
+    * The sample is FIXED-SIZE, not fixed-rate: a distinct ratio is only
+    * meaningful at a stated volume (any small-enough sample of any
+    * corpus looks all-singleton — the species-richness bias that made a
+    * 1%-rate probe mis-dispatch the repeated-vocabulary sf corpus), so
+    * the probe always measures at the same ~targetDocs reference volume
+    * regardless of corpus size. A high ratio at reference volume can
+    * still collapse at the (larger) real partition volume — i.e. the
+    * probe errs toward the fp path, the scale-safe side.
+    *
+    * Cost: `limit(targetDocs)` short-circuits the scan after the first
+    * files — a hash-rate sample would still scan EVERY row's text just
+    * to discard most of it (row-group pruning can't see a hash
+    * predicate). The first-files bias and the sketch's ±2% are dispatch
+    * heuristics only — BOTH dispatch targets are exact, so probe error
+    * moves cost, never answers. */
   private[pipeline] def singletonDominated(docs: DataFrame, gramsExpr: Column,
-      idCol: String, sampleMod: Int = 101, threshold: Double = 0.5): Boolean = {
-    val r = docs.where(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+      idCol: String, targetDocs: Int = 2000, threshold: Double = 0.5): Boolean = {
+    val r = docs.limit(targetDocs)
       .select(explode(gramsExpr).as("g"))
       .agg(count(lit(1)).as("n"), approx_count_distinct(col("g")).as("d"))
       .head()
