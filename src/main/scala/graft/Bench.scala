@@ -44,8 +44,30 @@ object Bench {
     // "fast": the roc family was broken at sf0.1 for rounds (ANSI
     // divide-by-zero on the six zero closes sf0.01 never sees) while the
     // swallowed exception kept the bench green
+    // per-query shuffle-write bytes from task metrics: the metric that
+    // predicts 100× behavior better than wall (BASELINE.md round 11's
+    // scale audit). Captured OUTSIDE the timed region — the counter is
+    // read after the wall clock stops, so the drain's listener-bus wait
+    // never inflates a query's recorded seconds (only sweep wall).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          shuffleBytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def drained(): Long = {
+      var last = -1L; var stable = 0; var waited = 0
+      while (stable < 2 && waited < 2000) {
+        Thread.sleep(25); waited += 25
+        val cur = shuffleBytes.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      shuffleBytes.get()
+    }
+    val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val timings = toRun.map { case (name, fn) =>
+      drained(); shuffleBytes.set(0)
       val t0 = System.nanoTime()
       // noop sink, NOT .count(): count() lets Catalyst prune every column
       // a projection computes — a pure-projection query was timed as its
@@ -65,9 +87,12 @@ object Bench {
       // a failed query reports -1 and is excluded from the total: its
       // partial time-to-throw would otherwise deflate the wall number
       // cross-round comparisons use
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val wall = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      shuffleMb(name) = math.rint(drained() / 1e6 * 100) / 100
+      name -> wall
     }
-    if (args.nonEmpty) timings.foreach { case (n, t) => System.err.println(f"[bench] $n%s $t%.3f s") }
+    if (args.nonEmpty) timings.foreach { case (n, t) =>
+      System.err.println(f"[bench] $n%s $t%.3f s  shuffle ${shuffleMb(n)}%.2f MB") }
     val results = timings.toMap
     // millisecond precision: sub-ms digits are pure noise and the shorter
     // line helps the whole map survive the driver's stdout capture
@@ -91,8 +116,12 @@ object Bench {
     def line(qs: String) =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"failed":$failedJson,"full_map":"BENCH_FULL.json","semantics":"noop-materialize (r7+; r2-r6 used count(), which pruned projection work - see BASELINE.md)","sf":"$sfDir"}"""
     println(line(qJson(headlineQs)))
+    // BENCH_FULL.json carries the full wall map AND the per-query
+    // shuffle-write map (r11+) — the byte column is the one that scales
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)},"shuffle_mb":${qJson(shuffleMb)},"n_queries":${results.size},"failed":$failedJson,"semantics":"noop-materialize (r7+); shuffle_mb = task-metrics shuffle write per query (r11+)","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (line(qJson(results)) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     spark.stop()
   }
