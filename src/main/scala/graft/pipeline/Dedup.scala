@@ -531,6 +531,75 @@ object Dedup {
     }
   }
 
+  /** The Horvitz-Thompson weight table for bucket-sampled pairs: entry
+    * k−1 is 1/(1 − (1−1/s)^k) rounded to 6 decimals, the inverse
+    * inclusion probability of a pair whose signatures agree on k bands
+    * when buckets are kept at rate 1/s. Precomputed by successive exact
+    * multiplication so the SAME literal doubles appear in the Spark plan
+    * and the DuckDB oracle — no engine-varying pow() in gated math. */
+  private[graft] def htWeights(sampleMod: Int, bands: Int): Seq[Double] = {
+    val q = 1.0 - 1.0 / sampleMod
+    val pows = Iterator.iterate(1.0)(_ * q).drop(1).take(bands).toSeq
+    pows.map(p => math.rint(1.0 / (1.0 - p) * 1e6) / 1e6)
+  }
+
+  /** Deterministically SAMPLED verified near-dup pairs with
+    * Horvitz-Thompson inverse-inclusion weights — the 100 TB path for
+    * overlap MATRICES, where exact pair enumeration is output-bound
+    * (BASELINE.md round 11: the corpus's true pair count is quadratic in
+    * its near-dup density, so any enumerator pays Θ(pairs)). Keep only
+    * LSH buckets whose (already uniform) hash value ≡ 0 mod `sampleMod`,
+    * enumerate pairs inside surviving cells only, verify as usual, and
+    * attach to each sampled pair the weight 1/(1 − (1−1/s)^k), k = its
+    * TOTAL matching-band count — the inverse of its inclusion
+    * probability under bucket-hash uniformity. Σw over any group is an
+    * unbiased estimate of that group's full verified-pair count at
+    * ~1/sampleMod of the enumeration cost; the weights come from a
+    * precomputed literal table ([[htWeights]]) so the estimate is
+    * bit-replayable by a SQL oracle. Returns
+    * (a_id, b_id, jaccard, k, w). */
+  def sampledVerifiedPairs(docs: DataFrame, sampleMod: Int = 16,
+                           jaccardThr: Double = 0.5,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           numPerms: Int = 32, bands: Int = 16,
+                           shingleK: Int = 3): DataFrame = {
+    val sig = minhashSignatures(docs, textCol, idCol, numPerms, shingleK, portable = true)
+    // the bucket frame feeds FOUR scans (both sides of the sampled pair
+    // join, both sides of the k recount) — persist it (guarded, same
+    // convention as minhashCandidates) or the shingle+minhash pass runs
+    // four times
+    val bucketsPlan = lshBuckets(sig, idCol, numPerms, bands, portable = true)
+    val buckets =
+      if (bucketsPlan.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        bucketsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bucketsPlan
+    val sampled = buckets.where(pmod(col("bucket"), lit(sampleMod.toLong)) === 0)
+    val pairs = sampled.toDF("a_id", "band", "bucket")
+      .join(sampled.toDF("b_id", "band", "bucket"), Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // k over ALL bands (not just sampled ones): the pair set is small
+    // after sampling, so the band-match recount joins only sampled pairs
+    val k = pairs
+      .join(buckets.toDF("a_id", "band", "a_bucket"), "a_id")
+      .join(buckets.toDF("b_id", "band", "b_bucket"), Seq("b_id", "band"))
+      .where(col("a_bucket") === col("b_bucket"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).cast("int").as("k"))
+    // DECIMAL literals, not doubles: a double→decimal cast can disagree
+    // between engines in digits past the 6th; an exact decimal literal
+    // per k makes Σw identical by construction, any summation order
+    val w = htWeights(sampleMod, bands).zipWithIndex
+      .foldLeft(lit(null).cast("decimal(38,12)")) { case (acc, (wv, i)) =>
+        when(col("k") === (i + 1),
+          lit(new java.math.BigDecimal(f"$wv%.6f")).cast("decimal(38,12)"))
+          .otherwise(acc)
+      }
+    ngramJaccard(pairs, docs, textCol, idCol, shingleK)
+      .where(col("jaccard") >= jaccardThr)
+      .join(k, Seq("a_id", "b_id"))
+      .withColumn("w", w)
+  }
+
   /** Per-bucket STAR edges from LSH bucket membership: one (bucket-min
     * id → member) edge per other member of each (band, bucket) —
     * component-IDENTICAL to the all-pairs bucket join (within a bucket a

@@ -186,6 +186,51 @@ object DedupSql {
       |SELECT id AS doc_id, min(label) AS cluster_id, min(label) = id AS is_representative
       |FROM lab GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Bucket-SAMPLED source-overlap estimate — replays
+    * Dedup.sampledVerifiedPairs: keep buckets with hash ≡ 0 mod s,
+    * pair inside surviving cells, verify jaccard, recount each sampled
+    * pair's total matching bands k, weight by the SAME exact decimal
+    * literal table the Spark plan carries (1/(1−(1−1/s)^k) at 6 dp), and
+    * Horvitz-Thompson-sum per unordered source pair. Decimal summation
+    * is exact ⇒ order-independent ⇒ the estimate hash-matches
+    * bit-for-bit. */
+  def sourceOverlapSampledSql(sampleMod: Int, thr: Double): String = {
+    val weights = graft.pipeline.Dedup.htWeights(sampleMod, 16)
+      .map(wv => s"CAST('${f"$wv%.6f"}' AS DECIMAL(38,12))")
+      .mkString("[", ", ", "]")
+    s"""WITH $minhashCtes,
+      |sb AS (SELECT * FROM b WHERE bucket % $sampleMod = 0),
+      |p AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+      |  FROM sb a JOIN sb b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+      |), kk AS (
+      |  SELECT p.a_id, p.b_id, count(*) AS k
+      |  FROM p JOIN b ba ON ba.doc_id = p.a_id
+      |         JOIN b bb2 ON bb2.doc_id = p.b_id AND bb2.band = ba.band AND bb2.bucket = ba.bucket
+      |  GROUP BY p.a_id, p.b_id
+      |), shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+      |jac AS (
+      |  SELECT p.a_id, p.b_id,
+      |    CASE WHEN len(list_distinct(list_concat(da.shd, db.shd))) = 0 THEN 0.0
+      |         ELSE CAST(len(list_intersect(da.shd, db.shd)) AS DOUBLE)
+      |              / CAST(len(list_distinct(list_concat(da.shd, db.shd))) AS DOUBLE) END AS jaccard
+      |  FROM p JOIN shd da ON da.doc_id = p.a_id JOIN shd db ON db.doc_id = p.b_id
+      |),
+      |v AS (
+      |  SELECT least(sa.source, sb2.source) AS source_a,
+      |         greatest(sa.source, sb2.source) AS source_b,
+      |         j.jaccard, ($weights)[kk.k] AS w
+      |  FROM jac j JOIN kk ON kk.a_id = j.a_id AND kk.b_id = j.b_id
+      |              JOIN documents sa ON sa.doc_id = j.a_id
+      |              JOIN documents sb2 ON sb2.doc_id = j.b_id
+      |  WHERE j.jaccard >= ${Sql.dlit(thr)}
+      |)
+      |SELECT source_a, source_b, count(*) AS n_pairs_sampled,
+      |  round(CAST(sum(w) AS DOUBLE), 6) + 0.0 AS est_pairs,
+      |  round(max(jaccard), 6) + 0.0 AS max_jaccard
+      |FROM v GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin
+  }
+
   /** Minhash-LSH bucket STAR edges → min-label transitive closure →
     * components: replays Dedup.bucketStarEdges over the portable minhash
     * buckets (one bucket-min → member edge per bucket membership), then

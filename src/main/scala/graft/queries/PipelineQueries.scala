@@ -393,6 +393,28 @@ object PipelineQueries {
           .orderBy("source_a", "source_b")
       }, Some(DedupSql.sourceOverlapSql(0.5))),
 
+    Entry("source_overlap_sampled",
+      // the 100 TB posture for overlap MATRICES (x100 audit: exact pair
+      // enumeration is output-bound): deterministic 1/16 bucket sampling
+      // + Horvitz-Thompson inverse-inclusion weights (exact decimal
+      // literal table shared with the oracle), so the per-source-pair
+      // estimate is unbiased at ~1/16 the enumeration cost and still
+      // bit-replayable. n_pairs_sampled is the raw evidence; est_pairs
+      // the weighted estimate of source_overlap's n_pairs.
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val pairs = Dedup.sampledVerifiedPairs(docs, sampleMod = 16)
+        val a = docs.select(col("doc_id").as("a_id"), col("source").as("sa"))
+        val b = docs.select(col("doc_id").as("b_id"), col("source").as("sb"))
+        pairs.join(a, "a_id").join(b, "b_id")
+          .groupBy(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .agg(count(lit(1)).as("n_pairs_sampled"),
+            r6(sum(col("w")).cast("double")).as("est_pairs"),
+            r6(max(col("jaccard"))).as("max_jaccard"))
+          .orderBy("source_a", "source_b")
+      }, Some(DedupSql.sourceOverlapSampledSql(16, 0.5))),
+
     Entry("simhash64",
       (spark, dir) => Dedup.simhash(Tables.documents(spark, dir), portable = true)
         .orderBy("doc_id"),

@@ -647,6 +647,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getInt(1)).distinct.length == 3)
   }
 
+  test("sampledVerifiedPairs: subset of exact pairs, HT estimate tracks the true count") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+    // several near-dup families so buckets exist on both sides of the
+    // sampling gate, plus unrelated docs
+    val d = docs(
+      ((0L until 40L).map { i =>
+        val fam = i / 4
+        i -> (base.trim.replace("dog", s"dog$fam") + s" tail$i")
+      } :+ (100L -> "completely unrelated content about catalyst and codegen")): _*)
+    val exact = Dedup.ngramJaccard(Dedup.minhashCandidates(d, portable = true), d)
+      .where(col("jaccard") >= 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sampled = Dedup.sampledVerifiedPairs(d, sampleMod = 4).collect()
+    val sampledPairs = sampled.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sampledPairs.subsetOf(exact), "sampling must never invent a pair")
+    // weights: every sampled pair has k >= 1 and w >= 1 (inclusion
+    // probability is at most 1)
+    sampled.foreach { r =>
+      assert(r.getInt(3) >= 1)
+      assert(r.getDecimal(4).doubleValue() >= 1.0)
+    }
+    // the HT estimate is unbiased over the hash draw; on this fixed
+    // corpus it must at least land within a loose factor of truth —
+    // catching broken weights (off by s) or broken k counting
+    val est = sampled.map(_.getDecimal(4).doubleValue()).sum
+    assert(exact.nonEmpty && est > 0)
+    assert(est > exact.size / 4.0 && est < exact.size * 4.0,
+      s"HT estimate $est vs true ${exact.size}")
+  }
+
   test("bucketStarEdges: linear edge count, components equal the all-pairs bucket join") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
     // a 5-member near-dup class + a 2-member class + singletons
