@@ -515,21 +515,43 @@ object Dedup {
       // floor. Collisions here cost only superset looseness (the
       // recount re-applies minDocs per STRING), but a tight candidate
       // set is the whole point of the prefilter.
-      val freqFps = docs
+      val freqFpsPlan = docs
         .select(explode(array_distinct(
           transform(shingles(col(textCol), k), g => xxhash64(g)))).as("fp"))
         .groupBy("fp").agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= minDocs)
         .select("fp")
-      val pairs = array_distinct(transform(shingles(col(textCol), k),
-        g => struct(g.as("gram"), xxhash64(g).as("fp"))))
-      docs.select(explode(pairs).as("p"))
-        .select(col("p.gram").as("gram"), col("p.fp").as("fp"))
-        .join(broadcast(freqFps), Seq("fp"), "left_semi")
-        .groupBy("gram").agg(count(lit(1)).as("n_docs"))
-        .filter(col("n_docs") >= minDocs)
+      // the frequent-fp set is bounded only by totalSpans/minDocs, which
+      // on a boilerplate-heavy corpus can exceed what a driver broadcast
+      // survives. Persist + count gates the broadcast on the ACTUAL size
+      // (the count pays nothing new — the join needed the aggregation
+      // anyway, and the persisted frame feeds it); past the bound the fp
+      // prefilter can't help (the "frequent tail" is most of the corpus,
+      // so the recount would shuffle most strings regardless) and the
+      // direct path is the honest plan. Guarded persist, same re-entrant
+      // convention as minhashCandidates.
+      val freqFps =
+        if (freqFpsPlan.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          freqFpsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else freqFpsPlan
+      if (freqFps.count() > MaxBroadcastFps) direct
+      else {
+        val pairs = array_distinct(transform(shingles(col(textCol), k),
+          g => struct(g.as("gram"), xxhash64(g).as("fp"))))
+        docs.select(explode(pairs).as("p"))
+          .select(col("p.gram").as("gram"), col("p.fp").as("fp"))
+          .join(broadcast(freqFps), Seq("fp"), "left_semi")
+          .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= minDocs)
+      }
     }
   }
+
+  /** Largest frequent-fp set [[frequentSpans]] will broadcast: 4M 8-byte
+    * fingerprints ≈ 32 MB serialized — safely inside default driver /
+    * `maxResultSize` budgets while far above any realistic boilerplate
+    * span set. */
+  private val MaxBroadcastFps = 4_000_000L
 
   /** The Horvitz-Thompson weight table for bucket-sampled pairs: entry
     * k−1 is 1/(1 − (1−1/s)^k) rounded to 6 decimals, the inverse
@@ -542,6 +564,15 @@ object Dedup {
     val pows = Iterator.iterate(1.0)(_ * q).drop(1).take(bands).toSeq
     pows.map(p => math.rint(1.0 / (1.0 - p) * 1e6) / 1e6)
   }
+
+  /** The 6-decimal string form of an [[htWeights]] entry, shared verbatim
+    * by the Spark literal and the DuckDB oracle. Locale-pinned: an
+    * `f"%.6f"` interpolator formats with the JVM default locale, and on
+    * comma-decimal locales (de_DE etc.) the resulting "1,066667" breaks
+    * BigDecimal parsing here and the mirrored SQL literal in
+    * DedupSql.sourceOverlapSampledSql. */
+  private[graft] def dec6(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
 
   /** Deterministically SAMPLED verified near-dup pairs with
     * Horvitz-Thompson inverse-inclusion weights — the 100 TB path for
@@ -591,7 +622,7 @@ object Dedup {
     val w = htWeights(sampleMod, bands).zipWithIndex
       .foldLeft(lit(null).cast("decimal(38,12)")) { case (acc, (wv, i)) =>
         when(col("k") === (i + 1),
-          lit(new java.math.BigDecimal(f"$wv%.6f")).cast("decimal(38,12)"))
+          lit(new java.math.BigDecimal(dec6(wv))).cast("decimal(38,12)"))
           .otherwise(acc)
       }
     ngramJaccard(pairs, docs, textCol, idCol, shingleK)
@@ -641,14 +672,28 @@ object Dedup {
     * to discard most of it (row-group pruning can't see a hash
     * predicate). The first-files bias and the sketch's ±2% are dispatch
     * heuristics only — BOTH dispatch targets are exact, so probe error
-    * moves cost, never answers. */
+    * moves cost, never answers.
+    *
+    * The verdict is CACHED per (corpus plan, gram shape, probe params)
+    * for the JVM's lifetime: the regime is a corpus property, so
+    * re-probing the same table on every query invocation (a bench sweep,
+    * a production pipeline calling the dispatcher per stage) re-buys the
+    * same answer — the r11 bench measured ~1.5–2 s per redundant probe.
+    * Keying on the ANALYZED plan's semantic hash means two reads of the
+    * same path share the entry while different tables never collide. */
+  private val regimeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int), Boolean]()
   private[pipeline] def singletonDominated(docs: DataFrame, gramsExpr: Column,
-      idCol: String, targetDocs: Int = 2000, threshold: Double = 0.5): Boolean = {
-    val r = docs.limit(targetDocs)
-      .select(explode(gramsExpr).as("g"))
-      .agg(count(lit(1)).as("n"), approx_count_distinct(col("g")).as("d"))
-      .head()
-    r.getLong(0) > 0 && r.getLong(1).toDouble / r.getLong(0) >= threshold
+      targetDocs: Int = 2000, threshold: Double = 0.5): Boolean = {
+    val key = (docs.queryExecution.analyzed.semanticHash(),
+      gramsExpr.toString.hashCode, targetDocs, math.rint(threshold * 1e6).toInt)
+    regimeCache.computeIfAbsent(key, _ => {
+      val r = docs.limit(targetDocs)
+        .select(explode(gramsExpr).as("g"))
+        .agg(count(lit(1)).as("n"), approx_count_distinct(col("g")).as("d"))
+        .head()
+      r.getLong(0) > 0 && r.getLong(1).toDouble / r.getLong(0) >= threshold
+    })
   }
 
   /** Regime-dispatched [[frequentSpans]]: probe a ~1% doc sample, then
@@ -659,7 +704,7 @@ object Dedup {
                         idCol: String = "doc_id", k: Int = 3,
                         minDocs: Int = 2): DataFrame =
     frequentSpans(docs, textCol, idCol, k, minDocs,
-      fpPrefilter = singletonDominated(docs, shingles(col(textCol), k), idCol))
+      fpPrefilter = singletonDominated(docs, shingles(col(textCol), k)))
 
   /** Per-document boilerplate exposure: how many of a doc's distinct
     * k-gram spans are corpus-frequent ([[frequentSpans]] members on
@@ -804,5 +849,69 @@ object Dedup {
         bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
     identityEdges.map(candidatePairs.unionByName(_)).getOrElse(candidatePairs)
+  }
+
+  /** Verified STAR edges over the simhash pigeonhole buckets — the
+    * linear-edge clustering path (the simhash analogue of
+    * [[bucketStarEdges]], which the round-11 ×100 audit proved 11×
+    * cheaper than all-pairs enumeration for component consumers).
+    *
+    * Construction: identical signatures collapse to their min-id
+    * representative first (Hamming-0 star edges — exactly
+    * [[simhashCandidates]]' duplicate-class guard); then, per
+    * (chunk, key) bucket over the DISTINCT signatures, the bucket-min
+    * hub links to each member, and ONLY those hub↔member links pay the
+    * Hamming verification. Edge count is linear in bucket size where the
+    * candidate all-pairs join is quadratic in distinct signatures per
+    * bucket — at corpus scale the difference is the difference between
+    * Θ(docs) and Θ(true pairs), and a dense corpus has quadratically
+    * many true pairs (BASELINE.md round 11).
+    *
+    * Semantics trade, stated plainly: a verified all-pairs clique can be
+    * connected through a member↔member edge whose endpoints both fail
+    * verification against every shared hub, so star components may SPLIT
+    * such cliques — the standard LSH-dedup recall trade (the minhash
+    * star has the same property for est-jaccard-gated consumers). The
+    * registered clustering queries' oracles replay THIS construction,
+    * so the trade is pinned, not hidden; `simhash_pairs` keeps the exact
+    * all-pairs contract gated. Returns (a_id, b_id). */
+  def simhashStarEdges(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                       maxHamming: Int = 7, numChunks: Int = 8,
+                       portable: Boolean = false): DataFrame = {
+    require(64 % numChunks == 0, s"numChunks must divide 64, got $numChunks")
+    require(maxHamming < numChunks,
+      s"pigeonhole recall guarantee needs maxHamming < numChunks ($maxHamming !< $numChunks)")
+    val bits = 64 / numChunks
+    val mask = (1L << bits) - 1
+    val rawSig = simhash(docs, textCol, idCol, portable)
+    // same single-window collapse as simhashCandidates (one signature
+    // exchange shared by the rep-filter and identity-edge branches)
+    val w = Window.partitionBy("simhash")
+    val withRep = rawSig.withColumn("rep", min(col(idCol)).over(w))
+    val reps = withRep.where(col(idCol) === col("rep"))
+      .select(col(idCol), col("simhash"))
+    val ident = withRep.where(col(idCol) =!= col("rep"))
+      .select(col("rep").as("a_id"), col(idCol).as("b_id"))
+    // one explicit (chunk, key) exchange shared by the hub aggregation
+    // and the hub↔member join (ReuseExchange — the simhashCandidates
+    // pattern), so distinct signatures are hashed and exploded once
+    val chunks = reps.select(col(idCol), col("simhash"),
+      explode(array((0 until numChunks).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * bits).bitwiseAND(mask).as("key"))): _*)).as("ck"))
+      .select(col(idCol), col("simhash"), col("ck.chunk"), col("ck.key"))
+      .repartition(col("chunk"), col("key"))
+    // min over (id, simhash) structs = the min-id hub carrying its own
+    // signature — no second join to recover the hub's bits
+    val hubs = chunks.groupBy("chunk", "key")
+      .agg(min(struct(col(idCol), col("simhash"))).as("h"))
+      .select(col("chunk"), col("key"),
+        col("h")(idCol).as("a_id"), col("h")("simhash").as("a_sim"))
+    val star = chunks.join(hubs, Seq("chunk", "key"))
+      .where(col(idCol) =!= col("a_id"))
+      .where(bit_count(col("a_sim").bitwiseXOR(col("simhash"))) <= maxHamming)
+      .select(col("a_id"), col(idCol).as("b_id"))
+      .distinct()
+    star.unionByName(ident)
   }
 }

@@ -398,4 +398,34 @@ object Similarity {
       .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** STAR edges over the hyperplane buckets — [[cosineNearDup]]'s
+    * linear-edge twin for CLUSTERING consumers (the embedding analogue
+    * of Dedup.bucketStarEdges/simhashStarEdges): per signature bucket,
+    * only the bucket-min hub links to each member, so edge count is
+    * linear in bucket size where the all-pairs self-join is quadratic.
+    * The cosine rides along un-gated (threshold = the caller's gate,
+    * applied on the ROUNDED value by the registered query — the
+    * established cross-engine boundary convention); a member pair whose
+    * mutual cosine passes the gate but whose hub links both fail it may
+    * land in split components — the standard LSH recall trade, pinned by
+    * the oracle's replay of this construction. Returns
+    * (a_id, b_id, cosine). */
+  def cosineNearDupStar(corpus: DataFrame, planes: Int = 0,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = if (planes > 0) planes else planesForCorpus(corpus.count())
+    val c = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"),
+        coalesce(element_at(lshSignatures(col(vecCol), p, 1), 1), lit(0)).as("sig"))
+      // one explicit sig exchange shared by the hub aggregation and the
+      // hub↔member join (ReuseExchange)
+      .repartition(col("sig"))
+    // min over (id, vector) structs: ids are unique, so the struct min IS
+    // the min-id member, carrying its vector without a recovery join
+    val hubs = c.groupBy("sig")
+      .agg(min(struct(col(idCol), col("v"))).as("h"))
+      .select(col("sig"), col("h")(idCol).as("a_id"), col("h")("v").as("a_v"))
+    c.join(hubs, "sig").where(col(idCol) =!= col("a_id"))
+      .select(col("a_id"), col(idCol).as("b_id"), cosine(col("a_v"), col("v")).as("cosine"))
+  }
 }

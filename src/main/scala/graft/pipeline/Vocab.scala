@@ -336,7 +336,7 @@ object Vocab {
   def ngramTopKAuto(docs: DataFrame, n: Int, k: Int,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     if (Dedup.singletonDominated(docs,
-        Repetition.ngrams(Dedup.tokens(col(textCol)), n), idCol))
+        Repetition.ngrams(Dedup.tokens(col(textCol)), n)))
       ngramTopKFp(docs, n, k, textCol, idCol)
     else ngramTopK(docs, n, k, exactDocFreq = true, textCol, idCol)
 

@@ -163,16 +163,33 @@ object DedupSql {
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
       |ORDER BY a_id, b_id""".stripMargin
 
-  /** Simhash pairs → min-label transitive closure (shared by the
-    * cluster-shaped oracles below; same CTE shape as graph_components). */
-  private val componentCtes: String =
+  /** Simhash STAR construction → min-label transitive closure (shared by
+    * the cluster-shaped oracles below) — replays Dedup.simhashStarEdges
+    * exactly: identical signatures collapse to their min-id rep
+    * (Hamming-0 `ident` edges), distinct signatures explode into 8×8-bit
+    * pigeonhole chunks, each (chunk, key) bucket's min-id hub links to
+    * its members, and ONLY hub↔member links pay the Hamming-≤7
+    * verification. Replaying the construction (not the all-pairs
+    * contract) pins the star's recall trade in the gate; the exact
+    * all-pairs pair contract stays gated via simhashPairsSql. */
+  private val starComponentCtes: String =
     s"""$tokCte, $simVoteCtes,
       |s AS (SELECT doc_id, $simSigExpr AS simhash FROM v),
-      |p AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+      |r AS (SELECT simhash, min(doc_id) AS rep FROM s GROUP BY simhash),
+      |ident AS (SELECT r.rep AS a_id, s.doc_id AS b_id
+      |          FROM s JOIN r USING (simhash) WHERE s.doc_id != r.rep),
+      |ck AS (SELECT rep AS doc_id, simhash, CAST(t.c AS INTEGER) AS chunk,
+      |         ((simhash >> (CAST(t.c AS INTEGER) * 8)) & 255) AS ckey
+      |       FROM r CROSS JOIN range(8) t(c)),
+      |hub AS (SELECT chunk, ckey, min(doc_id) AS a_id FROM ck GROUP BY chunk, ckey),
+      |hs AS (SELECT h.chunk, h.ckey, h.a_id, s2.simhash AS a_sim
+      |       FROM hub h JOIN s s2 ON s2.doc_id = h.a_id),
+      |star AS (
+      |  SELECT DISTINCT hs.a_id, ck.doc_id AS b_id
+      |  FROM ck JOIN hs ON ck.chunk = hs.chunk AND ck.ckey = hs.ckey
+      |  WHERE ck.doc_id != hs.a_id AND bit_count(xor(hs.a_sim, ck.simhash)) <= 7
       |),
+      |p AS (SELECT a_id, b_id FROM star UNION SELECT a_id, b_id FROM ident),
       |edges AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
       |lab AS (
       |  SELECT doc_id AS id, doc_id AS label FROM documents
@@ -180,9 +197,9 @@ object DedupSql {
       |  SELECT e.src AS id, lab.label FROM edges e JOIN lab ON lab.id = e.dst
       |)""".stripMargin
 
-  /** Simhash pairs → connected components → canonical representative. */
+  /** Simhash star edges → connected components → canonical representative. */
   val dedupClustersSql: String =
-    s"""WITH RECURSIVE $componentCtes
+    s"""WITH RECURSIVE $starComponentCtes
       |SELECT id AS doc_id, min(label) AS cluster_id, min(label) = id AS is_representative
       |FROM lab GROUP BY id ORDER BY doc_id""".stripMargin
 
@@ -196,7 +213,7 @@ object DedupSql {
     * bit-for-bit. */
   def sourceOverlapSampledSql(sampleMod: Int, thr: Double): String = {
     val weights = graft.pipeline.Dedup.htWeights(sampleMod, 16)
-      .map(wv => s"CAST('${f"$wv%.6f"}' AS DECIMAL(38,12))")
+      .map(wv => s"CAST('${graft.pipeline.Dedup.dec6(wv)}' AS DECIMAL(38,12))")
       .mkString("[", ", ", "]")
     s"""WITH $minhashCtes,
       |sb AS (SELECT * FROM b WHERE bucket % $sampleMod = 0),
@@ -254,6 +271,37 @@ object DedupSql {
       |SELECT id AS doc_id, min(label) AS cluster_id, min(label) = id AS is_representative
       |FROM lab GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** The full production dedup recipe on the LINEAR path — replays
+    * minhash-LSH star edges → components → keep-longest representative →
+    * the kept-document list with each kept doc's cluster size. This is
+    * the one query a user copies to dedup a corpus end-to-end, and every
+    * stage of it is the scale-safe construction. */
+  val minhashKeepListSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+      |bm AS (SELECT band, bucket, min(doc_id) AS a_id FROM b GROUP BY band, bucket),
+      |p AS (
+      |  SELECT DISTINCT bm.a_id, b2.doc_id AS b_id
+      |  FROM b b2 JOIN bm ON b2.band = bm.band AND b2.bucket = bm.bucket
+      |  WHERE b2.doc_id != bm.a_id
+      |),
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
+      |lab AS (
+      |  SELECT doc_id AS id, doc_id AS label FROM documents
+      |  UNION
+      |  SELECT e.src AS id, lab.label FROM edges e JOIN lab ON lab.id = e.dst
+      |),
+      |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM lab GROUP BY id),
+      |sz AS (SELECT cluster_id, CAST(count(*) AS INTEGER) AS n_members FROM cl GROUP BY cluster_id),
+      |k AS (
+      |  SELECT c.doc_id, c.cluster_id,
+      |    row_number() OVER (PARTITION BY c.cluster_id
+      |      ORDER BY length(d.text) DESC NULLS LAST, c.doc_id ASC) = 1 AS keep
+      |  FROM cl c JOIN documents d USING (doc_id)
+      |)
+      |SELECT k.doc_id, k.cluster_id, sz.n_members
+      |FROM k JOIN sz USING (cluster_id)
+      |WHERE k.keep ORDER BY k.doc_id""".stripMargin
+
   /** Bloom position stream i of fingerprint expression `x` modulo m —
     * replays Dedup.bloomPosition (seed stream 40960+, disjoint from
     * every other sketch stream). Pure BIGINT arithmetic: a,b,x < P ≈ 1e9 keeps
@@ -265,7 +313,7 @@ object DedupSql {
     * cluster by text length (engine-exact, no fp ordering), ties on
     * ascending id. */
   val clusterKeepLongestSql: String =
-    s"""WITH RECURSIVE $componentCtes,
+    s"""WITH RECURSIVE $starComponentCtes,
       |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM lab GROUP BY id)
       |SELECT c.doc_id, c.cluster_id,
       |  row_number() OVER (PARTITION BY c.cluster_id

@@ -756,6 +756,68 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(comps(plain) == comps(collapsed))
   }
 
+  test("simhashStarEdges: ident stars for duplicate classes, verified hub links, all-pairs-equal components here") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+    val d = docs(
+      (Seq(1L, 2L, 3L, 4L).map(_ -> base.trim) :+
+        (10L -> (base.trim + " extra")) :+
+        (11L -> base.trim.replace("lazy", "sleepy")) :+
+        (20L -> "completely different words about spark plans and shuffles here") :+
+        (21L -> "another unrelated doc that talks about parquet footers only")): _*)
+    val star = Dedup.simhashStarEdges(d, portable = true)
+    val edges = star.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the exact-duplicate class {1,2,3,4} arrives as identity star edges
+    assert(edges.count(p => p._1 <= 4 && p._2 <= 4) == 3)
+    assert(edges.filter(p => p._1 <= 4 && p._2 <= 4).toSet ==
+      Set((1L, 2L), (1L, 3L), (1L, 4L)))
+    // every non-ident edge leaves a bucket-min hub, so a_id < b_id never
+    // reverses and no self-loops exist
+    assert(edges.forall(p => p._1 != p._2))
+    // on this corpus (every near-dup is within Hamming 7 of the class
+    // hub) star components EQUAL the verified all-pairs components
+    val ids = d.select("doc_id")
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.components(pairs, ids).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allPairs = Dedup.simhashCandidates(d, portable = true).select("a_id", "b_id")
+    assert(comps(star) == comps(allPairs))
+    // and the unrelated docs stay singletons
+    val cm = comps(star)
+    assert(cm(20L) == 20L && cm(21L) == 21L)
+  }
+
+  test("cosineNearDupStar: hub edges only, gated components equal all-pairs on hub-dense buckets") {
+    import scala.collection.JavaConverters._
+    val vecs = Seq(
+      1L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      2L -> Array(0.99f, 0.1f, 0.0f, 0.0f),   // near-dup of 1
+      3L -> Array(0.98f, 0.15f, 0.05f, 0.0f), // near-dup of 1
+      10L -> Array(-1.0f, 0.0f, 0.0f, 0.0f),  // opposite bucket
+      11L -> Array(-0.99f, -0.1f, 0.0f, 0.0f))
+    val rows = vecs.map { case (id, v) =>
+      org.apache.spark.sql.Row(id, v.toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val gate = 0.9
+    val star = Similarity.cosineNearDupStar(df, planes = 2)
+      .where(col("cosine") >= gate)
+    val all = Similarity.cosineNearDup(df, threshold = gate, planes = 2)
+      .select("a_id", "b_id")
+    val ids = df.select("vec_id")
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.components(pairs.select("a_id", "b_id"), ids, idCol = "vec_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hubs are bucket minima: each b_id appears with an a_id smaller
+    // than it within its bucket, and star never out-counts all-pairs
+    assert(star.count() <= all.count() || all.count() == 0)
+    assert(comps(star) == comps(all))
+  }
+
   test("pack slices: sequences reassemble exactly — full budget per sequence, full doc across slices") {
     val d = docs((1 to 40).map(i => i.toLong -> (Seq.fill(i % 7 + 1)("tok").mkString(" "))): _*)
     val budget = 10
