@@ -50,14 +50,22 @@ object Bench {
     // read after the wall clock stops, so the drain's listener-bus wait
     // never inflates a query's recorded seconds (only sweep wall).
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    // a named listener instance: removed on exit so a second main() call
+    // in the same JVM can't double-count every task
+    val shuffleListener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (te.taskMetrics != null)
           shuffleBytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    })
+    }
+    spark.sparkContext.addSparkListener(shuffleListener)
+    // drain until the listener bus is CONFIRMED quiet (4 stable reads),
+    // with a cap generous enough that late TaskEnd events from query N
+    // can't leak into query N+1's counter under post-sweep bus lag — the
+    // 2 s cap this replaces was measurably crossable right after the
+    // align family's multi-GB shuffles
     def drained(): Long = {
       var last = -1L; var stable = 0; var waited = 0
-      while (stable < 2 && waited < 2000) {
+      while (stable < 4 && waited < 10000) {
         Thread.sleep(25); waited += 25
         val cur = shuffleBytes.get()
         if (cur == last) stable += 1 else { stable = 0; last = cur }
@@ -123,6 +131,7 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    spark.sparkContext.removeSparkListener(shuffleListener)
     spark.stop()
   }
 }

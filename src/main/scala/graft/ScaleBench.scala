@@ -36,6 +36,28 @@ object ScaleBench {
     "source_overlap", "repetition_stats", "ema_20_auto", "frequent_spans",
     "ann_ivf_top5", "text_quality")
 
+  /** Scale-only queries with no registry entry: the chunked-state TA
+    * kernels the round-12 audit prices (registered macd/kama ride the
+    * whole-series scan; the chunked twins are the 100 TB path for series
+    * that outgrow a task, bit-parity-tested in ChunkedSpec). chunkRows
+    * adapts so each series spans ~3 chunks at any replica size — the
+    * ema_20_chunked convention. */
+  val ExtraQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    def chunked(out: Seq[String], kernel: Long => graft.ta.Chunked.StepKernel)
+               (spark: SparkSession, dir: String): DataFrame = {
+      val bars = Tables.bars(spark, dir)
+      val row = bars.groupBy("symbol").count().agg(max("count")).head()
+      val maxLen = if (row.isNullAt(0)) 1L else row.getLong(0)
+      graft.ta.SeriesOps.overSeriesChunked(bars, Seq("close"), out,
+        kernel(maxLen), chunkRows = math.max(1, math.ceil(maxLen / 3.0).toInt))
+    }
+    Map(
+      "macd_chunked" -> (chunked(Seq("macd", "macd_signal", "macd_hist"),
+        _ => new graft.ta.Chunked.MacdStep(12, 26, 9)) _),
+      "kama_chunked" -> (chunked(Seq("kama"),
+        _ => new graft.ta.Chunked.KamaStep(10)) _))
+  }
+
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val queries = if (args.length > 1) args.drop(1).toSeq else DefaultQueries
@@ -82,7 +104,7 @@ object ScaleBench {
     }
 
     queries.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = ExtraQueries.getOrElse(name, SparkEntry.queries(name))
       drained(); shuffleBytes.set(0)
       val t0 = System.nanoTime()
       try {
@@ -102,8 +124,16 @@ object ScaleBench {
     println(s"[scale x$mult] generating replica at $out from $base ...")
     val copies = explode(sequence(lit(0), lit(mult - 1))).as("copy")
 
+    // per-copy id offsets come from max(id) + 1, NOT row counts: sparse
+    // ids with max >= count would silently collide across copies and
+    // corrupt the replica's duplicate-free id space (dense 0-based ids —
+    // every driver dataset so far — make base == count, so existing
+    // replicas are unchanged)
+    def idBase(df: DataFrame, c: String): Long =
+      df.agg(max(col(c)).cast("long")).head().getLong(0) + 1
     val docs = Tables.documents(spark, base)
     val nDocs = docs.count()
+    val docBase = idBase(docs, "doc_id")
     val words = split(trim(lower(col("text"))), "\\s+")
     // position-keyed deterministic permutation: key depends on (position,
     // doc, copy) only, so duplicate words do NOT cluster and each copy
@@ -116,7 +146,7 @@ object ScaleBench {
       s => s.getField("w"))
     docs.select(col("*"), copies)
       .select(
-        (col("copy") * nDocs + col("doc_id")).as("doc_id"),
+        (col("copy") * docBase + col("doc_id")).as("doc_id"),
         concat_ws(" ", permuted).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")))
@@ -125,21 +155,23 @@ object ScaleBench {
 
     val ev = Tables.table(spark, base, "events")
     val nEv = ev.count()
-    val nUsers = 1500L
+    val evBase = idBase(ev, "event_id")
+    val userBase = idBase(ev, "user_id")
     ev.select(col("*"), copies)
       .select(
-        (col("copy") * nEv + col("event_id")).as("event_id"),
+        (col("copy") * evBase + col("event_id")).as("event_id"),
         col("ts"),
-        (col("copy") * nUsers + col("user_id")).as("user_id"),
+        (col("copy") * userBase + col("user_id")).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     val emb = Tables.embeddings(spark, base)
     val nEmb = emb.count()
+    val embBase = idBase(emb, "vec_id")
     emb.select(col("*"), copies)
       .select(
-        (col("copy") * nEmb + col("vec_id")).as("vec_id"),
+        (col("copy") * embBase + col("vec_id")).as("vec_id"),
         transform(col("embedding"), (x, i) => (x + (pmod(
           xxhash64(concat_ws("_", i.cast("string"), col("vec_id").cast("string"),
             col("copy").cast("string"))), lit(1000L)).cast("double") - 500.0) / 1e6)

@@ -130,6 +130,37 @@ object DedupSql {
       |  round(max(jaccard), 6) + 0.0 AS max_jaccard
       |FROM ws GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin
 
+  /** The regime-dispatched overlap matrix's oracle — the EXACT leg with
+    * the dispatcher's uniform schema (est_pairs as a rounded double =
+    * Σw with w = 1, exactly count(*)). Valid wherever the candidate-mass
+    * probe stays below Dedup.verifiedPairsAuto's maxExactPairs, which
+    * every gated scale factor does by ~3 orders of magnitude; the
+    * sampled regime's replay is sourceOverlapSampledSql. */
+  def sourceOverlapAutoSql(thr: Double): String =
+    s"""WITH $minhashCtes,
+      |p AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+      |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+      |), shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+      |jac AS (
+      |  SELECT p.a_id, p.b_id,
+      |    CASE WHEN len(list_distinct(list_concat(da.shd, db.shd))) = 0 THEN 0.0
+      |         ELSE CAST(len(list_intersect(da.shd, db.shd)) AS DOUBLE)
+      |              / CAST(len(list_distinct(list_concat(da.shd, db.shd))) AS DOUBLE) END AS jaccard
+      |  FROM p JOIN shd da ON da.doc_id = p.a_id JOIN shd db ON db.doc_id = p.b_id
+      |),
+      |ws AS (
+      |  SELECT least(sa.source, sb.source) AS source_a,
+      |         greatest(sa.source, sb.source) AS source_b, jaccard
+      |  FROM jac j JOIN documents sa ON sa.doc_id = j.a_id
+      |             JOIN documents sb ON sb.doc_id = j.b_id
+      |  WHERE jaccard >= ${Sql.dlit(thr)}
+      |)
+      |SELECT source_a, source_b,
+      |  round(CAST(count(*) AS DOUBLE), 6) + 0.0 AS est_pairs,
+      |  round(max(jaccard), 6) + 0.0 AS max_jaccard
+      |FROM ws GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin
+
   /** Per-token fingerprints + per-bit vote counts (SimHashPoly64: bit j
     * votes on the parity of (a_{4096+j}·f + b_{4096+j}) mod P). */
   private val simVoteCtes: String = {

@@ -123,6 +123,48 @@ object EtlQueries {
         |  ${Sql.r6("coalesce(volume, 0.0)", "volume")}
         |FROM f ORDER BY date, symbol""".stripMargin)),
 
+    Entry("align_grid_unsorted",
+      // the align family WITHOUT the presentation sort (round 12,
+      // judge-directed): same grid + forward-fill contract as align_grid
+      // but `sorted = false`, consumed by a per-symbol aggregation — the
+      // realistic downstream (joins, aggs, partitioned writes) that never
+      // needed row order. The r11 ×100 audit priced the presentation-only
+      // global sort at ~half the align family's 8.7 GB shuffle; this leg
+      // splits reference-parity cost from intrinsic cost in the gated
+      // registry. Fill values ride as exact DECIMAL(38,6) into the sum so
+      // the aggregate is order-independent and bit-replayable (the
+      // source_overlap_sampled convention), then surfaces as a rounded
+      // double.
+      (spark, dir) => {
+        val sparse = Tables.bars(spark, dir)
+          .select(col("symbol"), col("ord").as("date"), col("close"), col("volume"))
+          .where((col("date") * 31 + length(col("symbol")) * 7) % 5 < 2)
+        Align.align(sparse, dateCol = "date", sorted = false)
+          .groupBy("symbol")
+          .agg(count(lit(1)).as("n_rows"),
+            r6(sum(r6(col("close")).cast("decimal(38,6)")).cast("double")).as("sum_close"),
+            r6(sum(r6(col("volume")).cast("decimal(38,6)")).cast("double")).as("sum_volume"))
+          .orderBy("symbol")
+      },
+      Some(s"""${Sql.bars}, sparse AS (
+        |  SELECT symbol, ord AS date, close, volume FROM bars WHERE $keepSql
+        |), dates AS (SELECT DISTINCT date FROM sparse),
+        |syms AS (SELECT DISTINCT symbol FROM sparse),
+        |grid AS (SELECT d.date, s.symbol FROM dates d CROSS JOIN syms s),
+        |j AS (
+        |  SELECT g.date, g.symbol, sp.close, sp.volume
+        |  FROM grid g LEFT JOIN sparse sp ON sp.date = g.date AND sp.symbol = g.symbol
+        |), f AS (
+        |  SELECT date, symbol,
+        |    last_value(close IGNORE NULLS) OVER wf AS close,
+        |    last_value(volume IGNORE NULLS) OVER wf AS volume
+        |  FROM j WINDOW wf AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT symbol, count(*) AS n_rows,
+        |  round(CAST(sum(CAST(round(coalesce(close, 0.0), 6) AS DECIMAL(38,6))) AS DOUBLE), 6) + 0.0 AS sum_close,
+        |  round(CAST(sum(CAST(round(coalesce(volume, 0.0), 6) AS DECIMAL(38,6))) AS DOUBLE), 6) + 0.0 AS sum_volume
+        |FROM f GROUP BY symbol ORDER BY symbol""".stripMargin)),
+
     Entry("align_grid_zero",
       // the zero-fill strategy: manufactured grid rows coalesce straight
       // to 0.0, no window at all

@@ -144,7 +144,12 @@ object KernelProps extends Properties("kernels") {
     forAll(ohlc, Gen.choose(2, 8)) { case ((h, l, c), n) =>
       val a = Kernels.adx(h, l, c, n)
       val ar = Kernels.adxr(h, l, c, n)
-      a.forall(v => v.isNaN || (v >= 0.0 && v <= 100.0)) &&
+      // fp-tolerant upper bound: DX = 100·|p−m|/(p+m) can round one ulp
+      // past 100 when one smoothed DM is ~1e-16 relative to the other
+      // (measured 100.00000000000001 at n=2) — the reference formula has
+      // the same overshoot and the gated oracles replay it bit-for-bit,
+      // so the kernel must NOT clamp; the bound here is mathematical ±ulp
+      a.forall(v => v.isNaN || (v >= 0.0 && v <= 100.0 * (1 + 1e-12))) &&
         ar.indices.forall(i => ar(i).isNaN ||
           eqTol(ar(i), (a(i) + a(i - n + 1)) / 2))
     }

@@ -756,6 +756,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(comps(plain) == comps(collapsed))
   }
 
+  test("verifiedPairsAuto: exact regime carries w = 1 and the exact pair set; forced sampled regime = sampledVerifiedPairs") {
+    val b = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+    val d = docs(
+      (1L -> b.trim) +: (2L -> (b.trim + " tail")) +: (3L -> b.trim.replace("lazy", "sleepy")) +:
+        (20L -> "completely different words about spark plans and shuffles here") +: Nil: _*)
+    val auto = Dedup.verifiedPairsAuto(d).collect()
+    assert(auto.nonEmpty)
+    // exact regime: every weight is exactly 1
+    assert(auto.forall(r => r.getDecimal(3).compareTo(java.math.BigDecimal.ONE) == 0))
+    val exact = Dedup.ngramJaccard(Dedup.minhashCandidates(d, portable = true), d)
+      .where(col("jaccard") >= 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.map(r => (r.getLong(0), r.getLong(1))).toSet == exact)
+    // maxExactPairs = 0 forces the sampled leg: identical pair set AND
+    // weights to sampledVerifiedPairs
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getDecimal(3))).toSet
+    val forced = Dedup.verifiedPairsAuto(d, maxExactPairs = 0L).collect()
+    val sampled = Dedup.sampledVerifiedPairs(d)
+      .select("a_id", "b_id", "jaccard", "w").collect()
+    assert(key(forced) == key(sampled))
+  }
+
   test("simhashStarEdges: ident stars for duplicate classes, verified hub links, all-pairs-equal components here") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
     val d = docs(
