@@ -335,8 +335,11 @@ object Vocab {
     * way. */
   def ngramTopKAuto(docs: DataFrame, n: Int, k: Int,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    // fp probe, not string n-grams: same ratio, no gram strings built
+    // (see frequentSpansAuto — ShingleFps composes the identical
+    // space-joined unit the string path hashes)
     if (Dedup.singletonDominated(docs,
-        Repetition.ngrams(Dedup.tokens(col(textCol)), n)))
+        graft.functions.TextHashes.shingleFps(Dedup.tokens(col(textCol)), n)))
       ngramTopKFp(docs, n, k, textCol, idCol)
     else ngramTopK(docs, n, k, exactDocFreq = true, textCol, idCol)
 
