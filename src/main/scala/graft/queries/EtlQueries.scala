@@ -131,19 +131,22 @@ object EtlQueries {
       // needed row order. The r11 ×100 audit priced the presentation-only
       // global sort at ~half the align family's 8.7 GB shuffle; this leg
       // splits reference-parity cost from intrinsic cost in the gated
-      // registry. Fill values ride as exact DECIMAL(38,6) into the sum so
-      // the aggregate is order-independent and bit-replayable (the
-      // source_overlap_sampled convention), then surfaces as a rounded
-      // double.
+      // registry. Fill values ride as exact micro-unit LONGS into the sum
+      // (round to 6 dp, scale by 1e6 in decimal, cast long): the
+      // aggregate is order-independent and bit-replayable like a decimal
+      // sum, but accumulates in integer registers — a DECIMAL(38,6)
+      // accumulator measured +60 s wall at ×100, pricing the
+      // demonstration consumer above the sort it removes.
       (spark, dir) => {
         val sparse = Tables.bars(spark, dir)
           .select(col("symbol"), col("ord").as("date"), col("close"), col("volume"))
           .where((col("date") * 31 + length(col("symbol")) * 7) % 5 < 2)
+        def micro(c: Column) = (r6(c).cast("decimal(18,6)") * lit(1000000)).cast("long")
         Align.align(sparse, dateCol = "date", sorted = false)
           .groupBy("symbol")
           .agg(count(lit(1)).as("n_rows"),
-            r6(sum(r6(col("close")).cast("decimal(38,6)")).cast("double")).as("sum_close"),
-            r6(sum(r6(col("volume")).cast("decimal(38,6)")).cast("double")).as("sum_volume"))
+            r6(sum(micro(col("close"))).cast("double") / lit(1e6)).as("sum_close"),
+            r6(sum(micro(col("volume"))).cast("double") / lit(1e6)).as("sum_volume"))
           .orderBy("symbol")
       },
       Some(s"""${Sql.bars}, sparse AS (
@@ -161,8 +164,8 @@ object EtlQueries {
         |  FROM j WINDOW wf AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |)
         |SELECT symbol, count(*) AS n_rows,
-        |  round(CAST(sum(CAST(round(coalesce(close, 0.0), 6) AS DECIMAL(38,6))) AS DOUBLE), 6) + 0.0 AS sum_close,
-        |  round(CAST(sum(CAST(round(coalesce(volume, 0.0), 6) AS DECIMAL(38,6))) AS DOUBLE), 6) + 0.0 AS sum_volume
+        |  round(CAST(sum(CAST(CAST(round(coalesce(close, 0.0), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000, 6) + 0.0 AS sum_close,
+        |  round(CAST(sum(CAST(CAST(round(coalesce(volume, 0.0), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000, 6) + 0.0 AS sum_volume
         |FROM f GROUP BY symbol ORDER BY symbol""".stripMargin)),
 
     Entry("align_grid_zero",
