@@ -197,6 +197,47 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sorted align must keep the global (date, symbol) order")
   }
 
+  test("simhashStarEdges reuses ONE (chunk, key) exchange for hub agg and hub join") {
+    // the star construction's hub aggregation and hub↔member join both
+    // consume the exploded chunk frame — the explicit repartition must be
+    // computed once and reused, or the signature+explode pass runs twice
+    val plan = executedPlan(Dedup.simhashStarEdges(docs(50)))
+    assert(plan.contains("ReusedExchange"),
+      s"expected the (chunk, key) exchange to be computed once and reused:\n$plan")
+  }
+
+  test("cosineNearDupStar reuses ONE sig exchange for hub agg and hub join") {
+    val plan = executedPlan(Similarity.cosineNearDupStar(embs(60), planes = 2))
+    assert(plan.contains("ReusedExchange"),
+      s"expected the sig exchange to be computed once and reused:\n$plan")
+  }
+
+  test("unsorted align + aggregate: the only range exchange orders the AGGREGATED frame") {
+    // the registered align_grid_unsorted shape: grid + fill with
+    // sorted=false feeding a per-symbol aggregate, ordered by symbol at
+    // the end. The tiny terminal ORDER BY may range-exchange ~#symbols
+    // rows; it must sit ABOVE the aggregation — a range exchange below it
+    // would mean the presentation sort of the full row-level frame
+    // sneaked back in
+    val bars = spark.createDataFrame((0 until 60).map(i =>
+      (s"s${i % 3}", i.toLong, if (i % 4 == 0) Some(i.toDouble) else None)))
+      .toDF("symbol", "date", "close")
+    val df = graft.etl.Align.align(bars, sorted = false)
+      .groupBy("symbol").agg(count(lit(1)).as("n"), sum("close").as("s"))
+      .orderBy("symbol")
+    df.collect()
+    val ranges = physicalNodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e
+    }
+    assert(ranges.nonEmpty, "terminal symbol order needs one small range exchange")
+    ranges.foreach { e =>
+      val below = physicalNodes(e.asInstanceOf[org.apache.spark.sql.execution.SparkPlan])
+      assert(below.exists(_.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+        s"the range exchange must order the aggregated frame, not the row-level fill:\n$e")
+    }
+  }
+
   test("bpe encode joins the vocabulary by broadcast, corpus never shuffles for it") {
     // the join-based encode's contract: the (word → pieces) side rides a
     // broadcast, so the corpus pays shuffles only for the per-doc
