@@ -55,7 +55,21 @@ object ScaleBench {
       "macd_chunked" -> (chunked(Seq("macd", "macd_signal", "macd_hist"),
         _ => new graft.ta.Chunked.MacdStep(12, 26, 9)) _),
       "kama_chunked" -> (chunked(Seq("kama"),
-        _ => new graft.ta.Chunked.KamaStep(10)) _))
+        _ => new graft.ta.Chunked.KamaStep(10)) _),
+      // dedup_clusters_star with the CC driver-finish bound raised
+      // 1<<20 → 1<<23 (~8M super-edges ≈ 128-256 MB collected): the
+      // round-12 ×1000 audit found the star path's super-linear step is
+      // the bound being crossed (3 distributed label rounds switch on);
+      // this measures how much of that step a bigger driver budget buys
+      // — the evidence for the round-13 default decision
+      "star_clusters_b23" -> ((spark: SparkSession, dir: String) => {
+        val docs = Tables.documents(spark, dir)
+        val sig = graft.pipeline.Dedup.minhashSignatures(docs, portable = true)
+        val edges = graft.pipeline.Dedup.bucketStarEdges(
+          graft.pipeline.Dedup.lshBuckets(sig, portable = true))
+        graft.pipeline.Dedup.components(edges, docs.select("doc_id"),
+          driverEdgeBound = 1L << 23)
+      }))
   }
 
   def main(args: Array[String]): Unit = {
