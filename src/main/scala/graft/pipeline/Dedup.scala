@@ -673,10 +673,23 @@ object Dedup {
         .where(col("jaccard") >= jaccardThr)
         .withColumn("w", lit(java.math.BigDecimal.ONE).cast("decimal(38,12)"))
         .select(col("a_id"), col("b_id"), col("jaccard"), col("w"))
-    } else
-      sampledVerifiedPairs(docs, sampleMod, jaccardThr, textCol, idCol,
+    } else {
+      // size the sample to a FIXED pair budget, not a fixed rate: the
+      // ×1000 audit filled 75 GB of spill running the 1/16 sample on a
+      // ~2×10⁹-candidate corpus (a fixed rate is still Θ(pairs) — 125M
+      // sampled pairs each dragging two shingle arrays through the
+      // verify join). Dividing the measured candidate mass by the exact
+      // budget keeps the sampled verify join at ~maxExactPairs pairs at
+      // ANY density; the HT weight table (1/(1−(1−1/s)^k)) is exact for
+      // any s, the estimate stays unbiased, and variance (∝ s per
+      // stratum) is the documented price of density — the knob a caller
+      // tightens by raising maxExactPairs.
+      val mod = math.max(sampleMod,
+        math.ceil(candidates.toDouble / math.max(1L, maxExactPairs)).toInt)
+      sampledVerifiedPairs(docs, mod, jaccardThr, textCol, idCol,
           numPerms, bands, shingleK)
         .select(col("a_id"), col("b_id"), col("jaccard"), col("w"))
+    }
   }
 
   /** Per-bucket STAR edges from LSH bucket membership: one (bucket-min

@@ -769,14 +769,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(col("jaccard") >= 0.5)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(auto.map(r => (r.getLong(0), r.getLong(1))).toSet == exact)
-    // maxExactPairs = 0 forces the sampled leg: identical pair set AND
-    // weights to sampledVerifiedPairs
+    // a budget just below the measured candidate mass forces the sampled
+    // leg while keeping the adaptive sampleMod at its floor of 16
+    // (ceil(cand/(cand−1)) = 2 < 16), so the result must equal
+    // sampledVerifiedPairs' pinned 1/16 sample — pair set AND weights
+    val buckets = Dedup.lshBuckets(Dedup.minhashSignatures(d, portable = true),
+      portable = true)
+    val cand = buckets.groupBy("band", "bucket").count()
+      .agg(org.apache.spark.sql.functions.sum(
+        (col("count") * (col("count") - 1) / 2).cast("long"))).head().getLong(0)
+    assert(cand > 1, s"fixture must produce candidate pairs, got $cand")
     def key(rs: Array[org.apache.spark.sql.Row]) =
       rs.map(r => (r.getLong(0), r.getLong(1), r.getDecimal(3))).toSet
-    val forced = Dedup.verifiedPairsAuto(d, maxExactPairs = 0L).collect()
+    val forced = Dedup.verifiedPairsAuto(d, maxExactPairs = cand - 1).collect()
     val sampled = Dedup.sampledVerifiedPairs(d)
       .select("a_id", "b_id", "jaccard", "w").collect()
     assert(key(forced) == key(sampled))
+    // and a budget of 1 drives the adaptive mod to the candidate count —
+    // the fixed-pair-budget contract (empty or tiny sample, never an error)
+    val tight = Dedup.verifiedPairsAuto(d, maxExactPairs = 1L).collect()
+    assert(tight.length <= sampled.length)
   }
 
   test("simhashStarEdges: ident stars for duplicate classes, verified hub links, all-pairs-equal components here") {
