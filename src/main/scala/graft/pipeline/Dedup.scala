@@ -692,6 +692,43 @@ object Dedup {
     }
   }
 
+  /** Cross-corpus (incremental) near-dup flagging: for each doc in
+    * `corpus`, does it near-duplicate ANY doc in `reference`? This is the
+    * standard incremental-crawl step — dedup a new batch against the
+    * existing training set without re-clustering the world. Both sides
+    * ride the banded minhash-LSH join (never all-pairs, never a corpus
+    * re-scan of the reference beyond its own signature pass); candidate
+    * pairs are verified with exact n-gram Jaccard.
+    *
+    * Contract: ids must be unique ACROSS the two frames (global doc ids
+    * — the verify join resolves both sides from their union). Returns
+    * one row per corpus doc: (idCol, near_dup, max_jaccard) with
+    * max_jaccard the best verified candidate (NULL when no bucket
+    * collision produced a candidate at all). */
+  def crossCorpusNearDup(corpus: DataFrame, reference: DataFrame,
+                         jaccardThr: Double = 0.5,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         numPerms: Int = 32, bands: Int = 16,
+                         shingleK: Int = 3): DataFrame = {
+    val cb = lshBuckets(minhashSignatures(corpus, textCol, idCol, numPerms, shingleK,
+      portable = true), idCol, numPerms, bands, portable = true)
+    val rb = lshBuckets(minhashSignatures(reference, textCol, idCol, numPerms, shingleK,
+      portable = true), idCol, numPerms, bands, portable = true)
+    val pairs = cb.toDF("a_id", "band", "bucket")
+      .join(rb.toDF("b_id", "band", "bucket"), Seq("band", "bucket"))
+      .select("a_id", "b_id").distinct()
+    val both = corpus.select(col(idCol), col(textCol))
+      .unionByName(reference.select(col(idCol), col(textCol)))
+    val verified = ngramJaccard(pairs, both, textCol, idCol, shingleK)
+      .groupBy("a_id")
+      .agg(max(col("jaccard") >= jaccardThr).as("near_dup"),
+        max(col("jaccard")).as("max_jaccard"))
+    corpus.select(col(idCol)).join(verified, corpus(idCol) === verified("a_id"), "left")
+      .select(col(idCol),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"),
+        col("max_jaccard"))
+  }
+
   /** Per-bucket STAR edges from LSH bucket membership: one (bucket-min
     * id → member) edge per other member of each (band, bucket) —
     * component-IDENTICAL to the all-pairs bucket join (within a bucket a

@@ -102,6 +102,32 @@ object DedupSql {
       |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Incremental/cross-corpus near-dup flagging — replays
+    * Dedup.crossCorpusNearDup over the % 3 corpus/reference split: the
+    * banded bucket join restricted to corpus×reference pairs, exact
+    * n-gram jaccard verify, then per-corpus-doc any/max rollup with the
+    * no-candidate docs surfacing (false, NULL). */
+  val crossCorpusDedupSql: String =
+    s"""WITH $minhashCtes,
+      |p AS (
+      |  SELECT DISTINCT cb.doc_id AS a_id, rb.doc_id AS b_id
+      |  FROM b cb JOIN b rb ON cb.band = rb.band AND cb.bucket = rb.bucket
+      |  WHERE cb.doc_id % 3 != 0 AND rb.doc_id % 3 = 0
+      |), shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+      |jac AS (
+      |  SELECT p.a_id,
+      |    CASE WHEN len(list_distinct(list_concat(da.shd, db.shd))) = 0 THEN 0.0
+      |         ELSE CAST(len(list_intersect(da.shd, db.shd)) AS DOUBLE)
+      |              / CAST(len(list_distinct(list_concat(da.shd, db.shd))) AS DOUBLE) END AS jaccard
+      |  FROM p JOIN shd da ON da.doc_id = p.a_id JOIN shd db ON db.doc_id = p.b_id
+      |)
+      |SELECT d.doc_id,
+      |  coalesce(bool_or(j.jaccard >= 0.5), false) AS near_dup,
+      |  round(max(j.jaccard), 6) + 0.0 AS max_jaccard
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 != 0) d
+      |LEFT JOIN jac j ON j.a_id = d.doc_id
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** Cross-source overlap matrix: verified near-dup pairs (n-gram
     * jaccard ≥ thr) grouped by UNORDERED source pair — counts and max
     * similarity only (order-independent aggregates; an avg would sit on

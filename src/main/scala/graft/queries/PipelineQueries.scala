@@ -707,6 +707,24 @@ object PipelineQueries {
           .orderBy("doc_id")
       }, Some(DedupSql.clusterKeepLongestSql)),
 
+    Entry("cross_corpus_dedup",
+      // incremental dedup (round 12): flag each new-crawl doc (doc_id %
+      // 3 != 0 plays the new batch) that near-duplicates ANY doc of the
+      // existing training set (% 3 == 0 plays the reference) — the
+      // standard "dedup the new batch against the world" step, which
+      // needs no re-clustering of the reference. Banded minhash join
+      // restricted to corpus×reference, exact jaccard verify, any/max
+      // rollup per corpus doc; docs with no bucket collision surface as
+      // (false, NULL).
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Dedup.crossCorpusNearDup(docs.where(col("doc_id") % 3 =!= 0),
+            docs.where(col("doc_id") % 3 === 0))
+          .select(col("doc_id"), col("near_dup"),
+            r6(col("max_jaccard")).as("max_jaccard"))
+          .orderBy("doc_id")
+      }, Some(DedupSql.crossCorpusDedupSql)),
+
     Entry("decontaminate",
       // train/test decontamination: every 50th doc plays the benchmark;
       // the rest are flagged iff they share any 5-gram with it. Runs on

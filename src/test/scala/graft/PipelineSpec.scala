@@ -756,6 +756,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(comps(plain) == comps(collapsed))
   }
 
+  test("crossCorpusNearDup: flags near-dups of the reference, leaves strangers (false, null)") {
+    val b = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+    val corpus = docs(
+      1L -> (b.trim + " tail"),                     // near-dup of ref 100
+      2L -> b.trim.replace("lazy", "sleepy"),       // near-dup of ref 100
+      3L -> "completely different words about spark plans and shuffles here")
+    val ref = docs(100L -> b.trim,
+      101L -> "reference doc about parquet footers and row group statistics")
+    val got = Dedup.crossCorpusNearDup(corpus, ref).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L)._1 && got(1L)._2.exists(_ >= 0.5))
+    assert(got(2L)._1 && got(2L)._2.exists(_ >= 0.5))
+    // the stranger either produced no candidate (null) or a sub-threshold one
+    assert(!got(3L)._1 && got(3L)._2.forall(_ < 0.5))
+    // corpus docs never flag against EACH OTHER: 1 and 2 near-dup each
+    // other, but with only the stranger as reference nothing flags
+    val onlyStranger = Dedup.crossCorpusNearDup(corpus,
+      docs(200L -> "reference doc about parquet footers and row group statistics"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(onlyStranger.values.forall(_ == false))
+  }
+
   test("verifiedPairsAuto: exact regime carries w = 1 and the exact pair set; forced sampled regime = sampledVerifiedPairs") {
     val b = "the quick brown fox jumps over the lazy dog and runs far away " * 3
     val d = docs(
