@@ -29,6 +29,56 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Frames the plan builders persist for intra-plan reuse (minhash
+    * signatures, LSH buckets, frequent fps), tracked so a long-lived
+    * session dispatching over MANY distinct corpora — the incremental
+    * pipeline use case — can release them instead of accumulating cache
+    * entries (disk spill included) for the JVM lifetime. */
+  private val retainedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `plan` MEMORY_AND_DISK unless an identical plan is already
+    * cached (a re-entrant call builds an IDENTICAL logical plan, which
+    * CacheManager would match and warn about — reusing the live entry
+    * keeps that warning a real finding), and track the handle for
+    * [[releaseCaches]]. MEMORY_AND_DISK, not the MEMORY_ONLY default:
+    * these frames are corpus-sized and feed several downstream joins;
+    * under memory pressure MEMORY_ONLY silently evicts and recomputes
+    * the expensive pass per join, while spilling overflow to local disk
+    * is strictly cheaper. */
+  private def guardedPersist(plan: DataFrame): DataFrame =
+    if (plan.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      val p = plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      retainedCaches.add(p)
+      p
+    } else plan
+
+  /** Release a DEAD localCheckpoint's storage blocks. A checkpointed
+    * frame's plan is one LogicalRDD leaf whose RDD owns the materialized
+    * blocks; freeing is safe ONLY once nothing will scan the frame again
+    * (the lineage is truncated, so a freed checkpoint cannot recompute —
+    * any later scan throws). [[components]] uses this to drop each label
+    * round's superseded checkpoint and the edge frame at loop end:
+    * without it, back-to-back CC calls in one session accumulate
+    * edge-scale block sets for the JVM lifetime (two ×1000 star-cluster
+    * queries OOMed a 16g JVM; each alone fits in 8g). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false): Unit
+      case _ =>
+    }
+
+  /** Unpersist every frame the dedup plan builders retained (and drop
+    * memoized regime verdicts — stale after the data they probed
+    * changes). Call between corpora in a long-lived session; safe while
+    * no query built from those frames is still running. */
+  def releaseCaches(): Unit = {
+    var df = retainedCaches.poll()
+    while (df != null) { df.unpersist(blocking = false); df = retainedCaches.poll() }
+    clearRegimeCache()
+  }
+
   /** Exact dedup annotation: hash, duplicate-group size, canonical flag
     * (lowest id in the group wins). */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -120,11 +170,8 @@ object Dedup {
     // builds an IDENTICAL logical plan, which CacheManager would match
     // and warn about ("already cached") — reuse the live entry instead,
     // so that warning stays a real finding when it appears
-    val sigPlan = minhashSignatures(docs, textCol, idCol, numPerms, shingleK, portable)
-    val rawSig =
-      if (sigPlan.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        sigPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else sigPlan
+    val rawSig = guardedPersist(
+      minhashSignatures(docs, textCol, idCol, numPerms, shingleK, portable))
     val (sig, identityEdges) =
       if (!collapseIdentical) (rawSig, None)
       else {
@@ -155,20 +202,33 @@ object Dedup {
     * selection. Two-phase design (the standard large-graph CC recipe,
     * "contract big, finish small"):
     *
-    *   1. Distributed min-label rounds: each iteration is one equi-join +
-    *      one partial-aggregated min, followed by a pointer-jump
-    *      (label := label-of-label) that contracts paths, so label depth
-    *      halves per round. After each round the CONTRACTED super-graph
-    *      (distinct label-to-label edges still crossing components) is
-    *      counted; it shrinks geometrically with rounds.
-    *   2. Driver finish: once the super-graph fits `driverEdgeBound`
+    *   1. Distributed min-label rounds: each iteration is ONE
+    *      edge-scale equi-join + partial-aggregated min. The pointer
+    *      jump (label := label-of-label) is FUSED into that join by
+    *      unioning the label map itself as extra directed edges
+    *      (id → label), so the jump rides the same exchange instead of
+    *      paying its own join — the round-12 audit priced the unfused
+    *      round at ~4 joins over the edge frame; the fused round pays
+    *      one. Labels are pointwise non-increasing, so convergence is a
+    *      changed-row count on the just-checkpointed frame (a scan, not
+    *      a join).
+    *   2. Driver finish: once the super-graph (distinct label-to-label
+    *      edges still crossing components) fits `driverEdgeBound`
     *      (default 2^20 edges ≈ tens of MB — bounded driver memory, the
     *      same posture as the IVF centroid collect), the remaining closure
     *      runs as a path-compressed min-root union-find on the driver and
-    *      is applied back with one broadcast join. This caps the round
-    *      count: a 100 TB corpus pays 1-3 full-corpus rounds instead of
-    *      O(log diameter), and a bench-scale pair set (edges already under
-    *      the bound) pays ZERO distributed rounds.
+    *      is applied back with one broadcast join. The fit test is a
+    *      single `limit(bound+1).collect()` — CollectLimit fetches reduce
+    *      partitions incrementally, so a far-over-bound round stops after
+    *      ~16 MB instead of materializing + counting the full contraction
+    *      (the round-12 checkpoint+count double-pass). The check runs at
+    *      round 0 (where the contraction is the raw checkpointed edge set
+    *      — an early-stopping scan, no join) and every second round
+    *      thereafter: far-from-bound rounds skip the two label joins the
+    *      check costs, at worst one cheap fused round of delay. This caps
+    *      the round count: a 100 TB corpus pays a few fused rounds, and a
+    *      bench-scale pair set (edges already under the bound) pays ZERO
+    *      distributed rounds.
     *
     * Returns (idCol, cluster_id, is_representative) for EVERY id in
     * `ids` — singletons keep their own id as cluster_id; cluster_id is
@@ -180,90 +240,176 @@ object Dedup {
     * labels row to propagate from). */
   def components(pairs: DataFrame, ids: DataFrame, idCol: String = "doc_id",
                  aCol: String = "a_id", bCol: String = "b_id",
-                 maxIters: Int = 20, driverEdgeBound: Long = 1L << 20): DataFrame = {
-    // localCheckpoint (not cache) on the iterated frame: caching keeps
+                 maxIters: Int = 20, driverEdgeBound: Long = 1L << 20,
+                 maxBroadcastIds: Long = 2_000_000L): DataFrame = {
+    // localCheckpoint (not cache) on the iterated frames: caching keeps
     // the LOGICAL plan growing — two self-joins per round double it, and
     // the analyzer blows the heap after a dozen rounds; checkpointing
     // truncates the lineage so every round plans against a leaf
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(eager = true)
     var labels = ids.select(col(idCol).as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(eager = true)
     val labelType = labels.schema("label").dataType
+    // label-map size regime: a small-enough label map rides every
+    // per-round join as a BROADCAST — the round's only shuffle is the
+    // node-scale min-aggregate merge instead of the full edge frame
+    // (the round-12 audit's 3+ GB/round). Past the bound — the
+    // billions-of-docs regime — the shuffle-join path below is the plan;
+    // the dispatch is a count on the checkpointed frame (a cheap scan).
+    // The 2M default is sized for the repo's single-JVM 8g posture,
+    // where the hashed relation must co-exist with the edge checkpoint
+    // in ONE unified memory pool (a 5M-id broadcast OOMed next to a
+    // 160M-edge checkpoint, measured ×1000); on a real cluster, where
+    // executors hold only their edge partitions, a label broadcast is an
+    // ordinary dimension-table broadcast — size the knob to executor
+    // memory (~100 bytes/id hashed) there.
+    val idCount = labels.count()
+    val bcastRegime = idCount <= maxBroadcastIds
+    // broadcast regime: repartition BY src BEFORE the distinct —
+    // HashPartitioning(src) satisfies the distinct's
+    // ClusteredDistribution(src, dst), so the edge frame still pays ONE
+    // exchange total but checkpoints hash-partitioned on src, and every
+    // round's groupBy(src) reuses that partitioning with no exchange at
+    // all (the per-round joins are all broadcasts). Shuffle regime keeps
+    // the (src, dst) hash: src-keyed partitioning buys nothing there
+    // (the round join re-exchanges on dst anyway) and would concentrate
+    // a high-degree hub's entire edge list into one partition.
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val edges = (if (bcastRegime) sym.repartition(col("src")) else sym)
+      .distinct().localCheckpoint(eager = true)
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    // bound+1 rows decide "fits" vs "doesn't" in one incremental-fetch
+    // job; the array is ≤ ~16 MB at the default bound either way
+    val fitLimit = math.min(driverEdgeBound + 1, Int.MaxValue.toLong - 8).toInt
     var i = 0
     var converged = false
+    var lastChanged = Long.MaxValue
     while (!converged && i < maxIters) {
-      // contracted super-graph between CURRENT labels, in canonical
-      // (min, max) form. Round 0 is the identity labeling, so the
-      // contraction is just the (already distinct, symmetric) edge set
-      // itself — no join needed.
-      val contracted =
-        if (i == 0) edges.where(col("src") < col("dst")).select(col("src").as("x"), col("dst").as("y"))
-        else edges
-          .join(labels.select(col("id").as("src"), col("label").as("sl")), "src")
-          .join(labels.select(col("id").as("dst"), col("label").as("dl")), "dst")
-          .where(col("sl") =!= col("dl"))
-          .select(least(col("sl"), col("dl")).as("x"), greatest(col("sl"), col("dl")).as("y"))
-          .distinct()
-      val superEdges = contracted.localCheckpoint(eager = true)
-      val cnt = superEdges.count()
-      if (cnt == 0) {
-        // every edge is internal to a label ⇒ labels are component-uniform,
-        // and a uniform label equals the component min (the min node's
-        // label only ever decreases from itself and label values are
-        // member ids)
-        converged = true
-      } else if (cnt <= driverEdgeBound) {
-        // driver finish: min-root union-find with path compression over
-        // the super-graph, applied back through ONE broadcast join.
-        // Generic over the id type — label values (Long doc ids, Int test
-        // ids, …) are compared through Comparable, and the root map is
-        // rebuilt with the labels frame's own schema so no cast can
-        // corrupt or widen the output type.
-        val parent = new java.util.HashMap[Any, Any]()
-        def find(a: Any): Any = {
-          var r = a
-          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
-          var c = a // path compression
-          while (parent.getOrDefault(c, c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
-          r
+      // super-graph fit test — round 0 (raw edge set, no join: the scan
+      // early-stops the moment bound+1 rows surface) and every second
+      // round after the labeling has had two fused rounds to contract.
+      // The changed-fraction gate skips a scheduled check while >3/4 of
+      // the nodes still moved last round: a labeling in full flood
+      // cannot plausibly have contracted under any useful bound, and the
+      // check's distinct over the relabeled edge frame is the single
+      // most expensive plan in the loop (measured at ×1000: the round-2
+      // check ran at changed=4.6M/5M and found 80M+ super-edges)
+      if (i == 0 || (i >= 2 && i % 2 == 0 && lastChanged <= (idCount * 3) / 4)) {
+        // contracted super-graph between CURRENT labels, canonical
+        // (min, max) form; round 0's identity labeling makes it the
+        // (already distinct, symmetric) edge set itself
+        def lab(as: String, out: String) = {
+          val m = labels.select(col("id").as(as), col("label").as(out))
+          if (bcastRegime) broadcast(m) else m
         }
-        def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
-        superEdges.collect().foreach { row =>
-          val (rx, ry) = (find(row.get(0)), find(row.get(1)))
-          if (rx != ry) { if (lt(rx, ry)) parent.put(ry, rx) else parent.put(rx, ry) }
+        val contracted =
+          if (i == 0) edges.where(col("src") < col("dst")).select(col("src").as("x"), col("dst").as("y"))
+          else edges
+            .join(lab("src", "sl"), "src")
+            .join(lab("dst", "dl"), "dst")
+            .where(col("sl") =!= col("dl"))
+            .select(least(col("sl"), col("dl")).as("x"), greatest(col("sl"), col("dl")).as("y"))
+            .distinct()
+        val superEdges = contracted.limit(fitLimit).collect()
+        if (debug) System.err.println(
+          s"[cc] check round=$i super_edges=${if (superEdges.length == fitLimit) s">${driverEdgeBound}" else superEdges.length.toString}")
+        if (superEdges.isEmpty) {
+          // every edge is internal to a label ⇒ labels are
+          // component-uniform, and a uniform label equals the component
+          // min (the min node's label only ever decreases from itself
+          // and label values are member ids)
+          converged = true
+        } else if (superEdges.length <= driverEdgeBound) {
+          // driver finish: min-root union-find with path compression over
+          // the super-graph, applied back through ONE broadcast join.
+          // Generic over the id type — label values (Long doc ids, Int
+          // test ids, …) are compared through Comparable, and the root map
+          // is rebuilt with the labels frame's own schema so no cast can
+          // corrupt or widen the output type.
+          val parent = new java.util.HashMap[Any, Any]()
+          def find(a: Any): Any = {
+            var r = a
+            while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+            var c = a // path compression
+            while (parent.getOrDefault(c, c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+            r
+          }
+          def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+          superEdges.foreach { row =>
+            val (rx, ry) = (find(row.get(0)), find(row.get(1)))
+            if (rx != ry) { if (lt(rx, ry)) parent.put(ry, rx) else parent.put(rx, ry) }
+          }
+          val rootRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+          parent.keySet().forEach { k =>
+            val r = find(k)
+            if (r != k) rootRows.add(org.apache.spark.sql.Row(k, r))
+          }
+          val spark = labels.sparkSession
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("l", labelType),
+            org.apache.spark.sql.types.StructField("root", labelType)))
+          val roots = spark.createDataFrame(rootRows, schema)
+          labels = labels.join(broadcast(roots), labels("label") === roots("l"), "left")
+            .select(col("id"), coalesce(col("root"), col("label")).as("label"))
+          converged = true
         }
-        val rootRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-        parent.keySet().forEach { k =>
-          val r = find(k)
-          if (r != k) rootRows.add(org.apache.spark.sql.Row(k, r))
-        }
-        val spark = labels.sparkSession
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("l", labelType),
-          org.apache.spark.sql.types.StructField("root", labelType)))
-        val roots = spark.createDataFrame(rootRows, schema)
-        labels = labels.join(broadcast(roots), labels("label") === roots("l"), "left")
-          .select(col("id"), coalesce(col("root"), col("label")).as("label"))
-        converged = true
-      } else {
-        val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-          .groupBy(col("src")).agg(min("label").as("nbr_min"))
-        val propagated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-          .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        // pointer jump against the PREVIOUS round's (checkpointed) label
-        // map: a stale label-of-label still contracts paths (labels only
-        // ever decrease toward the component min, and every stale value is
-        // a same-component id, so least() stays correct) — and because the
-        // jump side scans the checkpoint instead of re-deriving this
-        // round's frame, the edges-join + min-aggregate above (the
-        // expensive exchange at corpus scale) is evaluated exactly ONCE
-        // per round, with one materialization.
-        val jump = labels.select(col("id").as("lid"), col("label").as("llabel"))
-        labels = propagated.join(jump, propagated("label") === jump("lid"), "left")
-          .select(col("id"), least(col("label"), coalesce(col("llabel"), col("label"))).as("label"))
-          .localCheckpoint(eager = true)
+      }
+      if (!converged) {
+        // fused propagate + pointer-jump: one edge-scale pass computes
+        // min(label, neighbor labels, label-of-label) per node. The jump
+        // is against this round's INPUT labeling (a stale label-of-label
+        // still contracts: labels only ever decrease toward the
+        // component min and every value is a same-component id, so
+        // least() stays correct).
+        val merged = (if (bcastRegime) {
+          // broadcast regime: the label map joins map-side everywhere.
+          // The edge frame is hash-partitioned on src (checkpoint above)
+          // and a broadcast join preserves the streamed side's
+          // partitioning, so groupBy(src) runs with NO exchange — the
+          // round's only shuffle is the node-scale merge join. The jump
+          // is a second map-side lookup of the same broadcast (reused by
+          // exchange reuse), not a pointer-edge union, which would break
+          // the src partitioning.
+          val lb = broadcast(labels)
+          val nbrMin = edges
+            .join(lb.select(col("id").as("dst"), col("label").as("dl")), "dst")
+            .groupBy(col("src")).agg(min("dl").as("nbr_min"))
+          val jumped = labels
+            .join(lb.select(col("id").as("j_id"), col("label").as("jl")),
+              labels("label") === col("j_id"), "left")
+            .select(col("id"), col("label").as("__old"),
+              least(col("label"), coalesce(col("jl"), col("label"))).as("lab1"))
+          jumped.join(nbrMin, jumped("id") === nbrMin("src"), "left")
+            .select(col("id"), col("__old"),
+              least(col("lab1"), coalesce(col("nbr_min"), col("lab1"))).as("label"))
+        } else {
+          // shuffle regime (label map too big to broadcast): the label
+          // map rides the edge frame as extra (id → label) directed
+          // edges, so ONE equi-join + min-aggregate yields the same
+          // fused value. Self-labeled nodes contribute no pointer edge —
+          // round 0 pays zero jump overhead.
+          val ptr = labels.where(col("id") =!= col("label"))
+            .select(col("id").as("src"), col("label").as("dst"))
+          val nbrMin = edges.union(ptr)
+            .join(labels.select(col("id").as("dst"), col("label").as("dl")), "dst")
+            .groupBy(col("src")).agg(min("dl").as("nbr_min"))
+          labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+            .select(col("id"), col("label").as("__old"),
+              least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        }).localCheckpoint(eager = true)
+        // old label rides through the checkpoint so convergence is a
+        // filtered scan of the materialized frame — no old-vs-new join
+        val changed = merged.where(col("label") =!= col("__old")).count()
+        // the superseded label checkpoint is dead: merged is materialized
+        // (eager) and changed already counted — free its blocks now
+        // instead of accumulating a node-scale block set per round
+        freeCheckpoint(labels)
+        labels = merged.select(col("id"), col("label"))
+        lastChanged = changed
+        if (debug) System.err.println(s"[cc] round=$i changed=$changed")
+        // zero changed labels ⇒ every node's label ≤ all neighbor labels
+        // ⇒ adjacent labels are equal ⇒ component-uniform (= the min)
+        if (changed == 0) converged = true
         i += 1
       }
     }
@@ -274,8 +420,47 @@ object Dedup {
     if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] rounds=$i")
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $maxIters iterations; raise maxIters")
+    // the returned frame reads only the final label checkpoint (+ the
+    // driver-finish broadcast): the edge-scale checkpoint is dead weight
+    // from here — free it so consecutive CC calls in one session don't
+    // stack corpus-sized block sets
+    freeCheckpoint(edges)
     labels.select(col("id").as(idCol), col("label").as("cluster_id"),
       (col("id") === col("label")).as("is_representative"))
+  }
+
+  /** Pair-level agreement between two clusterings of the SAME id
+    * universe — the Rand-index decomposition, computed entirely from
+    * cluster-size marginals (never pair enumeration, so any corpus size
+    * pays three node-scale aggregates): co-clustered pair counts per
+    * side come from Σ n(n−1)/2 over cluster sizes, the agreeing count
+    * from the same sum over the JOINT partition, and the two set
+    * differences fall out by subtraction. The round-12 star-construction
+    * default verifies only hub↔member links, so a verified all-pairs
+    * clique whose members each fail against every shared hub SPLITS —
+    * this is the measurement that keeps that recall trade visible:
+    * `pairs_only_b`(= in the all-pairs clustering but not the star's)
+    * counts exactly the under-merged pairs. Returns ONE row:
+    * (n_clusters_a, n_clusters_b, pairs_a, pairs_b, pairs_both,
+    * pairs_only_a, pairs_only_b). Pair counts are exact through the
+    * shiftright halving up to ~3×10⁹-member clusters (n(n−1) in a
+    * Long). Inputs are [[components]]-shaped: (idCol, cluster_id, …). */
+  def clusteringAgreement(a: DataFrame, b: DataFrame,
+                          idCol: String = "doc_id"): DataFrame = {
+    val joint = a.select(col(idCol).as("id"), col("cluster_id").as("ca"))
+      .join(b.select(col(idCol).as("id"), col("cluster_id").as("cb")), "id")
+      .groupBy("ca", "cb").agg(count(lit(1)).as("n"))
+    def pairCount(n: Column) = shiftright(n * (n - lit(1)), 1)
+    val ma = joint.groupBy("ca").agg(sum("n").as("n"))
+      .agg(count(lit(1)).as("n_clusters_a"), sum(pairCount(col("n"))).as("pairs_a"))
+    val mb = joint.groupBy("cb").agg(sum("n").as("n"))
+      .agg(count(lit(1)).as("n_clusters_b"), sum(pairCount(col("n"))).as("pairs_b"))
+    val mj = joint.agg(sum(pairCount(col("n"))).as("pairs_both"))
+    ma.crossJoin(mb).crossJoin(mj)
+      .select(col("n_clusters_a"), col("n_clusters_b"),
+        col("pairs_a"), col("pairs_b"), col("pairs_both"),
+        (col("pairs_a") - col("pairs_both")).as("pairs_only_a"),
+        (col("pairs_b") - col("pairs_both")).as("pairs_only_b"))
   }
 
   /** Choose one KEEPER per near-dup cluster by an explicit preference —
@@ -528,14 +713,14 @@ object Dedup {
       // anyway, and the persisted frame feeds it); past the bound the fp
       // prefilter can't help (the "frequent tail" is most of the corpus,
       // so the recount would shuffle most strings regardless) and the
-      // direct path is the honest plan. Guarded persist, same re-entrant
-      // convention as minhashCandidates.
-      val freqFps =
-        if (freqFpsPlan.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-          freqFpsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        else freqFpsPlan
-      if (freqFps.count() > MaxBroadcastFps) direct
-      else {
+      // direct path is the honest plan.
+      val freqFps = guardedPersist(freqFpsPlan)
+      if (freqFps.count() > MaxBroadcastFps) {
+        // the direct plan never reads freqFps — drop the cache now
+        // instead of leaking it for the session lifetime
+        freqFps.unpersist(blocking = false)
+        direct
+      } else {
         val pairs = array_distinct(transform(shingles(col(textCol), k),
           g => struct(g.as("gram"), xxhash64(g).as("fp"))))
         docs.select(explode(pairs).as("p"))
@@ -596,14 +781,9 @@ object Dedup {
                            shingleK: Int = 3): DataFrame = {
     val sig = minhashSignatures(docs, textCol, idCol, numPerms, shingleK, portable = true)
     // the bucket frame feeds FOUR scans (both sides of the sampled pair
-    // join, both sides of the k recount) — persist it (guarded, same
-    // convention as minhashCandidates) or the shingle+minhash pass runs
-    // four times
-    val bucketsPlan = lshBuckets(sig, idCol, numPerms, bands, portable = true)
-    val buckets =
-      if (bucketsPlan.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        bucketsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else bucketsPlan
+    // join, both sides of the k recount) — persist it (guarded) or the
+    // shingle+minhash pass runs four times
+    val buckets = guardedPersist(lshBuckets(sig, idCol, numPerms, bands, portable = true))
     val sampled = buckets.where(pmod(col("bucket"), lit(sampleMod.toLong)) === 0)
     val pairs = sampled.toDF("a_id", "band", "bucket")
       .join(sampled.toDF("b_id", "band", "bucket"), Seq("band", "bucket"))
@@ -650,16 +830,26 @@ object Dedup {
                         sampleMod: Int = 16, jaccardThr: Double = 0.5,
                         textCol: String = "text", idCol: String = "doc_id",
                         numPerms: Int = 32, bands: Int = 16,
-                        shingleK: Int = 3): DataFrame = {
+                        shingleK: Int = 3): DataFrame =
+    verifiedPairsAutoWithRegime(docs, maxExactPairs, sampleMod, jaccardThr,
+      textCol, idCol, numPerms, bands, shingleK)._1
+
+  /** [[verifiedPairsAuto]] plus WHICH regime the probe chose (true =
+    * exact enumeration, false = HT bucket sample). An oracle-gated
+    * caller whose replay covers only one leg asserts on this instead of
+    * letting a future threshold crossing surface as a baffling hash
+    * mismatch — the dispatch is data-dependent, so the gate must see the
+    * dispatch, not just the values. */
+  def verifiedPairsAutoWithRegime(docs: DataFrame, maxExactPairs: Long = 2_000_000L,
+                        sampleMod: Int = 16, jaccardThr: Double = 0.5,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        numPerms: Int = 32, bands: Int = 16,
+                        shingleK: Int = 3): (DataFrame, Boolean) = {
     val sig = minhashSignatures(docs, textCol, idCol, numPerms, shingleK, portable = true)
-    val bucketsPlan = lshBuckets(sig, idCol, numPerms, bands, portable = true)
     // persist: the probe aggregation + whichever leg wins all read this
     // frame (the sampled leg's own guarded persist will find this entry
     // via CacheManager plan-equality, so nothing is cached twice)
-    val buckets =
-      if (bucketsPlan.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        bucketsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else bucketsPlan
+    val buckets = guardedPersist(lshBuckets(sig, idCol, numPerms, bands, portable = true))
     val probe = buckets.groupBy("band", "bucket").agg(count(lit(1)).as("c"))
       .agg(sum((col("c") * (col("c") - lit(1))).cast("long") / lit(2)).cast("long").as("m"))
       .head()
@@ -669,10 +859,10 @@ object Dedup {
         .join(buckets.toDF("b_id", "band", "bucket"), Seq("band", "bucket"))
         .where(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
-      ngramJaccard(pairs, docs, textCol, idCol, shingleK)
+      (ngramJaccard(pairs, docs, textCol, idCol, shingleK)
         .where(col("jaccard") >= jaccardThr)
         .withColumn("w", lit(java.math.BigDecimal.ONE).cast("decimal(38,12)"))
-        .select(col("a_id"), col("b_id"), col("jaccard"), col("w"))
+        .select(col("a_id"), col("b_id"), col("jaccard"), col("w")), true)
     } else {
       // size the sample to a FIXED pair budget, not a fixed rate: the
       // ×1000 audit filled 75 GB of spill running the 1/16 sample on a
@@ -686,9 +876,9 @@ object Dedup {
       // tightens by raising maxExactPairs.
       val mod = math.max(sampleMod,
         math.ceil(candidates.toDouble / math.max(1L, maxExactPairs)).toInt)
-      sampledVerifiedPairs(docs, mod, jaccardThr, textCol, idCol,
+      (sampledVerifiedPairs(docs, mod, jaccardThr, textCol, idCol,
           numPerms, bands, shingleK)
-        .select(col("a_id"), col("b_id"), col("jaccard"), col("w"))
+        .select(col("a_id"), col("b_id"), col("jaccard"), col("w")), false)
     }
   }
 
@@ -780,11 +970,23 @@ object Dedup {
     * Keying on the ANALYZED plan's semantic hash means two reads of the
     * same path share the entry while different tables never collide. */
   private val regimeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int), Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Int), Boolean]()
+
+  /** Drop every memoized regime verdict. The cache treats the regime as
+    * a corpus property keyed on the analyzed plan, which is right for
+    * immutable tables but stale if data behind the same path changes
+    * in-session (incremental crawl batches, overwritten replicas) —
+    * callers that mutate a probed table should invalidate between
+    * batches. Cost-only either way: both dispatch targets are exact. */
+  def clearRegimeCache(): Unit = regimeCache.clear()
+
   private[pipeline] def singletonDominated(docs: DataFrame, gramsExpr: Column,
       targetDocs: Int = 2000, threshold: Double = 0.5): Boolean = {
+    // full expression string, not its hashCode: a String.hashCode
+    // collision would silently share verdicts across different gram
+    // shapes (the key is a handful of entries — size is irrelevant)
     val key = (docs.queryExecution.analyzed.semanticHash(),
-      gramsExpr.toString.hashCode, targetDocs, math.rint(threshold * 1e6).toInt)
+      gramsExpr.toString, targetDocs, math.rint(threshold * 1e6).toInt)
     regimeCache.computeIfAbsent(key, _ => {
       val r = docs.limit(targetDocs)
         .select(explode(gramsExpr).as("g"))

@@ -260,6 +260,42 @@ object DedupSql {
       |SELECT id AS doc_id, min(label) AS cluster_id, min(label) = id AS is_representative
       |FROM lab GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Star-vs-verified-all-pairs recall measurement (round 13, advisor-
+    * directed): closes BOTH the star construction (lab — hub-verified
+    * links only, the dedup_clusters default) and the full verified
+    * Hamming-≤7 all-pairs graph (lab2), then emits the Rand
+    * decomposition from cluster-size marginals. `pairs_split` counts
+    * pairs co-clustered under all-pairs verification but separated by
+    * the star — the star default's recall loss, measured at every gated
+    * SF instead of assumed from one spec fixture. */
+  val starRecallSql: String =
+    s"""WITH RECURSIVE $starComponentCtes,
+      |p2 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |       FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 7),
+      |edges2 AS (SELECT a_id AS src, b_id AS dst FROM p2 UNION SELECT b_id, a_id FROM p2),
+      |lab2 AS (
+      |  SELECT doc_id AS id, doc_id AS label FROM documents
+      |  UNION
+      |  SELECT e.src AS id, lab2.label FROM edges2 e JOIN lab2 ON lab2.id = e.dst
+      |),
+      |ca AS (SELECT id, min(label) AS c FROM lab GROUP BY id),
+      |cb AS (SELECT id, min(label) AS c FROM lab2 GROUP BY id),
+      |joint AS (SELECT ca.c AS x, cb.c AS y, count(*) AS n
+      |          FROM ca JOIN cb ON ca.id = cb.id GROUP BY 1, 2),
+      |ma AS (SELECT x, sum(n) AS n FROM joint GROUP BY x),
+      |mb AS (SELECT y, sum(n) AS n FROM joint GROUP BY y),
+      |agg AS (SELECT
+      |  (SELECT count(*) FROM ma) AS n_clusters_star,
+      |  (SELECT count(*) FROM mb) AS n_clusters_allpairs,
+      |  (SELECT CAST(sum(n*(n-1)//2) AS BIGINT) FROM ma) AS pairs_star,
+      |  (SELECT CAST(sum(n*(n-1)//2) AS BIGINT) FROM mb) AS pairs_allpairs,
+      |  (SELECT CAST(sum(n*(n-1)//2) AS BIGINT) FROM joint) AS pairs_both)
+      |SELECT n_clusters_star, n_clusters_allpairs, pairs_star, pairs_allpairs,
+      |  pairs_both, pairs_star - pairs_both AS pairs_merged,
+      |  pairs_allpairs - pairs_both AS pairs_split
+      |FROM agg""".stripMargin
+
   /** Bucket-SAMPLED source-overlap estimate — replays
     * Dedup.sampledVerifiedPairs: keep buckets with hash ≡ 0 mod s,
     * pair inside surviving cells, verify jaccard, recount each sampled

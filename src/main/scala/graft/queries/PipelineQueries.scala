@@ -386,7 +386,16 @@ object PipelineQueries {
       // sampled one.
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
-        val pairs = Dedup.verifiedPairsAuto(docs)
+        // the registered oracle replays the EXACT leg only; if a gated
+        // dataset ever crosses the candidate-mass threshold the dispatch
+        // must surface as THIS regime error, not as a baffling hash diff
+        // against the HT estimate (the sampled contract stays pinned by
+        // source_overlap_sampled)
+        val (pairs, exactRegime) = Dedup.verifiedPairsAutoWithRegime(docs)
+        require(exactRegime,
+          "source_overlap gate: probe dispatched to the sampled regime; " +
+            "its oracle replays the exact leg — regate against " +
+            "sourceOverlapSampledSql or raise maxExactPairs")
         val a = docs.select(col("doc_id").as("a_id"), col("source").as("sa"))
         val b = docs.select(col("doc_id").as("b_id"), col("source").as("sb"))
         pairs.join(a, "a_id").join(b, "b_id")
@@ -605,6 +614,79 @@ object PipelineQueries {
         |SELECT id AS vec_id, min(label) AS cluster_id, min(label) = id AS is_representative
         |FROM lab GROUP BY id ORDER BY vec_id""".stripMargin)),
 
+    Entry("embedding_star_recall",
+      // the cosine-star recall measurement (round 13, advisor-directed —
+      // dedup_star_recall's embedding twin): cosineNearDupStar gates the
+      // cosine on hub↔member links only, so a member pair whose mutual
+      // cosine passes 0.15 while both hub links fail it lands in split
+      // clusters. Cluster both ways — star vs the all-pairs bucket join
+      // with the same rounded gate — and emit the Rand decomposition;
+      // pairs_split counts exactly those under-merges at every gated SF.
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val ids = emb.select("vec_id")
+        val star = Dedup.components(
+          Similarity.cosineNearDupStar(emb, planes = 8)
+            .where(r6(col("cosine")) >= 0.15),
+          ids, idCol = "vec_id")
+        val allPairs = Dedup.components(
+          Similarity.cosineNearDup(emb, threshold = -1.0, planes = 8)
+            .where(r6(col("cosine")) >= 0.15),
+          ids, idCol = "vec_id")
+        Dedup.clusteringAgreement(star, allPairs, idCol = "vec_id")
+          .select(col("n_clusters_a").as("n_clusters_star"),
+            col("n_clusters_b").as("n_clusters_allpairs"),
+            col("pairs_a").as("pairs_star"),
+            col("pairs_b").as("pairs_allpairs"),
+            col("pairs_both"),
+            col("pairs_only_a").as("pairs_merged"),
+            col("pairs_only_b").as("pairs_split"))
+      },
+      Some(s"""WITH RECURSIVE $embCte, sigs AS (
+        |  SELECT vec_id, v, CASE WHEN len(v) = $EmbDim THEN ${sigSql(0, 8)} END AS sig FROM emb
+        |),
+        |hub AS (SELECT sig, min(vec_id) AS a_id FROM sigs GROUP BY sig),
+        |p AS (
+        |  SELECT h.a_id, s.vec_id AS b_id
+        |  FROM sigs s JOIN hub h ON s.sig = h.sig
+        |              JOIN sigs sa ON sa.vec_id = h.a_id
+        |  WHERE s.vec_id != h.a_id
+        |    AND round(list_cosine_similarity(sa.v, s.v), 6) + 0.0 >= 0.15
+        |),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
+        |lab AS (
+        |  SELECT vec_id AS id, vec_id AS label FROM embeddings
+        |  UNION
+        |  SELECT e.src AS id, lab.label FROM edges e JOIN lab ON lab.id = e.dst
+        |),
+        |p2 AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) + 0.0 >= 0.15
+        |),
+        |edges2 AS (SELECT a_id AS src, b_id AS dst FROM p2 UNION SELECT b_id, a_id FROM p2),
+        |lab2 AS (
+        |  SELECT vec_id AS id, vec_id AS label FROM embeddings
+        |  UNION
+        |  SELECT e.src AS id, lab2.label FROM edges2 e JOIN lab2 ON lab2.id = e.dst
+        |),
+        |ca AS (SELECT id, min(label) AS c FROM lab GROUP BY id),
+        |cb AS (SELECT id, min(label) AS c FROM lab2 GROUP BY id),
+        |joint AS (SELECT ca.c AS x, cb.c AS y, count(*) AS n
+        |          FROM ca JOIN cb ON ca.id = cb.id GROUP BY 1, 2),
+        |ma AS (SELECT x, sum(n) AS n FROM joint GROUP BY x),
+        |mb AS (SELECT y, sum(n) AS n FROM joint GROUP BY y),
+        |agg AS (SELECT
+        |  (SELECT count(*) FROM ma) AS n_clusters_star,
+        |  (SELECT count(*) FROM mb) AS n_clusters_allpairs,
+        |  (SELECT CAST(sum(n*(n-1)//2) AS BIGINT) FROM ma) AS pairs_star,
+        |  (SELECT CAST(sum(n*(n-1)//2) AS BIGINT) FROM mb) AS pairs_allpairs,
+        |  (SELECT CAST(sum(n*(n-1)//2) AS BIGINT) FROM joint) AS pairs_both)
+        |SELECT n_clusters_star, n_clusters_allpairs, pairs_star, pairs_allpairs,
+        |  pairs_both, pairs_star - pairs_both AS pairs_merged,
+        |  pairs_allpairs - pairs_both AS pairs_split
+        |FROM agg""".stripMargin)),
+
     Entry("graph_components",
       // the clustering operator on a DETERMINISTIC synthetic graph
       // (stars of 5 bridged every 15 ids) so min-label propagation is
@@ -652,6 +734,38 @@ object PipelineQueries {
             docs.select("doc_id"))
           .orderBy("doc_id")
       }, Some(DedupSql.dedupClustersSql)),
+
+    Entry("dedup_star_recall",
+      // the star default's recall, MEASURED in the gate (round 13,
+      // advisor-directed): dedup_clusters' oracle replays the star
+      // construction, so it pins determinism but can no longer catch a
+      // systematic under-merge the way the r11 all-pairs oracle did.
+      // This entry clusters the corpus BOTH ways — hub-verified star
+      // edges vs the full verified Hamming-≤7 pair graph — and emits
+      // the Rand decomposition (cluster-size marginals only, no pair
+      // enumeration): pairs_split = co-clustered under all-pairs but
+      // separated by the star = the under-merge the trade can cost;
+      // pairs_merged = the converse (star links two docs all-pairs
+      // verification would not — 0 here by construction, every star
+      // link is Hamming-verified). The number is re-measured at every
+      // gated SF each round instead of assumed from one spec fixture.
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val ids = docs.select("doc_id")
+        val star = Dedup.components(
+          Dedup.simhashStarEdges(docs, portable = true), ids)
+        val allPairs = Dedup.components(
+          Dedup.simhashCandidates(docs, portable = true)
+            .select("a_id", "b_id"), ids)
+        Dedup.clusteringAgreement(star, allPairs)
+          .select(col("n_clusters_a").as("n_clusters_star"),
+            col("n_clusters_b").as("n_clusters_allpairs"),
+            col("pairs_a").as("pairs_star"),
+            col("pairs_b").as("pairs_allpairs"),
+            col("pairs_both"),
+            col("pairs_only_a").as("pairs_merged"),
+            col("pairs_only_b").as("pairs_split"))
+      }, Some(DedupSql.starRecallSql)),
 
     Entry("dedup_clusters_star",
       // minhash-LSH clustering on LINEAR star edges (one bucket-min →

@@ -601,13 +601,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pairs = spark.createDataFrame(chain ++ pair).toDF("a_id", "b_id")
     val ids = spark.createDataFrame(
       ((1 to n).map(_.toLong) ++ Seq(100L, 101L, 200L)).map(Tuple1(_))).toDF("doc_id")
-    def run(bound: Long) = Dedup.components(pairs, ids, driverEdgeBound = bound)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    def run(bound: Long, maxBcastIds: Long = 8_000_000L) =
+      Dedup.components(pairs, ids, driverEdgeBound = bound,
+          maxBroadcastIds = maxBcastIds)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     val viaDriver = run(1L << 20)
     val viaDistributed = run(0L)
     val viaHybrid = run(2L)
+    // maxBroadcastIds=0 forces the shuffle-join (pointer-edge-union)
+    // rounds — the billions-of-docs regime must label identically to the
+    // broadcast-label rounds the small regimes take
+    val viaShuffleRounds = run(0L, maxBcastIds = 0L)
     assert(viaDriver == viaDistributed)
     assert(viaDriver == viaHybrid)
+    assert(viaDriver == viaShuffleRounds)
     assert(viaDriver(20L) == (1L, false) && viaDriver(101L) == (100L, false)
       && viaDriver(200L) == (200L, true))
   }
