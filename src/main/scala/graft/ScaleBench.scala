@@ -31,6 +31,10 @@ import org.apache.spark.sql.functions._
   * and reused (delete the dir to regenerate).
   */
 object ScaleBench {
+  /** Replica layout version, written into `_DONE`. Bump on any change to
+    * [[generate]] that alters replica CONTENT so existing dirs rebuild. */
+  val ReplicaFormat = "v2"
+
   val DefaultQueries: Seq[String] = Seq(
     "align_grid", "align_grid_backward", "minhash_pairs", "pack_filtered",
     "source_overlap", "repetition_stats", "ema_20_auto", "frequent_spans",
@@ -43,19 +47,26 @@ object ScaleBench {
     * adapts so each series spans ~3 chunks at any replica size — the
     * ema_20_chunked convention. */
   val ExtraQueries: Map[String, (SparkSession, String) => DataFrame] = {
-    def chunked(out: Seq[String], kernel: Long => graft.ta.Chunked.StepKernel)
+    def chunked(in: Seq[String], out: Seq[String],
+                kernel: Long => graft.ta.Chunked.StepKernel)
                (spark: SparkSession, dir: String): DataFrame = {
       val bars = Tables.bars(spark, dir)
       val row = bars.groupBy("symbol").count().agg(max("count")).head()
       val maxLen = if (row.isNullAt(0)) 1L else row.getLong(0)
-      graft.ta.SeriesOps.overSeriesChunked(bars, Seq("close"), out,
+      graft.ta.SeriesOps.overSeriesChunked(bars, in, out,
         kernel(maxLen), chunkRows = math.max(1, math.ceil(maxLen / 3.0).toInt))
     }
     Map(
-      "macd_chunked" -> (chunked(Seq("macd", "macd_signal", "macd_hist"),
+      "macd_chunked" -> (chunked(Seq("close"), Seq("macd", "macd_signal", "macd_hist"),
         _ => new graft.ta.Chunked.MacdStep(12, 26, 9)) _),
-      "kama_chunked" -> (chunked(Seq("kama"),
+      "kama_chunked" -> (chunked(Seq("close"), Seq("kama"),
         _ => new graft.ta.Chunked.KamaStep(10)) _),
+      "sar_chunked" -> (chunked(Seq("high", "low"), Seq("sar"),
+        _ => new graft.ta.Chunked.SarStep()) _),
+      "mesa_chunked" -> (chunked(Seq("close"),
+        Seq("ht_dcperiod", "ht_dcphase", "inphase", "quadrature", "sine",
+          "leadsine", "ht_trendline", "ht_trendmode", "mama", "fama"),
+        _ => new graft.ta.Chunked.MesaStep()) _),
       // dedup_clusters_star with the CC driver-finish bound raised
       // 1<<20 → 1<<23 (~8M super-edges ≈ 128-256 MB collected): the
       // round-12 ×1000 audit found the star path's super-linear step is
@@ -69,6 +80,20 @@ object ScaleBench {
           graft.pipeline.Dedup.lshBuckets(sig, portable = true))
         graft.pipeline.Dedup.components(edges, docs.select("doc_id"),
           driverEdgeBound = 1L << 23)
+      }),
+      // dedup_clusters_star with the CC broadcast-label regime forced at
+      // ×1000's 5M ids (default maxBroadcastIds = 2M is sized for the
+      // 8g single-JVM posture — this leg needs SPARK_DRIVER_MEM=16g):
+      // measures what the cluster-regime plan (label map broadcast,
+      // src-partitioned edge checkpoint, zero edge-scale exchanges per
+      // round) buys where executors have dimension-table headroom
+      "star_clusters_bcast" -> ((spark: SparkSession, dir: String) => {
+        val docs = Tables.documents(spark, dir)
+        val sig = graft.pipeline.Dedup.minhashSignatures(docs, portable = true)
+        val edges = graft.pipeline.Dedup.bucketStarEdges(
+          graft.pipeline.Dedup.lshBuckets(sig, portable = true))
+        graft.pipeline.Dedup.components(edges, docs.select("doc_id"),
+          maxBroadcastIds = 8_000_000L)
       }))
   }
 
@@ -100,8 +125,17 @@ object ScaleBench {
       shuffleBytes.get()
     }
 
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/_DONE")))
-      generate(spark, base, out, mult)
+    // _DONE doubles as a replica FORMAT marker: a format change bumps
+    // ReplicaFormat and stale replicas regenerate instead of silently
+    // serving old-layout data. An empty legacy _DONE is accepted because
+    // the only format change so far (row-count → max-id+1 offsets) is
+    // a no-op on the driver's dense 0-based ids — identical replicas.
+    val doneFile = java.nio.file.Paths.get(s"$out/_DONE")
+    val replicaOk = java.nio.file.Files.exists(doneFile) && {
+      val tag = new String(java.nio.file.Files.readAllBytes(doneFile), "UTF-8").trim
+      tag.isEmpty || tag == ReplicaFormat
+    }
+    if (!replicaOk) generate(spark, base, out, mult)
 
     // same warmups as Bench: tables + window/overSeries machinery
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -143,8 +177,12 @@ object ScaleBench {
     // corrupt the replica's duplicate-free id space (dense 0-based ids —
     // every driver dataset so far — make base == count, so existing
     // replicas are unchanged)
-    def idBase(df: DataFrame, c: String): Long =
-      df.agg(max(col(c)).cast("long")).head().getLong(0) + 1
+    def idBase(df: DataFrame, c: String): Long = {
+      // max over an empty table is NULL — an empty base replicates to an
+      // empty replica with offset 0, not an NPE
+      val row = df.agg(max(col(c)).cast("long")).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0) + 1
+    }
     val docs = Tables.documents(spark, base)
     val nDocs = docs.count()
     val docBase = idBase(docs, "doc_id")
@@ -195,7 +233,8 @@ object ScaleBench {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$out/_DONE"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/_DONE"),
+      ReplicaFormat.getBytes("UTF-8"))
     println(s"[scale x$mult] replica ready: docs ${nDocs * mult}, events ${nEv * mult}, embeddings ${nEmb * mult}")
   }
 }

@@ -1142,6 +1142,23 @@ object TaQueries {
       Some(sarOracle(signed = false, "sar", 0.02, 0.02, 0.2, 0.02, 0.02, 0.2, 0.0))),
     Entry("sarext",   recQ("sarext")(df => Recursive.sarext(df)),
       Some(sarOracle(signed = true, "sarext", 0.02, 0.02, 0.2, 0.02, 0.02, 0.2, 0.0))),
+    Entry("sar_chunked",
+      // the heaviest branchy state machine (trend/EP/AF flips) under the
+      // DRIVER gate on the chunked-state executor: ~3 chunks per series
+      // at any SF (the ema_20_chunked convention), oracle unchanged from
+      // sar — the chunked path must be bit-equivalent to the
+      // whole-series scan (ChunkedSpec pins the same at chunkRows 149)
+      (spark, dir) => {
+        val bars = Tables.bars(spark, dir)
+        val row = bars.groupBy("symbol").count().agg(max("count")).head()
+        val maxLen = if (row.isNullAt(0)) 1L else row.getLong(0)
+        val chunk = math.max(1, math.ceil(maxLen / 3.0).toInt)
+        graft.ta.SeriesOps.overSeriesChunked(bars, Seq("high", "low"), Seq("sar"),
+            new graft.ta.Chunked.SarStep(), chunkRows = chunk)
+          .select(col("symbol"), col("ord"), r6(col("sar")).as("sar"))
+          .orderBy("symbol", "ord")
+      },
+      Some(sarOracle(signed = false, "sar", 0.02, 0.02, 0.2, 0.02, 0.02, 0.2, 0.0))),
     Entry("stochrsi_14_5_3",
       recQ("fastk_rsi", "fastd_rsi")(df => Recursive.stochrsi(df, "close")),
       Some(s"""$B, $rsiCtes,
@@ -1191,6 +1208,28 @@ object TaQueries {
            "ht_trendmode")}
         |FROM t $T""".stripMargin)),
     Entry("mama_05_005", recQ("mama", "fama")(df => Recursive.mama(df)),
+      Some(mesaQ(s"${Sql.r6("s.mam", "mama")}, ${Sql.r6("s.fam", "fama")}"))),
+    Entry("mama_chunked",
+      // the 42-double MESA/HT state vector under the DRIVER gate on the
+      // chunked-state executor (~3 chunks per series at any SF): the
+      // whole HT_* family rides this one machine, so MAMA/FAMA parity
+      // here certifies the family's tick-scale path. Oracle unchanged
+      // from mama_05_005 — chunked must be bit-equivalent to the
+      // whole-series scan (ChunkedSpec pins all 10 outputs at
+      // chunkRows 101).
+      (spark, dir) => {
+        val bars = Tables.bars(spark, dir)
+        val row = bars.groupBy("symbol").count().agg(max("count")).head()
+        val maxLen = if (row.isNullAt(0)) 1L else row.getLong(0)
+        val chunk = math.max(1, math.ceil(maxLen / 3.0).toInt)
+        graft.ta.SeriesOps.overSeriesChunked(bars, Seq("close"),
+            Seq("ht_dcperiod", "ht_dcphase", "inphase", "quadrature", "sine",
+              "leadsine", "ht_trendline", "ht_trendmode", "mama", "fama"),
+            new graft.ta.Chunked.MesaStep(), chunkRows = chunk)
+          .select(col("symbol"), col("ord"),
+            r6(col("mama")).as("mama"), r6(col("fama")).as("fama"))
+          .orderBy("symbol", "ord")
+      },
       Some(mesaQ(s"${Sql.r6("s.mam", "mama")}, ${Sql.r6("s.fam", "fama")}"))),
 
     // ---- backtests (recursive folds; rows-only + scripted scalatests) ----

@@ -186,4 +186,225 @@ object Chunked {
       Array(out)
     }
   }
+
+  /** Parabolic SAR — step form of Kernels.sar (overlap.rs:436-455; the
+    * trend/extreme-point/acceleration machine whose loop variables are
+    * exactly the state). Inputs (high, low).
+    * State: [ph, pl, haveState, long, af, sarV, ep]. */
+  final class SarStep(accel: Double = 0.02, maxA: Double = 0.2) extends StepKernel {
+    val numInputs = 2; val numOutputs = 1
+    def init(): Array[Double] = Array(NA, NA, 0.0, 0.0, accel, NA, NA)
+    def step(st: Array[Double], in: Array[Double]): Array[Double] = {
+      val h = in(0); val l = in(1)
+      var out = NA
+      if (ok(h) && ok(l)) {
+        val ph = st(0); val pl = st(1)
+        if (ok(ph)) {
+          if (st(2) == 0.0) {
+            val long = (h - ph) >= (pl - l)
+            st(3) = if (long) 1.0 else 0.0
+            st(4) = accel
+            st(5) = if (long) pl else ph
+            st(6) = if (long) h else l
+            st(2) = 1.0
+          }
+          if (st(3) == 1.0) {
+            if (l < st(5)) { // flip to short
+              st(3) = 0.0; st(5) = st(6); st(6) = l; st(4) = accel
+              out = st(5)
+              st(5) = st(5) + st(4) * (st(6) - st(5))
+              if (st(5) < h) st(5) = h
+              if (st(5) < ph) st(5) = ph
+            } else {
+              out = st(5)
+              if (h > st(6)) { st(6) = h; st(4) = math.min(st(4) + accel, maxA) }
+              st(5) = st(5) + st(4) * (st(6) - st(5))
+              if (st(5) > l) st(5) = l
+              if (st(5) > pl) st(5) = pl
+            }
+          } else {
+            if (h > st(5)) { // flip to long
+              st(3) = 1.0; st(5) = st(6); st(6) = h; st(4) = accel
+              out = st(5)
+              st(5) = st(5) + st(4) * (st(6) - st(5))
+              if (st(5) > l) st(5) = l
+              if (st(5) > pl) st(5) = pl
+            } else {
+              out = st(5)
+              if (l < st(6)) { st(6) = l; st(4) = math.min(st(4) + accel, maxA) }
+              st(5) = st(5) + st(4) * (st(6) - st(5))
+              if (st(5) < h) st(5) = h
+              if (st(5) < ph) st(5) = ph
+            }
+          }
+        }
+        st(0) = h; st(1) = l
+      }
+      Array(out)
+    }
+  }
+
+  /** SAREXT — step form of Kernels.sarext (overlap.rs:456-491): SAR with
+    * start value/offset-on-reverse and separate long/short acceleration,
+    * short SAR emitted negative. Inputs (high, low).
+    * State: [ph, pl, haveState, long, af, sarV, ep]. */
+  final class SarExtStep(startValue: Double = 0.0, offsetOnReverse: Double = 0.0,
+                         accelInitLong: Double = 0.02, accelLong: Double = 0.02,
+                         accelMaxLong: Double = 0.2,
+                         accelInitShort: Double = 0.02, accelShort: Double = 0.02,
+                         accelMaxShort: Double = 0.2) extends StepKernel {
+    val numInputs = 2; val numOutputs = 1
+    def init(): Array[Double] = Array(NA, NA, 0.0, 0.0, 0.0, NA, NA)
+    def step(st: Array[Double], in: Array[Double]): Array[Double] = {
+      val h = in(0); val l = in(1)
+      var out = NA
+      if (ok(h) && ok(l)) {
+        val ph = st(0); val pl = st(1)
+        if (ok(ph)) {
+          if (st(2) == 0.0) {
+            val long =
+              if (startValue > 0) true
+              else if (startValue < 0) false
+              else (h - ph) >= (pl - l)
+            st(3) = if (long) 1.0 else 0.0
+            st(4) = if (long) accelInitLong else accelInitShort
+            st(5) =
+              if (startValue != 0.0) math.abs(startValue)
+              else if (long) pl else ph
+            st(6) = if (long) h else l
+            st(2) = 1.0
+          }
+          if (st(3) == 1.0) {
+            if (l < st(5)) {
+              st(3) = 0.0; st(5) = st(6) * (1 + offsetOnReverse); st(6) = l; st(4) = accelInitShort
+              out = -st(5)
+              st(5) = st(5) + st(4) * (st(6) - st(5))
+              if (st(5) < h) st(5) = h
+              if (st(5) < ph) st(5) = ph
+            } else {
+              out = st(5)
+              if (h > st(6)) { st(6) = h; st(4) = math.min(st(4) + accelLong, accelMaxLong) }
+              st(5) = st(5) + st(4) * (st(6) - st(5))
+              if (st(5) > l) st(5) = l
+              if (st(5) > pl) st(5) = pl
+            }
+          } else {
+            if (h > st(5)) {
+              st(3) = 1.0; st(5) = st(6) * (1 - offsetOnReverse); st(6) = h; st(4) = accelInitLong
+              out = st(5)
+              st(5) = st(5) + st(4) * (st(6) - st(5))
+              if (st(5) > l) st(5) = l
+              if (st(5) > pl) st(5) = pl
+            } else {
+              out = -st(5)
+              if (l < st(6)) { st(6) = l; st(4) = math.min(st(4) + accelShort, accelMaxShort) }
+              st(5) = st(5) + st(4) * (st(6) - st(5))
+              if (st(5) < h) st(5) = h
+              if (st(5) < ph) st(5) = ph
+            }
+          }
+        }
+        st(0) = h; st(1) = l
+      }
+      Array(out)
+    }
+  }
+
+  /** The MESA/Hilbert machine — step form of Cycle.mesa (cycle.rs:9-448
+    * + MAMA), the heaviest state vector in the TA surface: three 7-tap
+    * FIR delay lines, the 4-bar smoother and trendline lags, and the
+    * demodulator scalars all ride one 42-double state, so the entire
+    * HT_* family (plus MAMA/FAMA) crosses chunk boundaries
+    * bit-identically. Emits the same 10 outputs as Cycle.mesa, in
+    * Cycle.DCPERIOD..FAMA order. One input (the price); like the array
+    * kernel, inputs are assumed null-free per series (NaN would ride the
+    * same arithmetic in both forms). The array kernel's n<32
+    * early-return needs no twin: outputs only exist from row 31, so a
+    * shorter series emits all-null in both forms.
+    *
+    * State: [idx, x1, x2, x3, smooth(7), detrend(7), q1(7), i1(7),
+    *         i2, q2, re, im, period, smoothPeriod, phase, mama, fama]. */
+  final class MesaStep(fastLimit: Double = 0.5, slowLimit: Double = 0.05)
+      extends StepKernel {
+    val numInputs = 1; val numOutputs = 10
+    private val S = 4       // smooth ring offset (7)
+    private val D = S + 7   // detrend ring offset (7)
+    private val Q = D + 7   // q1 ring offset (7)
+    private val I = Q + 7   // i1 ring offset (7)
+    private val Z = I + 7   // scalars: i2,q2,re,im,period,smoothPeriod,phase,mama,fama
+    def init(): Array[Double] = {
+      val st = new Array[Double](Z + 9)
+      st(1) = NA; st(2) = NA; st(3) = NA // x lags; rings start at 0.0 like
+      st                                 // the zero-filled kernel arrays
+    }
+    @inline private def push7(st: Array[Double], o: Int, v: Double): Unit = {
+      var j = 6
+      while (j >= 1) { st(o + j) = st(o + j - 1); j -= 1 }
+      st(o) = v
+    }
+    @inline private def fir(st: Array[Double], o: Int, adj: Double): Double =
+      (0.0962 * st(o) + 0.5769 * st(o + 2) - 0.5769 * st(o + 4) - 0.0962 * st(o + 6)) * adj
+    def step(st: Array[Double], in: Array[Double]): Array[Double] = {
+      val x = in(0)
+      val i = st(0).toLong
+      val out = Array.fill(10)(NA)
+      // calc_smooth: zeros before index 3 (the kernel's zero-filled array)
+      val smoothCurr =
+        if (i >= 3) (4.0 * x + 3.0 * st(1) + 2.0 * st(2) + st(3)) * 0.1 else 0.0
+      push7(st, S, smoothCurr)
+      if (i >= 6) {
+        val prevPeriod = if (i > 6) st(Z + 4) else 6.0
+        val adj = 0.075 * prevPeriod + 0.54
+        // identical FIR tap order to the array kernel (smooth i,i-2,i-4,i-6)
+        push7(st, D, fir(st, S, adj))
+        push7(st, Q, fir(st, D, adj))
+        push7(st, I, st(D + 3))
+        val ji = fir(st, I, adj)
+        val jq = fir(st, Q, adj)
+        val i2c = 0.2 * (st(I) - jq) + 0.8 * st(Z)
+        val q2c = 0.2 * (st(Q) + ji) + 0.8 * st(Z + 1)
+        val reC = 0.2 * (i2c * st(Z) + q2c * st(Z + 1)) + 0.8 * st(Z + 2)
+        val imC = 0.2 * (i2c * st(Z + 1) - q2c * st(Z)) + 0.8 * st(Z + 3)
+        st(Z) = i2c; st(Z + 1) = q2c; st(Z + 2) = reC; st(Z + 3) = imC
+        var period = st(Z + 4)
+        if (imC != 0.0 && reC != 0.0) period = (2.0 * math.Pi) / math.atan(imC / reC)
+        period = math.min(math.max(period, 0.67 * prevPeriod), 1.5 * prevPeriod)
+        period = math.min(math.max(period, 6.0), 50.0)
+        period = 0.2 * period + 0.8 * prevPeriod
+        st(Z + 4) = period
+        st(Z + 5) = 0.33 * period + 0.67 * st(Z + 5)
+        val prevPhase = st(Z + 6)
+        val phase = if (st(I) != 0.0) math.atan(st(Q) / st(I)) * 180.0 / math.Pi else 0.0
+        st(Z + 6) = phase
+        var deltaPhase = prevPhase - phase
+        if (deltaPhase < 1.0) deltaPhase = 1.0
+        var alpha = fastLimit / deltaPhase
+        if (alpha < slowLimit) alpha = slowLimit
+        if (alpha > fastLimit) alpha = fastLimit
+        st(Z + 7) = alpha * x + (1.0 - alpha) * st(Z + 7)
+        st(Z + 8) = 0.5 * alpha * st(Z + 7) + (1.0 - 0.5 * alpha) * st(Z + 8)
+        if (i >= 31) {
+          out(Cycle.DCPERIOD) = st(Z + 5)
+          var dcPhase = if (st(I) != 0.0) math.atan(st(Q) / st(I)) * 180.0 / math.Pi else 0.0
+          dcPhase += 90.0
+          if (st(I) < 0.0) dcPhase += 180.0
+          if (dcPhase > 315.0) dcPhase -= 360.0
+          out(Cycle.DCPHASE) = dcPhase
+          out(Cycle.INPHASE) = st(I)
+          out(Cycle.QUADRATURE) = st(Q)
+          val rawPhase = if (st(I) != 0.0) math.atan(st(Q) / st(I)) * 180.0 / math.Pi else 0.0
+          out(Cycle.SINE) = math.sin(rawPhase * math.Pi / 180.0)
+          out(Cycle.LEADSINE) = math.sin((rawPhase + 45.0) * math.Pi / 180.0)
+          val trendline = (((x + st(1)) + st(2)) + st(3)) * 0.25
+          out(Cycle.TRENDLINE) = trendline
+          out(Cycle.TRENDMODE) = if (math.abs(x - trendline) > 0.01 * trendline) 1.0 else 0.0
+          out(Cycle.MAMA) = st(Z + 7)
+          out(Cycle.FAMA) = st(Z + 8)
+        }
+      }
+      st(3) = st(2); st(2) = st(1); st(1) = x
+      st(0) = i + 1
+      Array(out: _*)
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ta.{Chunked, Kernels, SeriesOps}
+import graft.ta.{Chunked, Cycle, Kernels, SeriesOps}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -124,6 +124,59 @@ class ChunkedSpec extends AnyFunSuite with BeforeAndAfterAll {
     val chunked = SeriesOps.overSeriesChunked(
       df, Seq("close"), Seq("ema"), new Chunked.EmaStep(5), chunkRows = 4)
     assert(collectMap(chunked, "ema") == collectMap(whole, "ema"))
+  }
+
+  test("chunked SAR — the trend/EP/AF flip machine — is bit-identical across chunk cuts") {
+    val df = bars()
+    val whole = SeriesOps.overSeries(df, Seq("high", "low"), Seq("sar"))(
+      a => Array(Kernels.sar(a(0), a(1), 0.02, 0.2)))
+    val chunked = SeriesOps.overSeriesChunked(
+      df, Seq("high", "low"), Seq("sar"), new Chunked.SarStep(0.02, 0.2), chunkRows = 149)
+    assert(collectMap(chunked, "sar") == collectMap(whole, "sar"))
+  }
+
+  test("chunked SAREXT (offset-on-reverse, asymmetric accel, signed output) is bit-identical") {
+    val df = bars()
+    // two configs: the defaults-shaped one and a start-short with offset +
+    // asymmetric acceleration, so both flip directions cross chunk cuts
+    for ((sv, off, ail, al, aml, ais, as_, ams, chunk) <- Seq(
+        (0.0, 0.0, 0.02, 0.02, 0.2, 0.02, 0.02, 0.2, 127),
+        (-90.0, 0.05, 0.02, 0.03, 0.25, 0.015, 0.02, 0.15, 89))) {
+      val whole = SeriesOps.overSeries(df, Seq("high", "low"), Seq("sarext"))(
+        a => Array(Kernels.sarext(a(0), a(1), sv, off, ail, al, aml, ais, as_, ams)))
+      val chunked = SeriesOps.overSeriesChunked(
+        df, Seq("high", "low"), Seq("sarext"),
+        new Chunked.SarExtStep(sv, off, ail, al, aml, ais, as_, ams), chunkRows = chunk)
+      assert(collectMap(chunked, "sarext") == collectMap(whole, "sarext"),
+        s"sarext($sv,$off) diverged")
+    }
+  }
+
+  private val mesaCols = Seq("ht_dcperiod", "ht_dcphase", "inphase", "quadrature",
+    "sine", "leadsine", "ht_trendline", "ht_trendmode", "mama", "fama")
+
+  test("chunked MESA/HT machine (42-double state, 10 outputs) is bit-identical") {
+    // 'low' is the null-free column — the mesa kernels' input contract
+    val df = bars()
+    val whole = SeriesOps.overSeries(df, Seq("low"), mesaCols)(a => Cycle.mesa(a(0)))
+    val chunked = SeriesOps.overSeriesChunked(
+      df, Seq("low"), mesaCols, new Chunked.MesaStep(), chunkRows = 101)
+    for (c <- mesaCols)
+      assert(collectMap(chunked, c) == collectMap(whole, c), s"column $c diverged")
+  }
+
+  test("chunked MESA on sub-warmup series (< 32 rows) emits all-null like the kernel") {
+    val rows = for { s <- 0 until 4; i <- 0 until (8 + s * 7) } // lengths 8..29
+      yield (s"s_$s", i.toLong, 100.0 + math.sin(i * 0.4 + s))
+    val df = spark.createDataFrame(rows).toDF("symbol", "ord", "close")
+    val whole = SeriesOps.overSeries(df, Seq("close"), mesaCols)(a => Cycle.mesa(a(0)))
+    val chunked = SeriesOps.overSeriesChunked(
+      df, Seq("close"), mesaCols, new Chunked.MesaStep(), chunkRows = 5)
+    for (c <- mesaCols) {
+      val m = collectMap(chunked, c)
+      assert(m == collectMap(whole, c), s"column $c diverged")
+      assert(m.values.forall(_ == null), s"column $c not all-null under warmup")
+    }
   }
 
   test("overSeriesAuto routes an over-bound series to the chunked path instead of throwing") {
