@@ -94,6 +94,19 @@ object ScaleBench {
           graft.pipeline.Dedup.lshBuckets(sig, portable = true))
         graft.pipeline.Dedup.components(edges, docs.select("doc_id"),
           maxBroadcastIds = 8_000_000L)
+      }),
+      // the billions-of-docs regime forced at ×1000: label map pinned OFF
+      // broadcast, so every round pays the fused pointer-union edge join
+      // — the path a corpus whose id set outgrows any executor's memory
+      // must take. Measures the fused round + every-round early-stop
+      // check against r12's unfused 437 s / 15.4 GB profile.
+      "star_clusters_shuffle" -> ((spark: SparkSession, dir: String) => {
+        val docs = Tables.documents(spark, dir)
+        val sig = graft.pipeline.Dedup.minhashSignatures(docs, portable = true)
+        val edges = graft.pipeline.Dedup.bucketStarEdges(
+          graft.pipeline.Dedup.lshBuckets(sig, portable = true))
+        graft.pipeline.Dedup.components(edges, docs.select("doc_id"),
+          maxBroadcastIds = 0L)
       }))
   }
 

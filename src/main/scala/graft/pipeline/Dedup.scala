@@ -131,18 +131,27 @@ object Dedup {
     * mod-prime polynomial fold in portable mode). */
   def lshBuckets(signatures: DataFrame, idCol: String = "doc_id",
                  numPerms: Int = 32, bands: Int = 16,
-                 portable: Boolean = false): DataFrame = {
+                 portable: Boolean = false): DataFrame =
+    signatures.select(col(idCol),
+        explode(bandBucketsExpr(col("sig"), numPerms, bands, portable)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+
+  /** The banding expression itself: array<struct<band,bucket>> over a
+    * signature column — the ONE band-fold definition shared by the batch
+    * [[lshBuckets]] frame and the streaming per-row probe
+    * (StreamingOps.crossCorpusNearDupStream), so the bucket keys the two
+    * paths derive cannot drift. */
+  def bandBucketsExpr(sig: Column, numPerms: Int = 32, bands: Int = 16,
+                      portable: Boolean = false): Column = {
     val rows = numPerms / bands
     require(rows * bands == numPerms, "bands must divide numPerms")
     val P = graft.functions.TextHashes.PolyP
     def bucket(sl: Column): Column =
       if (portable) aggregate(sl, lit(0L), (h, v) => (h * lit(1000003L) + v) % lit(P))
       else xxhash64(sl)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"), bucket(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
-    }
-    signatures.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"), bucket(slice(sig, b * rows + 1, rows)).as("bucket"))
+    }: _*)
   }
 
   /** Candidate near-dup pairs from bucket collisions, with the MinHash
@@ -241,7 +250,7 @@ object Dedup {
   def components(pairs: DataFrame, ids: DataFrame, idCol: String = "doc_id",
                  aCol: String = "a_id", bCol: String = "b_id",
                  maxIters: Int = 20, driverEdgeBound: Long = 1L << 20,
-                 maxBroadcastIds: Long = 2_000_000L): DataFrame = {
+                 maxBroadcastIds: Long = -1L): DataFrame = {
     // localCheckpoint (not cache) on the iterated frames: caching keeps
     // the LOGICAL plan growing — two self-joins per round double it, and
     // the analyzer blows the heap after a dozen rounds; checkpointing
@@ -255,15 +264,20 @@ object Dedup {
     // (the round-12 audit's 3+ GB/round). Past the bound — the
     // billions-of-docs regime — the shuffle-join path below is the plan;
     // the dispatch is a count on the checkpointed frame (a cheap scan).
-    // The 2M default is sized for the repo's single-JVM 8g posture,
-    // where the hashed relation must co-exist with the edge checkpoint
-    // in ONE unified memory pool (a 5M-id broadcast OOMed next to a
-    // 160M-edge checkpoint, measured ×1000); on a real cluster, where
-    // executors hold only their edge partitions, a label broadcast is an
-    // ordinary dimension-table broadcast — size the knob to executor
-    // memory (~100 bytes/id hashed) there.
+    // The default (-1) auto-sizes the bound to the JVM heap at one id
+    // per 3.2 KB — calibrated on the ×1000 audit, where a 5M-id hashed
+    // relation next to the 160M-edge checkpoint OOMed an 8g single-JVM
+    // pool (8g/3.2K ≈ 2.6M → shuffle regime, correct) but ran clean in
+    // 16g (16g/3.2K ≈ 5.3M → broadcast regime, 215 s vs the shuffle
+    // path's r12 437 s). On a real cluster, where executors hold only
+    // their edge partitions, a label map is an ordinary dimension-table
+    // broadcast — pass the knob explicitly, sized to executor memory
+    // (~100 bytes/id hashed).
     val idCount = labels.count()
-    val bcastRegime = idCount <= maxBroadcastIds
+    val bcastBound =
+      if (maxBroadcastIds >= 0) maxBroadcastIds
+      else Runtime.getRuntime.maxMemory / 3200
+    val bcastRegime = idCount <= bcastBound
     // broadcast regime: repartition BY src BEFORE the distinct —
     // HashPartitioning(src) satisfies the distinct's
     // ClusteredDistribution(src, dst), so the edge frame still pays ONE
@@ -283,18 +297,19 @@ object Dedup {
     val fitLimit = math.min(driverEdgeBound + 1, Int.MaxValue.toLong - 8).toInt
     var i = 0
     var converged = false
-    var lastChanged = Long.MaxValue
     while (!converged && i < maxIters) {
       // super-graph fit test — round 0 (raw edge set, no join: the scan
-      // early-stops the moment bound+1 rows surface) and every second
-      // round after the labeling has had two fused rounds to contract.
-      // The changed-fraction gate skips a scheduled check while >3/4 of
-      // the nodes still moved last round: a labeling in full flood
-      // cannot plausibly have contracted under any useful bound, and the
-      // check's distinct over the relabeled edge frame is the single
-      // most expensive plan in the loop (measured at ×1000: the round-2
-      // check ran at changed=4.6M/5M and found 80M+ super-edges)
-      if (i == 0 || (i >= 2 && i % 2 == 0 && lastChanged <= (idCount * 3) / 4)) {
+      // early-stops the moment bound+1 rows surface) and EVERY round
+      // after. A changed-fraction gate was tried and measured WRONG at
+      // ×1000: min-label flooding inside giant duplicate components
+      // keeps ~4.9M/5M labels moving for many rounds while the
+      // CONTRACTED super-graph is already tiny (r12's accounting has it
+      // under 2^20 by round 3), so gating on changed starves the driver
+      // finish and the loop pays open-ended edge-scale rounds instead.
+      // The per-round check price is bounded: two label joins + partial
+      // distinct + an early-stopping limit(bound+1) fetch — strictly
+      // less than r12's materialize-and-count double pass.
+      locally {
         // contracted super-graph between CURRENT labels, canonical
         // (min, max) form; round 0's identity labeling makes it the
         // (already distinct, symmetric) edge set itself
@@ -405,7 +420,6 @@ object Dedup {
         // instead of accumulating a node-scale block set per round
         freeCheckpoint(labels)
         labels = merged.select(col("id"), col("label"))
-        lastChanged = changed
         if (debug) System.err.println(s"[cc] round=$i changed=$changed")
         // zero changed labels ⇒ every node's label ≤ all neighbor labels
         // ⇒ adjacent labels are equal ⇒ component-uniform (= the min)
@@ -606,6 +620,49 @@ object Dedup {
       benchmark.select(explode(array_distinct(docFps)).as("fp")), "fp", mBits, k)
     corpus.select(col(idCol),
       bloomProbe(col(textCol), sketch, shingleK).as("contaminated"))
+  }
+
+  /** Per-doc CONTAINMENT probe against a reference Bloom sketch: the
+    * fraction of the doc's distinct k-shingle fingerprints that might be
+    * in the sketch (NULL when the doc yields no shingles). The ONE
+    * definition shared by the batch [[crossCorpusContainmentBloom]] and
+    * the streaming twin (StreamingOps.crossCorpusContainmentStream), the
+    * [[bloomProbe]] convention. Containment, not Jaccard — a per-doc
+    * probe never sees any single reference doc's shingle set, only the
+    * union bitmap, so the score is |doc ∩ reference-union| / |doc|: the
+    * right monotone signal for "this doc's content already exists in the
+    * reference" at any reference size, with the Bloom's one-sided error
+    * (never under-counts, deterministically over-counts). */
+  def containmentProbe(text: Column, sketch: BloomSketch, shingleK: Int = 3): Column = {
+    val fps = array_distinct(graft.functions.TextHashes.shingleFps(tokens(text), shingleK))
+    val hits = size(filter(fps, fp => bloomMightContain(sketch, fp)))
+    when(size(fps) > 0, hits.cast("double") / size(fps).cast("double"))
+  }
+
+  /** Cross-corpus dedup for a reference too large to enumerate pairs
+    * against: [[crossCorpusNearDup]]'s "flag the new batch against the
+    * world" step through an m-bounded Bloom bitmap of the reference's
+    * distinct shingle fingerprints. The probe side is a zero-shuffle,
+    * zero-join per-row scan (no bucket join, no jaccard verify — the
+    * candidate-mass term that makes the exact flag's shuffle track the
+    * duplicate density disappears entirely), and the build side collapses
+    * ANY reference size into the bitmap aggregation. Deterministic like
+    * [[decontaminateBloom]]: false-positive bits are a pure function of
+    * the hash family, so an oracle replaying the position arithmetic
+    * reproduces scores bit-for-bit. Returns (idCol, containment,
+    * near_dup_est = containment ≥ thr; no-shingle docs → (NULL, false)). */
+  def crossCorpusContainmentBloom(corpus: DataFrame, reference: DataFrame,
+                                  containmentThr: Double = 0.5,
+                                  textCol: String = "text", idCol: String = "doc_id",
+                                  shingleK: Int = 3, mBits: Int = 1 << 20,
+                                  k: Int = 3): DataFrame = {
+    val sketch = bloomBitmap(
+      reference.select(explode(array_distinct(
+        graft.functions.TextHashes.shingleFps(tokens(col(textCol)), shingleK))).as("fp")),
+      "fp", mBits, k)
+    corpus.select(col(idCol), containmentProbe(col(textCol), sketch, shingleK).as("containment"))
+      .withColumn("near_dup_est",
+        coalesce(col("containment") >= containmentThr, lit(false)))
   }
 
   /** Exact n-gram Jaccard for given candidate pairs (verification step —

@@ -107,8 +107,8 @@ object DedupSql {
     * banded bucket join restricted to corpus×reference pairs, exact
     * n-gram jaccard verify, then per-corpus-doc any/max rollup with the
     * no-candidate docs surfacing (false, NULL). */
-  val crossCorpusDedupSql: String =
-    s"""WITH $minhashCtes,
+  def crossCorpusDedupSql(bands: Int = 16): String =
+    s"""WITH $tokCte, $shCte, $shFpCte, ${sigCte()}, ${bucketCte(bands = bands)},
       |p AS (
       |  SELECT DISTINCT cb.doc_id AS a_id, rb.doc_id AS b_id
       |  FROM b cb JOIN b rb ON cb.band = rb.band AND cb.bucket = rb.bucket

@@ -146,6 +146,85 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming cross-corpus dedup equals the batch bucket-join flags and jaccards") {
+    // reference = "the world"; arriving docs = the new crawl batch. Mix:
+    // verbatim copy (jaccard 1), near-copy (high), partial overlap,
+    // unrelated, and a doc sharing words but no 3-shingles
+    val reference = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog every single morning",
+      101L -> "to be or not to be that is the question for all of us",
+      102L -> "pack my box with five dozen liquor jugs right now please")
+    val corpus = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog every single morning",
+      1L -> "the quick brown fox jumps over the lazy dog every single evening",
+      2L -> "she said to be or not to be that is the question and left",
+      3L -> "completely unrelated text about distributed query engines and shuffles",
+      4L -> "dog fox brown quick lazy the over jumps",
+      5L -> "pack my box with five dozen liquor jugs right now please")
+    val refDf = spark.createDataFrame(reference).toDF("doc_id", "text")
+    val corpusDf = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    implicit val enc = Encoders.product[(Long, String)]
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.crossCorpusNearDupStream(ms.toDF().toDF("doc_id", "text"), refDf)
+      .writeStream.format("memory").queryName("xcorpus_stream")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      val (b1, b2) = corpus.splitAt(3)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        r.getLong(0) -> (r.getBoolean(1),
+          if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)))).toMap
+      val got = asMap(spark.sql(
+        "SELECT doc_id, near_dup, max_jaccard FROM xcorpus_stream").collect())
+      val batch = asMap(graft.pipeline.Dedup.crossCorpusNearDup(corpusDf, refDf)
+        .select("doc_id", "near_dup", "max_jaccard").collect())
+      assert(got == batch, s"stream must equal batch\n got=$got\n batch=$batch")
+      // shape sanity beyond parity: the verbatim copies flag at 1.0, the
+      // unrelated doc has no candidates at all
+      assert(got(0L) == ((true, java.lang.Double.valueOf(1.0))))
+      assert(got(5L) == ((true, java.lang.Double.valueOf(1.0))))
+      assert(got(1L)._1, "near-copy must flag")
+      assert(got(3L) == ((false, null)), "unrelated doc: no candidates -> (false, NULL)")
+    } finally q.stop()
+  }
+
+  test("streaming cross-corpus containment equals the batch bloom probe for the same bitmap") {
+    val reference = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog every single morning",
+      101L -> "to be or not to be that is the question for all of us")
+    val corpus = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog every single morning",
+      1L -> "prefix words then the quick brown fox jumps over another thing",
+      2L -> "totally fresh content with zero overlap whatsoever in any shingle")
+    val refDf = spark.createDataFrame(reference).toDF("doc_id", "text")
+    val corpusDf = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.{array_distinct, col, explode}
+    val bitmap = graft.pipeline.Dedup.bloomBitmap(
+      refDf.select(explode(array_distinct(graft.functions.TextHashes.shingleFps(
+        graft.pipeline.Dedup.tokens(col("text")), 3))).as("fp")), mBits = 1 << 12)
+    implicit val enc = Encoders.product[(Long, String)]
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.crossCorpusContainmentStream(
+        ms.toDF().toDF("doc_id", "text"), bitmap)
+      .writeStream.format("memory").queryName("xcont_stream")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      ms.addData(corpus); q.processAllAvailable()
+      def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        r.getLong(0) -> ((if (r.isNullAt(1)) null
+          else java.lang.Double.valueOf(r.getDouble(1))), r.getBoolean(2))).toMap
+      val got = asMap(spark.sql(
+        "SELECT doc_id, containment, near_dup_est FROM xcont_stream").collect())
+      val batch = asMap(graft.pipeline.Dedup.crossCorpusContainmentBloom(
+          corpusDf, refDf, mBits = 1 << 12)
+        .select("doc_id", "containment", "near_dup_est").collect())
+      assert(got == batch, s"stream must equal batch\n got=$got\n batch=$batch")
+      assert(got(0L) == ((java.lang.Double.valueOf(1.0), true)), "verbatim copy: full containment")
+      assert(!got(2L)._2, "fresh doc must not flag")
+    } finally q.stop()
+  }
+
   test("streaming boilerplate scoring equals the batch stats for the same frequent set") {
     // the frequent-span set comes from a batch pass over a reference
     // corpus; arriving docs are graded against it statelessly
