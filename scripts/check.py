@@ -2,13 +2,22 @@
 """Local stand-in for the driver's correctness gate: run after
 `sbt "runMain graft.Verify <sfDir> <outDir>"`, compares each dumped
 parquet against its DuckDB oracle (columns sorted by name, exact value
-match including nulls). Usage: check.py [outDir] [sfDir]."""
+match including nulls). Usage: check.py [outDir] [sfDir] [jsonOut] —
+the optional third arg also writes a driver-format per-query record
+(rows/schema/hash match booleans), the builder's committed
+CORRECTNESS_LOCAL artifact."""
 import duckdb, json, sys, glob, os
 import pandas as pd
 import numpy as np
 
 outdir = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_out'
 sfdir = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
+json_out = sys.argv[3] if len(sys.argv) > 3 else None
+record = {}
+def rec(name, rows=False, schema=False, hsh=False, sr=None, orr=None, err=None):
+    record[name] = {"rows_match": rows, "schema_match": schema,
+                    "hash_match": hsh, "spark_rows": sr, "oracle_rows": orr,
+                    "err": err}
 con = duckdb.connect()
 for p in glob.glob(f'{sfdir}/*.parquet'):
     name = os.path.basename(p)[:-len('.parquet')]
@@ -20,17 +29,23 @@ for name, sql in sorted(oracle.items()):
     try:
         spark_df = pd.read_parquet(f'{outdir}/{name}')
     except Exception as e:
-        fails.append((name, 'spark-dump-missing', str(e)[:200])); continue
+        fails.append((name, 'spark-dump-missing', str(e)[:200]))
+        rec(name, err='spark-dump-missing'); continue
     try:
         duck_df = con.execute(sql).df()
     except Exception as e:
-        fails.append((name, 'oracle-sql-error', str(e)[:300])); continue
+        fails.append((name, 'oracle-sql-error', str(e)[:300]))
+        rec(name, sr=len(spark_df), err='oracle-sql-error: ' + str(e)[:200]); continue
     spark_df = spark_df[sorted(spark_df.columns)]
     duck_df = duck_df[sorted(duck_df.columns)]
     if list(spark_df.columns) != list(duck_df.columns):
-        fails.append((name, 'schema', list(spark_df.columns), list(duck_df.columns))); continue
+        fails.append((name, 'schema', list(spark_df.columns), list(duck_df.columns)))
+        rec(name, rows=len(spark_df) == len(duck_df), sr=len(spark_df),
+            orr=len(duck_df), err='schema'); continue
     if len(spark_df) != len(duck_df):
-        fails.append((name, 'rowcount', len(spark_df), len(duck_df))); continue
+        fails.append((name, 'rowcount', len(spark_df), len(duck_df)))
+        rec(name, schema=True, sr=len(spark_df), orr=len(duck_df),
+            err='rowcount'); continue
     bad_col = None
     for c in spark_df.columns:
         a, b = spark_df[c].to_numpy(), duck_df[c].to_numpy()
@@ -44,8 +59,14 @@ for name, sql in sorted(oracle.items()):
             bad_col = (name, 'values', c, int((~eq).sum()),
                        [(int(i), a[i], b[i]) for i in idx])
             break
-    if bad_col: fails.append(bad_col)
-    else: n_ok += 1
+    if bad_col:
+        fails.append(bad_col)
+        rec(name, rows=True, schema=True, sr=len(spark_df), orr=len(duck_df),
+            err=f'values: {bad_col[2]} ({bad_col[3]} diffs)')
+    else:
+        n_ok += 1
+        rec(name, rows=True, schema=True, hsh=True,
+            sr=len(spark_df), orr=len(duck_df))
 
 # rows-only queries (no oracle): check dump exists and is non-empty
 dumps = {os.path.basename(d) for d in glob.glob(f'{outdir}/*') if os.path.isdir(d)}
@@ -61,4 +82,8 @@ for name in sorted(rows_only):
 print(f"oracle: {n_ok}/{len(oracle)} ok; rows-only: {len(rows_only)-len(ro_fail)}/{len(rows_only)} ok")
 for f in fails + ro_fail:
     print('FAIL', f)
+if json_out:
+    with open(json_out, 'w') as fh:
+        json.dump(record, fh, indent=1, sort_keys=True)
+    print(f"wrote {json_out} ({len(record)} queries)")
 sys.exit(1 if (fails or ro_fail) else 0)

@@ -232,12 +232,13 @@ object Dedup {
     *      ~16 MB instead of materializing + counting the full contraction
     *      (the round-12 checkpoint+count double-pass). The check runs at
     *      round 0 (where the contraction is the raw checkpointed edge set
-    *      — an early-stopping scan, no join) and every second round
-    *      thereafter: far-from-bound rounds skip the two label joins the
-    *      check costs, at worst one cheap fused round of delay. This caps
-    *      the round count: a 100 TB corpus pays a few fused rounds, and a
-    *      bench-scale pair set (edges already under the bound) pays ZERO
-    *      distributed rounds.
+    *      — an early-stopping scan, no join) and EVERY round thereafter:
+    *      the ×1000 audit measured that label-flood heuristics (skip the
+    *      check while most labels still move) starve the driver finish,
+    *      because the contracted super-graph collapses rounds before the
+    *      labeling quiesces. This caps the round count: a 100 TB corpus
+    *      pays a few fused rounds, and a bench-scale pair set (edges
+    *      already under the bound) pays ZERO distributed rounds.
     *
     * Returns (idCol, cluster_id, is_representative) for EVERY id in
     * `ids` — singletons keep their own id as cluster_id; cluster_id is

@@ -397,7 +397,9 @@ object StreamingOps {
     * the exact n-gram jaccard verify runs per candidate in the same UDF
     * — so no join, no state store, no watermark, and per-doc results
     * IDENTICAL to the batch rollup: (idCol, near_dup, max_jaccard), with
-    * (false, NULL) for docs that collide with no bucket. */
+    * (false, NULL) for docs that collide with no bucket. Reference ids
+    * must be BIGINT (the broadcast maps key on Long); the batch twin
+    * stays type-generic. */
   def crossCorpusNearDupStream(corpus: DataFrame, reference: DataFrame,
                                jaccardThr: Double = 0.5,
                                textCol: String = "text", idCol: String = "doc_id",
@@ -415,7 +417,11 @@ object StreamingOps {
       reference.select(col(idCol),
           array_distinct(Dedup.shingles(col(textCol), shingleK)).as("sh"))
         .collect()
-        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+        .map(r => r.getLong(0) ->
+          // a null-text reference doc has a null shingle array; it also
+          // emits no buckets, so it can never surface as a candidate —
+          // any value works, and empty avoids the NPE
+          (if (r.isNullAt(1)) Set.empty[String] else r.getSeq[String](1).toSet))
         .toMap
     val sc = corpus.sparkSession.sparkContext
     val bcBuckets = sc.broadcast(refBuckets)

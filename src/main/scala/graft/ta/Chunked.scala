@@ -404,7 +404,7 @@ object Chunked {
       }
       st(3) = st(2); st(2) = st(1); st(1) = x
       st(0) = i + 1
-      Array(out: _*)
+      out
     }
   }
 }

@@ -587,6 +587,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_.getBoolean(2)) == 1)
   }
 
+  test("clusteringAgreement: identical clusterings agree exactly; refinement decomposes") {
+    import org.apache.spark.sql.functions.col
+    // clusters {1,2,3},{4,5},{6} vs a REFINEMENT splitting the triple
+    val a = spark.createDataFrame(Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L)))
+      .toDF("doc_id", "cluster_id")
+    val b = spark.createDataFrame(Seq(
+      (1L, 1L), (2L, 1L), (3L, 30L), (4L, 4L), (5L, 4L), (6L, 6L)))
+      .toDF("doc_id", "cluster_id")
+    val same = Dedup.clusteringAgreement(a, a).head()
+    // identical clusterings: pair sets equal, both diffs zero
+    assert(same.getLong(0) == 3 && same.getLong(1) == 3)
+    assert(same.getLong(2) == 4 && same.getLong(3) == 4 && same.getLong(4) == 4)
+    assert(same.getLong(5) == 0 && same.getLong(6) == 0)
+    val refd = Dedup.clusteringAgreement(a, b).head()
+    // b refines a: every b-pair is an a-pair (pairs_only_b = 0), and a
+    // loses exactly the 2 pairs that crossed the {1,2}|{3} split
+    assert(refd.getLong(2) == 4 && refd.getLong(3) == 2 && refd.getLong(4) == 2)
+    assert(refd.getLong(5) == 2, "pairs_only_a = split pairs")
+    assert(refd.getLong(6) == 0, "a refinement never adds pairs")
+  }
+
   test("components: distributed rounds, hybrid finish, and driver finish all agree") {
     // two chains + singletons; every execution path of the two-phase CC
     // must produce the identical labeling:

@@ -401,6 +401,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "probing a literal bitmap must not join")
   }
 
+  test("cross-corpus containment probe is a pure scan: zero exchanges, no join") {
+    val d = docs(40)
+    val probe = Dedup.crossCorpusContainmentBloom(d.where(col("doc_id") % 5 =!= 0),
+      d.where(col("doc_id") % 5 === 0), mBits = 1 << 12)
+    // same contract as the bloom decontaminator: the reference collapsed
+    // into a literal bitmap before this plan exists, so the per-doc
+    // containment score — the unbounded-reference cross-corpus leg and
+    // the frame the streaming twin re-emits per micro-batch — must stay
+    // join-free and shuffle-free at any reference size
+    assert(countShuffleExchanges(probe) == 0,
+      "containment against a literal bitmap must not shuffle")
+    assert(!executedPlan(probe).contains("Join"),
+      "containment against a literal bitmap must not join")
+  }
+
   test("mixture sampling compiles to a pure scan filter: zero exchanges") {
     val d = docs(40).withColumn("source",
       org.apache.spark.sql.functions.when(col("doc_id") % 3 === 0, "a").otherwise("b"))
