@@ -1107,6 +1107,98 @@ object Dedup {
       .select(col(idCol), col("n_spans"), col("n_boiler"), col("boiler_frac"))
   }
 
+  /** Largest frequent-gram set [[removeFrequentSpans]] will inline into
+    * its scan-stage membership probe: 256k gram strings (~20 bytes each
+    * ≈ 5 MB serialized into the task binary) — far above any realistic
+    * boilerplate span set at a removal-grade `minDocs`, far below what a
+    * stage broadcast notices. */
+  private val MaxLiteralSpans = 262_144
+
+  /** Cross-document duplicated-span REMOVAL — the rewrite stage on top of
+    * [[frequentSpans]]' detection (the flat-text analogue of C4's
+    * repeated-line removal, and the span-granular counterpart of
+    * doc-level near-dup dedup: exact-substring dedup à la "Deduplicating
+    * Training Data Makes Language Models Better"): every token position
+    * covered by ANY k-gram occurring in ≥ `minDocs` distinct documents is
+    * dropped, and the document is rebuilt from the surviving (normalized)
+    * tokens.
+    *
+    * Scale shape: the frequent-gram set is computed ONCE at
+    * plan-construction time by [[frequentSpans]] (doc-frequency per
+    * 8-byte fingerprint is the only corpus-wide exchange; the string
+    * recount makes the set exact under any fp behavior), collected under
+    * an explicit bound (`maxLiteralSpans` — a REMOVAL-grade frequent set
+    * is boilerplate, bounded by totalSpans/minDocs, not corpus-sized),
+    * and inlined into the returned plan as a native `InSet` probe — the
+    * set hash is built once per task, membership is O(1) per gram
+    * (contrast the per-row `array_intersect` trap documented on
+    * [[spanBoilerplateStats]]). The rewrite itself is then a PURE
+    * projection: position p is covered iff some gram window
+    * [max(0, p−k+1), min(p, g−1)] is frequent, surviving tokens re-join
+    * with single spaces — zero shuffles, zero joins, the whole rewrite
+    * runs inside the scan stage at any corpus size (plan-tested).
+    *
+    * Contract notes: tokens are the normalized (lowered,
+    * whitespace-split) stream every dedup op here hashes — the rebuilt
+    * text is normalized text, the right input for the training-data
+    * stages downstream of boilerplate removal. Documents shorter than
+    * `k` tokens form one all-tokens gram (the [[shingles]] fallback), so
+    * a short doc that IS corpus-frequent boilerplate empties entirely. */
+  def removeFrequentSpans(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id", k: Int = 3,
+                          minDocs: Int = 10,
+                          maxLiteralSpans: Int = MaxLiteralSpans): DataFrame = {
+    // regime-dispatched detection (frequentSpansAuto): on a
+    // repeated-vocabulary corpus the fp prefilter's extra scan buys
+    // nothing — the probe routes to the one-pass direct plan there and
+    // keeps the fp path for singleton-dominated corpora, where it is the
+    // 100 TB win
+    val freqRows = frequentSpansAuto(docs, textCol, idCol, k, minDocs)
+      .select("gram").limit(maxLiteralSpans + 1).collect()
+    require(freqRows.length <= maxLiteralSpans,
+      s"frequent-span set exceeds $maxLiteralSpans grams — this corpus is " +
+        "repetition-dominated at this minDocs; raise minDocs (removal-grade " +
+        "boilerplate is rare by definition) or raise maxLiteralSpans")
+    spanRewrite(docs, freqRows.map(_.getString(0)).toSeq, textCol, idCol, k)
+  }
+
+  /** The pure-projection rewrite leg of [[removeFrequentSpans]] against a
+    * STATIC frequent-gram set — shared verbatim by the batch op and the
+    * streaming twin (same Columns ⇒ per-doc results identical by
+    * construction). Zero shuffles, zero joins: the set rides the plan as
+    * a native `InSet` whose hash is built once per task. */
+  private[graft] def spanRewrite(docs: DataFrame, freqGrams: Seq[String],
+                                 textCol: String = "text",
+                                 idCol: String = "doc_id",
+                                 k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.InSet
+    import org.apache.spark.unsafe.types.UTF8String
+    val hset: Set[Any] =
+      freqGrams.iterator.map(UTF8String.fromString).toSet
+    def isFreq(g: Column): Column =
+      GraftBridge.column(InSet(GraftBridge.expression(g), hset))
+    val staged = docs.select(col(idCol), tokens(col(textCol)).as("__toks"),
+      transform(shingles(col(textCol), k), isFreq _).as("__freq"))
+    val g = size(col("__freq"))
+    val keptStructs = filter(
+      transform(col("__toks"), (t, p) => {
+        val lo = greatest(lit(0), p - lit(k - 1))
+        val hi = least(p, g - lit(1))
+        struct(t.as("t"),
+          exists(slice(col("__freq"), lo + lit(1), hi - lo + lit(1)),
+            b => b).as("c"))
+      }),
+      s => !s.getField("c"))
+    staged
+      .select(col(idCol), size(col("__toks")).cast("int").as("n_tokens"),
+        keptStructs.as("__kept"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("__kept"))).cast("int").as("n_removed"),
+        concat_ws(" ", transform(col("__kept"), s => s.getField("t")))
+          .as("cleaned_text"))
+  }
+
   /** Within-document repeated-unit removal: rebuild each doc keeping only
     * the FIRST occurrence of every token (the flat-text analogue of
     * within-page duplicate-line stripping; the unit is again a delimiter

@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  private val retainedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Same contract as Dedup's: persist MEMORY_AND_DISK unless an
+    * identical plan is already cached, track for [[releaseCaches]]. */
+  private def guardedPersist(plan: DataFrame): DataFrame =
+    if (plan.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      val p = plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      retainedCaches.add(p)
+      p
+    } else plan
+
+  /** Unpersist every frame the selection planners retained. Call between
+    * corpora in a long-lived session; safe while no query built from
+    * those frames is still running. */
+  def releaseCaches(): Unit = {
+    var df = retainedCaches.poll()
+    while (df != null) { df.unpersist(blocking = false); df = retainedCaches.poll() }
+  }
+
   private val D = 10000L
   private[graft] val SeedIdx = 16384L
 
@@ -137,5 +157,93 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
       .orderBy(sampleHash(col(idCol)).asc, col(idCol).asc)
     df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Quality-ranked corpus selection under a PER-SOURCE token budget —
+    * the "fill each source's slice of the training mix with its best
+    * documents" primitive. Documents rank by (quality DESC, id ASC)
+    * within their source and the maximal prefix whose running token sum
+    * stays ≤ `budgetPerSource` is kept (strict prefix rule: once the
+    * budget is crossed nothing later is admitted — deterministic,
+    * auditable, no knapsack backfill). The rank key is the composite
+    * quality score ROUNDED to 6 decimals (the repo's fixed-point gate
+    * precision) so no cross-engine fp residual can reorder the boundary;
+    * ties break on ascending id.
+    *
+    * Plans (same output, pinned to the same oracle):
+    *
+    *   - `bucketRefined = false`: one window cumsum per source. Correct
+    *     anywhere, but the window sorts EVERY row of a source in one
+    *     task chain — a 100 TB source is a single-task sort.
+    *   - `bucketRefined = true` (the scale path): quantize quality into
+    *     `buckets` fixed cells (monotone in the rank key, so cells
+    *     partition the global order), aggregate per-(source, bucket)
+    *     token sums — one narrow-key map-side-partial exchange — and
+    *     pick each source's cutoff cell on the driver (bounded:
+    *     sources × buckets rows, the temperatureMixture collect
+    *     precedent). Cells strictly above the cutoff are kept with NO
+    *     sort; only the cutoff cell's rows — a 1/buckets-ish sliver —
+    *     pay the window prefix against the remaining budget. Ties
+    *     cannot straddle a cell boundary (equal keys share a cell), so
+    *     the result is IDENTICAL to the exact leg by construction.
+    */
+  def tokenBudgetSelect(docs: DataFrame, budgetPerSource: Long,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        sourceCol: String = "source",
+                        bucketRefined: Boolean = false,
+                        buckets: Int = 1000): DataFrame = {
+    require(budgetPerSource > 0, "budgetPerSource must be positive")
+    require(buckets > 0, "buckets must be positive")
+    def scoredPlan = docs.select(col(idCol), col(sourceCol),
+      (round(TextStats.qualityScore(col(textCol)), 6) + lit(0.0)).as("quality"),
+      size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(sourceCol)
+      .orderBy(col("quality").desc, col(idCol).asc)
+    if (!bucketRefined) {
+      scoredPlan.withColumn("__cum", sum(col("n_tokens")).over(w))
+        .where(col("__cum") <= budgetPerSource).drop("__cum")
+    } else {
+      // persist the NARROW scored projection (id, source, two 8-byte
+      // numbers — the text column does not survive it): the histogram
+      // pass materializes it, and the above/boundary branches then read
+      // the cache instead of re-deriving quality from the corpus text —
+      // without this the refined leg reads the text column three times,
+      // which at 100 TB is the dominant cost. Released via
+      // [[releaseCaches]] in long-lived sessions (the Dedup precedent).
+      val scored = guardedPersist(scoredPlan)
+      val withCell = scored.withColumn("__qb",
+        floor(col("quality") * buckets).cast("int"))
+      // bounded collect: sources × (buckets + 1) rows
+      val hist = withCell.groupBy(col(sourceCol), col("__qb"))
+        .agg(sum(col("n_tokens")).as("t")).collect()
+      // per source, walking cells from best quality down: the cutoff cell
+      // is the first whose full addition would cross the budget; what was
+      // accumulated before it is that cell's remaining in-cell budget
+      val cutoffs: Map[String, (Int, Long)] = hist
+        .groupBy(_.getString(0))
+        .flatMap { case (src, rows) =>
+          val desc = rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(-_._1)
+          var cum = 0L
+          var res: Option[(Int, Long)] = None
+          for ((cell, t) <- desc if res.isEmpty) {
+            if (cum + t > budgetPerSource) res = Some((cell, budgetPerSource - cum))
+            else cum += t
+          }
+          res.map(src -> _) // None: the whole source fits the budget
+        }
+      if (cutoffs.isEmpty) withCell.drop("__qb")
+      else {
+        val cutCell = coalesce(
+          element_at(typedLit(cutoffs.map { case (s, c) => s -> c._1 }), col(sourceCol)),
+          lit(Int.MinValue))
+        val remBudget = element_at(
+          typedLit(cutoffs.map { case (s, c) => s -> c._2 }), col(sourceCol))
+        val above = withCell.where(col("__qb") > cutCell)
+        val boundary = withCell.where(col("__qb") === cutCell)
+          .withColumn("__cum", sum(col("n_tokens")).over(w))
+          .where(col("__cum") <= remBudget).drop("__cum")
+        above.unionByName(boundary).drop("__qb")
+      }
+    }
   }
 }

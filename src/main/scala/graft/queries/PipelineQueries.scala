@@ -1723,8 +1723,82 @@ object PipelineQueries {
           .select(col("doc_id"), col("frame_idx"), col("n_frames"),
             col("width"), col("height"), r6(col("luma_mean")).as("luma_mean"))
           .orderBy("doc_id", "frame_idx")
-      }, Some(MultimodalSql.multimodalFramesSql))
+      }, Some(MultimodalSql.multimodalFramesSql)),
+
+    Entry("remove_frequent_spans",
+      // cross-document duplicated-span REMOVAL (the rewrite on top of
+      // frequent_spans' detection): tokens covered by any 3-gram in ≥5
+      // docs are dropped and the doc rebuilt. The frequent set is exact
+      // per STRING (frequentSpans' recount) and probes via a native
+      // InSet — the rewrite itself is a pure scan (plan-tested, zero
+      // exchanges). minDocs=5 exercises both regimes the synthetic
+      // corpora present: sparse tails (sf0.001/0.01 remove ~9%) and the
+      // template-dominated sf0.1 (~99.8% removed — mass removal IS the
+      // honest stress of the rebuild path).
+      (spark, dir) =>
+        Dedup.removeFrequentSpans(Tables.documents(spark, dir), minDocs = 5)
+          .orderBy("doc_id"),
+      Some(s"""WITH ${DedupSql.tokCte}, ${DedupSql.shCte},
+        |c AS (SELECT gram FROM (SELECT doc_id, unnest(list_distinct(sh)) AS gram FROM sh)
+        |      GROUP BY gram HAVING count(DISTINCT doc_id) >= 5),
+        |hitpos AS (
+        |  SELECT s.doc_id, t.i AS gp
+        |  FROM sh s, unnest(range(1, len(s.sh) + 1)) AS t(i)
+        |  WHERE s.sh[t.i] IN (SELECT gram FROM c)
+        |),
+        |covl AS (SELECT doc_id, list(gp) AS gps FROM hitpos GROUP BY doc_id),
+        |j AS (SELECT t.doc_id, t.toks, coalesce(cl.gps, []) AS gps, len(s.sh) AS g
+        |      FROM tok t JOIN sh s USING (doc_id) LEFT JOIN covl cl USING (doc_id)),
+        |kpt AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |        list_filter(toks, (t, p) -> len(list_filter(gps,
+        |          i -> i >= greatest(1, p - 2) AND i <= least(p, g))) = 0) AS kept
+        |      FROM j)
+        |SELECT doc_id, n_tokens,
+        |  CAST(n_tokens - len(kept) AS INTEGER) AS n_removed,
+        |  coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+        |FROM kpt ORDER BY doc_id""".stripMargin)),
+        // ^ coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+        //   concat_ws is '' — a fully-removed doc must agree on ''
+
+    Entry("token_budget_select",
+      // quality-ranked selection under a per-source token budget (the
+      // "fill each source's slice of the training mix with its best
+      // docs" primitive): rank by (quality DESC, id), keep the maximal
+      // prefix whose token sum stays ≤ 800. Exact leg — one window
+      // cumsum per source.
+      (spark, dir) =>
+        Sampling.tokenBudgetSelect(Tables.documents(spark, dir), budgetPerSource = 800)
+          .orderBy("doc_id"),
+      Some(tokenBudgetSql)),
+
+    Entry("token_budget_refined",
+      // the SAME selection on the scale path: per-(source, quality-cell)
+      // token sums → driver cutoff pick (bounded: sources × buckets) →
+      // only the cutoff cell's sliver pays the window sort. Identical
+      // output by construction (cells are monotone in the rank key), so
+      // it shares the exact leg's oracle — the gate pins the
+      // plan-equivalence every round.
+      (spark, dir) =>
+        Sampling.tokenBudgetSelect(Tables.documents(spark, dir), budgetPerSource = 800,
+            bucketRefined = true)
+          .orderBy("doc_id"),
+      Some(tokenBudgetSql))
   )
+
+  /** Shared oracle of both token_budget legs: the window-cumsum prefix
+    * rule over the replayed quality score, 6-dp-rounded rank key (no
+    * cross-engine fp residual can reorder the budget boundary; ties
+    * break on ascending id, and RANGE-frame peer groups are singletons
+    * because the id is unique). */
+  private def tokenBudgetSql: String =
+    s"""WITH $qualityCtes,
+      |tb AS (SELECT q.doc_id, d.source, round(q.qs, 6) + 0.0 AS quality,
+      |        CAST(len(string_split_regex(trim(lower(d.text)), '\\s+')) AS BIGINT) AS n_tokens
+      |      FROM q JOIN documents d USING (doc_id)),
+      |w AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+      |        ORDER BY quality DESC, doc_id ASC) AS cum FROM tb)
+      |SELECT doc_id, source, quality, n_tokens FROM w WHERE cum <= 800
+      |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap
   val oracle: Map[String, String] = entries.flatMap(e => e.oracle.map(e.name -> _)).toMap

@@ -506,6 +506,23 @@ object StreamingOps {
       .withColumn("boiler_frac", col("n_boiler").cast("double") / col("n_spans"))
   }
 
+  /** Streaming duplicated-span REMOVAL: rewrite each arriving doc
+    * against a STATIC frequent-gram set (built once by the batch
+    * [[graft.pipeline.Dedup.frequentSpansAuto]] pass over the reference
+    * corpus — recomputing corpus frequencies per micro-batch is
+    * meaningless on a stream). Not a re-implementation: the stream runs
+    * the SAME pure-projection Columns as the batch
+    * [[graft.pipeline.Dedup.removeFrequentSpans]] rewrite leg
+    * (`spanRewrite` — native InSet probe, per-task set hash), so per-doc
+    * results are identical by construction; stateless, shuffle-free,
+    * join-free per micro-batch at any reference-set size under the
+    * inline bound. Returns (idCol, n_tokens, n_removed, cleaned_text)
+    * per arriving doc. */
+  def removeFrequentSpansStream(corpus: DataFrame, frequentGrams: Seq[String],
+                                textCol: String = "text", idCol: String = "doc_id",
+                                k: Int = 3): DataFrame =
+    graft.pipeline.Dedup.spanRewrite(corpus, frequentGrams, textCol, idCol, k)
+
   /** Watermarked streaming twin of the props_json_stats rollup
     * (EtlQueries): ONE codegen'd from_json parse per arriving event
     * inside the streaming scan — the same schema-on-read shape as batch,

@@ -587,6 +587,77 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_.getBoolean(2)) == 1)
   }
 
+  test("removeFrequentSpans: covered positions drop, short-doc fallback, overlap union") {
+    val d = docs(
+      1L -> "x alpha beta gamma y",   // shared gram mid-doc
+      2L -> "Alpha BETA gamma z w",   // same gram at doc start, case-normalized
+      3L -> "p q r s t",              // untouched
+      4L -> "alpha beta",             // short-doc fallback: whole text is the gram
+      5L -> "alpha beta",
+      6L -> "a b c d e",              // two overlapping frequent grams
+      7L -> "z a b c d")
+    val got = Dedup.removeFrequentSpans(d, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L) == ((5, 3, "x y")))
+    assert(got(2L) == ((5, 3, "z w")), "rebuilt text is the normalized token stream")
+    assert(got(3L) == ((5, 0, "p q r s t")))
+    assert(got(4L) == ((2, 2, "")), "a frequent short doc empties entirely")
+    assert(got(5L) == ((2, 2, "")))
+    // doc 6: grams "a b c"(covers 0-2) and "b c d"(covers 1-3) are both
+    // frequent — coverage is the UNION, only "e" survives
+    assert(got(6L) == ((5, 4, "e")))
+    assert(got(7L) == ((5, 4, "z")))
+  }
+
+  test("removeFrequentSpans: empty frequent set is the identity rewrite") {
+    val d = docs(1L -> "p q r s t", 2L -> "u v w x y")
+    val got = Dedup.removeFrequentSpans(d, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    assert(got(1L) == ((0, "p q r s t")) && got(2L) == ((0, "u v w x y")))
+  }
+
+  test("tokenBudgetSelect: prefix rule, and the bucket-refined leg is identical") {
+    import org.apache.spark.sql.functions.col
+    // 3 sources × 12 docs of varying length (quality varies through the
+    // length score) + exact-tie pairs (identical text ⇒ identical quality,
+    // tiebreak on id) sitting right at budget boundaries
+    val rows = (0 until 12).flatMap { i =>
+      Seq(("a", i.toLong, ("alpha beta gamma " * (i + 1)).trim),
+          ("b", 100L + i, ("delta epsilon " * (12 - i)).trim),
+          ("c", 200L + i, if (i % 2 == 0) "tie tie tie tie tie" else ("zeta " * (i + 2)).trim))
+    }
+    val d = spark.createDataFrame(rows.map(r => (r._2, r._3, r._1)))
+      .toDF("doc_id", "text", "source")
+    for (budget <- Seq(5L, 37L, 200L, 100000L)) {
+      val exact = Sampling.tokenBudgetSelect(d, budget)
+      val refined = Sampling.tokenBudgetSelect(d, budget, bucketRefined = true, buckets = 4)
+      val eRows = exact.collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val rRows = refined.collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(eRows == rRows, s"refined leg must equal exact leg at budget=$budget")
+      // independent prefix-rule replay from the op's own scoring
+      val scored = d.select(col("doc_id"), col("source"),
+          (org.apache.spark.sql.functions.round(TextStats.qualityScore(col("text")), 6)
+            + org.apache.spark.sql.functions.lit(0.0)).as("q"),
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.split(
+              org.apache.spark.sql.functions.trim(
+                org.apache.spark.sql.functions.lower(col("text"))), "\\s+"))
+            .cast("long").as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      val expected = scored.groupBy(_._2).values.flatMap { g =>
+        val ordered = g.sortBy(x => (-x._3, x._1))
+        val cums = ordered.scanLeft(0L)(_ + _._4).tail
+        ordered.zip(cums).takeWhile(_._2 <= budget).map(_._1._1)
+      }.toSet
+      assert(eRows.map(_._1).toSet == expected, s"prefix rule at budget=$budget")
+    }
+    // the whole-corpus-fits case exercises the refined leg's no-cutoff path
+    val all = Sampling.tokenBudgetSelect(d, 100000L, bucketRefined = true)
+    assert(all.count() == rows.size)
+  }
+
   test("clusteringAgreement: identical clusterings agree exactly; refinement decomposes") {
     import org.apache.spark.sql.functions.col
     // clusters {1,2,3},{4,5},{6} vs a REFINEMENT splitting the triple

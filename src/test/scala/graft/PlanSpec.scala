@@ -401,6 +401,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "probing a literal bitmap must not join")
   }
 
+  test("frequent-span removal rewrite is a pure scan: zero exchanges, no join") {
+    val d = docs(40)
+    // the frequent set is collected at construction time and inlined as a
+    // native InSet probe, so the REWRITE plan a consumer actually runs —
+    // the thing that scans the 100 TB corpus — must stay join-free and
+    // shuffle-free regardless of set size
+    val rewrite = Dedup.removeFrequentSpans(d, minDocs = 2)
+    assert(countShuffleExchanges(rewrite) == 0,
+      "rewriting against an inlined frequent set must not shuffle")
+    assert(!executedPlan(rewrite).contains("Join"),
+      "rewriting against an inlined frequent set must not join")
+  }
+
   test("cross-corpus containment probe is a pure scan: zero exchanges, no join") {
     val d = docs(40)
     val probe = Dedup.crossCorpusContainmentBloom(d.where(col("doc_id") % 5 =!= 0),

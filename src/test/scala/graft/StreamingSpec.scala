@@ -262,6 +262,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming span removal equals the batch rewrite for the same frequent set") {
+    // frequent set from a batch pass over the reference corpus; arriving
+    // docs are REWRITTEN against it (positions covered by any frequent
+    // 3-gram drop) with the exact batch Columns — stateless per batch
+    val refCorpus = (0L until 6L).map(i =>
+      (i, s"doc $i starts common header line here then unique tail $i"))
+    val refDf = spark.createDataFrame(refCorpus).toDF("doc_id", "text")
+    val freqGrams = graft.pipeline.Dedup.frequentSpans(refDf, minDocs = 4)
+      .collect().map(_.getString(0)).toSeq
+    assert(freqGrams.nonEmpty)
+    val arriving = Seq(
+      10L -> "prefix common header line here suffix words",
+      11L -> "entirely fresh document with no shared spans")
+    implicit val enc = Encoders.product[(Long, String)]
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.removeFrequentSpansStream(
+        ms.toDF().toDF("doc_id", "text"), freqGrams)
+      .writeStream.format("memory").queryName("rfs_stream")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      ms.addData(arriving); q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, n_tokens, n_removed, cleaned_text FROM rfs_stream")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+      // doc 10's "common header line here" run is covered (4 tokens plus
+      // the k-1 window overhang on each flank within gram bounds)
+      assert(got(10L)._2 > 0 && got(10L)._3.startsWith("prefix"))
+      assert(got(11L) == ((7, 0, "entirely fresh document with no shared spans")))
+      // parity: the batch rewrite leg over the same docs + same set
+      val batch = graft.pipeline.Dedup.spanRewrite(
+          spark.createDataFrame(arriving).toDF("doc_id", "text"), freqGrams)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+      arriving.foreach { case (id, _) => assert(got(id) == batch(id), s"doc $id") }
+    } finally q.stop()
+  }
+
   test("stateless pipeline columns (pii, repetition) apply to streams unchanged") {
     // per-row Column ops need no streaming twin: the SAME batch code runs
     // on an unbounded input — this pins that property so a refactor can't
