@@ -67,6 +67,13 @@ object ScaleBench {
         Seq("ht_dcperiod", "ht_dcphase", "inphase", "quadrature", "sine",
           "leadsine", "ht_trendline", "ht_trendmode", "mama", "fama"),
         _ => new graft.ta.Chunked.MesaStep()) _),
+      // the string-probe rewrite FORCED on the permuted replica (which is
+      // singleton-dominated, so the registered query's dispatcher takes
+      // the fp-short-circuit leg there): the A/B that prices what the fp
+      // probe order buys on the web-crawl-shaped regime it exists for
+      "remove_spans_direct" -> ((spark: SparkSession, dir: String) =>
+        graft.pipeline.Dedup.removeFrequentSpans(
+          Tables.documents(spark, dir), minDocs = 5, fpRewrite = Some(false))),
       // dedup_clusters_star with the CC driver-finish bound raised
       // 1<<20 → 1<<23 (~8M super-edges ≈ 128-256 MB collected): the
       // round-12 ×1000 audit found the star path's super-linear step is

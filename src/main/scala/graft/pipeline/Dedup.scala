@@ -1147,30 +1147,78 @@ object Dedup {
   def removeFrequentSpans(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id", k: Int = 3,
                           minDocs: Int = 10,
-                          maxLiteralSpans: Int = MaxLiteralSpans): DataFrame = {
+                          maxLiteralSpans: Int = MaxLiteralSpans,
+                          fpRewrite: Option[Boolean] = None): DataFrame = {
     // regime-dispatched detection (frequentSpansAuto): on a
     // repeated-vocabulary corpus the fp prefilter's extra scan buys
     // nothing — the probe routes to the one-pass direct plan there and
     // keeps the fp path for singleton-dominated corpora, where it is the
     // 100 TB win
-    val freqRows = frequentSpansAuto(docs, textCol, idCol, k, minDocs)
+    val singleton = singletonDominated(docs,
+      graft.functions.TextHashes.shingleFps(tokens(col(textCol)), k))
+    val freqRows = frequentSpans(docs, textCol, idCol, k, minDocs,
+        fpPrefilter = singleton)
       .select("gram").limit(maxLiteralSpans + 1).collect()
     require(freqRows.length <= maxLiteralSpans,
       s"frequent-span set exceeds $maxLiteralSpans grams — this corpus is " +
         "repetition-dominated at this minDocs; raise minDocs (removal-grade " +
         "boilerplate is rare by definition) or raise maxLiteralSpans")
-    spanRewrite(docs, freqRows.map(_.getString(0)).toSeq, textCol, idCol, k)
+    // the rewrite scan dispatches on the SAME cached regime verdict: a
+    // singleton-dominated corpus probes 8-byte rolling fps and only
+    // builds a gram string on fp hits (rare there by definition); a
+    // repeated-vocabulary corpus would fp-hit on most positions, so the
+    // one-pass string probe is the cheaper plan
+    spanRewrite(docs, freqRows.map(_.getString(0)).toSeq, textCol, idCol, k,
+      fpShortCircuit = fpRewrite.getOrElse(singleton))
+  }
+
+  /** Driver-side replay of [[graft.functions.TextHashes.ShingleFps]]'
+    * rolling combine for one gram STRING: split on the single spaces
+    * `concat_ws` joined with (tokens are `\s+`-split, so they contain no
+    * whitespace — the split recovers the window's token list exactly,
+    * for the short-doc all-tokens gram too) and fold the per-token
+    * (fp, pow) pairs with the same mod-P recurrence the expression
+    * generates. Products stay in Long: P ≈ 1e9, so a·b < 1e18. */
+  private def gramPolyFp(gram: String): Long = {
+    import graft.functions.TextHashes.{fpAndPow, PolyP}
+    val toks = gram.split(" ", -1)
+    var f = 0L
+    var i = 0
+    while (i < toks.length) {
+      val fp = fpAndPow(org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)))
+      f = if (i == 0) fp(0)
+          else (((f * 131L + 32L) % PolyP) * fp(1) + fp(0)) % PolyP
+      i += 1
+    }
+    f
   }
 
   /** The pure-projection rewrite leg of [[removeFrequentSpans]] against a
     * STATIC frequent-gram set — shared verbatim by the batch op and the
     * streaming twin (same Columns ⇒ per-doc results identical by
     * construction). Zero shuffles, zero joins: the set rides the plan as
-    * a native `InSet` whose hash is built once per task. */
+    * a native `InSet` whose hash is built once per task.
+    *
+    * `fpShortCircuit` flips the probe order for singleton-dominated
+    * corpora (the dispatcher's call in [[removeFrequentSpans]]): probe
+    * each position's 8-byte rolling fingerprint (ShingleFps — computed
+    * from per-token fps, NO gram string is materialized) against the
+    * frequent set's driver-replayed fps, and only on an fp hit build the
+    * window's string for the exact confirm (Catalyst `And` short-circuits
+    * in codegen, so the `concat_ws` never executes on a miss). On a
+    * web-crawl-shaped corpus ~every position misses, so the rewrite scan
+    * drops its per-position string allocation — the dominant cost at
+    * 100 TB. Exactness is unchanged: the string confirm runs on every fp
+    * hit, so a poly-family collision (the systematic-collision caveat on
+    * [[frequentSpans]]' xxhash64 choice) costs a wasted confirm, never a
+    * wrong removal. On repeated-vocabulary corpora most positions HIT, so
+    * the fp probe is pure overhead — the dispatcher keeps those on the
+    * direct string probe. */
   private[graft] def spanRewrite(docs: DataFrame, freqGrams: Seq[String],
                                  textCol: String = "text",
                                  idCol: String = "doc_id",
-                                 k: Int = 3): DataFrame = {
+                                 k: Int = 3,
+                                 fpShortCircuit: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.InSet
     import org.apache.spark.unsafe.types.UTF8String
@@ -1178,8 +1226,24 @@ object Dedup {
       freqGrams.iterator.map(UTF8String.fromString).toSet
     def isFreq(g: Column): Column =
       GraftBridge.column(InSet(GraftBridge.expression(g), hset))
+    val freqFlags: Column =
+      if (!fpShortCircuit) transform(shingles(col(textCol), k), isFreq _)
+      else {
+        val fpSet: Set[Any] =
+          freqGrams.iterator.map(g => java.lang.Long.valueOf(gramPolyFp(g))).toSet
+        def isFpHit(f: Column): Column =
+          GraftBridge.column(InSet(GraftBridge.expression(f), fpSet))
+        val toks = tokens(col(textCol))
+        // gram string for ONE window, built lazily inside the And's
+        // right branch; the <k fallback mirrors shingles()
+        def gramAt(p: Column): Column =
+          when(size(toks) < k, concat_ws(" ", toks))
+            .otherwise(concat_ws(" ", slice(toks, p + 1, lit(k))))
+        transform(graft.functions.TextHashes.shingleFps(toks, k),
+          (f, p) => isFpHit(f) && isFreq(gramAt(p)))
+      }
     val staged = docs.select(col(idCol), tokens(col(textCol)).as("__toks"),
-      transform(shingles(col(textCol), k), isFreq _).as("__freq"))
+      freqFlags.as("__freq"))
     val g = size(col("__freq"))
     val keptStructs = filter(
       transform(col("__toks"), (t, p) => {

@@ -1738,27 +1738,21 @@ object PipelineQueries {
       (spark, dir) =>
         Dedup.removeFrequentSpans(Tables.documents(spark, dir), minDocs = 5)
           .orderBy("doc_id"),
-      Some(s"""WITH ${DedupSql.tokCte}, ${DedupSql.shCte},
-        |c AS (SELECT gram FROM (SELECT doc_id, unnest(list_distinct(sh)) AS gram FROM sh)
-        |      GROUP BY gram HAVING count(DISTINCT doc_id) >= 5),
-        |hitpos AS (
-        |  SELECT s.doc_id, t.i AS gp
-        |  FROM sh s, unnest(range(1, len(s.sh) + 1)) AS t(i)
-        |  WHERE s.sh[t.i] IN (SELECT gram FROM c)
-        |),
-        |covl AS (SELECT doc_id, list(gp) AS gps FROM hitpos GROUP BY doc_id),
-        |j AS (SELECT t.doc_id, t.toks, coalesce(cl.gps, []) AS gps, len(s.sh) AS g
-        |      FROM tok t JOIN sh s USING (doc_id) LEFT JOIN covl cl USING (doc_id)),
-        |kpt AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
-        |        list_filter(toks, (t, p) -> len(list_filter(gps,
-        |          i -> i >= greatest(1, p - 2) AND i <= least(p, g))) = 0) AS kept
-        |      FROM j)
-        |SELECT doc_id, n_tokens,
-        |  CAST(n_tokens - len(kept) AS INTEGER) AS n_removed,
-        |  coalesce(array_to_string(kept, ' '), '') AS cleaned_text
-        |FROM kpt ORDER BY doc_id""".stripMargin)),
-        // ^ coalesce: DuckDB's array_to_string([]) is NULL where Spark's
-        //   concat_ws is '' — a fully-removed doc must agree on ''
+      Some(removeFrequentSpansSql)),
+
+    Entry("remove_frequent_spans_fp",
+      // the fp-short-circuit rewrite leg PINNED on (what is at sf0.1) the
+      // wrong-regime corpus, against the SAME oracle — the frequent_spans
+      // / frequent_spans_fp convention: the gate proves the probe-order
+      // flip cannot change a byte of output (fp hit ⇒ exact string
+      // confirm), while the dispatcher keeps real traffic on whichever
+      // probe the regime verdict picks. Its sf-corpus price (fp probe +
+      // per-hit string build where ~every position hits) is deliberate.
+      (spark, dir) =>
+        Dedup.removeFrequentSpans(Tables.documents(spark, dir), minDocs = 5,
+            fpRewrite = Some(true))
+          .orderBy("doc_id"),
+      Some(removeFrequentSpansSql)),
 
     Entry("token_budget_select",
       // quality-ranked selection under a per-source token budget (the
@@ -1784,6 +1778,31 @@ object PipelineQueries {
           .orderBy("doc_id"),
       Some(tokenBudgetSql))
   )
+
+  /** Shared oracle of both remove_frequent_spans legs: tokens covered by
+    * any 3-gram in ≥5 docs are dropped and the doc rebuilt. The coalesce:
+    * DuckDB's array_to_string([]) is NULL where Spark's concat_ws is ''
+    * — a fully-removed doc must agree on ''. */
+  private def removeFrequentSpansSql: String =
+    s"""WITH ${DedupSql.tokCte}, ${DedupSql.shCte},
+      |c AS (SELECT gram FROM (SELECT doc_id, unnest(list_distinct(sh)) AS gram FROM sh)
+      |      GROUP BY gram HAVING count(DISTINCT doc_id) >= 5),
+      |hitpos AS (
+      |  SELECT s.doc_id, t.i AS gp
+      |  FROM sh s, unnest(range(1, len(s.sh) + 1)) AS t(i)
+      |  WHERE s.sh[t.i] IN (SELECT gram FROM c)
+      |),
+      |covl AS (SELECT doc_id, list(gp) AS gps FROM hitpos GROUP BY doc_id),
+      |j AS (SELECT t.doc_id, t.toks, coalesce(cl.gps, []) AS gps, len(s.sh) AS g
+      |      FROM tok t JOIN sh s USING (doc_id) LEFT JOIN covl cl USING (doc_id)),
+      |kpt AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+      |        list_filter(toks, (t, p) -> len(list_filter(gps,
+      |          i -> i >= greatest(1, p - 2) AND i <= least(p, g))) = 0) AS kept
+      |      FROM j)
+      |SELECT doc_id, n_tokens,
+      |  CAST(n_tokens - len(kept) AS INTEGER) AS n_removed,
+      |  coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+      |FROM kpt ORDER BY doc_id""".stripMargin
 
   /** Shared oracle of both token_budget legs: the window-cumsum prefix
     * rule over the replayed quality score, 6-dp-rounded rank key (no

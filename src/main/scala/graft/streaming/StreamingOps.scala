@@ -520,8 +520,10 @@ object StreamingOps {
     * per arriving doc. */
   def removeFrequentSpansStream(corpus: DataFrame, frequentGrams: Seq[String],
                                 textCol: String = "text", idCol: String = "doc_id",
-                                k: Int = 3): DataFrame =
-    graft.pipeline.Dedup.spanRewrite(corpus, frequentGrams, textCol, idCol, k)
+                                k: Int = 3,
+                                fpShortCircuit: Boolean = false): DataFrame =
+    graft.pipeline.Dedup.spanRewrite(corpus, frequentGrams, textCol, idCol, k,
+      fpShortCircuit)
 
   /** Watermarked streaming twin of the props_json_stats rollup
     * (EtlQueries): ONE codegen'd from_json parse per arriving event

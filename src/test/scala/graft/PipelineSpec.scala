@@ -616,6 +616,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) == ((0, "p q r s t")) && got(2L) == ((0, "u v w x y")))
   }
 
+  test("removeFrequentSpans: fp-short-circuit rewrite is bit-identical to the string probe") {
+    // the fp leg probes driver-replayed rolling fps and only
+    // string-confirms on hit — same output by construction IF the driver
+    // replay matches ShingleFps' combine exactly; this corpus exercises
+    // the paths that could break it: multi-codepoint tokens (é, 漢),
+    // short-doc all-tokens grams, overlapping frequent windows, and a
+    // doc that empties entirely
+    val d = docs(
+      1L -> "x alpha beta gamma y",
+      2L -> "Alpha BETA gamma z w",
+      3L -> "p q r s t",
+      4L -> "café 漢字 test",
+      5L -> "café 漢字 test",
+      6L -> "a b c d e",
+      7L -> "z a b c d",
+      8L -> "alpha beta")
+    val direct = Dedup.removeFrequentSpans(d, minDocs = 2, fpRewrite = Some(false))
+      .orderBy("doc_id").collect().toSeq
+    val fp = Dedup.removeFrequentSpans(d, minDocs = 2, fpRewrite = Some(true))
+      .orderBy("doc_id").collect().toSeq
+    assert(fp == direct)
+    // sanity on the interesting rows, not just self-consistency
+    val m = fp.map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(m(4L) == "" && m(5L) == "", "frequent short docs empty on both legs")
+    assert(m(6L) == "e" && m(7L) == "z", "overlap union agrees on both legs")
+  }
+
   test("tokenBudgetSelect: prefix rule, and the bucket-refined leg is identical") {
     import org.apache.spark.sql.functions.col
     // 3 sources × 12 docs of varying length (quality varies through the

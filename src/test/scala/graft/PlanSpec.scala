@@ -412,6 +412,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rewriting against an inlined frequent set must not shuffle")
     assert(!executedPlan(rewrite).contains("Join"),
       "rewriting against an inlined frequent set must not join")
+    // the fp-short-circuit leg keeps the same contract: the fp probe and
+    // the per-hit string confirm are both scan-stage expressions
+    val fpRewrite = Dedup.removeFrequentSpans(d, minDocs = 2, fpRewrite = Some(true))
+    assert(countShuffleExchanges(fpRewrite) == 0,
+      "the fp-short-circuit rewrite must not shuffle")
+    assert(!executedPlan(fpRewrite).contains("Join"),
+      "the fp-short-circuit rewrite must not join")
   }
 
   test("cross-corpus containment probe is a pure scan: zero exchanges, no join") {
