@@ -643,6 +643,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(6L) == "e" && m(7L) == "z", "overlap union agrees on both legs")
   }
 
+  test("removeFrequentSpans: fp and direct legs agree on a randomized unicode corpus") {
+    // seeded fuzz over the replay-sensitive surface: token content is
+    // built from multi-byte codepoints INCLUDING a surrogate pair (🦀 —
+    // fpAndPow iterates codepoints, gramPolyFp must agree), doc lengths
+    // straddle the <k all-tokens fallback, and a small shared vocab
+    // guarantees cross-doc frequent grams while a wide tail stays
+    // singleton
+    val rnd = new scala.util.Random(20260815L)
+    val pieces = Array("a", "b", "é", "ß", "漢", "字", "🦀", "x", "y", "z", "λ", "ق")
+    def tok() = Array.fill(1 + rnd.nextInt(3))(pieces(rnd.nextInt(pieces.length))).mkString
+    val vocab = Array.fill(14)(tok())
+    val corpus = (1L to 300L).map { id =>
+      val n = 1 + rnd.nextInt(12)
+      val words =
+        if (id % 5 == 0) Seq.fill(n)(tok())                  // singleton tail
+        else Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))   // shared vocab
+      id -> words.mkString(" ")
+    }
+    val d = docs(corpus: _*)
+    val direct = Dedup.removeFrequentSpans(d, minDocs = 2, fpRewrite = Some(false))
+      .orderBy("doc_id").collect().toSeq
+    val fp = Dedup.removeFrequentSpans(d, minDocs = 2, fpRewrite = Some(true))
+      .orderBy("doc_id").collect().toSeq
+    assert(fp == direct)
+    // the corpus must actually exercise removal, not vacuously agree
+    assert(direct.map(_.getInt(2)).sum > 0, "no token was ever removed — corpus too sparse")
+  }
+
   test("tokenBudgetSelect: prefix rule, and the bucket-refined leg is identical") {
     import org.apache.spark.sql.functions.col
     // 3 sources × 12 docs of varying length (quality varies through the

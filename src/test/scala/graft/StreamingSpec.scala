@@ -295,6 +295,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
       arriving.foreach { case (id, _) => assert(got(id) == batch(id), s"doc $id") }
     } finally q.stop()
+
+    // the fp-short-circuit probe order is the same pure projection:
+    // stream it with the flag flipped and require identical rows
+    val ms2 = MemoryStream[(Long, String)](spark)
+    val q2 = StreamingOps.removeFrequentSpansStream(
+        ms2.toDF().toDF("doc_id", "text"), freqGrams, fpShortCircuit = true)
+      .writeStream.format("memory").queryName("rfs_stream_fp")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      ms2.addData(arriving); q2.processAllAvailable()
+      val gotFp = spark.sql("SELECT doc_id, n_tokens, n_removed, cleaned_text FROM rfs_stream_fp")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+      val batch = graft.pipeline.Dedup.spanRewrite(
+          spark.createDataFrame(arriving).toDF("doc_id", "text"), freqGrams)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+      arriving.foreach { case (id, _) => assert(gotFp(id) == batch(id), s"doc $id (fp)") }
+    } finally q2.stop()
   }
 
   test("stateless pipeline columns (pii, repetition) apply to streams unchanged") {
