@@ -85,6 +85,12 @@ object ScaleBench {
       "remove_spans_direct" -> ((spark: SparkSession, dir: String) =>
         graft.pipeline.Dedup.removeFrequentSpans(
           Tables.documents(spark, dir), minDocs = 5, fpRewrite = Some(false))),
+      // the beyond-literal-bound set-as-frame leg forced (no sort):
+      // prices the broadcast-join rewrite against the InSet-literal
+      // direct leg above on the same replica
+      "remove_spans_join" -> ((spark: SparkSession, dir: String) =>
+        graft.pipeline.Dedup.removeFrequentSpans(
+          Tables.documents(spark, dir), minDocs = 5, maxLiteralSpans = 0)),
       // fp-vs-direct rewrite A/B in the fp leg's WINNING regime: the sf
       // corpus and its permuted replicas are all repeated-vocabulary, so
       // the singleton-dominated (web-crawl-shaped) regime the

@@ -1156,20 +1156,26 @@ object Dedup {
     // 100 TB win
     val singleton = singletonDominated(docs,
       graft.functions.TextHashes.shingleFps(tokens(col(textCol)), k))
-    val freqRows = frequentSpans(docs, textCol, idCol, k, minDocs,
-        fpPrefilter = singleton)
-      .select("gram").limit(maxLiteralSpans + 1).collect()
-    require(freqRows.length <= maxLiteralSpans,
-      s"frequent-span set exceeds $maxLiteralSpans grams — this corpus is " +
-        "repetition-dominated at this minDocs; raise minDocs (removal-grade " +
-        "boilerplate is rare by definition) or raise maxLiteralSpans")
-    // the rewrite scan dispatches on the SAME cached regime verdict: a
-    // singleton-dominated corpus probes 8-byte rolling fps and only
-    // builds a gram string on fp hits (rare there by definition); a
-    // repeated-vocabulary corpus would fp-hit on most positions, so the
-    // one-pass string probe is the cheaper plan
-    spanRewrite(docs, freqRows.map(_.getString(0)).toSeq, textCol, idCol, k,
-      fpShortCircuit = fpRewrite.getOrElse(singleton))
+    def freq = frequentSpans(docs, textCol, idCol, k, minDocs,
+      fpPrefilter = singleton)
+    val freqRows = freq.select("gram").limit(maxLiteralSpans + 1).collect()
+    if (freqRows.length <= maxLiteralSpans)
+      // the rewrite scan dispatches on the SAME cached regime verdict: a
+      // singleton-dominated corpus probes 8-byte rolling fps and only
+      // builds a gram string on fp hits (rare there by definition); a
+      // repeated-vocabulary corpus would fp-hit on most positions, so
+      // the one-pass string probe is the cheaper plan
+      spanRewrite(docs, freqRows.map(_.getString(0)).toSeq, textCol, idCol, k,
+        fpShortCircuit = fpRewrite.getOrElse(singleton))
+    else
+      // set-size regime dispatch, not a capacity refusal: past the
+      // literal bound (a repetition-dominated corpus, or a 100 TB one
+      // whose rare-by-definition boilerplate tail is still millions of
+      // grams) the frequent set stops riding the plan as an InSet
+      // literal and stays a distributed frame joined in executor memory
+      // — no driver-side ceiling. Pays one extra detection pass (the
+      // probe collect above) — the price of not guessing the regime.
+      spanRewriteJoin(docs, freq.select("gram"), textCol, idCol, k)
   }
 
   /** Driver-side replay of [[graft.functions.TextHashes.ShingleFps]]'
@@ -1244,6 +1250,16 @@ object Dedup {
       }
     val staged = docs.select(col(idCol), tokens(col(textCol)).as("__toks"),
       freqFlags.as("__freq"))
+    rebuildFromFlags(staged, idCol, k)
+  }
+
+  /** Shared rebuild tail of both rewrite legs: from (idCol, __toks,
+    * __freq — per-gram-position frequent flags) drop every token covered
+    * by a flagged window and re-join the survivors. Pure per-row
+    * projection regardless of where the flags came from (InSet literal
+    * or distributed join), so the two legs are output-identical by
+    * construction. */
+  private def rebuildFromFlags(staged: DataFrame, idCol: String, k: Int): DataFrame = {
     val g = size(col("__freq"))
     val keptStructs = filter(
       transform(col("__toks"), (t, p) => {
@@ -1261,6 +1277,44 @@ object Dedup {
         (col("n_tokens") - size(col("__kept"))).cast("int").as("n_removed"),
         concat_ws(" ", transform(col("__kept"), s => s.getField("t")))
           .as("cleaned_text"))
+  }
+
+  /** The no-driver-ceiling rewrite leg of [[removeFrequentSpans]]: hit
+    * POSITIONS come from a join against the (distributed) frequent-gram
+    * frame instead of an inlined literal — the plan when the set exceeds
+    * [[MaxLiteralSpans]]. Each doc's gram positions join `left_semi` on
+    * the gram STRING (exact — no fingerprint in the match path), collapse
+    * to one hit-position array per doc, and feed the SAME
+    * [[rebuildFromFlags]] tail as the literal leg, so the legs are
+    * output-identical by construction.
+    *
+    * Scale shape: the frequent frame rides a broadcast-hash-join (grams
+    * in ≥minDocs docs are bounded by totalSpans/minDocs — orders below
+    * the corpus; past executor broadcast headroom drop `broadcastSet`
+    * and the same plan runs as a shuffled join keyed on the gram). The
+    * per-doc regroup shuffles only HIT positions — bounded by the
+    * corpus's boilerplate coverage mass, not its volume. */
+  private[graft] def spanRewriteJoin(docs: DataFrame, freqGrams: DataFrame,
+                                     textCol: String = "text",
+                                     idCol: String = "doc_id",
+                                     k: Int = 3,
+                                     broadcastSet: Boolean = true): DataFrame = {
+    val fset = freqGrams.select(col(freqGrams.columns.head).as("__g"))
+    val grams = docs.select(col(idCol),
+      posexplode(shingles(col(textCol), k)).as(Seq("__gp", "__g")))
+    val hits = grams
+      .join(if (broadcastSet) broadcast(fset) else fset, Seq("__g"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("__gp")).as("__gps"))
+    val toks = tokens(col(textCol))
+    val nGrams = when(size(toks) < k, lit(1)).otherwise(size(toks) - (k - 1))
+    val staged = docs
+      .select(col(idCol), toks.as("__toks"), nGrams.as("__ng"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("__toks"),
+        transform(sequence(lit(0), col("__ng") - 1),
+          i => coalesce(array_contains(col("__gps"), i), lit(false)))
+          .as("__freq"))
+    rebuildFromFlags(staged, idCol, k)
   }
 
   /** Within-document repeated-unit removal: rebuild each doc keeping only

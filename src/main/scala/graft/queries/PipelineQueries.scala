@@ -1754,6 +1754,21 @@ object PipelineQueries {
           .orderBy("doc_id"),
       Some(removeFrequentSpansSql)),
 
+    Entry("remove_frequent_spans_join",
+      // the beyond-the-literal-bound rewrite leg FORCED (maxLiteralSpans
+      // = 0 makes every non-empty frequent set overflow the literal
+      // regime): the frequent set stays a distributed frame riding a
+      // broadcast left_semi join instead of collecting to an InSet —
+      // the plan a 100 TB corpus whose boilerplate tail outgrows the
+      // 256k driver literal takes. SAME oracle as the other two legs:
+      // the set-placement dispatch cannot change a byte of output
+      // (identical rebuild tail over identical flags).
+      (spark, dir) =>
+        Dedup.removeFrequentSpans(Tables.documents(spark, dir), minDocs = 5,
+            maxLiteralSpans = 0)
+          .orderBy("doc_id"),
+      Some(removeFrequentSpansSql)),
+
     Entry("token_budget_select",
       // quality-ranked selection under a per-source token budget (the
       // "fill each source's slice of the training mix with its best

@@ -667,8 +667,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fp = Dedup.removeFrequentSpans(d, minDocs = 2, fpRewrite = Some(true))
       .orderBy("doc_id").collect().toSeq
     assert(fp == direct)
+    // third leg: the beyond-literal-bound join rewrite (set stays a
+    // distributed frame) must also be bit-identical on the same fuzz
+    val joined = Dedup.removeFrequentSpans(d, minDocs = 2, maxLiteralSpans = 0)
+      .orderBy("doc_id").collect().toSeq
+    assert(joined == direct)
     // the corpus must actually exercise removal, not vacuously agree
     assert(direct.map(_.getInt(2)).sum > 0, "no token was ever removed — corpus too sparse")
+  }
+
+  test("removeFrequentSpans: join leg equals the literal leg on the edge corpus") {
+    // the hand-picked edge corpus from the fp test: short docs below k,
+    // fully-emptied docs, overlapping windows, unicode — now through the
+    // set-as-frame plan (forced via maxLiteralSpans = 0)
+    val d = docs(
+      1L -> "x alpha beta gamma y",
+      2L -> "Alpha BETA gamma z w",
+      3L -> "p q r s t",
+      4L -> "café 漢字 test",
+      5L -> "café 漢字 test",
+      6L -> "a b c d e",
+      7L -> "z a b c d",
+      8L -> "alpha beta")
+    val lit0 = Dedup.removeFrequentSpans(d, minDocs = 2, fpRewrite = Some(false))
+      .orderBy("doc_id").collect().toSeq
+    val join0 = Dedup.removeFrequentSpans(d, minDocs = 2, maxLiteralSpans = 0)
+      .orderBy("doc_id").collect().toSeq
+    assert(join0 == lit0)
+    val m = join0.map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    assert(m(4L)._2 == "" && m(5L)._2 == "", "frequent short docs empty via the join leg too")
+    assert(m(3L) == ((0, "p q r s t")), "untouched doc survives the left join intact")
   }
 
   test("tokenBudgetSelect: prefix rule, and the bucket-refined leg is identical") {

@@ -419,6 +419,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the fp-short-circuit rewrite must not shuffle")
     assert(!executedPlan(fpRewrite).contains("Join"),
       "the fp-short-circuit rewrite must not join")
+    // past the literal bound the set stays a distributed frame: the
+    // frequent grams must ride a BROADCAST hash join (never a shuffled
+    // sort-merge — the set is orders below the corpus by construction)
+    val joinRewrite = Dedup.removeFrequentSpans(d, minDocs = 2, maxLiteralSpans = 0)
+    val jp = executedPlan(joinRewrite)
+    assert(jp.contains("BroadcastHashJoin"),
+      "the beyond-bound rewrite must broadcast the frequent set")
+    assert(!jp.contains("SortMergeJoin"),
+      "the frequent set must never sort-merge against the corpus")
   }
 
   test("cross-corpus containment probe is a pure scan: zero exchanges, no join") {
