@@ -248,6 +248,37 @@ object Dedup {
     * Contract: pair endpoints must be drawn from `ids` — an edge to an
     * id outside the universe contributes no label (its endpoint has no
     * labels row to propagate from). */
+  /** Resolve the broadcast-label-regime bound for [[components]].
+    * Order: explicit arg ≥ 0 → the conf `spark.graft.cc.maxBroadcastIds`
+    * → a memory-derived default at the measured ~3.2 KB/id calibration
+    * (the ×1000 audit: a 5M-id hashed relation beside the 160M-edge
+    * checkpoint OOMs an 8g JVM but fits 16g). The memory figure is the
+    * driver heap ONLY under local masters, where driver and executors
+    * share one JVM and the calibration was taken; on a cluster the
+    * broadcast's hashed relation lives in EXECUTOR heaps — driver heap
+    * says nothing about it — so the default reads spark.executor.memory
+    * instead, and if even that is unset falls back to
+    * autoBroadcastJoinThreshold at ~100 B per hashed id (ordinary
+    * dimension-broadcast sizing; a disabled threshold (-1) resolves to
+    * the always-safe shuffle regime). */
+  private[graft] def resolveBroadcastBound(
+      spark: org.apache.spark.sql.SparkSession, maxBroadcastIds: Long): Long =
+    if (maxBroadcastIds >= 0) maxBroadcastIds
+    else spark.conf.getOption("spark.graft.cc.maxBroadcastIds") match {
+      case Some(v) => v.trim.toLong
+      case None if spark.sparkContext.master.startsWith("local") =>
+        Runtime.getRuntime.maxMemory / 3200
+      case None =>
+        spark.conf.getOption("spark.executor.memory") match {
+          case Some(m) =>
+            org.apache.spark.network.util.JavaUtils.byteStringAsBytes(m) / 3200
+          case None =>
+            val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+            if (thr.trim.startsWith("-")) 0L
+            else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thr) / 100
+        }
+    }
+
   def components(pairs: DataFrame, ids: DataFrame, idCol: String = "doc_id",
                  aCol: String = "a_id", bCol: String = "b_id",
                  maxIters: Int = 20, driverEdgeBound: Long = 1L << 20,
@@ -265,19 +296,11 @@ object Dedup {
     // (the round-12 audit's 3+ GB/round). Past the bound — the
     // billions-of-docs regime — the shuffle-join path below is the plan;
     // the dispatch is a count on the checkpointed frame (a cheap scan).
-    // The default (-1) auto-sizes the bound to the JVM heap at one id
-    // per 3.2 KB — calibrated on the ×1000 audit, where a 5M-id hashed
-    // relation next to the 160M-edge checkpoint OOMed an 8g single-JVM
-    // pool (8g/3.2K ≈ 2.6M → shuffle regime, correct) but ran clean in
-    // 16g (16g/3.2K ≈ 5.3M → broadcast regime, 215 s vs the shuffle
-    // path's r12 437 s). On a real cluster, where executors hold only
-    // their edge partitions, a label map is an ordinary dimension-table
-    // broadcast — pass the knob explicitly, sized to executor memory
-    // (~100 bytes/id hashed).
+    // Bound resolution (arg → conf → memory-derived) lives in
+    // [[resolveBroadcastBound]]; on a real cluster prefer the explicit
+    // knob or conf, sized to executor memory (~100 bytes/id hashed).
     val idCount = labels.count()
-    val bcastBound =
-      if (maxBroadcastIds >= 0) maxBroadcastIds
-      else Runtime.getRuntime.maxMemory / 3200
+    val bcastBound = resolveBroadcastBound(ids.sparkSession, maxBroadcastIds)
     val bcastRegime = idCount <= bcastBound
     // broadcast regime: repartition BY src BEFORE the distinct —
     // HashPartitioning(src) satisfies the distinct's
@@ -433,8 +456,16 @@ object Dedup {
     // whose super-graph ever contracts under the bound — hitting this
     // means the graph needs a bigger budget, not a shrug
     if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] rounds=$i")
-    if (!converged) throw new IllegalStateException(
-      s"connected components did not converge in $maxIters iterations; raise maxIters")
+    if (!converged) {
+      // free BOTH live checkpoints before the throw: a failed CC run
+      // must not leak its edge-scale (and label-scale) block sets for
+      // the JVM lifetime — exactly the accumulation freeCheckpoint
+      // exists to prevent on the success path
+      freeCheckpoint(edges)
+      freeCheckpoint(labels)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters iterations; raise maxIters")
+    }
     // the returned frame reads only the final label checkpoint (+ the
     // driver-finish broadcast): the edge-scale checkpoint is dead weight
     // from here — free it so consecutive CC calls in one session don't

@@ -194,9 +194,15 @@ object Sampling {
                         buckets: Int = 1000): DataFrame = {
     require(budgetPerSource > 0, "budgetPerSource must be positive")
     require(buckets > 0, "buckets must be positive")
-    def scoredPlan = docs.select(col(idCol), col(sourceCol),
-      (round(TextStats.qualityScore(col(textCol)), 6) + lit(0.0)).as("quality"),
-      size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+    // null text ⇒ null quality AND null token count: the exact leg would
+    // silently admit such rows (window cumsum ignores nulls) while the
+    // refined leg's driver histogram walk would NPE on the null cells —
+    // a leg divergence. A document with no text has no tokens or quality
+    // to rank, so BOTH legs exclude it up front and stay identical.
+    def scoredPlan = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), col(sourceCol),
+        (round(TextStats.qualityScore(col(textCol)), 6) + lit(0.0)).as("quality"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(sourceCol)
       .orderBy(col("quality").desc, col(idCol).asc)
     if (!bucketRefined) {

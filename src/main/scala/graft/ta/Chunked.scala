@@ -313,7 +313,8 @@ object Chunked {
   /** The MESA/Hilbert machine — step form of Cycle.mesa (cycle.rs:9-448
     * + MAMA), the heaviest state vector in the TA surface: three 7-tap
     * FIR delay lines, the 4-bar smoother and trendline lags, and the
-    * demodulator scalars all ride one 42-double state, so the entire
+    * demodulator scalars all ride one 41-double state (idx + 3 x-lags,
+    * 4 rings of 7, 9 scalars), so the entire
     * HT_* family (plus MAMA/FAMA) crosses chunk boundaries
     * bit-identically. Emits the same 10 outputs as Cycle.mesa, in
     * Cycle.DCPERIOD..FAMA order. One input (the price); like the array

@@ -155,7 +155,7 @@ class ChunkedSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val mesaCols = Seq("ht_dcperiod", "ht_dcphase", "inphase", "quadrature",
     "sine", "leadsine", "ht_trendline", "ht_trendmode", "mama", "fama")
 
-  test("chunked MESA/HT machine (42-double state, 10 outputs) is bit-identical") {
+  test("chunked MESA/HT machine (41-double state, 10 outputs) is bit-identical") {
     // 'low' is the null-free column — the mesa kernels' input contract
     val df = bars()
     val whole = SeriesOps.overSeries(df, Seq("low"), mesaCols)(a => Cycle.mesa(a(0)))

@@ -741,6 +741,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() == rows.size)
   }
 
+  test("tokenBudgetSelect: null-text docs are excluded by BOTH legs (no driver NPE)") {
+    // null text ⇒ null quality + null token count: pre-fix the refined
+    // leg NPE'd walking the histogram while the exact leg silently kept
+    // the row — this pins the shared exclusion
+    val d = spark.createDataFrame(Seq(
+        (1L, "alpha beta gamma delta", "s"), (2L, null: String, "s"),
+        (3L, "epsilon zeta", "s"), (4L, null: String, "t"),
+        (5L, "eta theta iota kappa lambda", "t")))
+      .toDF("doc_id", "text", "source")
+    for (refined <- Seq(false, true)) {
+      val got = Sampling.tokenBudgetSelect(d, 4L, bucketRefined = refined, buckets = 4)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(!got.contains(2L) && !got.contains(4L),
+        s"null-text docs must not be selectable (refined=$refined)")
+      assert(got.nonEmpty, s"non-null docs still selected (refined=$refined)")
+    }
+    val e = Sampling.tokenBudgetSelect(d, 4L).collect().map(_.getLong(0)).sorted.toSeq
+    val r = Sampling.tokenBudgetSelect(d, 4L, bucketRefined = true, buckets = 4)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(e == r, "legs must stay identical on a null-bearing corpus")
+  }
+
+  test("components broadcast-bound resolution: arg > conf > local-heap default") {
+    assert(Dedup.resolveBroadcastBound(spark, 42L) == 42L,
+      "an explicit non-negative arg wins outright")
+    assert(Dedup.resolveBroadcastBound(spark, 0L) == 0L,
+      "zero is an explicit bound (always-shuffle), not a sentinel")
+    spark.conf.set("spark.graft.cc.maxBroadcastIds", "123456")
+    try assert(Dedup.resolveBroadcastBound(spark, -1L) == 123456L,
+      "the session conf overrides the memory-derived default")
+    finally spark.conf.unset("spark.graft.cc.maxBroadcastIds")
+    // this suite runs a local master: the default must be the measured
+    // single-JVM calibration (heap/3.2K) — driver and executors share
+    // the heap here, which is exactly when driver heap IS the evidence
+    assert(Dedup.resolveBroadcastBound(spark, -1L) ==
+      Runtime.getRuntime.maxMemory / 3200)
+  }
+
   test("clusteringAgreement: identical clusterings agree exactly; refinement decomposes") {
     import org.apache.spark.sql.functions.col
     // clusters {1,2,3},{4,5},{6} vs a REFINEMENT splitting the triple
