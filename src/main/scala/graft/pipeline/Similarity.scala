@@ -371,6 +371,184 @@ object Similarity {
     ivfProbe(centroids, assignments, queries, k, nprobe, idCol, vecCol)
   }
 
+  // ---- Product quantization: byte codes + ADC scan + exact re-rank ----
+
+  /** PQ defaults — referenced by queries.PqSql so the oracle's replay
+    * constants cannot drift (the IvfSql coupling discipline). 64-dim
+    * float32 vectors quantize to 8 subspaces × 16 codewords: 8 4-bit
+    * codes ≈ 4 B against 256 B raw — the memory ratio that lets a 100 TB
+    * embedding corpus' scan working set live in executor memory. */
+  val DefaultPqM = 8
+  val DefaultPqK = 16
+  val DefaultPqIters = 2
+  val DefaultPqSampleMod = 4
+  val DefaultPqShortlist = 32
+
+  /** Seed index for the PQ poly-hash (decorrelated from ivfBuild's 8192
+    * family so the two samples are independent). */
+  val PqHashSeed = 4096L
+
+  /** DuckDB's round(x, 6) semantics (ties away from zero) — the SAME
+    * fixed-point boundary Spark's round applies, used for the
+    * driver-computed ADC lookup tables so they are value-identical to
+    * the oracle's `round(dot, 6) + 0.0` replay. */
+  private def r6d(x: Double): Double = {
+    val r = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (r == 0.0) 0.0 else r // the oracle's `+ 0.0`: never −0.0
+  }
+
+  /** Train per-subspace PQ codebooks (the index-BUILD phase, like
+    * [[ivfBuild]]): a portable-hash-ordered seed of `ksub` corpus
+    * vectors initializes every subspace's codebook from its slice of
+    * the SAME seed rows; `iters` Lloyd rounds refine each subspace
+    * independently over a hash sample — ALL subspaces in one action per
+    * round (the per-row [[graft.functions.PqEncode]] assignment emits
+    * every subspace's code at once, so the means pass is a single
+    * (j, code, dim)-keyed partial aggregate, shuffle bounded by
+    * m·ksub·sub cells regardless of corpus size). Means round to 6
+    * decimals — the cross-engine fixed point that lets queries.PqSql
+    * replay the codebook (and therefore every code) exactly.
+    *
+    * Returns codebook(j)(k)(d): subspace j, 0-based codeword k, dim d;
+    * codes downstream are 1-based (k+1). */
+  def pqTrain(corpus: DataFrame, m: Int = DefaultPqM, ksub: Int = DefaultPqK,
+              iters: Int = DefaultPqIters, sampleMod: Int = DefaultPqSampleMod,
+              idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val P = graft.functions.TextHashes.PolyP
+    val seedHash =
+      (lit(graft.functions.TextHashes.polyA(PqHashSeed)) * pmod(col(idCol).cast("long"), lit(P)) +
+        lit(graft.functions.TextHashes.polyB(PqHashSeed))) % lit(P)
+    val cPlan = corpus.select(seedHash.as("h"), col(idCol).cast("long").as("sid"),
+      asDouble(col(vecCol)).as("v"))
+    val cWasCached = cPlan.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val c = if (cWasCached) cPlan else cPlan.cache()
+    try {
+      val seeds = timed("pq-seed")(c.orderBy("h", "sid").limit(ksub)
+        .collect().map(_.getSeq[Double](2).toArray))
+      require(seeds.nonEmpty, "pqTrain: corpus is empty — nothing to seed codebooks from")
+      val dim = seeds(0).length
+      require(m > 0 && dim % m == 0, s"pqTrain: dim $dim must be divisible by m=$m")
+      val sub = dim / m
+      var cb: Array[Array[Array[Double]]] =
+        Array.tabulate(m)(j => seeds.map(s => s.slice(j * sub, (j + 1) * sub)))
+      val sample = lloydSample(c, sampleMod, 0L).where(size(col("v")) === lit(dim))
+      for (it <- 1 to iters) {
+        val means = timed(s"pq-lloyd$it")(sample
+          .select(graft.functions.PqEncode.pqEncode(col("v"), cb).as("codes"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .select((col("pos") / lit(sub)).cast("int").as("j"),
+            element_at(col("codes"), (col("pos") / lit(sub)).cast("int") + 1).as("k"),
+            pmod(col("pos"), lit(sub)).as("d"), col("x"))
+          .groupBy("j", "k", "d")
+          .agg((round(avg("x"), 6) + lit(0.0)).as("mu"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap)
+        // a codeword that captured no sample subvectors keeps its previous
+        // value (the ivfBuild getOrElse convention, replayed by coalesce)
+        cb = Array.tabulate(m)(j => Array.tabulate(cb(j).length)(k0 =>
+          Array.tabulate(sub)(d => means.getOrElse((j, k0 + 1, d), cb(j)(k0)(d)))))
+      }
+      cb
+    } finally if (!cWasCached) c.unpersist(blocking = false)
+  }
+
+  /** PQ-ADC approximate top-k with exact re-rank. The corpus is scanned
+    * as CODES (m small ints/vector instead of dim floats — the
+    * memory-bounded representation); per query, a lookup table of
+    * codeword dot products is computed ONCE on the driver (the bounded
+    * query-batch contract every ADC engine shares) and the approximate
+    * score is m table lookups per corpus row:
+    *
+    *   adc(q, x) ≈ Σ_j lut_q[j][code_j(x)] / sqrt(Σ_j ‖cw_{j,code_j}‖²)
+    *
+    * — the asymmetric-distance inner product over the reconstructed
+    * vector, normalized by the reconstruction's norm so it approximates
+    * COSINE (per query, ‖q‖ is a constant factor and drops out of the
+    * ranking). The top-`shortlist` candidates per query are then
+    * re-ranked by EXACT cosine over their full vectors (fetched by a
+    * broadcast semi-join — non-candidates' floats are never read).
+    *
+    * Scale shape: encode is a zero-shuffle map projection; the ADC scan
+    * is corpus-partition-local against a broadcast query batch; the only
+    * exchanges are the two per-query top-k windows (shortlist · queries
+    * rows). Every stage is oracle-replayable: codebook means are 6-dp
+    * fixed-point, LUT entries round the same way, and both sums fold in
+    * subspace order, so codes, shortlists and ranks agree bit-for-bit
+    * with queries.PqSql's DuckDB replay. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = DefaultTopK,
+             m: Int = DefaultPqM, ksub: Int = DefaultPqK, iters: Int = DefaultPqIters,
+             sampleMod: Int = DefaultPqSampleMod, shortlist: Int = DefaultPqShortlist,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = pqTrain(corpus, m, ksub, iters, sampleMod, idCol, vecCol)
+    pqTopKWith(corpus, queries, cb, k, shortlist, idCol, vecCol)
+  }
+
+  /** The probe phase against a pre-trained codebook (build-once /
+    * probe-many; [[pqTopK]] composes the two). */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame,
+                 cb: Array[Array[Array[Double]]], k: Int = DefaultTopK,
+                 shortlist: Int = DefaultPqShortlist,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val mEff = cb.length
+    val kEff = cb(0).length
+    val sub = cb(0)(0).length
+    require(cb.forall(_.length == kEff), "pqTopKWith: ragged codebook")
+    // codeword squared norms in (j, k) order, each summed in dim order —
+    // the exact chain PqSql unrolls, so den is bit-identical
+    val nsqFlat: Array[Double] = cb.flatMap(_.map { c =>
+      var s = 0.0; var d = 0
+      while (d < c.length) { s += c(d) * c(d); d += 1 }
+      s
+    })
+    // queries are the small side BY CONTRACT (the standard ANN batch
+    // shape): collect is bounded like the LUT any ADC engine builds
+    val qRows = queries
+      .select(col(idCol).cast("long"), asDouble(col(vecCol))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val lutRows = qRows.map { case (qid, qv) =>
+      val lut = new Array[Double](mEff * kEff)
+      var j = 0
+      while (j < mEff) {
+        var k0 = 0
+        while (k0 < kEff) {
+          val cw = cb(j)(k0)
+          var dot = 0.0; var d = 0
+          while (d < sub) { dot += qv(j * sub + d) * cw(d); d += 1 }
+          lut(j * kEff + k0) = r6d(dot)
+          k0 += 1
+        }
+        j += 1
+      }
+      (qid, qv.toSeq, lut.toSeq)
+    }.toSeq
+    val qDf = lutRows.toDF("query_id", "q_vec", "lut")
+    val codes = corpus
+      .select(col(idCol).cast("long").as("corpus_id"),
+        graft.functions.PqEncode.pqEncode(col(vecCol), cb).as("codes"))
+      .where(col("codes").isNotNull) // wrong-dim vectors: the oracle's len(v) guard
+    val subspaceIdx = sequence(lit(0), lit(mEff - 1))
+    val nsqCol = typedLit(nsqFlat.toSeq)
+    val scored = codes.crossJoin(broadcast(qDf))
+      .where(col("corpus_id") =!= col("query_id"))
+      .withColumn("num", aggregate(
+        zip_with(col("codes"), subspaceIdx, (cd, j) => element_at(col("lut"), j * kEff + cd)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("den", aggregate(
+        zip_with(col("codes"), subspaceIdx, (cd, j) => element_at(nsqCol, j * kEff + cd)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("adc", when(col("den") === 0, lit(0.0)).otherwise(col("num") / sqrt(col("den"))))
+    val sw = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id").asc)
+    val cand = scored.withColumn("srn", row_number().over(sw))
+      .where(col("srn") <= shortlist).select("query_id", "corpus_id")
+    val cv = corpus.select(col(idCol).cast("long").as("corpus_id"), asDouble(col(vecCol)).as("c_vec"))
+    val ex = cv.join(broadcast(cand), "corpus_id")
+      .join(broadcast(qDf.select(col("query_id"), col("q_vec"))), "query_id")
+      .select(col("query_id"), col("corpus_id"), cosine(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id").asc)
+    ex.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Planes needed so the EXPECTED bucket holds ≤ targetBucketSize vectors
     * (2^planes ≥ n/target): within-bucket pairing is O(n²/2^planes), so a
     * fixed plane count goes quadratic as the corpus grows — the bucket

@@ -560,6 +560,23 @@ object PipelineQueries {
     // its bench time is the amortized probe-only cost
     Entry("ann_ivf_top5_probe", ivfPersistedProbe, Some(IvfSql.annIvfTop5Sql)),
 
+    Entry("ann_pq_top5",
+      // product-quantized ANN: 8 subspaces × 16 codewords trained by
+      // portable-seed Lloyd (6-dp fixed-point means), corpus scanned as
+      // 8 codes/vector with per-query ADC lookup tables, top-32
+      // shortlist re-ranked by exact cosine. The oracle replays the
+      // WHOLE pipeline — codebook, codes, LUTs, shortlist, re-rank —
+      // with every ranking-relevant sum written in the same fold order
+      // (PqSql), so the quantized path is hash-gated, not rows-only.
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.pqTopK(emb, emb.where(col("vec_id") < 10))
+          .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(PqSql.annPqTop5Sql)),
+
     Entry("cosine_bucket_pairs",
       (spark, dir) => Similarity.cosineNearDup(Tables.embeddings(spark, dir), threshold = -1.0, planes = 8)
         .select(col("a_id"), col("b_id"), r6(col("cosine")).as("cosine"))

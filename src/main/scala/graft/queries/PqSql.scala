@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.functions.TextHashes.{polyA, polyB, PolyP => P}
+import graft.pipeline.Similarity
+
+/** DuckDB replay of the FULL product-quantization ANN pipeline
+  * (Similarity.pqTrain → PqEncode → ADC scan → exact re-rank): the
+  * portable seed order, every per-subspace Lloyd round, the L2
+  * codeword assignment, the per-query lookup tables, the ADC shortlist
+  * and the final exact-cosine top-k — so the quantized path is
+  * hash-verified end to end, not recall-bounded.
+  *
+  * Replayability rests on the same two design points as IvfSql plus one
+  * more: (1) the seed hash is plain BIGINT arithmetic; (2) every Lloyd
+  * mean and every LUT entry is rounded to 6 decimals on both sides; and
+  * (3) every floating sum the ranking depends on — subvector dots,
+  * codeword norms, the m-term ADC numerator/denominator — is written as
+  * an explicit LEFT-ASSOCIATED chain in the same index order the Scala
+  * loops fold, so the doubles are bit-identical rather than merely
+  * close (an aggregate SUM() would have engine-chosen order). */
+object PqSql {
+  // shared with the implementation, not hand-copied (IvfSql discipline)
+  private val Dim = PipelineQueries.EmbDim
+  private val M = Similarity.DefaultPqM
+  private val K = Similarity.DefaultPqK
+  private val Sub = Dim / M
+  private val Iters = Similarity.DefaultPqIters
+  private val SampleMod = Similarity.DefaultPqSampleMod
+  private val Shortlist = Similarity.DefaultPqShortlist
+  private val TopK = Similarity.DefaultTopK
+  private val Seed = Similarity.PqHashSeed
+
+  private val hashExpr = s"((${polyA(Seed)} * (vec_id % $P) + ${polyB(Seed)}) % $P)"
+
+  private val embCte =
+    "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  /** Left-associated dot between subspace `j` of vector `v` and codeword
+    * list `c` — PqEncode's inner-loop fold order. */
+  private def dotSub(v: String, j: String, c: String): String =
+    (1 to Sub).map(d => s"$v[$j*$Sub+$d]*$c[$d]").mkString(" + ")
+
+  /** ‖c‖², summed in dim order (PqEncode's halfNsq / pqTopKWith's
+    * nsqFlat chain). */
+  private def nsqChain(c: String): String =
+    (1 to Sub).map(d => s"$c[$d]*$c[$d]").mkString(" + ")
+
+  /** Nearest-codeword assignment of every `src` row per subspace —
+    * argmax (dot − ‖c‖²/2), ties to the lowest codeword (PqEncode's
+    * strict-`>` first-wins scan). */
+  private def assignCte(name: String, cents: String, src: String): String =
+    s"""$name AS (
+      |  SELECT vec_id, j, k FROM (
+      |    SELECT s.vec_id, c.j, c.k,
+      |      row_number() OVER (PARTITION BY s.vec_id, c.j
+      |        ORDER BY ((${dotSub("s.v", "c.j", "c.c")}) - (${nsqChain("c.c")})/2) DESC,
+      |                 c.k ASC) AS rn
+      |    FROM $src s CROSS JOIN $cents c
+      |  ) WHERE rn = 1
+      |)""".stripMargin
+
+  /** One per-subspace Lloyd round: per-(j, code, dim) mean rounded to 6
+    * (pqTrain's fixed point); an uncaptured codeword keeps its previous
+    * value (the getOrElse / coalesce twin). */
+  private def lloydCte(i: Int): String =
+    s"""${assignCte(s"pa$i", s"pcb${i - 1}", "psamp")},
+      |pm$i AS (
+      |  SELECT a.j, a.k, t.d, round(avg(s.v[a.j*$Sub + t.d + 1]), 6) + 0.0 AS mu
+      |  FROM pa$i a JOIN psamp s USING (vec_id) CROSS JOIN range($Sub) t(d)
+      |  GROUP BY a.j, a.k, t.d
+      |),
+      |pcb$i AS (
+      |  SELECT p.j, p.k, coalesce(mm.c, p.c) AS c
+      |  FROM pcb${i - 1} p LEFT JOIN
+      |    (SELECT j, k, list(mu ORDER BY d) AS c FROM pm$i GROUP BY j, k) mm
+      |    ON mm.j = p.j AND mm.k = p.k
+      |)""".stripMargin
+
+  val annPqTop5Sql: String = {
+    val lloyds = (1 to Iters).map(lloydCte).mkString(",\n")
+    // ADC numerator/denominator: m explicit lookups summed left-to-right
+    // in subspace order (the zip_with/aggregate fold)
+    val num = (0 until M).map(j => s"l.lut[$j*$K + d.cd[${j + 1}]]").mkString(" + ")
+    val den = (0 until M).map(j => s"n.nl[$j*$K + d.cd[${j + 1}]]").mkString(" + ")
+    s"""WITH $embCte,
+      |psd AS (
+      |  SELECT row_number() OVER (ORDER BY h, sid) AS k, v FROM (
+      |    SELECT $hashExpr AS h, vec_id AS sid, v
+      |    FROM emb ORDER BY h, sid LIMIT $K
+      |  )
+      |),
+      |pcb0 AS (
+      |  SELECT t.j, psd.k, list_slice(v, t.j*$Sub+1, (t.j+1)*$Sub) AS c
+      |  FROM psd CROSS JOIN range($M) t(j)
+      |),
+      |psamp AS (
+      |  SELECT vec_id, v FROM emb
+      |  WHERE $hashExpr % $SampleMod = 0 AND len(v) = $Dim
+      |),
+      |$lloyds,
+      |pall AS (SELECT vec_id, v FROM emb WHERE len(v) = $Dim),
+      |${assignCte("paf", s"pcb$Iters", "pall")},
+      |pcd AS (SELECT vec_id, list(k ORDER BY j) AS cd FROM paf GROUP BY vec_id),
+      |pnl AS (SELECT list((${nsqChain("c")}) ORDER BY j, k) AS nl FROM pcb$Iters),
+      |plu AS (
+      |  SELECT q.vec_id AS query_id,
+      |    list(round(${dotSub("q.v", "c.j", "c.c")}, 6) + 0.0 ORDER BY c.j, c.k) AS lut
+      |  FROM emb q CROSS JOIN pcb$Iters c WHERE q.vec_id < 10
+      |  GROUP BY q.vec_id
+      |),
+      |pad AS (
+      |  SELECT l.query_id, d.vec_id AS corpus_id,
+      |    ($num) AS num, ($den) AS den
+      |  FROM pcd d CROSS JOIN plu l CROSS JOIN pnl n
+      |  WHERE d.vec_id != l.query_id
+      |),
+      |psh AS (
+      |  SELECT query_id, corpus_id FROM (
+      |    SELECT query_id, corpus_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY (CASE WHEN den = 0 THEN 0.0 ELSE num/sqrt(den) END) DESC,
+      |                 corpus_id ASC) AS rn
+      |    FROM pad
+      |  ) WHERE rn <= $Shortlist
+      |),
+      |pex AS (
+      |  SELECT psh.query_id, psh.corpus_id, list_cosine_similarity(eq.v, ec.v) AS cos
+      |  FROM psh JOIN emb ec ON ec.vec_id = psh.corpus_id
+      |           JOIN emb eq ON eq.vec_id = psh.query_id
+      |),
+      |pr AS (
+      |  SELECT query_id, corpus_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rnk
+      |  FROM pex
+      |)
+      |SELECT query_id, corpus_id, round(cos, 6) + 0.0 AS cosine, CAST(rnk AS INTEGER) AS rank
+      |FROM pr WHERE rnk <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -763,6 +763,54 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e == r, "legs must stay identical on a null-bearing corpus")
   }
 
+  test("PqEncode: codes match an independent replay; wrong-length vectors encode null") {
+    import org.apache.spark.sql.functions.col
+    val cb: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(2.0, 0.0)),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0)))
+    val vecs = Seq(
+      (1L, Seq(0.1, 0.1, 0.9, 0.1)), (2L, Seq(1.1, 0.9, 0.1, 1.0)),
+      (3L, Seq(2.0, 0.0, 1.0, 1.0)), (4L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (5L, Seq(1.0, 1.0))) // wrong length
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        graft.functions.PqEncode.pqEncode(col("embedding"), cb).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Int](1).toList)).toMap
+    def ref(v: Seq[Double]): List[Int] = (0 until 2).map { j =>
+      val scores = cb(j).map { c =>
+        (0 until 2).map(d => v(j * 2 + d) * c(d)).sum - 0.5 * c.map(x => x * x).sum
+      }
+      // strict-> first-wins argmax (ties to the lowest codeword)
+      scores.zipWithIndex.reduceLeft((a, b) => if (b._1 > a._1) b else a)._2 + 1
+    }.toList
+    for ((id, v) <- vecs if v.length == 4)
+      assert(got(id) == ref(v), s"codes for vec $id")
+    assert(got(5L) == null, "wrong-length vector must encode NULL")
+  }
+
+  test("pqTopK: exact re-rank with a full-corpus shortlist equals brute force") {
+    import org.apache.spark.sql.functions.col
+    // when the ADC shortlist covers the whole corpus, the re-rank scores
+    // every vector exactly — the quantization can only affect the
+    // (discarded) shortlist order, so the result must equal brute force
+    val vecs = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 31 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 3)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number]("query_id").longValue, r.getAs[Number]("rank").intValue) ->
+        (r.getAs[Number]("corpus_id").longValue, math.round(r.getAs[Double]("cosine") * 1e9))
+    val pq = Similarity.pqTopK(df, q, k = 5, m = 4, ksub = 4, iters = 2,
+        sampleMod = 2, shortlist = 100).collect().map(key).toMap
+    val bf = Similarity.bruteForceTopK(df, q, k = 5).collect().map(key).toMap
+    assert(pq == bf, "full-shortlist PQ must equal exact brute force")
+    assert(pq.size == 15, "3 queries x top-5")
+  }
+
   test("components broadcast-bound resolution: arg > conf > local-heap default") {
     assert(Dedup.resolveBroadcastBound(spark, 42L) == 42L,
       "an explicit non-negative arg wins outright")

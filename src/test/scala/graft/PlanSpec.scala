@@ -368,6 +368,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"both top-k stages must partial-prune before their exchange:\n$plan")
   }
 
+  test("PQ ADC scan: LUTs and candidates broadcast, corpus never shuffles, top-k prunes") {
+    val e = embs(60, dim = 8)
+    val cb = Similarity.pqTrain(e, m = 4, ksub = 4, iters = 1, sampleMod = 1)
+    val df = Similarity.pqTopKWith(e, e.where(col("vec_id") < 3), cb, k = 2, shortlist = 5)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastExchange"),
+      s"query LUT batch and candidate set must ride broadcasts:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"both top-k stages must partial-prune before their exchange:\n$plan")
+    // the corpus contributes only code/vector SCANS: the sole shuffle
+    // exchanges are the two pruned per-query top-k windows
+    assert(countShuffleExchanges(df) <= 2,
+      s"ADC scan must not shuffle the corpus:\n$plan")
+  }
+
   test("Misra-Gries vocabulary partial-aggregates map-side (bounded summaries)") {
     // the scale rationale for vocab_top100_mg: each mapper builds its own
     // capacity-bounded summary and the single reduce sees O(partitions *
