@@ -482,18 +482,74 @@ object Similarity {
     pqTopKWith(corpus, queries, cb, k, shortlist, idCol, vecCol)
   }
 
-  /** The probe phase against a pre-trained codebook (build-once /
-    * probe-many; [[pqTopK]] composes the two). */
+  /** The probe phase against a pre-trained codebook, encoding the corpus
+    * inline (build-once / probe-many; [[pqTopK]] composes the two, and
+    * [[pqWrite]]/[[pqQuery]] persist the codes so repeated probes skip
+    * the encode scan entirely). */
   def pqTopKWith(corpus: DataFrame, queries: DataFrame,
                  cb: Array[Array[Array[Double]]], k: Int = DefaultTopK,
                  shortlist: Int = DefaultPqShortlist,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqAdcRerank(pqCodes(corpus, cb, idCol, vecCol), corpus, queries, cb,
+      k, shortlist, idCol, vecCol)
+
+  /** Corpus → (corpus_id, codes): the zero-shuffle encode projection. */
+  private def pqCodes(corpus: DataFrame, cb: Array[Array[Array[Double]]],
+                      idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).cast("long").as("corpus_id"),
+        graft.functions.PqEncode.pqEncode(col(vecCol), cb).as("codes"))
+      .where(col("codes").isNotNull) // wrong-dim vectors: the oracle's len(v) guard
+
+  /** Persist a trained PQ index: the codebook table plus the encoded
+    * corpus — m small ints per vector instead of dim floats, the
+    * representation whose scan working set survives 100 TB (64-dim
+    * float32 → 8×16 codes is 256 B → ~5 B on disk; the ratio grows with
+    * dim). The encode scan runs ONCE here, at write time (the ivfWrite
+    * discipline); [[pqQuery]] then reads codes only, plus the full
+    * vectors of shortlisted CANDIDATES for the exact re-rank — at
+    * cluster scale that candidate fetch is a point lookup against the
+    * vector store, never a second corpus scan. */
+  def pqWrite(corpus: DataFrame, path: String, m: Int = DefaultPqM,
+              ksub: Int = DefaultPqK, iters: Int = DefaultPqIters,
+              sampleMod: Int = DefaultPqSampleMod,
+              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cb = timed("pq-build")(pqTrain(corpus, m, ksub, iters, sampleMod, idCol, vecCol))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cbDf = (for (j <- cb.indices; k0 <- cb(j).indices)
+      yield (j, k0 + 1, cb(j)(k0).toSeq)).toDF("j", "k", "c")
+    cbDf.write.mode("overwrite").parquet(s"$path/codebook")
+    timed("pq-encode")(pqCodes(corpus, cb, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$path/codes"))
+  }
+
+  /** Probe a persisted PQ index: the ADC scan reads the CODES parquet
+    * (the compressed representation), and only the re-rank touches
+    * `corpus` for candidates' full vectors. */
+  def pqQuery(spark: org.apache.spark.sql.SparkSession, path: String,
+              corpus: DataFrame, queries: DataFrame, k: Int = DefaultTopK,
+              shortlist: Int = DefaultPqShortlist,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val rows = spark.read.parquet(s"$path/codebook").collect()
+    val cbMap = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val mEff = rows.iterator.map(_.getInt(0)).max + 1
+    val kEff = rows.iterator.map(_.getInt(1)).max
+    val cb = Array.tabulate(mEff)(j => Array.tabulate(kEff)(k0 => cbMap((j, k0 + 1))))
+    pqAdcRerank(spark.read.parquet(s"$path/codes"), corpus, queries, cb,
+      k, shortlist, idCol, vecCol)
+  }
+
+  /** The shared ADC + exact-re-rank tail over an already-encoded corpus
+    * (see [[pqTopK]] for the plan shape and determinism contract). */
+  private def pqAdcRerank(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+                          cb: Array[Array[Array[Double]]], k: Int,
+                          shortlist: Int, idCol: String, vecCol: String): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val mEff = cb.length
     val kEff = cb(0).length
     val sub = cb(0)(0).length
-    require(cb.forall(_.length == kEff), "pqTopKWith: ragged codebook")
+    require(cb.forall(_.length == kEff), "pqAdcRerank: ragged codebook")
     // codeword squared norms in (j, k) order, each summed in dim order —
     // the exact chain PqSql unrolls, so den is bit-identical
     val nsqFlat: Array[Double] = cb.flatMap(_.map { c =>
@@ -523,10 +579,6 @@ object Similarity {
       (qid, qv.toSeq, lut.toSeq)
     }.toSeq
     val qDf = lutRows.toDF("query_id", "q_vec", "lut")
-    val codes = corpus
-      .select(col(idCol).cast("long").as("corpus_id"),
-        graft.functions.PqEncode.pqEncode(col(vecCol), cb).as("codes"))
-      .where(col("codes").isNotNull) // wrong-dim vectors: the oracle's len(v) guard
     val subspaceIdx = sequence(lit(0), lit(mEff - 1))
     val nsqCol = typedLit(nsqFlat.toSeq)
     val scored = codes.crossJoin(broadcast(qDf))

@@ -264,6 +264,27 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** One persisted PQ index (codebook + encoded corpus) per sf dir per
+    * JVM (the ivfIndexFor memo pattern): ann_pq_top5 pays the training
+    * and the one-time encode-and-write, its probe twin measures the
+    * amortized code-scan + ADC + re-rank cost — the build-once/
+    * probe-many split every 100 TB index workflow has. */
+  private val pqIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqIndexFor(spark: SparkSession, dir: String): String =
+    pqIndexDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+      Similarity.pqWrite(Tables.embeddings(spark, d), p)
+      p
+    })
+
+  private val pqProbe: Q = (spark, dir) => {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.pqQuery(spark, pqIndexFor(spark, dir), emb, emb.where(col("vec_id") < 10))
+      .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val entries: Seq[Entry] = Seq(
 
     Entry("exact_dedup",
@@ -568,14 +589,12 @@ object PipelineQueries {
       // WHOLE pipeline — codebook, codes, LUTs, shortlist, re-rank —
       // with every ranking-relevant sum written in the same fold order
       // (PqSql), so the quantized path is hash-gated, not rows-only.
-      (spark, dir) => {
-        val emb = Tables.embeddings(spark, dir)
-        Similarity.pqTopK(emb, emb.where(col("vec_id") < 10))
-          .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
-            col("rank").cast("int").as("rank"))
-          .orderBy("query_id", "rank")
-      },
-      Some(PqSql.annPqTop5Sql)),
+      pqProbe, Some(PqSql.annPqTop5Sql)),
+
+    // probe-only twin (runs after ann_pq_top5 in name order, so the
+    // memoized codebook is already trained): its bench wall is the
+    // amortized code-scan + ADC + re-rank cost — the online-query price
+    Entry("ann_pq_top5_probe", pqProbe, Some(PqSql.annPqTop5Sql)),
 
     Entry("cosine_bucket_pairs",
       (spark, dir) => Similarity.cosineNearDup(Tables.embeddings(spark, dir), threshold = -1.0, planes = 8)
