@@ -529,14 +529,103 @@ object Similarity {
   def pqQuery(spark: org.apache.spark.sql.SparkSession, path: String,
               corpus: DataFrame, queries: DataFrame, k: Int = DefaultTopK,
               shortlist: Int = DefaultPqShortlist,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val rows = spark.read.parquet(s"$path/codebook").collect()
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqAdcRerank(spark.read.parquet(s"$path/codes"), corpus, queries,
+      readPqCodebook(spark, s"$path/codebook"), k, shortlist, idCol, vecCol)
+
+  /** Load a codebook written by [[pqWrite]]/[[ivfPqWrite]] back into the
+    * driver-side (j)(k)(d) array shape the encode/ADC expressions take. */
+  private def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.nonEmpty, s"readPqCodebook: empty codebook at $path")
     val cbMap = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
     val mEff = rows.iterator.map(_.getInt(0)).max + 1
     val kEff = rows.iterator.map(_.getInt(1)).max
-    val cb = Array.tabulate(mEff)(j => Array.tabulate(kEff)(k0 => cbMap((j, k0 + 1))))
-    pqAdcRerank(spark.read.parquet(s"$path/codes"), corpus, queries, cb,
-      k, shortlist, idCol, vecCol)
+    Array.tabulate(mEff)(j => Array.tabulate(kEff)(k0 => cbMap((j, k0 + 1))))
+  }
+
+  // ---- IVF-PQ: coarse lists of PQ codes — the composed billion-scale
+  // ---- layout (the FAISS IVFPQ shape, minus residual encoding; codes
+  // ---- quantize raw vectors so the global-codebook oracle replay holds)
+
+  /** Build and persist the fused index: the IVF coarse quantizer
+    * partitions the corpus into lists, PQ compresses every vector to m
+    * codes, and the lists are laid out `partitionBy(cid)` holding CODES
+    * — so a probe reads nprobe/numCentroids of the corpus AND reads it
+    * compressed (≈4 B/vector instead of 256 B at 64-dim float32). That
+    * product is the layout a 100 TB embedding corpus actually serves
+    * queries from: both pruning levers in one scan.
+    *
+    * Build cost: both trainers run their bounded-sample Lloyd loops
+    * (ivfBuild / pqTrain — shuffle per round bounded by k·dim and
+    * m·ksub·sub cells respectively), then ONE full corpus scan emits
+    * (cid, codes) per vector and writes the partitioned lists. Raw
+    * vectors are NOT stored in the index — the exact re-rank fetches
+    * candidates' floats from the source corpus by broadcast semi-join,
+    * a point lookup at cluster scale.
+    *
+    * Everything downstream is oracle-replayable (queries.IvfPqSql): the
+    * coarse path rides ivfBuild's portable seed + 6-dp means (IvfSql's
+    * replay), the code path rides pqTrain's (PqSql's replay), and the
+    * fused probe is a composition of the two verified halves. */
+  def ivfPqWrite(corpus: DataFrame, path: String,
+                 numCentroids: Int = DefaultNumCentroids,
+                 lloydIters: Int = DefaultLloydIters,
+                 ivfSampleMod: Int = DefaultLloydSampleMod,
+                 m: Int = DefaultPqM, ksub: Int = DefaultPqK,
+                 pqIters: Int = DefaultPqIters, pqSampleMod: Int = DefaultPqSampleMod,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = timed("ivfpq-coarse")(ivfBuild(corpus, numCentroids, lloydIters,
+      ivfSampleMod, idCol, vecCol, portableSeed = true))
+    val cb = timed("ivfpq-codebook")(pqTrain(corpus, m, ksub, pqIters, pqSampleMod,
+      idCol, vecCol))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i + 1, v.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    (for (j <- cb.indices; k0 <- cb(j).indices) yield (j, k0 + 1, cb(j)(k0).toSeq))
+      .toDF("j", "k", "c").write.mode("overwrite").parquet(s"$path/codebook")
+    // ONE scan emits both the list assignment and the codes; wrong-dim
+    // vectors encode null and drop (PqSql's len(v) guard). repartition
+    // co-locates each list before the partitioned write (the ivfWrite
+    // small-files discipline).
+    val codes = corpus.select(col(idCol).cast("long").as("corpus_id"),
+        asDouble(col(vecCol)).as("v"),
+        graft.functions.PqEncode.pqEncode(col(vecCol), cb).as("codes"))
+      .where(col("codes").isNotNull)
+      .select(col("corpus_id"), nearestCid(col("v"), cents).as("cid"), col("codes"))
+    timed("ivfpq-encode")(codes.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists"))
+  }
+
+  /** Probe a persisted IVF-PQ index: pick each query's `nprobe` nearest
+    * coarse centroids (broadcast centroid table — the ivfProbe shape),
+    * ADC-scan ONLY those lists' codes (`cid` is a partition column, so
+    * the broadcast equi-join prunes unprobed lists at the source), then
+    * exact-re-rank the top-`shortlist` candidates on their full vectors
+    * from `corpus`. The only exchanges are the two per-query top-k
+    * windows — the corpus is never shuffled, and never read raw except
+    * for shortlisted candidates. */
+  def ivfPqQuery(spark: org.apache.spark.sql.SparkSession, path: String,
+                 corpus: DataFrame, queries: DataFrame, k: Int = DefaultTopK,
+                 nprobe: Int = DefaultNProbe, shortlist: Int = DefaultPqShortlist,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cb = readPqCodebook(spark, s"$path/codebook")
+    val qDf = pqLutDf(spark, queries, cb, idCol, vecCol)
+    val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
+    val probes = qDf.select("query_id", "q_vec").crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("q_vec"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= nprobe)
+      .select("query_id", "cid")
+    val withQ = spark.read.parquet(s"$path/lists")
+      .join(broadcast(probes), "cid")
+      .join(broadcast(qDf.select("query_id", "lut")), "query_id")
+      .where(col("corpus_id") =!= col("query_id"))
+    pqAdcTail(withQ, qDf, corpus, cb, k, shortlist, idCol, vecCol)
   }
 
   /** The shared ADC + exact-re-rank tail over an already-encoded corpus
@@ -544,21 +633,25 @@ object Similarity {
   private def pqAdcRerank(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
                           cb: Array[Array[Array[Double]]], k: Int,
                           shortlist: Int, idCol: String, vecCol: String): DataFrame = {
-    val spark = corpus.sparkSession
+    val qDf = pqLutDf(corpus.sparkSession, queries, cb, idCol, vecCol)
+    val withQ = codes.crossJoin(broadcast(qDf.select("query_id", "lut")))
+      .where(col("corpus_id") =!= col("query_id"))
+    pqAdcTail(withQ, qDf, corpus, cb, k, shortlist, idCol, vecCol)
+  }
+
+  /** Per-query ADC lookup tables, built ONCE on the driver (queries are
+    * the small side BY CONTRACT — the standard ANN batch shape; the
+    * collect is bounded like the LUT any ADC engine builds). Each entry
+    * is round(subvector·codeword, 6) in (j, k) order — the exact fixed
+    * point queries.PqSql replays. Returns (query_id, q_vec, lut). */
+  private def pqLutDf(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+                      cb: Array[Array[Array[Double]]],
+                      idCol: String, vecCol: String): DataFrame = {
     import spark.implicits._
     val mEff = cb.length
     val kEff = cb(0).length
     val sub = cb(0)(0).length
-    require(cb.forall(_.length == kEff), "pqAdcRerank: ragged codebook")
-    // codeword squared norms in (j, k) order, each summed in dim order —
-    // the exact chain PqSql unrolls, so den is bit-identical
-    val nsqFlat: Array[Double] = cb.flatMap(_.map { c =>
-      var s = 0.0; var d = 0
-      while (d < c.length) { s += c(d) * c(d); d += 1 }
-      s
-    })
-    // queries are the small side BY CONTRACT (the standard ANN batch
-    // shape): collect is bounded like the LUT any ADC engine builds
+    require(cb.forall(_.length == kEff), "pqLutDf: ragged codebook")
     val qRows = queries
       .select(col(idCol).cast("long"), asDouble(col(vecCol))).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -578,11 +671,29 @@ object Similarity {
       }
       (qid, qv.toSeq, lut.toSeq)
     }.toSeq
-    val qDf = lutRows.toDF("query_id", "q_vec", "lut")
+    lutRows.toDF("query_id", "q_vec", "lut")
+  }
+
+  /** ADC scoring + shortlist + exact re-rank over a codes frame already
+    * joined with its query batch (`withQ`: corpus_id, codes, query_id,
+    * lut — the crossJoin shape for flat PQ, the cid-pruned join shape
+    * for IVF-PQ). num and den fold in subspace order, matching the
+    * oracle's left-associated chains bit-for-bit. */
+  private def pqAdcTail(withQ: DataFrame, qDf: DataFrame, corpus: DataFrame,
+                        cb: Array[Array[Array[Double]]], k: Int,
+                        shortlist: Int, idCol: String, vecCol: String): DataFrame = {
+    val mEff = cb.length
+    val kEff = cb(0).length
+    // codeword squared norms in (j, k) order, each summed in dim order —
+    // the exact chain PqSql unrolls, so den is bit-identical
+    val nsqFlat: Array[Double] = cb.flatMap(_.map { c =>
+      var s = 0.0; var d = 0
+      while (d < c.length) { s += c(d) * c(d); d += 1 }
+      s
+    })
     val subspaceIdx = sequence(lit(0), lit(mEff - 1))
     val nsqCol = typedLit(nsqFlat.toSeq)
-    val scored = codes.crossJoin(broadcast(qDf))
-      .where(col("corpus_id") =!= col("query_id"))
+    val scored = withQ
       .withColumn("num", aggregate(
         zip_with(col("codes"), subspaceIdx, (cd, j) => element_at(col("lut"), j * kEff + cd)),
         lit(0.0), (a, x) => a + x))

@@ -1,0 +1,37 @@
+package graft.queries
+
+/** DuckDB replay of the FUSED IVF-PQ ANN pipeline
+  * (Similarity.ivfPqWrite → ivfPqQuery): the coarse quantizer's portable
+  * seed + Lloyd rounds (IvfSql's CTEs, verbatim), the per-subspace PQ
+  * codebook training and encoding (PqSql's CTEs, verbatim), the nprobe
+  * coarse-list selection, the ADC scan restricted to probed lists only,
+  * and the exact-cosine re-rank — so the composed index layout is
+  * hash-verified end to end, exactly like each half is on its own.
+  *
+  * The composition is the point: this oracle is the two verified replays
+  * JOINED — `pcd ⋈ af ⋈ probes` IS the statement "score codes, but only
+  * in probed cells". No constant or fold order is restated here; every
+  * piece is the shared CTE text from IvfSql/PqSql, so a change to either
+  * half's defaults or fixed points recompiles into this oracle
+  * automatically (the established can't-drift discipline).
+  */
+object IvfPqSql {
+
+  val annIvfPqTop5Sql: String =
+    s"""WITH ${IvfSql.embCte},
+      |${IvfSql.trainCtes},
+      |${PqSql.trainCtes},
+      |${PqSql.encodeCtes},
+      |${IvfSql.probesCte},
+      |${IvfSql.assignCte("af", s"cents${IvfSql.Iters}")},
+      |pad AS (
+      |  SELECT p.query_id, d.vec_id AS corpus_id,
+      |    (${PqSql.adcNum}) AS num, (${PqSql.adcDen}) AS den
+      |  FROM pcd d JOIN af a ON a.vec_id = d.vec_id
+      |       JOIN probes p ON p.cid = a.cid
+      |       JOIN plu l ON l.query_id = p.query_id
+      |       CROSS JOIN pnl n
+      |  WHERE d.vec_id != p.query_id
+      |),
+      |${PqSql.rerankTail}""".stripMargin
+}

@@ -18,20 +18,20 @@ import graft.functions.TextHashes.{polyA, polyB, PolyP => P}
 object IvfSql {
   // shared with the implementation, not hand-copied: a change to the
   // registered defaults recompiles into this oracle automatically
-  private val Dim = PipelineQueries.EmbDim
-  private val K = graft.pipeline.Similarity.DefaultNumCentroids
-  private val Iters = graft.pipeline.Similarity.DefaultLloydIters
-  private val NProbe = graft.pipeline.Similarity.DefaultNProbe
-  private val TopK = graft.pipeline.Similarity.DefaultTopK
-  private val SampleMod = graft.pipeline.Similarity.DefaultLloydSampleMod
+  private[queries] val Dim = PipelineQueries.EmbDim
+  private[queries] val K = graft.pipeline.Similarity.DefaultNumCentroids
+  private[queries] val Iters = graft.pipeline.Similarity.DefaultLloydIters
+  private[queries] val NProbe = graft.pipeline.Similarity.DefaultNProbe
+  private[queries] val TopK = graft.pipeline.Similarity.DefaultTopK
+  private[queries] val SampleMod = graft.pipeline.Similarity.DefaultLloydSampleMod
 
-  private val embCte =
+  private[queries] val embCte =
     "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
   /** The Lloyd refinement's hash sample (ivfBuild `sampleMod`): keep a
     * vector iff its seed hash ≡ 0 (mod SampleMod). Means are computed on
     * THIS subset; the final assignment (af) still covers every vector. */
-  private val sampCte =
+  private[queries] val sampCte =
     s"""samp AS (
       |  SELECT vec_id, v FROM emb
       |  WHERE ((${polyA(8192L)} * (vec_id % $P) + ${polyB(8192L)}) % $P) % $SampleMod = 0
@@ -39,7 +39,7 @@ object IvfSql {
 
   /** cents0: portable-hash-ordered seed of K raw corpus vectors — replays
     * ivfBuild's orderBy(h, sid).limit(K); cid = 1-based collect order. */
-  private val seedCte =
+  private[queries] val seedCte =
     s"""cents0 AS (
       |  SELECT row_number() OVER (ORDER BY h, sid) AS cid, v AS c
       |  FROM (
@@ -52,7 +52,7 @@ object IvfSql {
   /** Nearest-centroid assignment of every `src` vector against `cents`
     * (argmax cosine, ties to the lowest cid — NearestCentroid's first-wins
     * scan order). */
-  private def assignCte(name: String, cents: String, src: String = "emb"): String =
+  private[queries] def assignCte(name: String, cents: String, src: String = "emb"): String =
     s"""$name AS (
       |  SELECT vec_id, v, cid FROM (
       |    SELECT e.vec_id, e.v, c.cid,
@@ -65,7 +65,7 @@ object IvfSql {
   /** One Lloyd step: per-(cid, dim) mean rounded to 6 (the portable mode's
     * rounding); a cid that captured no vectors keeps its previous centroid
     * (ivfBuild's means.getOrElse). */
-  private def lloydCte(i: Int): String =
+  private[queries] def lloydCte(i: Int): String =
     s"""${assignCte(s"a$i", s"cents${i - 1}", src = "samp")},
       |m$i AS (
       |  SELECT cid, pos, round(avg(v[pos + 1]), 6) + 0.0 AS m
@@ -79,20 +79,33 @@ object IvfSql {
       |    ON mm.cid = p.cid
       |)""".stripMargin
 
-  val annIvfTop5Sql: String = {
+  /** The coarse-quantizer training half — hash sample, portable seed,
+    * every Lloyd round — ending at cents$Iters. Shared verbatim with
+    * IvfPqSql so the fused oracle replays the IDENTICAL centroids. */
+  private[queries] val trainCtes: String = {
     val lloyds = (1 to Iters).map(lloydCte).mkString(",\n")
-    s"""WITH $embCte,
-      |$sampCte,
+    s"""$sampCte,
       |$seedCte,
-      |$lloyds,
-      |probes AS (
+      |$lloyds""".stripMargin
+  }
+
+  /** nprobe nearest centroids per query (the `vec_id < 10` batch) —
+    * argmax cosine with ties to the lowest cid, exactly ivfProbe's
+    * window. Shared with IvfPqSql. */
+  private[queries] val probesCte: String =
+    s"""probes AS (
       |  SELECT query_id, qv, cid FROM (
       |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
       |      row_number() OVER (PARTITION BY q.vec_id
       |        ORDER BY list_cosine_similarity(q.v, c.c) DESC, c.cid ASC) AS rn
       |    FROM emb q CROSS JOIN cents$Iters c WHERE q.vec_id < 10
       |  ) WHERE rn <= $NProbe
-      |),
+      |)""".stripMargin
+
+  val annIvfTop5Sql: String = {
+    s"""WITH $embCte,
+      |$trainCtes,
+      |$probesCte,
       |${assignCte("af", s"cents$Iters")},
       |s AS (
       |  SELECT p.query_id, a.vec_id AS corpus_id,

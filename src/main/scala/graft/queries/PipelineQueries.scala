@@ -285,6 +285,27 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** One persisted IVF-PQ index per sf dir per JVM (the same memo
+    * pattern): coarse lists partitioned by cid, each holding CODES —
+    * the probe prunes to nprobe lists AND reads them compressed, the
+    * two scale levers composed. */
+  private val ivfPqIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqIndexFor(spark: SparkSession, dir: String): String =
+    ivfPqIndexDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+      Similarity.ivfPqWrite(Tables.embeddings(spark, d), p)
+      p
+    })
+
+  private val ivfPqProbe: Q = (spark, dir) => {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfPqQuery(spark, ivfPqIndexFor(spark, dir), emb,
+        emb.where(col("vec_id") < 10))
+      .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val entries: Seq[Entry] = Seq(
 
     Entry("exact_dedup",
@@ -595,6 +616,19 @@ object PipelineQueries {
     // memoized codebook is already trained): its bench wall is the
     // amortized code-scan + ADC + re-rank cost — the online-query price
     Entry("ann_pq_top5_probe", pqProbe, Some(PqSql.annPqTop5Sql)),
+
+    Entry("ann_ivfpq_top5",
+      // the fused index: IVF coarse lists partitioned by cid, each
+      // holding PQ codes — a probe reads nprobe/numCentroids of the
+      // corpus AND reads it compressed, then re-ranks its shortlist on
+      // exact cosine. The oracle (IvfPqSql) is the two verified replays
+      // composed: IvfSql's centroid CTEs + PqSql's codebook CTEs joined
+      // at the ADC scan, so the fused path is hash-gated end to end.
+      ivfPqProbe, Some(IvfPqSql.annIvfPqTop5Sql)),
+
+    // probe-only twin (runs after ann_ivfpq_top5 in name order): the
+    // amortized pruned-compressed-scan + ADC + re-rank cost
+    Entry("ann_ivfpq_top5_probe", ivfPqProbe, Some(IvfPqSql.annIvfPqTop5Sql)),
 
     Entry("cosine_bucket_pairs",
       (spark, dir) => Similarity.cosineNearDup(Tables.embeddings(spark, dir), threshold = -1.0, planes = 8)

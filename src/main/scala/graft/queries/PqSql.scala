@@ -20,35 +20,35 @@ import graft.pipeline.Similarity
   * close (an aggregate SUM() would have engine-chosen order). */
 object PqSql {
   // shared with the implementation, not hand-copied (IvfSql discipline)
-  private val Dim = PipelineQueries.EmbDim
-  private val M = Similarity.DefaultPqM
-  private val K = Similarity.DefaultPqK
-  private val Sub = Dim / M
-  private val Iters = Similarity.DefaultPqIters
-  private val SampleMod = Similarity.DefaultPqSampleMod
-  private val Shortlist = Similarity.DefaultPqShortlist
-  private val TopK = Similarity.DefaultTopK
-  private val Seed = Similarity.PqHashSeed
+  private[queries] val Dim = PipelineQueries.EmbDim
+  private[queries] val M = Similarity.DefaultPqM
+  private[queries] val K = Similarity.DefaultPqK
+  private[queries] val Sub = Dim / M
+  private[queries] val Iters = Similarity.DefaultPqIters
+  private[queries] val SampleMod = Similarity.DefaultPqSampleMod
+  private[queries] val Shortlist = Similarity.DefaultPqShortlist
+  private[queries] val TopK = Similarity.DefaultTopK
+  private[queries] val Seed = Similarity.PqHashSeed
 
-  private val hashExpr = s"((${polyA(Seed)} * (vec_id % $P) + ${polyB(Seed)}) % $P)"
+  private[queries] val hashExpr = s"((${polyA(Seed)} * (vec_id % $P) + ${polyB(Seed)}) % $P)"
 
-  private val embCte =
+  private[queries] val embCte =
     "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
   /** Left-associated dot between subspace `j` of vector `v` and codeword
     * list `c` — PqEncode's inner-loop fold order. */
-  private def dotSub(v: String, j: String, c: String): String =
+  private[queries] def dotSub(v: String, j: String, c: String): String =
     (1 to Sub).map(d => s"$v[$j*$Sub+$d]*$c[$d]").mkString(" + ")
 
   /** ‖c‖², summed in dim order (PqEncode's halfNsq / pqTopKWith's
     * nsqFlat chain). */
-  private def nsqChain(c: String): String =
+  private[queries] def nsqChain(c: String): String =
     (1 to Sub).map(d => s"$c[$d]*$c[$d]").mkString(" + ")
 
   /** Nearest-codeword assignment of every `src` row per subspace —
     * argmax (dot − ‖c‖²/2), ties to the lowest codeword (PqEncode's
     * strict-`>` first-wins scan). */
-  private def assignCte(name: String, cents: String, src: String): String =
+  private[queries] def assignCte(name: String, cents: String, src: String): String =
     s"""$name AS (
       |  SELECT vec_id, j, k FROM (
       |    SELECT s.vec_id, c.j, c.k,
@@ -62,7 +62,7 @@ object PqSql {
   /** One per-subspace Lloyd round: per-(j, code, dim) mean rounded to 6
     * (pqTrain's fixed point); an uncaptured codeword keeps its previous
     * value (the getOrElse / coalesce twin). */
-  private def lloydCte(i: Int): String =
+  private[queries] def lloydCte(i: Int): String =
     s"""${assignCte(s"pa$i", s"pcb${i - 1}", "psamp")},
       |pm$i AS (
       |  SELECT a.j, a.k, t.d, round(avg(s.v[a.j*$Sub + t.d + 1]), 6) + 0.0 AS mu
@@ -76,14 +76,21 @@ object PqSql {
       |    ON mm.j = p.j AND mm.k = p.k
       |)""".stripMargin
 
-  val annPqTop5Sql: String = {
+  /** ADC numerator: m explicit lookups summed left-to-right in subspace
+    * order (the zip_with/aggregate fold). `l`/`d` are the LUT and codes
+    * table aliases of the consuming query. */
+  private[queries] val adcNum: String =
+    (0 until M).map(j => s"l.lut[$j*$K + d.cd[${j + 1}]]").mkString(" + ")
+  private[queries] val adcDen: String =
+    (0 until M).map(j => s"n.nl[$j*$K + d.cd[${j + 1}]]").mkString(" + ")
+
+  /** The PQ training half — seed, initial per-subspace codebooks, the
+    * Lloyd sample, every refinement round — ending at pcb$Iters. Shared
+    * verbatim with IvfPqSql so the fused oracle replays the IDENTICAL
+    * codebook (same CTE text, same fixed points). */
+  private[queries] val trainCtes: String = {
     val lloyds = (1 to Iters).map(lloydCte).mkString(",\n")
-    // ADC numerator/denominator: m explicit lookups summed left-to-right
-    // in subspace order (the zip_with/aggregate fold)
-    val num = (0 until M).map(j => s"l.lut[$j*$K + d.cd[${j + 1}]]").mkString(" + ")
-    val den = (0 until M).map(j => s"n.nl[$j*$K + d.cd[${j + 1}]]").mkString(" + ")
-    s"""WITH $embCte,
-      |psd AS (
+    s"""psd AS (
       |  SELECT row_number() OVER (ORDER BY h, sid) AS k, v FROM (
       |    SELECT $hashExpr AS h, vec_id AS sid, v
       |    FROM emb ORDER BY h, sid LIMIT $K
@@ -97,8 +104,14 @@ object PqSql {
       |  SELECT vec_id, v FROM emb
       |  WHERE $hashExpr % $SampleMod = 0 AND len(v) = $Dim
       |),
-      |$lloyds,
-      |pall AS (SELECT vec_id, v FROM emb WHERE len(v) = $Dim),
+      |$lloyds""".stripMargin
+  }
+
+  /** The encode + probe-prep half: every valid-dim vector's code list
+    * (pcd), the codeword-norm lookup (pnl), and the per-query LUTs
+    * (plu) for the `vec_id < 10` query batch. */
+  private[queries] val encodeCtes: String =
+    s"""pall AS (SELECT vec_id, v FROM emb WHERE len(v) = $Dim),
       |${assignCte("paf", s"pcb$Iters", "pall")},
       |pcd AS (SELECT vec_id, list(k ORDER BY j) AS cd FROM paf GROUP BY vec_id),
       |pnl AS (SELECT list((${nsqChain("c")}) ORDER BY j, k) AS nl FROM pcb$Iters),
@@ -107,14 +120,12 @@ object PqSql {
       |    list(round(${dotSub("q.v", "c.j", "c.c")}, 6) + 0.0 ORDER BY c.j, c.k) AS lut
       |  FROM emb q CROSS JOIN pcb$Iters c WHERE q.vec_id < 10
       |  GROUP BY q.vec_id
-      |),
-      |pad AS (
-      |  SELECT l.query_id, d.vec_id AS corpus_id,
-      |    ($num) AS num, ($den) AS den
-      |  FROM pcd d CROSS JOIN plu l CROSS JOIN pnl n
-      |  WHERE d.vec_id != l.query_id
-      |),
-      |psh AS (
+      |)""".stripMargin
+
+  /** The shortlist → exact-re-rank → final-projection tail, shared with
+    * IvfPqSql (`pad` is the consumer-specific ADC scan CTE). */
+  private[queries] val rerankTail: String =
+    s"""psh AS (
       |  SELECT query_id, corpus_id FROM (
       |    SELECT query_id, corpus_id,
       |      row_number() OVER (PARTITION BY query_id
@@ -135,5 +146,16 @@ object PqSql {
       |)
       |SELECT query_id, corpus_id, round(cos, 6) + 0.0 AS cosine, CAST(rnk AS INTEGER) AS rank
       |FROM pr WHERE rnk <= $TopK ORDER BY query_id, rank""".stripMargin
-  }
+
+  val annPqTop5Sql: String =
+    s"""WITH $embCte,
+      |$trainCtes,
+      |$encodeCtes,
+      |pad AS (
+      |  SELECT l.query_id, d.vec_id AS corpus_id,
+      |    ($adcNum) AS num, ($adcDen) AS den
+      |  FROM pcd d CROSS JOIN plu l CROSS JOIN pnl n
+      |  WHERE d.vec_id != l.query_id
+      |),
+      |$rerankTail""".stripMargin
 }

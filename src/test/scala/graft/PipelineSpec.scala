@@ -811,6 +811,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pq.size == 15, "3 queries x top-5")
   }
 
+  test("ivfPqQuery: full coverage (nprobe = all cells, corpus-wide shortlist) equals brute force") {
+    import org.apache.spark.sql.functions.col
+    // probing every coarse cell makes the pruning a no-op and a
+    // corpus-wide shortlist makes the ADC order irrelevant — the exact
+    // re-rank then scores everything, so the fused index must reproduce
+    // brute force bit-for-bit (the pqTopK full-shortlist argument,
+    // composed with the ivfTopK nprobe=k one)
+    val vecs = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 31 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Similarity.ivfPqWrite(df, dir, numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 2, pqSampleMod = 2)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number]("query_id").longValue, r.getAs[Number]("rank").intValue) ->
+        (r.getAs[Number]("corpus_id").longValue, math.round(r.getAs[Double]("cosine") * 1e9))
+    val got = Similarity.ivfPqQuery(spark, dir, df, q, k = 5, nprobe = 4, shortlist = 100)
+      .collect().map(key).toMap
+    val bf = Similarity.bruteForceTopK(df, q, k = 5).collect().map(key).toMap
+    assert(got == bf, "full-coverage IVF-PQ must equal exact brute force")
+    // the persisted lists are one directory per coarse cell and hold
+    // CODES only — the raw vectors never enter the index
+    val listDirs = new java.io.File(s"$dir/lists").listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cid="))
+    assert(listDirs.nonEmpty && listDirs.length <= 4, s"cid dirs: ${listDirs.toList}")
+    assert(spark.read.parquet(s"$dir/lists").schema.fieldNames.toSet ==
+      Set("corpus_id", "codes", "cid"), "lists must store codes, not raw vectors")
+  }
+
   test("components broadcast-bound resolution: arg > conf > local-heap default") {
     assert(Dedup.resolveBroadcastBound(spark, 42L) == 42L,
       "an explicit non-negative arg wins outright")

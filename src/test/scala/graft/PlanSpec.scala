@@ -332,6 +332,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"probe must prune list partitions at the source:\n$plan")
   }
 
+  test("IVF-PQ probe prunes unprobed lists at the source and keeps the two-window shuffle bound") {
+    val e = embs(80)
+    val dir = java.nio.file.Files.createTempDirectory("plan_ivfpq_").toString
+    Similarity.ivfPqWrite(e, dir, numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 1, pqSampleMod = 1)
+    val probe = Similarity.ivfPqQuery(spark, dir, e, e.where(col("vec_id") < 2),
+      k = 2, nprobe = 1, shortlist = 4)
+    val plan = executedPlan(probe)
+    // the codes scan must carry a partition filter on cid (dynamic pruning
+    // or a pushed-down join-key filter), not read all lists — the same
+    // contract as the flat IVF probe, now over the COMPRESSED lists
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cid"),
+      s"probe must prune list partitions at the source:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"both top-k stages must partial-prune before their exchange:\n$plan")
+    // probes, LUTs and candidates all ride broadcasts: the corpus-scale
+    // data crosses at most the two per-query top-k windows; the third
+    // permitted exchange is the nprobe-selection window over the tiny
+    // queries×centroids frame (|q|·k rows — size-independent of the
+    // corpus, the ivfProbe shape)
+    assert(countShuffleExchanges(probe) <= 3,
+      s"IVF-PQ probe must not shuffle the corpus:\n$plan")
+  }
+
   test("contamination scoring probes a broadcast hash, never a sort-merge join") {
     val d = docs(40)
     val bench = d.where(col("doc_id") % 10 === 0)
