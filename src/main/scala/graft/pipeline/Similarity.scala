@@ -392,7 +392,7 @@ object Similarity {
     * fixed-point boundary Spark's round applies, used for the
     * driver-computed ADC lookup tables so they are value-identical to
     * the oracle's `round(dot, 6) + 0.0` replay. */
-  private def r6d(x: Double): Double = {
+  private[graft] def r6d(x: Double): Double = {
     val r = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     if (r == 0.0) 0.0 else r // the oracle's `+ 0.0`: never −0.0
   }
@@ -612,20 +612,74 @@ object Similarity {
                  corpus: DataFrame, queries: DataFrame, k: Int = DefaultTopK,
                  nprobe: Int = DefaultNProbe, shortlist: Int = DefaultPqShortlist,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
     val cb = readPqCodebook(spark, s"$path/codebook")
     val qDf = pqLutDf(spark, queries, cb, idCol, vecCol)
+    pqAdcTail(ivfPqPrunedCodes(spark, path, qDf, nprobe), qDf, corpus, cb,
+      k, shortlist, idCol, vecCol)
+  }
+
+  /** The cid-pruned, query-joined codes frame both fused-probe variants
+    * scan: nprobe nearest centroids per query (broadcast centroid table),
+    * then the partitioned lists joined down to probed cells only. */
+  private def ivfPqPrunedCodes(spark: org.apache.spark.sql.SparkSession, path: String,
+                               qDf: DataFrame, nprobe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
     val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
     val probes = qDf.select("query_id", "q_vec").crossJoin(broadcast(centroids))
       .withColumn("csim", cosine(col("q_vec"), col("centroid")))
       .withColumn("pr", row_number().over(probeW))
       .where(col("pr") <= nprobe)
       .select("query_id", "cid")
-    val withQ = spark.read.parquet(s"$path/lists")
+    spark.read.parquet(s"$path/lists")
       .join(broadcast(probes), "cid")
       .join(broadcast(qDf.select("query_id", "lut")), "query_id")
       .where(col("corpus_id") =!= col("query_id"))
-    pqAdcTail(withQ, qDf, corpus, cb, k, shortlist, idCol, vecCol)
+  }
+
+  /** The ADC-rank half of [[ivfPqQuery]] WITHOUT the exact re-rank: per
+    * query, the top-k corpus vectors by asymmetric distance over the
+    * probed cells only — (query_id, corpus_id, adc, rank). This is the
+    * batch twin of the streaming probe
+    * ([[graft.streaming.StreamingOps.annAdcStream]]), which must
+    * reproduce these rows exactly; the exact re-rank is a downstream
+    * batch stage in both worlds (it needs the raw corpus vectors, which
+    * the compressed index deliberately does not carry). */
+  def ivfPqAdcTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, k: Int = DefaultTopK, nprobe: Int = DefaultNProbe,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = readPqCodebook(spark, s"$path/codebook")
+    val qDf = pqLutDf(spark, queries, cb, idCol, vecCol)
+    val scored = pqAdcScores(ivfPqPrunedCodes(spark, path, qDf, nprobe), cb)
+    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "corpus_id", "adc", "rank")
+  }
+
+  /** A persisted IVF-PQ index loaded whole into driver memory in its
+    * COMPRESSED form — centroids, codebook, and per-cell (id, codes)
+    * arrays. This is the broadcastable shape the streaming probe rides:
+    * at 64-dim float32 → 8 codes the index is ~2% of the raw corpus,
+    * which is the PQ design point that makes "whole index in memory"
+    * a statement about codes, not floats. */
+  final case class IvfPqIndex(cents: Array[Array[Double]],
+                              cb: Array[Array[Array[Double]]],
+                              lists: Map[Int, Array[(Long, Array[Int])]])
+      extends Serializable
+
+  /** Load a persisted IVF-PQ index ([[ivfPqWrite]] layout) into an
+    * [[IvfPqIndex]]. Cell lists sort by id so downstream iteration is
+    * deterministic regardless of parquet row order. */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
+    val cb = readPqCodebook(spark, s"$path/codebook")
+    val lists = spark.read.parquet(s"$path/lists")
+      .select(col("cid").cast("int"), col("corpus_id"), col("codes")).collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rs) =>
+        cid -> rs.map(r => (r.getLong(1), r.getSeq[Int](2).toArray)).sortBy(_._1)
+      }
+    IvfPqIndex(cents, cb, lists)
   }
 
   /** The shared ADC + exact-re-rank tail over an already-encoded corpus
@@ -682,25 +736,7 @@ object Similarity {
   private def pqAdcTail(withQ: DataFrame, qDf: DataFrame, corpus: DataFrame,
                         cb: Array[Array[Array[Double]]], k: Int,
                         shortlist: Int, idCol: String, vecCol: String): DataFrame = {
-    val mEff = cb.length
-    val kEff = cb(0).length
-    // codeword squared norms in (j, k) order, each summed in dim order —
-    // the exact chain PqSql unrolls, so den is bit-identical
-    val nsqFlat: Array[Double] = cb.flatMap(_.map { c =>
-      var s = 0.0; var d = 0
-      while (d < c.length) { s += c(d) * c(d); d += 1 }
-      s
-    })
-    val subspaceIdx = sequence(lit(0), lit(mEff - 1))
-    val nsqCol = typedLit(nsqFlat.toSeq)
-    val scored = withQ
-      .withColumn("num", aggregate(
-        zip_with(col("codes"), subspaceIdx, (cd, j) => element_at(col("lut"), j * kEff + cd)),
-        lit(0.0), (a, x) => a + x))
-      .withColumn("den", aggregate(
-        zip_with(col("codes"), subspaceIdx, (cd, j) => element_at(nsqCol, j * kEff + cd)),
-        lit(0.0), (a, x) => a + x))
-      .withColumn("adc", when(col("den") === 0, lit(0.0)).otherwise(col("num") / sqrt(col("den"))))
+    val scored = pqAdcScores(withQ, cb)
     val sw = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id").asc)
     val cand = scored.withColumn("srn", row_number().over(sw))
       .where(col("srn") <= shortlist).select("query_id", "corpus_id")
@@ -711,6 +747,34 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id").asc)
     ex.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** ADC scoring columns over a (corpus_id, codes, query_id, lut) frame:
+    * num/den fold in subspace order (the oracle's left-associated
+    * chains), adc = num/√den with the den==0 → 0 convention. The
+    * codeword-norm lookup folds each ‖c‖² in dim order — the exact
+    * chain PqSql unrolls, so den is bit-identical. */
+  private def pqAdcScores(withQ: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
+    val mEff = cb.length
+    val kEff = cb(0).length
+    val subspaceIdx = sequence(lit(0), lit(mEff - 1))
+    val nsqCol = typedLit(pqNsqFlat(cb).toSeq)
+    withQ
+      .withColumn("num", aggregate(
+        zip_with(col("codes"), subspaceIdx, (cd, j) => element_at(col("lut"), j * kEff + cd)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("den", aggregate(
+        zip_with(col("codes"), subspaceIdx, (cd, j) => element_at(nsqCol, j * kEff + cd)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("adc", when(col("den") === 0, lit(0.0)).otherwise(col("num") / sqrt(col("den"))))
+  }
+
+  /** Codeword squared norms in (j, k) order, each summed in dim order. */
+  private[graft] def pqNsqFlat(cb: Array[Array[Array[Double]]]): Array[Double] =
+    cb.flatMap(_.map { c =>
+      var s = 0.0; var d = 0
+      while (d < c.length) { s += c(d) * c(d); d += 1 }
+      s
+    })
 
   /** Planes needed so the EXPECTED bucket holds ≤ targetBucketSize vectors
     * (2^planes ≥ n/target): within-bucket pairing is O(n²/2^planes), so a

@@ -525,6 +525,98 @@ object StreamingOps {
     graft.pipeline.Dedup.spanRewrite(corpus, frequentGrams, textCol, idCol, k,
       fpShortCircuit)
 
+  /** Streaming ANN probe over a persisted IVF-PQ index: each arriving
+    * query vector picks its `nprobe` nearest coarse cells, builds its
+    * ADC lookup table in-row, scans ONLY those cells' codes from the
+    * broadcast [[graft.pipeline.Similarity.IvfPqIndex]], and emits its
+    * top-k by asymmetric distance — stateless, shuffle-free, one UDF
+    * per row. The index rides the broadcast in its COMPRESSED form
+    * (m small ints per vector — the PQ design point: the codes of a
+    * 100 TB float corpus are ~2% of it, the representation sized to
+    * live in executor memory).
+    *
+    * Every float fold mirrors the batch plan exactly — centroid cosine
+    * in CosineSim's loop order (ties to the lowest cid), LUT entries
+    * through the same 6-dp fixed point (Similarity.r6d), num/den summed
+    * in subspace order, self-match excluded, (adc desc, id asc) ties —
+    * so per-query results are IDENTICAL to the batch
+    * [[graft.pipeline.Similarity.ivfPqAdcTopK]] (parity-tested). The
+    * exact re-rank is a downstream batch stage in both worlds: it needs
+    * raw corpus vectors, which the compressed index deliberately does
+    * not carry. Null or wrong-dimension query vectors emit no rows.
+    * Emits (query_id, corpus_id, adc, rank). */
+  def annAdcStream(queries: DataFrame, index: graft.pipeline.Similarity.IvfPqIndex,
+                   k: Int = graft.pipeline.Similarity.DefaultTopK,
+                   nprobe: Int = graft.pipeline.Similarity.DefaultNProbe,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(index)
+    // codeword norms computed ONCE on the driver and closure-captured —
+    // they depend only on the codebook, not the query
+    val nsq = graft.pipeline.Similarity.pqNsqFlat(index.cb)
+    val topk = udf { (qid: java.lang.Long, qv: Seq[Double]) =>
+      val ix = bc.value
+      val mEff = ix.cb.length
+      val kEff = ix.cb(0).length
+      val sub = ix.cb(0)(0).length
+      if (qid == null || qv == null || qv.length != mEff * sub)
+        Seq.empty[(Long, Double, Int)]
+      else {
+        val q = qv.toArray
+        // nprobe nearest centroids — CosineSim's fold, ties to lowest cid
+        val probed = ix.cents.zipWithIndex.map { case (c, i) =>
+          val n = math.min(q.length, c.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+          while (d < n) {
+            val x = q(d); val y = c(d)
+            dot += x * y; na += x * x; nb += y * y; d += 1
+          }
+          val sim = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+          (sim, i + 1)
+        }.sortBy(t => (-t._1, t._2)).take(nprobe).map(_._2)
+        // the per-query LUT — pqLutDf's loop through the same fixed point
+        val lut = new Array[Double](mEff * kEff)
+        var j = 0
+        while (j < mEff) {
+          var k0 = 0
+          while (k0 < kEff) {
+            val cw = ix.cb(j)(k0)
+            var dot = 0.0; var d = 0
+            while (d < sub) { dot += q(j * sub + d) * cw(d); d += 1 }
+            lut(j * kEff + k0) = graft.pipeline.Similarity.r6d(dot)
+            k0 += 1
+          }
+          j += 1
+        }
+        val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        probed.foreach { cid =>
+          ix.lists.getOrElse(cid, Array.empty[(Long, Array[Int])]).foreach {
+            case (corpusId, codes) =>
+              if (corpusId != qid.longValue) {
+                // codes are 1-based (pqTrain convention); the arrays are
+                // 0-based flat — the batch element_at is 1-based, which
+                // absorbs the same offset
+                var num = 0.0; var den = 0.0; var jj = 0
+                while (jj < mEff) {
+                  num += lut(jj * kEff + codes(jj) - 1)
+                  den += nsq(jj * kEff + codes(jj) - 1)
+                  jj += 1
+                }
+                hits += ((corpusId, if (den == 0.0) 0.0 else num / math.sqrt(den)))
+              }
+          }
+        }
+        hits.sortBy(t => (-t._2, t._1)).take(k).toSeq
+          .zipWithIndex.map { case ((id, adc), r) => (id, adc, r + 1) }
+      }
+    }
+    queries
+      .select(col(idCol).cast("long").as("query_id"),
+        transform(col(vecCol), _.cast("double")).as("__qv"))
+      .select(col("query_id"), explode(topk(col("query_id"), col("__qv"))).as("__r"))
+      .select(col("query_id"), col("__r._1").as("corpus_id"),
+        col("__r._2").as("adc"), col("__r._3").as("rank"))
+  }
+
   /** Watermarked streaming twin of the props_json_stats rollup
     * (EtlQueries): ONE codegen'd from_json parse per arriving event
     * inside the streaming scan — the same schema-on-read shape as batch,

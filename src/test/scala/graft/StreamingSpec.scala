@@ -605,4 +605,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.where(col("lang") === "en").select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
+
+  test("streaming ANN ADC probe equals the batch pruned ADC rank over the same index") {
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions.col
+    // arriving query vectors probe a STATIC persisted IVF-PQ index (built
+    // once by the batch ivfPqWrite pass — the build is an offline job);
+    // per-query ADC top-k must be identical to the batch pruned scan
+    val vecs = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 31 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_s").toString
+    Similarity.ivfPqWrite(df, dir, numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 1, pqSampleMod = 1)
+    val index = Similarity.loadIvfPq(spark, dir)
+    implicit val enc = Encoders.product[(Long, Seq[Double])]
+    val ms = MemoryStream[(Long, Seq[Double])](spark)
+    val q = StreamingOps.annAdcStream(ms.toDF().toDF("vec_id", "embedding"), index,
+        k = 3, nprobe = 2)
+      .writeStream.format("memory").queryName("ann_stream")
+      .outputMode("append").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      // two micro-batches (stateless: the boundary must not matter), plus
+      // a wrong-dimension vector that must emit nothing
+      ms.addData(vecs.take(2)); q.processAllAvailable()
+      ms.addData(vecs.slice(2, 4) :+ (99L -> Seq(1.0, 2.0))); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(3)) -> (r.getLong(1), math.round(r.getDouble(2) * 1e9))
+      val got = spark.sql(
+        "SELECT query_id, corpus_id, adc, rank FROM ann_stream").collect().map(key(_)).toMap
+      val batch = Similarity.ivfPqAdcTopK(spark, dir,
+          df.where(col("vec_id") < 4), k = 3, nprobe = 2)
+        .collect().map(key(_)).toMap
+      assert(got == batch, s"stream must equal batch\n got=$got\n batch=$batch")
+      assert(got.size == 12, "4 queries x top-3")
+      assert(!got.keys.exists(_._1 == 99L), "wrong-dim query must emit no rows")
+    } finally q.stop()
+  }
 }
