@@ -17,14 +17,10 @@ package graft.queries
   */
 object IvfPqSql {
 
-  val annIvfPqTop5Sql: String =
-    s"""WITH ${IvfSql.embCte},
-      |${IvfSql.trainCtes},
-      |${PqSql.trainCtes},
-      |${PqSql.encodeCtes},
-      |${IvfSql.probesCte},
-      |${IvfSql.assignCte("af", s"cents${IvfSql.Iters}")},
-      |pad AS (
+  /** The fused ADC scan: codes joined to their coarse cell, restricted
+    * to each query's probed cells — the pruning statement itself. */
+  private val padFusedCte: String =
+    s"""pad AS (
       |  SELECT p.query_id, d.vec_id AS corpus_id,
       |    (${PqSql.adcNum}) AS num, (${PqSql.adcDen}) AS den
       |  FROM pcd d JOIN af a ON a.vec_id = d.vec_id
@@ -32,6 +28,27 @@ object IvfPqSql {
       |       JOIN plu l ON l.query_id = p.query_id
       |       CROSS JOIN pnl n
       |  WHERE d.vec_id != p.query_id
-      |),
+      |)""".stripMargin
+
+  private val prefixCtes: String =
+    s"""WITH ${IvfSql.embCte},
+      |${IvfSql.trainCtes},
+      |${PqSql.trainCtes},
+      |${PqSql.encodeCtes},
+      |${IvfSql.probesCte},
+      |${IvfSql.assignCte("af", s"cents${IvfSql.Iters}")},
+      |$padFusedCte""".stripMargin
+
+  val annIvfPqTop5Sql: String =
+    s"""$prefixCtes,
       |${PqSql.rerankTail}""".stripMargin
+
+  /** The measured-recall gate for the fused path: both pruning losses —
+    * unprobed cells AND quantized shortlist order — priced against the
+    * exact brute-force top-k, per query, at every gated SF. */
+  val annIvfPqRecallSql: String =
+    s"""$prefixCtes,
+      |${PqSql.rerankCtes},
+      |${PqSql.bfCte},
+      |${PqSql.recallSelect}""".stripMargin
 }

@@ -306,6 +306,24 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** recall@k of an approximate ANN result against exact brute force —
+    * the dedup_star_recall discipline applied to the quantized paths:
+    * the loss is MEASURED inside the gate at every SF, never assumed.
+    * Missing queries (zero overlap) surface as 0.0, not absent rows. */
+  private def annRecall(spark: SparkSession, dir: String, approx: DataFrame): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val hits = approx.select(col("query_id"), col("corpus_id"))
+      .join(bf, Seq("query_id", "corpus_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("__h"))
+    q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("__h"), lit(0L)) / lit(5.0)).as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
   val entries: Seq[Entry] = Seq(
 
     Entry("exact_dedup",
@@ -629,6 +647,24 @@ object PipelineQueries {
     // probe-only twin (runs after ann_ivfpq_top5 in name order): the
     // amortized pruned-compressed-scan + ADC + re-rank cost
     Entry("ann_ivfpq_top5_probe", ivfPqProbe, Some(IvfPqSql.annIvfPqTop5Sql)),
+
+    // in-gate recall measurement for both quantized paths: per query,
+    // |approx top-5 ∩ exact top-5| / 5 — the oracle re-derives BOTH
+    // rankings, so the quantization (and, for the fused path, the
+    // cell-pruning) loss is re-priced at every gated SF
+    Entry("ann_pq_recall",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        annRecall(spark, dir, Similarity.pqQuery(spark, pqIndexFor(spark, dir),
+          emb, emb.where(col("vec_id") < 10)))
+      }, Some(PqSql.annPqRecallSql)),
+
+    Entry("ann_ivfpq_recall",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        annRecall(spark, dir, Similarity.ivfPqQuery(spark, ivfPqIndexFor(spark, dir),
+          emb, emb.where(col("vec_id") < 10)))
+      }, Some(IvfPqSql.annIvfPqRecallSql)),
 
     Entry("cosine_bucket_pairs",
       (spark, dir) => Similarity.cosineNearDup(Tables.embeddings(spark, dir), threshold = -1.0, planes = 8)

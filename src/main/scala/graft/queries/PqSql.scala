@@ -122,9 +122,10 @@ object PqSql {
       |  GROUP BY q.vec_id
       |)""".stripMargin
 
-  /** The shortlist → exact-re-rank → final-projection tail, shared with
-    * IvfPqSql (`pad` is the consumer-specific ADC scan CTE). */
-  private[queries] val rerankTail: String =
+  /** The shortlist → exact-re-rank CTEs, ending at pr (ranked exact
+    * cosines); shared with IvfPqSql and the recall gates (`pad` is the
+    * consumer-specific ADC scan CTE). */
+  private[queries] val rerankCtes: String =
     s"""psh AS (
       |  SELECT query_id, corpus_id FROM (
       |    SELECT query_id, corpus_id,
@@ -143,19 +144,70 @@ object PqSql {
       |  SELECT query_id, corpus_id, cos,
       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rnk
       |  FROM pex
-      |)
-      |SELECT query_id, corpus_id, round(cos, 6) + 0.0 AS cosine, CAST(rnk AS INTEGER) AS rank
+      |)""".stripMargin
+
+  /** The final top-k projection over pr. */
+  private[queries] val finalSelect: String =
+    s"""SELECT query_id, corpus_id, round(cos, 6) + 0.0 AS cosine, CAST(rnk AS INTEGER) AS rank
       |FROM pr WHERE rnk <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** The shortlist → exact-re-rank → final-projection tail, shared with
+    * IvfPqSql (`pad` is the consumer-specific ADC scan CTE). */
+  private[queries] val rerankTail: String =
+    s"""$rerankCtes
+      |$finalSelect""".stripMargin
+
+  /** The flat-PQ ADC scan: every valid-dim code row against every query
+    * LUT (the crossJoin shape — no coarse pruning). */
+  private[queries] val padFlatCte: String =
+    s"""pad AS (
+      |  SELECT l.query_id, d.vec_id AS corpus_id,
+      |    ($adcNum) AS num, ($adcDen) AS den
+      |  FROM pcd d CROSS JOIN plu l CROSS JOIN pnl n
+      |  WHERE d.vec_id != l.query_id
+      |)""".stripMargin
+
+  /** Exact brute-force top-k per query (the ann_brute_top5 ranking) —
+    * the ground truth the recall gates compare against. */
+  private[queries] val bfCte: String =
+    s"""bf AS (
+      |  SELECT query_id, corpus_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rn
+      |    FROM emb q CROSS JOIN emb c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+      |  ) WHERE rn <= $TopK
+      |)""".stripMargin
+
+  /** recall@k of the approximate top-k (pr) against brute force (bf),
+    * per query — the final shape both recall gates share. */
+  private[queries] val recallSelect: String =
+    s"""apx AS (SELECT query_id, corpus_id FROM pr WHERE rnk <= $TopK),
+      |h AS (
+      |  SELECT query_id, count(*) AS nh
+      |  FROM apx JOIN bf USING (query_id, corpus_id) GROUP BY query_id
+      |)
+      |SELECT q.vec_id AS query_id, coalesce(h.nh, 0) / $TopK.0 AS recall_at_k
+      |FROM emb q LEFT JOIN h ON h.query_id = q.vec_id
+      |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin
 
   val annPqTop5Sql: String =
     s"""WITH $embCte,
       |$trainCtes,
       |$encodeCtes,
-      |pad AS (
-      |  SELECT l.query_id, d.vec_id AS corpus_id,
-      |    ($adcNum) AS num, ($adcDen) AS den
-      |  FROM pcd d CROSS JOIN plu l CROSS JOIN pnl n
-      |  WHERE d.vec_id != l.query_id
-      |),
+      |$padFlatCte,
       |$rerankTail""".stripMargin
+
+  /** The measured-recall gate for the flat PQ path: re-derives the PQ
+    * top-k AND the exact brute-force top-k, emitting per-query recall@k
+    * — the dedup_star_recall discipline (the quantization trade is
+    * MEASURED in the gate at every SF, not assumed). */
+  val annPqRecallSql: String =
+    s"""WITH $embCte,
+      |$trainCtes,
+      |$encodeCtes,
+      |$padFlatCte,
+      |$rerankCtes,
+      |$bfCte,
+      |$recallSelect""".stripMargin
 }
