@@ -600,6 +600,149 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists"))
   }
 
+  // ---- Residual IVF-PQ: PQ over (v − centroid) — the FAISS-IVFPQ
+  // ---- refinement. Within a coarse cell the residuals are tighter
+  // ---- than the raw vectors, so the same codebook budget quantizes
+  // ---- finer; the price is per-cell correction terms in the ADC math.
+
+  /** Build and persist the residual-encoded fused index: same layout as
+    * [[ivfPqWrite]] (centroids / codebook / cid-partitioned code lists)
+    * but the PQ codebooks are TRAINED ON RESIDUALS (v − cent[cid]) and
+    * every vector's codes quantize its residual. One extra corpus scan
+    * versus the raw variant (the residual projection feeds training),
+    * still zero corpus shuffles outside the partitioned write. The
+    * residual subtraction is exact elementwise arithmetic over the
+    * 6-dp-fixed centroids, so the whole pipeline stays oracle-replayable
+    * (queries.IvfPqResSql). */
+  def ivfPqResWrite(corpus: DataFrame, path: String,
+                    numCentroids: Int = DefaultNumCentroids,
+                    lloydIters: Int = DefaultLloydIters,
+                    ivfSampleMod: Int = DefaultLloydSampleMod,
+                    m: Int = DefaultPqM, ksub: Int = DefaultPqK,
+                    pqIters: Int = DefaultPqIters, pqSampleMod: Int = DefaultPqSampleMod,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = timed("ivfpqres-coarse")(ivfBuild(corpus, numCentroids, lloydIters,
+      ivfSampleMod, idCol, vecCol, portableSeed = true))
+    val dim = cents(0).length
+    val resid = residualFrame(corpus, cents, dim, idCol, vecCol)
+    // PQ codebooks learned on the residual table (same portable seed +
+    // 6-dp Lloyd fixed point, keyed by the same ids)
+    val cb = timed("ivfpqres-codebook")(pqTrain(
+      resid.select(col(idCol), col("resid").as(vecCol)),
+      m, ksub, pqIters, pqSampleMod, idCol, vecCol))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i + 1, v.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    (for (j <- cb.indices; k0 <- cb(j).indices) yield (j, k0 + 1, cb(j)(k0).toSeq))
+      .toDF("j", "k", "c").write.mode("overwrite").parquet(s"$path/codebook")
+    val codes = resid.select(col(idCol).cast("long").as("corpus_id"), col("cid"),
+        graft.functions.PqEncode.pqEncode(col("resid"), cb).as("codes"))
+      .where(col("codes").isNotNull)
+    timed("ivfpqres-encode")(codes.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists"))
+  }
+
+  /** (id, cid, resid): each valid-dim vector's coarse cell and residual
+    * v − cent[cid] — exact elementwise subtraction in one projection. */
+  private def residualFrame(corpus: DataFrame, cents: Array[Array[Double]], dim: Int,
+                            idCol: String, vecCol: String): DataFrame = {
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .where(size(col("v")) === lit(dim))
+      .withColumn("cid", nearestCid(col("v"), cents))
+      .withColumn("resid",
+        zip_with(col("v"), element_at(centLit, col("cid")), (a, b) => a - b))
+  }
+
+  /** Probe a persisted residual IVF-PQ index. The ADC approximation of
+    * dot(q, x) over a cell `c` with residual codes k_j is
+    *
+    *   dot(q, c) + Σ_j lut_q[j][k_j]            (numerator)
+    *   ‖c‖² + Σ_j (2·c_j·cw_{j,k_j} + ‖cw_{j,k_j}‖²)   (‖ĉ+r̂‖², denominator)
+    *
+    * — the per-cell constants (dot(q,c) per query, the cross+norm table
+    * per (cell, j, codeword), ‖c‖² per cell) are all driver-computed in
+    * fixed fold order and ride in as literals/broadcasts, so the plan
+    * shape is IDENTICAL to the raw fused probe: pruned compressed scan,
+    * two top-k windows, broadcast everything else. */
+  def ivfPqResQuery(spark: org.apache.spark.sql.SparkSession, path: String,
+                    corpus: DataFrame, queries: DataFrame, k: Int = DefaultTopK,
+                    nprobe: Int = DefaultNProbe, shortlist: Int = DefaultPqShortlist,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cents = centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
+    val cb = readPqCodebook(spark, s"$path/codebook")
+    val mEff = cb.length
+    val kEff = cb(0).length
+    val sub = cb(0)(0).length
+    val qDf = pqLutDf(spark, queries, cb, idCol, vecCol)
+    // dot(q, cent) per (query, cell), dim-order fold + the LUT's 6-dp
+    // fixed point (it is a lookup-table entry like any other)
+    import spark.implicits._
+    val qRows = qDf.select("query_id", "q_vec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qcDf = (for ((qid, qv) <- qRows.toSeq; (c, i) <- cents.zipWithIndex.toSeq) yield {
+      var dot = 0.0; var d = 0
+      val n = math.min(qv.length, c.length)
+      while (d < n) { dot += qv(d) * c(d); d += 1 }
+      (qid, i + 1, r6d(dot))
+    }).toDF("query_id", "cid", "qc")
+    // per-cell ‖c‖² and the (cell, j, k) cross+norm correction table,
+    // flattened in ((cid-1)·m + j)·ksub + (k-1) order
+    val cnsq: Array[Double] = cents.map { c =>
+      var s = 0.0; var d = 0
+      while (d < c.length) { s += c(d) * c(d); d += 1 }
+      s
+    }
+    val tFlat: Array[Double] = cents.flatMap { c =>
+      (0 until mEff).flatMap { j =>
+        (0 until kEff).map { k0 =>
+          val cw = cb(j)(k0)
+          var cross = 0.0; var d = 0
+          while (d < sub) { cross += c(j * sub + d) * cw(d); d += 1 }
+          var nn = 0.0; d = 0
+          while (d < sub) { nn += cw(d) * cw(d); d += 1 }
+          2.0 * cross + nn
+        }
+      }
+    }
+    val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
+    val probes = qDf.select("query_id", "q_vec").crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("q_vec"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= nprobe)
+      .select("query_id", "cid")
+    val withQ = spark.read.parquet(s"$path/lists")
+      .join(broadcast(probes), "cid")
+      .join(broadcast(qDf.select("query_id", "lut")), "query_id")
+      .join(broadcast(qcDf), Seq("query_id", "cid"))
+      .where(col("corpus_id") =!= col("query_id"))
+    val subspaceIdx = sequence(lit(0), lit(mEff - 1))
+    val tCol = typedLit(tFlat.toSeq)
+    val cnsqCol = typedLit(cnsq.toSeq)
+    val scored = withQ
+      .withColumn("num", col("qc") + aggregate(
+        zip_with(col("codes"), subspaceIdx, (cd, j) => element_at(col("lut"), j * kEff + cd)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("den", element_at(cnsqCol, col("cid")) + aggregate(
+        zip_with(col("codes"), subspaceIdx,
+          (cd, j) => element_at(tCol, ((col("cid") - 1) * mEff + j) * kEff + cd)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("adc", when(col("den") <= 0, lit(0.0)).otherwise(col("num") / sqrt(col("den"))))
+    val sw = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id").asc)
+    val cand = scored.withColumn("srn", row_number().over(sw))
+      .where(col("srn") <= shortlist).select("query_id", "corpus_id")
+    val cv = corpus.select(col(idCol).cast("long").as("corpus_id"), asDouble(col(vecCol)).as("c_vec"))
+    val ex = cv.join(broadcast(cand), "corpus_id")
+      .join(broadcast(qDf.select(col("query_id"), col("q_vec"))), "query_id")
+      .select(col("query_id"), col("corpus_id"), cosine(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id").asc)
+    ex.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Probe a persisted IVF-PQ index: pick each query's `nprobe` nearest
     * coarse centroids (broadcast centroid table — the ivfProbe shape),
     * ADC-scan ONLY those lists' codes (`cid` is a partition column, so

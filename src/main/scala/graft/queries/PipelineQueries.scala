@@ -306,6 +306,27 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** One persisted residual-encoded fused index per sf dir per JVM:
+    * same layout, but PQ codebooks train on (v − cent[cid]) — the
+    * FAISS-IVFPQ refinement priced against the raw leg by the paired
+    * recall gates. */
+  private val ivfPqResIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqResIndexFor(spark: SparkSession, dir: String): String =
+    ivfPqResIndexDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpqres_").toString
+      Similarity.ivfPqResWrite(Tables.embeddings(spark, d), p)
+      p
+    })
+
+  private val ivfPqResProbe: Q = (spark, dir) => {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfPqResQuery(spark, ivfPqResIndexFor(spark, dir), emb,
+        emb.where(col("vec_id") < 10))
+      .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** recall@k of an approximate ANN result against exact brute force —
     * the dedup_star_recall discipline applied to the quantized paths:
     * the loss is MEASURED inside the gate at every SF, never assumed.
@@ -665,6 +686,20 @@ object PipelineQueries {
         annRecall(spark, dir, Similarity.ivfPqQuery(spark, ivfPqIndexFor(spark, dir),
           emb, emb.where(col("vec_id") < 10)))
       }, Some(IvfPqSql.annIvfPqRecallSql)),
+
+    // the residual-encoded fused index (FAISS-IVFPQ refinement: PQ over
+    // v − cent[cid], per-cell ADC corrections): same layout, same plan
+    // shape, finer quantization at the same codebook budget — and its
+    // recall gate sits beside ann_ivfpq_recall so what the refinement
+    // BUYS is re-measured at every gated SF
+    Entry("ann_ivfpq_res_top5", ivfPqResProbe, Some(IvfPqResSql.annIvfPqResTop5Sql)),
+
+    Entry("ann_ivfpq_res_recall",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        annRecall(spark, dir, Similarity.ivfPqResQuery(spark, ivfPqResIndexFor(spark, dir),
+          emb, emb.where(col("vec_id") < 10)))
+      }, Some(IvfPqResSql.annIvfPqResRecallSql)),
 
     Entry("cosine_bucket_pairs",
       (spark, dir) => Similarity.cosineNearDup(Tables.embeddings(spark, dir), threshold = -1.0, planes = 8)

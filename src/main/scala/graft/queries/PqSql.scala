@@ -87,13 +87,14 @@ object PqSql {
   /** The PQ training half — seed, initial per-subspace codebooks, the
     * Lloyd sample, every refinement round — ending at pcb$Iters. Shared
     * verbatim with IvfPqSql so the fused oracle replays the IDENTICAL
-    * codebook (same CTE text, same fixed points). */
-  private[queries] val trainCtes: String = {
+    * codebook (same CTE text, same fixed points). `src` is the training
+    * table: emb for the raw paths, remb (residuals) for IvfPqResSql. */
+  private[queries] def trainCtesOver(src: String): String = {
     val lloyds = (1 to Iters).map(lloydCte).mkString(",\n")
     s"""psd AS (
       |  SELECT row_number() OVER (ORDER BY h, sid) AS k, v FROM (
       |    SELECT $hashExpr AS h, vec_id AS sid, v
-      |    FROM emb ORDER BY h, sid LIMIT $K
+      |    FROM $src ORDER BY h, sid LIMIT $K
       |  )
       |),
       |pcb0 AS (
@@ -101,17 +102,18 @@ object PqSql {
       |  FROM psd CROSS JOIN range($M) t(j)
       |),
       |psamp AS (
-      |  SELECT vec_id, v FROM emb
+      |  SELECT vec_id, v FROM $src
       |  WHERE $hashExpr % $SampleMod = 0 AND len(v) = $Dim
       |),
       |$lloyds""".stripMargin
   }
+  private[queries] val trainCtes: String = trainCtesOver("emb")
 
   /** The encode + probe-prep half: every valid-dim vector's code list
     * (pcd), the codeword-norm lookup (pnl), and the per-query LUTs
     * (plu) for the `vec_id < 10` query batch. */
-  private[queries] val encodeCtes: String =
-    s"""pall AS (SELECT vec_id, v FROM emb WHERE len(v) = $Dim),
+  private[queries] def encodeCtesOver(src: String): String =
+    s"""pall AS (SELECT vec_id, v FROM $src WHERE len(v) = $Dim),
       |${assignCte("paf", s"pcb$Iters", "pall")},
       |pcd AS (SELECT vec_id, list(k ORDER BY j) AS cd FROM paf GROUP BY vec_id),
       |pnl AS (SELECT list((${nsqChain("c")}) ORDER BY j, k) AS nl FROM pcb$Iters),
@@ -121,6 +123,7 @@ object PqSql {
       |  FROM emb q CROSS JOIN pcb$Iters c WHERE q.vec_id < 10
       |  GROUP BY q.vec_id
       |)""".stripMargin
+  private[queries] val encodeCtes: String = encodeCtesOver("emb")
 
   /** The shortlist → exact-re-rank CTEs, ending at pr (ranked exact
     * cosines); shared with IvfPqSql and the recall gates (`pad` is the
@@ -130,7 +133,10 @@ object PqSql {
       |  SELECT query_id, corpus_id FROM (
       |    SELECT query_id, corpus_id,
       |      row_number() OVER (PARTITION BY query_id
-      |        ORDER BY (CASE WHEN den = 0 THEN 0.0 ELSE num/sqrt(den) END) DESC,
+      |        -- <= 0, not = 0: the raw paths' den is a sum of squares
+      |        -- (identical semantics), the residual path's ‖ĉ+r̂‖² can
+      |        -- round fractionally negative and must not reach sqrt
+      |        ORDER BY (CASE WHEN den <= 0 THEN 0.0 ELSE num/sqrt(den) END) DESC,
       |                 corpus_id ASC) AS rn
       |    FROM pad
       |  ) WHERE rn <= $Shortlist
