@@ -844,6 +844,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("corpus_id", "codes", "cid"), "lists must store codes, not raw vectors")
   }
 
+  test("ivfPqResQuery: full coverage equals brute force (residual corrections cancel at the re-rank)") {
+    import org.apache.spark.sql.functions.col
+    // same argument as the raw fused test: probing every cell + a
+    // corpus-wide shortlist makes both the pruning and the residual ADC
+    // order irrelevant — the exact re-rank must reproduce brute force
+    val vecs = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 31 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqres").toString
+    Similarity.ivfPqResWrite(df, dir, numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 2, pqSampleMod = 2)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number]("query_id").longValue, r.getAs[Number]("rank").intValue) ->
+        (r.getAs[Number]("corpus_id").longValue, math.round(r.getAs[Double]("cosine") * 1e9))
+    val got = Similarity.ivfPqResQuery(spark, dir, df, q, k = 5, nprobe = 4, shortlist = 100)
+      .collect().map(key).toMap
+    val bf = Similarity.bruteForceTopK(df, q, k = 5).collect().map(key).toMap
+    assert(got == bf, "full-coverage residual IVF-PQ must equal exact brute force")
+  }
+
   test("components broadcast-bound resolution: arg > conf > local-heap default") {
     assert(Dedup.resolveBroadcastBound(spark, 42L) == 42L,
       "an explicit non-negative arg wins outright")

@@ -356,6 +356,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"IVF-PQ probe must not shuffle the corpus:\n$plan")
   }
 
+  test("residual IVF-PQ probe keeps the raw fused probe's plan shape") {
+    val e = embs(80)
+    val dir = java.nio.file.Files.createTempDirectory("plan_ivfpqres_").toString
+    Similarity.ivfPqResWrite(e, dir, numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 1, pqSampleMod = 1)
+    val probe = Similarity.ivfPqResQuery(spark, dir, e, e.where(col("vec_id") < 2),
+      k = 2, nprobe = 1, shortlist = 4)
+    val plan = executedPlan(probe)
+    // the residual corrections are literals/broadcasts — the plan must
+    // still prune unprobed lists at the source and keep the corpus out
+    // of every exchange (same contract as the raw fused probe)
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cid"),
+      s"probe must prune list partitions at the source:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"both top-k stages must partial-prune before their exchange:\n$plan")
+    assert(countShuffleExchanges(probe) <= 3,
+      s"residual IVF-PQ probe must not shuffle the corpus:\n$plan")
+  }
+
   test("contamination scoring probes a broadcast hash, never a sort-merge join") {
     val d = docs(40)
     val bench = d.where(col("doc_id") % 10 === 0)
