@@ -671,33 +671,58 @@ object Similarity {
                     corpus: DataFrame, queries: DataFrame, k: Int = DefaultTopK,
                     nprobe: Int = DefaultNProbe, shortlist: Int = DefaultPqShortlist,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val cents = centroids.collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
-    val cb = readPqCodebook(spark, s"$path/codebook")
-    val mEff = cb.length
-    val kEff = cb(0).length
-    val sub = cb(0)(0).length
-    val qDf = pqLutDf(spark, queries, cb, idCol, vecCol)
-    // dot(q, cent) per (query, cell), dim-order fold + the LUT's 6-dp
-    // fixed point (it is a lookup-table entry like any other)
-    import spark.implicits._
-    val qRows = qDf.select("query_id", "q_vec").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val qcDf = (for ((qid, qv) <- qRows.toSeq; (c, i) <- cents.zipWithIndex.toSeq) yield {
+    val (scored, qDf) = ivfPqResScored(spark, path, queries, nprobe, idCol, vecCol)
+    val sw = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id").asc)
+    val cand = scored.withColumn("srn", row_number().over(sw))
+      .where(col("srn") <= shortlist).select("query_id", "corpus_id")
+    val cv = corpus.select(col(idCol).cast("long").as("corpus_id"), asDouble(col(vecCol)).as("c_vec"))
+    val ex = cv.join(broadcast(cand), "corpus_id")
+      .join(broadcast(qDf.select(col("query_id"), col("q_vec"))), "query_id")
+      .select(col("query_id"), col("corpus_id"), cosine(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id").asc)
+    ex.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** The ADC-rank half of [[ivfPqResQuery]] without the exact re-rank —
+    * (query_id, corpus_id, adc, rank), the batch twin the residual-mode
+    * streaming probe is parity-gated against (the [[ivfPqAdcTopK]]
+    * discipline). */
+  def ivfPqResAdcTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, k: Int = DefaultTopK, nprobe: Int = DefaultNProbe,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (scored, _) = ivfPqResScored(spark, path, queries, nprobe, idCol, vecCol)
+    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "corpus_id", "adc", "rank")
+  }
+
+  /** Per-(query, cell) dot(q, cent), through the LUT's 6-dp fixed point
+    * (it is a lookup-table entry like any other), in (query, cid) order. */
+  private[graft] def pqResQcTable(qRows: Array[(Long, Array[Double])],
+                                  cents: Array[Array[Double]]): Seq[(Long, Int, Double)] =
+    for ((qid, qv) <- qRows.toSeq; (c, i) <- cents.zipWithIndex.toSeq) yield {
       var dot = 0.0; var d = 0
       val n = math.min(qv.length, c.length)
       while (d < n) { dot += qv(d) * c(d); d += 1 }
       (qid, i + 1, r6d(dot))
-    }).toDF("query_id", "cid", "qc")
-    // per-cell ‖c‖² and the (cell, j, k) cross+norm correction table,
-    // flattened in ((cid-1)·m + j)·ksub + (k-1) order
-    val cnsq: Array[Double] = cents.map { c =>
+    }
+
+  /** Per-cell ‖cent‖², dim-order fold. */
+  private[graft] def pqResCellNsq(cents: Array[Array[Double]]): Array[Double] =
+    cents.map { c =>
       var s = 0.0; var d = 0
       while (d < c.length) { s += c(d) * c(d); d += 1 }
       s
     }
-    val tFlat: Array[Double] = cents.flatMap { c =>
+
+  /** The (cell, j, k) residual correction 2·c_j·cw + ‖cw‖², flattened in
+    * ((cid−1)·m + j)·ksub + (k−1) order. */
+  private[graft] def pqResCorrTable(cents: Array[Array[Double]],
+                                    cb: Array[Array[Array[Double]]]): Array[Double] = {
+    val mEff = cb.length
+    val kEff = cb(0).length
+    val sub = cb(0)(0).length
+    cents.flatMap { c =>
       (0 until mEff).flatMap { j =>
         (0 until kEff).map { k0 =>
           val cw = cb(j)(k0)
@@ -709,6 +734,26 @@ object Similarity {
         }
       }
     }
+  }
+
+  /** The residual ADC scan over probed cells: returns (scored, qDf)
+    * where scored carries query_id/corpus_id/adc over the cid-pruned
+    * compressed lists (see [[ivfPqResQuery]] for the math and the
+    * determinism contract). */
+  private def ivfPqResScored(spark: org.apache.spark.sql.SparkSession, path: String,
+                             queries: DataFrame, nprobe: Int,
+                             idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cents = centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
+    val cb = readPqCodebook(spark, s"$path/codebook")
+    val mEff = cb.length
+    val kEff = cb(0).length
+    val qDf = pqLutDf(spark, queries, cb, idCol, vecCol)
+    import spark.implicits._
+    val qRows = qDf.select("query_id", "q_vec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qcDf = pqResQcTable(qRows, cents).toDF("query_id", "cid", "qc")
     val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
     val probes = qDf.select("query_id", "q_vec").crossJoin(broadcast(centroids))
       .withColumn("csim", cosine(col("q_vec"), col("centroid")))
@@ -721,8 +766,8 @@ object Similarity {
       .join(broadcast(qcDf), Seq("query_id", "cid"))
       .where(col("corpus_id") =!= col("query_id"))
     val subspaceIdx = sequence(lit(0), lit(mEff - 1))
-    val tCol = typedLit(tFlat.toSeq)
-    val cnsqCol = typedLit(cnsq.toSeq)
+    val tCol = typedLit(pqResCorrTable(cents, cb).toSeq)
+    val cnsqCol = typedLit(pqResCellNsq(cents).toSeq)
     val scored = withQ
       .withColumn("num", col("qc") + aggregate(
         zip_with(col("codes"), subspaceIdx, (cd, j) => element_at(col("lut"), j * kEff + cd)),
@@ -732,15 +777,7 @@ object Similarity {
           (cd, j) => element_at(tCol, ((col("cid") - 1) * mEff + j) * kEff + cd)),
         lit(0.0), (a, x) => a + x))
       .withColumn("adc", when(col("den") <= 0, lit(0.0)).otherwise(col("num") / sqrt(col("den"))))
-    val sw = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id").asc)
-    val cand = scored.withColumn("srn", row_number().over(sw))
-      .where(col("srn") <= shortlist).select("query_id", "corpus_id")
-    val cv = corpus.select(col(idCol).cast("long").as("corpus_id"), asDouble(col(vecCol)).as("c_vec"))
-    val ex = cv.join(broadcast(cand), "corpus_id")
-      .join(broadcast(qDf.select(col("query_id"), col("q_vec"))), "query_id")
-      .select(col("query_id"), col("corpus_id"), cosine(col("q_vec"), col("c_vec")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id").asc)
-    ex.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    (scored, qDf)
   }
 
   /** Probe a persisted IVF-PQ index: pick each query's `nprobe` nearest

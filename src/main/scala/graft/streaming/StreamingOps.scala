@@ -544,15 +544,30 @@ object StreamingOps {
     * exact re-rank is a downstream batch stage in both worlds: it needs
     * raw corpus vectors, which the compressed index deliberately does
     * not carry. Null or wrong-dimension query vectors emit no rows.
-    * Emits (query_id, corpus_id, adc, rank). */
+    * Emits (query_id, corpus_id, adc, rank).
+    *
+    * `residual = true` probes an index written by
+    * [[graft.pipeline.Similarity.ivfPqResWrite]]: the UDF adds the same
+    * per-cell corrections as the batch residual probe (dot(q, cent)
+    * numerator constant; ‖cent‖² + 2·c·cw + ‖cw‖² denominator table) —
+    * parity twin [[graft.pipeline.Similarity.ivfPqResAdcTopK]]. */
   def annAdcStream(queries: DataFrame, index: graft.pipeline.Similarity.IvfPqIndex,
                    k: Int = graft.pipeline.Similarity.DefaultTopK,
                    nprobe: Int = graft.pipeline.Similarity.DefaultNProbe,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   residual: Boolean = false): DataFrame = {
+    import graft.pipeline.Similarity
     val bc = queries.sparkSession.sparkContext.broadcast(index)
-    // codeword norms computed ONCE on the driver and closure-captured —
-    // they depend only on the codebook, not the query
-    val nsq = graft.pipeline.Similarity.pqNsqFlat(index.cb)
+    // per-codeword tables computed ONCE on the driver and
+    // closure-captured — they depend only on the index, not the query.
+    // Raw mode: den = Σ‖cw‖². Residual mode (`residual = true`, an
+    // index written by ivfPqResWrite): den = ‖cent‖² + Σ(2·c·cw+‖cw‖²)
+    // and num gains the per-cell dot(q, cent) constant — the
+    // ivfPqResQuery corrections, same fold order.
+    val nsq =
+      if (residual) Similarity.pqResCorrTable(index.cents, index.cb)
+      else Similarity.pqNsqFlat(index.cb)
+    val cellNsq = if (residual) Similarity.pqResCellNsq(index.cents) else Array.empty[Double]
     val topk = udf { (qid: java.lang.Long, qv: Seq[Double]) =>
       val ix = bc.value
       val mEff = ix.cb.length
@@ -582,26 +597,46 @@ object StreamingOps {
             val cw = ix.cb(j)(k0)
             var dot = 0.0; var d = 0
             while (d < sub) { dot += q(j * sub + d) * cw(d); d += 1 }
-            lut(j * kEff + k0) = graft.pipeline.Similarity.r6d(dot)
+            lut(j * kEff + k0) = Similarity.r6d(dot)
             k0 += 1
           }
           j += 1
         }
+        // residual mode: dot(q, cent) per probed cell, through the LUT's
+        // fixed point (pqResQcTable's loop)
+        val qc: Map[Int, Double] =
+          if (!residual) Map.empty
+          else probed.map { cid =>
+            val c = ix.cents(cid - 1)
+            var dot = 0.0; var d = 0
+            val n = math.min(q.length, c.length)
+            while (d < n) { dot += q(d) * c(d); d += 1 }
+            cid -> Similarity.r6d(dot)
+          }.toMap
         val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
         probed.foreach { cid =>
+          // correction-table base for this cell (residual mode only)
+          val tBase = if (residual) (cid - 1) * mEff * kEff else 0
+          val num0 = if (residual) qc(cid) else 0.0
+          val den0 = if (residual) cellNsq(cid - 1) else 0.0
           ix.lists.getOrElse(cid, Array.empty[(Long, Array[Int])]).foreach {
             case (corpusId, codes) =>
               if (corpusId != qid.longValue) {
                 // codes are 1-based (pqTrain convention); the arrays are
                 // 0-based flat — the batch element_at is 1-based, which
-                // absorbs the same offset
+                // absorbs the same offset. num0/den0 add AFTER the fold,
+                // matching the batch `qc + aggregate(...)` order.
                 var num = 0.0; var den = 0.0; var jj = 0
                 while (jj < mEff) {
                   num += lut(jj * kEff + codes(jj) - 1)
-                  den += nsq(jj * kEff + codes(jj) - 1)
+                  den += nsq(tBase + jj * kEff + codes(jj) - 1)
                   jj += 1
                 }
-                hits += ((corpusId, if (den == 0.0) 0.0 else num / math.sqrt(den)))
+                num = num0 + num; den = den0 + den
+                val adc =
+                  if (if (residual) den <= 0.0 else den == 0.0) 0.0
+                  else num / math.sqrt(den)
+                hits += ((corpusId, adc))
               }
           }
         }
