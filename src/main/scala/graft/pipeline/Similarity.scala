@@ -176,6 +176,43 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** k-NN GRAPH: per corpus vector, its k nearest neighbors — the
+    * all-vectors variant of [[lshTopK]] where the query side IS the
+    * corpus, so NOTHING broadcasts by design: candidates come from a
+    * bucketed SELF-join over multi-table OR-amplified hyperplane
+    * signatures, each pair is scored once (candidates dedupe across
+    * tables before any vector is touched), and the per-vector top-k
+    * runs through WindowGroupLimit partial pruning. The kNN graph is
+    * the standard substrate for graph-based curation — SemDeDup-style
+    * semantic dedup, connectivity analysis — and its (a_id, b_id)
+    * edges feed [[graft.pipeline.Dedup.components]] directly.
+    *
+    * Scale shape: candidates never leave their (tbl, sig) bucket;
+    * `planes <= 0` derives the bucket count from the corpus size
+    * (planesForCorpus) so per-bucket — and therefore per-vector —
+    * candidate counts stay bounded as N grows. `dim > 0` drops
+    * wrong-dimension vectors up front (the registered query pins it so
+    * the oracle's len(v) guard is mirrored exactly). */
+  def knnGraph(corpus: DataFrame, k: Int = 3, planes: Int = 0, tables: Int = 4,
+               dim: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = if (planes > 0) planes else planesForCorpus(corpus.count())
+    val base = corpus.where(col(vecCol).isNotNull)
+    val withDim = if (dim > 0) base.where(size(col(vecCol)) === dim) else base
+    val sigs = withDim.select(col(idCol), posexplode(lshSignatures(col(vecCol), p, tables))
+      .as(Seq("tbl", "sig")))
+    val a = sigs.select(col(idCol).as("a_id"), col("tbl"), col("sig"))
+    val b = sigs.select(col(idCol).as("b_id"), col("tbl"), col("sig"))
+    val cand = a.join(b, Seq("tbl", "sig"))
+      .where(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val va = withDim.select(col(idCol).as("a_id"), asDouble(col(vecCol)).as("a_v"))
+    val vb = withDim.select(col(idCol).as("b_id"), asDouble(col(vecCol)).as("b_v"))
+    val scored = cand.join(va, "a_id").join(vb, "b_id")
+      .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("cosine"))
+    val w = Window.partitionBy("a_id").orderBy(col("cosine").desc, col("b_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Per-row nearest-centroid id (1-based) against the centroid table:
     * ONE fused native k×dim loop (functions.NearestCentroid) inside the
     * scan projection — no window, no shuffle, no exchange of the corpus,

@@ -628,6 +628,43 @@ object PipelineQueries {
           |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
       }),
 
+    Entry("knn_graph_top3",
+      // the kNN GRAPH: every vector's top-3 neighbors — the all-vectors
+      // op (SemDeDup-substrate) where the query side IS the corpus, so
+      // candidates come from a bucketed SELF-join (4 hyperplane tables,
+      // OR-amplified), deduped across tables before any vector is
+      // scored, per-vector top-k via WindowGroupLimit. planes pinned to
+      // 6 here so the oracle replays the exact signatures; the library
+      // default derives planes from corpus size (planesForCorpus)
+      (spark, dir) => {
+        Similarity.knnGraph(Tables.embeddings(spark, dir), k = 3, planes = 6,
+            tables = 4, dim = EmbDim)
+          .select(col("a_id"), col("b_id"), r6(col("cosine")).as("cosine"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("a_id", "rank")
+      },
+      Some {
+        val tblRows = (0 until 4).map(t =>
+          s"SELECT vec_id, $t AS tbl, CASE WHEN len(v) = $EmbDim THEN ${sigSql(t, 6)} END AS sig FROM emb")
+          .mkString(" UNION ALL ")
+        s"""WITH $embCte, sigs AS ($tblRows),
+          |cand AS (
+          |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+          |  WHERE a.vec_id != b.vec_id
+          |), s AS (
+          |  SELECT cand.a_id, cand.b_id, list_cosine_similarity(ea.v, eb.v) AS cos
+          |  FROM cand JOIN emb ea ON ea.vec_id = cand.a_id
+          |            JOIN emb eb ON eb.vec_id = cand.b_id
+          |), r AS (
+          |  SELECT a_id, b_id, cos,
+          |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rnk
+          |  FROM s
+          |)
+          |SELECT a_id, b_id, round(cos, 6) + 0.0 AS cosine, CAST(rnk AS INTEGER) AS rank
+          |FROM r WHERE rnk <= 3 ORDER BY a_id, rank""".stripMargin
+      }),
+
     // Build-once/probe-many: the first IVF query in a JVM builds the
     // portable index and persists it partitionBy(cid) (Similarity.ivfWrite);
     // every later call — including the second registered entry below —

@@ -844,6 +844,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("corpus_id", "codes", "cid"), "lists must store codes, not raw vectors")
   }
 
+  test("knnGraph equals lshTopK with the corpus as the query side") {
+    import org.apache.spark.sql.functions.col
+    // same candidate construction (collide in ANY table), same scoring,
+    // same ties — only the plan shape differs (self-join vs broadcast
+    // query batch), so the results must be identical row for row
+    val vecs = (0L until 60L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 17 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getAs[Number](3).intValue) ->
+        (r.getLong(1), math.round(r.getAs[Double]("cosine") * 1e9))
+    val graph = Similarity.knnGraph(df, k = 3, planes = 4, tables = 8)
+      .select("a_id", "b_id", "cosine", "rank").collect().map(key(_)).toMap
+    val lsh = Similarity.lshTopK(df, df, k = 3, planes = 4, tables = 8)
+      .select("query_id", "corpus_id", "cosine", "rank").collect().map(key(_)).toMap
+    assert(graph == lsh, "knnGraph must equal the broadcast-query LSH top-k")
+    assert(graph.nonEmpty && graph.keys.map(_._1).toSet.size > 30,
+      "most vectors should have neighbors at 8 OR-amplified tables")
+  }
+
   test("ivfPqResQuery: full coverage equals brute force (residual corrections cancel at the re-rank)") {
     import org.apache.spark.sql.functions.col
     // same argument as the raw fused test: probing every cell + a
