@@ -113,6 +113,48 @@ object ScaleBench {
       "remove_spans_singleton_auto" -> ((spark: SparkSession, dir: String) =>
         graft.pipeline.Dedup.removeFrequentSpans(
           singletonDocs(spark, dir), minDocs = 5)),
+      // the kNN graph with the library's corpus-size-derived plane count
+      // (the registered gate pins planes=6 for oracle replay — at ×1000's
+      // 2M vectors that would be 31k-vector buckets and a quadratic pair
+      // blow-up; THIS leg measures the auto derivation the library
+      // actually ships: target bucket 64·k, planes grow with N)
+      "knn_graph_auto" -> ((spark: SparkSession, dir: String) =>
+        graft.pipeline.Similarity.knnGraph(
+          Tables.embeddings(spark, dir), k = 3, tables = 4, dim = 64)),
+      // the tight-bucket leg: scored pairs are Θ(n·bucket·tables), so
+      // the bucket target is the pair-volume lever — 16 planes at ×1000
+      // (2M vectors) is ~31-vector buckets, ~6× fewer pairs than the
+      // auto 192-target; the recall price of smaller buckets is the
+      // documented LSH trade (the gate-pinned leg measures recall at
+      // gate SFs, this leg prices the decade where pair volume rules)
+      "knn_graph_tight" -> ((spark: SparkSession, dir: String) =>
+        graft.pipeline.Similarity.knnGraph(
+          Tables.embeddings(spark, dir), k = 3, planes = 16, tables = 4, dim = 64)),
+      // the dup-heavy-corpus posture: the ×N replica's embeddings are
+      // jittered COPIES, so ~N near-identical vectors share every bucket
+      // at any plane count and kNN pair volume goes quadratic in the
+      // duplicate mass (both legs above die on disk at ×1000). The fix
+      // is the r12 collapse discipline: linear star edges at cosine ≥
+      // 0.999 → connected components → the kNN graph over class
+      // REPRESENTATIVES only (duplicate classes contribute one node,
+      // not N² pairs)
+      "knn_graph_collapsed" -> ((spark: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(spark, dir)
+        // planes = 16 (65k buckets), NOT the near-dup default (512): the
+        // star has ONE hub per bucket, so a bucket holding several
+        // duplicate classes collapses only the hub's own class — the
+        // first ×1000 run of this leg measured exactly that (reps stayed
+        // ~corpus-sized and the kNN stage died on disk like the direct
+        // legs). At 65k buckets ≫ ~2k classes each bucket isolates one
+        // class and the whole class hub-links at cosine ≈ 1
+        val pairs = graft.pipeline.Similarity.cosineNearDupStar(emb, planes = 16)
+          .where(col("cosine") >= 0.999)
+        val comp = graft.pipeline.Dedup.components(
+          pairs, emb.select(col("vec_id")), idCol = "vec_id")
+        val reps = emb.join(
+          comp.where(col("vec_id") === col("cluster_id")).select("vec_id"), "vec_id")
+        graft.pipeline.Similarity.knnGraph(reps, k = 3, tables = 4, dim = 64)
+      }),
       // dedup_clusters_star with the CC driver-finish bound raised
       // 1<<20 → 1<<23 (~8M super-edges ≈ 128-256 MB collected): the
       // round-12 ×1000 audit found the star path's super-linear step is

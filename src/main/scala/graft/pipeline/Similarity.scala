@@ -190,25 +190,42 @@ object Similarity {
     * Scale shape: candidates never leave their (tbl, sig) bucket;
     * `planes <= 0` derives the bucket count from the corpus size
     * (planesForCorpus) so per-bucket — and therefore per-vector —
-    * candidate counts stay bounded as N grows. `dim > 0` drops
-    * wrong-dimension vectors up front (the registered query pins it so
-    * the oracle's len(v) guard is mirrored exactly). */
+    * candidate counts stay bounded as N grows — and the kNN target
+    * bucket is 64·k, NOT cosineNearDup's 4096: a top-k query needs a
+    * few hundred candidates per vector, and total scored pairs are
+    * Θ(n·bucket·tables), so the bucket size IS the scale knob (4096
+    * would cost 20× the pairs for no recall a 192-bucket misses at
+    * k=3). `dim > 0` drops wrong-dimension vectors up front (the
+    * registered query pins it so the oracle's len(v) guard is mirrored
+    * exactly). */
   def knnGraph(corpus: DataFrame, k: Int = 3, planes: Int = 0, tables: Int = 4,
                dim: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val p = if (planes > 0) planes else planesForCorpus(corpus.count())
+    val p = if (planes > 0) planes
+            else planesForCorpus(corpus.count(), 64L * math.max(k, 1))
     val base = corpus.where(col(vecCol).isNotNull)
     val withDim = if (dim > 0) base.where(size(col(vecCol)) === dim) else base
-    val sigs = withDim.select(col(idCol), posexplode(lshSignatures(col(vecCol), p, tables))
-      .as(Seq("tbl", "sig")))
-    val a = sigs.select(col(idCol).as("a_id"), col("tbl"), col("sig"))
-    val b = sigs.select(col(idCol).as("b_id"), col("tbl"), col("sig"))
-    val cand = a.join(b, Seq("tbl", "sig"))
+    // vectors RIDE the bucket join (one sigs-sized exchange per side,
+    // reused), and table-dedup happens AFTER scoring via a cheap
+    // (a, b)-keyed max: a pair colliding in t of the 4 tables is scored
+    // t times (≤ tables× extra fused-loop compute on identical inputs)
+    // instead of carrying a dim-sized vector across two PAIR-scale join
+    // shuffles — at ×100 this plan shuffles 5× less and runs 4× faster
+    // than dedupe-first (BASELINE.md r14); the max over bit-identical
+    // cosines is deterministic
+    val sigs = withDim.select(col(idCol), asDouble(col(vecCol)).as("v"),
+      posexplode(lshSignatures(col(vecCol), p, tables)).as(Seq("tbl", "sig")))
+    val a = sigs.toDF("a_id", "a_v", "tbl", "sig")
+    val b = sigs.toDF("b_id", "b_v", "tbl", "sig")
+    // ONE pair-scale exchange serves both tails: hash(a_id) satisfies
+    // the (a_id, b_id) dedup aggregate's clustering AND the a_id window
+    // — without the explicit repartition, the aggregate exchanges on
+    // (a_id, b_id) and the window re-exchanges the whole deduped frame
+    // on a_id
+    val scored = a.join(b, Seq("tbl", "sig"))
       .where(col("a_id") =!= col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val va = withDim.select(col(idCol).as("a_id"), asDouble(col(vecCol)).as("a_v"))
-    val vb = withDim.select(col(idCol).as("b_id"), asDouble(col(vecCol)).as("b_v"))
-    val scored = cand.join(va, "a_id").join(vb, "b_id")
       .select(col("a_id"), col("b_id"), cosine(col("a_v"), col("b_v")).as("cosine"))
+      .repartition(col("a_id"))
+      .groupBy("a_id", "b_id").agg(max("cosine").as("cosine"))
     val w = Window.partitionBy("a_id").orderBy(col("cosine").desc, col("b_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
