@@ -266,7 +266,11 @@ object Dedup {
     if (maxBroadcastIds >= 0) maxBroadcastIds
     else spark.conf.getOption("spark.graft.cc.maxBroadcastIds") match {
       case Some(v) => v.trim.toLong
-      case None if spark.sparkContext.master.startsWith("local") =>
+      // "local" / "local[...]" ONLY: local-cluster[...] runs executors
+      // in their OWN small JVMs, where the driver-heap calibration would
+      // be exactly the miscalibration this resolution exists to avoid
+      case None if spark.sparkContext.master == "local" ||
+                   spark.sparkContext.master.startsWith("local[") =>
         Runtime.getRuntime.maxMemory / 3200
       case None =>
         spark.conf.getOption("spark.executor.memory") match {

@@ -273,7 +273,11 @@ object Similarity {
     // — cache it so parquet is read once, not per action. Storage-level
     // guarded: a re-entrant build over the same corpus would otherwise
     // re-cache an identical plan and draw the CacheManager warning.
-    val cPlan = corpus.select(seedHash.as("h"), col(idCol).cast("long").as("sid"),
+    // Null vectors never seed (a null in the first numCentroids hash
+    // ranks would put a null centroid under NearestCentroid); the
+    // oracle's seed CTE carries the same v IS NOT NULL guard.
+    val cPlan = corpus.where(col(vecCol).isNotNull)
+      .select(seedHash.as("h"), col(idCol).cast("long").as("sid"),
       asDouble(col(vecCol)).as("v"))
     val cWasCached = cPlan.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val c = if (cWasCached) cPlan else cPlan.cache()
@@ -472,8 +476,12 @@ object Similarity {
     val seedHash =
       (lit(graft.functions.TextHashes.polyA(PqHashSeed)) * pmod(col(idCol).cast("long"), lit(P)) +
         lit(graft.functions.TextHashes.polyB(PqHashSeed))) % lit(P)
-    val cPlan = corpus.select(seedHash.as("h"), col(idCol).cast("long").as("sid"),
-      asDouble(col(vecCol)).as("v"))
+    // null vectors never seed (the oracle's psd carries the same
+    // v IS NOT NULL guard); a WRONG-dimension seed fails fast below
+    // instead of silently mis-dimensioning every codebook
+    val cPlan = corpus.where(col(vecCol).isNotNull)
+      .select(seedHash.as("h"), col(idCol).cast("long").as("sid"),
+        asDouble(col(vecCol)).as("v"))
     val cWasCached = cPlan.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val c = if (cWasCached) cPlan else cPlan.cache()
     try {
@@ -481,6 +489,9 @@ object Similarity {
         .collect().map(_.getSeq[Double](2).toArray))
       require(seeds.nonEmpty, "pqTrain: corpus is empty — nothing to seed codebooks from")
       val dim = seeds(0).length
+      require(seeds.forall(_.length == dim),
+        s"pqTrain: seed vectors disagree on dimension (${seeds.map(_.length).distinct.toList}) — " +
+          "filter the corpus to one embedding dimension before training")
       require(m > 0 && dim % m == 0, s"pqTrain: dim $dim must be divisible by m=$m")
       val sub = dim / m
       var cb: Array[Array[Array[Double]]] =
@@ -726,15 +737,7 @@ object Similarity {
                     nprobe: Int = DefaultNProbe, shortlist: Int = DefaultPqShortlist,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (scored, qDf) = ivfPqResScored(spark, path, queries, nprobe, idCol, vecCol)
-    val sw = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id").asc)
-    val cand = scored.withColumn("srn", row_number().over(sw))
-      .where(col("srn") <= shortlist).select("query_id", "corpus_id")
-    val cv = corpus.select(col(idCol).cast("long").as("corpus_id"), asDouble(col(vecCol)).as("c_vec"))
-    val ex = cv.join(broadcast(cand), "corpus_id")
-      .join(broadcast(qDf.select(col("query_id"), col("q_vec"))), "query_id")
-      .select(col("query_id"), col("corpus_id"), cosine(col("q_vec"), col("c_vec")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id").asc)
-    ex.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    exactRerank(scored, qDf, corpus, k, shortlist, idCol, vecCol)
   }
 
   /** The ADC-rank half of [[ivfPqResQuery]] without the exact re-rank —
@@ -797,28 +800,19 @@ object Similarity {
   private def ivfPqResScored(spark: org.apache.spark.sql.SparkSession, path: String,
                              queries: DataFrame, nprobe: Int,
                              idCol: String, vecCol: String): (DataFrame, DataFrame) = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val cents = centroids.collect()
+    val cents = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
     val cb = readPqCodebook(spark, s"$path/codebook")
     val mEff = cb.length
     val kEff = cb(0).length
     val qDf = pqLutDf(spark, queries, cb, idCol, vecCol)
     import spark.implicits._
+    // qDf is a driver-local frame (pqLutDf builds it from collected
+    // rows), so this collect is a local copy, not a Spark job
     val qRows = qDf.select("query_id", "q_vec").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val qcDf = pqResQcTable(qRows, cents).toDF("query_id", "cid", "qc")
-    val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
-    val probes = qDf.select("query_id", "q_vec").crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("q_vec"), col("centroid")))
-      .withColumn("pr", row_number().over(probeW))
-      .where(col("pr") <= nprobe)
-      .select("query_id", "cid")
-    val withQ = spark.read.parquet(s"$path/lists")
-      .join(broadcast(probes), "cid")
-      .join(broadcast(qDf.select("query_id", "lut")), "query_id")
-      .join(broadcast(qcDf), Seq("query_id", "cid"))
-      .where(col("corpus_id") =!= col("query_id"))
+    val withQ = ivfPqPrunedCodes(spark, path, qDf, nprobe, extraQc = Some(qcDf))
     val subspaceIdx = sequence(lit(0), lit(mEff - 1))
     val tCol = typedLit(pqResCorrTable(cents, cb).toSeq)
     val cnsqCol = typedLit(pqResCellNsq(cents).toSeq)
@@ -852,21 +846,32 @@ object Similarity {
       k, shortlist, idCol, vecCol)
   }
 
-  /** The cid-pruned, query-joined codes frame both fused-probe variants
-    * scan: nprobe nearest centroids per query (broadcast centroid table),
-    * then the partitioned lists joined down to probed cells only. */
-  private def ivfPqPrunedCodes(spark: org.apache.spark.sql.SparkSession, path: String,
-                               qDf: DataFrame, nprobe: Int): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+  /** nprobe nearest centroids per query — ONE definition of the coarse
+    * probe selection (argmax cosine, ties to the lowest cid) shared by
+    * the raw and residual fused probes. */
+  private def ivfPqProbes(centroids: DataFrame, qDf: DataFrame, nprobe: Int): DataFrame = {
     val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid").asc)
-    val probes = qDf.select("query_id", "q_vec").crossJoin(broadcast(centroids))
+    qDf.select("query_id", "q_vec").crossJoin(broadcast(centroids))
       .withColumn("csim", cosine(col("q_vec"), col("centroid")))
       .withColumn("pr", row_number().over(probeW))
       .where(col("pr") <= nprobe)
       .select("query_id", "cid")
-    spark.read.parquet(s"$path/lists")
+  }
+
+  /** The cid-pruned, query-joined codes frame both fused-probe variants
+    * scan: nprobe nearest centroids per query (broadcast centroid table),
+    * then the partitioned lists joined down to probed cells only.
+    * `extraQc` (residual mode) rides one more (query_id, cid)-keyed
+    * broadcast join — the per-cell dot(q, cent) constants. */
+  private def ivfPqPrunedCodes(spark: org.apache.spark.sql.SparkSession, path: String,
+                               qDf: DataFrame, nprobe: Int,
+                               extraQc: Option[DataFrame] = None): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probes = ivfPqProbes(centroids, qDf, nprobe)
+    val base = spark.read.parquet(s"$path/lists")
       .join(broadcast(probes), "cid")
       .join(broadcast(qDf.select("query_id", "lut")), "query_id")
+    extraQc.fold(base)(qc => base.join(broadcast(qc), Seq("query_id", "cid")))
       .where(col("corpus_id") =!= col("query_id"))
   }
 
@@ -940,9 +945,14 @@ object Similarity {
     val kEff = cb(0).length
     val sub = cb(0)(0).length
     require(cb.forall(_.length == kEff), "pqLutDf: ragged codebook")
+    // null / wrong-dimension query vectors emit no rows — the same
+    // contract the streaming probe documents (a crash here would take
+    // the whole batch down for one malformed query row)
     val qRows = queries
       .select(col(idCol).cast("long"), asDouble(col(vecCol))).collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .filter(_._2.length == mEff * sub)
     val lutRows = qRows.map { case (qid, qv) =>
       val lut = new Array[Double](mEff * kEff)
       var j = 0
@@ -969,8 +979,15 @@ object Similarity {
     * oracle's left-associated chains bit-for-bit. */
   private def pqAdcTail(withQ: DataFrame, qDf: DataFrame, corpus: DataFrame,
                         cb: Array[Array[Array[Double]]], k: Int,
-                        shortlist: Int, idCol: String, vecCol: String): DataFrame = {
-    val scored = pqAdcScores(withQ, cb)
+                        shortlist: Int, idCol: String, vecCol: String): DataFrame =
+    exactRerank(pqAdcScores(withQ, cb), qDf, corpus, k, shortlist, idCol, vecCol)
+
+  /** shortlist-by-adc → exact-cosine re-rank — ONE definition of the
+    * two-window tail shared by every quantized probe (flat, fused,
+    * residual): candidates and the query batch ride broadcasts, the
+    * corpus contributes only the candidates' vectors. */
+  private def exactRerank(scored: DataFrame, qDf: DataFrame, corpus: DataFrame,
+                          k: Int, shortlist: Int, idCol: String, vecCol: String): DataFrame = {
     val sw = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id").asc)
     val cand = scored.withColumn("srn", row_number().over(sw))
       .where(col("srn") <= shortlist).select("query_id", "corpus_id")

@@ -35,6 +35,7 @@ object IvfSql {
     s"""samp AS (
       |  SELECT vec_id, v FROM emb
       |  WHERE ((${polyA(8192L)} * (vec_id % $P) + ${polyB(8192L)}) % $P) % $SampleMod = 0
+      |    AND v IS NOT NULL
       |)""".stripMargin
 
   /** cents0: portable-hash-ordered seed of K raw corpus vectors — replays
@@ -45,7 +46,7 @@ object IvfSql {
       |  FROM (
       |    SELECT (${polyA(8192L)} * (vec_id % $P) + ${polyB(8192L)}) % $P AS h,
       |           vec_id AS sid, v
-      |    FROM emb ORDER BY h, sid LIMIT $K
+      |    FROM emb WHERE v IS NOT NULL ORDER BY h, sid LIMIT $K
       |  )
       |)""".stripMargin
 

@@ -332,16 +332,20 @@ object PipelineQueries {
     * the loss is MEASURED inside the gate at every SF, never assumed.
     * Missing queries (zero overlap) surface as 0.0, not absent rows. */
   private def annRecall(spark: SparkSession, dir: String, approx: DataFrame): DataFrame = {
+    // k comes from the SAME constant the probes and the SQL oracles
+    // compile from (the shared-not-hand-copied discipline): a DefaultTopK
+    // change re-derives this gate and its oracle together
+    val k = Similarity.DefaultTopK
     val emb = Tables.embeddings(spark, dir)
     val q = emb.where(col("vec_id") < 10)
-    val bf = Similarity.bruteForceTopK(emb, q, k = 5)
+    val bf = Similarity.bruteForceTopK(emb, q, k = k)
       .select(col("query_id"), col("corpus_id"))
     val hits = approx.select(col("query_id"), col("corpus_id"))
       .join(bf, Seq("query_id", "corpus_id"))
       .groupBy("query_id").agg(count(lit(1)).as("__h"))
     q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
-        (coalesce(col("__h"), lit(0L)) / lit(5.0)).as("recall_at_k"))
+        (coalesce(col("__h"), lit(0L)) / lit(k.toDouble)).as("recall_at_k"))
       .orderBy("query_id")
   }
 

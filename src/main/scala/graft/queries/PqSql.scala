@@ -94,7 +94,7 @@ object PqSql {
     s"""psd AS (
       |  SELECT row_number() OVER (ORDER BY h, sid) AS k, v FROM (
       |    SELECT $hashExpr AS h, vec_id AS sid, v
-      |    FROM $src ORDER BY h, sid LIMIT $K
+      |    FROM $src WHERE v IS NOT NULL ORDER BY h, sid LIMIT $K
       |  )
       |),
       |pcb0 AS (

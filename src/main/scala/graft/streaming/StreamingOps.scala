@@ -550,7 +550,12 @@ object StreamingOps {
     * [[graft.pipeline.Similarity.ivfPqResWrite]]: the UDF adds the same
     * per-cell corrections as the batch residual probe (dot(q, cent)
     * numerator constant; ‖cent‖² + 2·c·cw + ‖cw‖² denominator table) —
-    * parity twin [[graft.pipeline.Similarity.ivfPqResAdcTopK]]. */
+    * parity twin [[graft.pipeline.Similarity.ivfPqResAdcTopK]].
+    *
+    * Lifecycle: each CALL broadcasts the index once (the per-stream
+    * cost, reclaimed by the ContextCleaner when the stream stops and
+    * the reference drops) — build ONE stream per index and reuse it
+    * across micro-batches rather than re-invoking per batch. */
   def annAdcStream(queries: DataFrame, index: graft.pipeline.Similarity.IvfPqIndex,
                    k: Int = graft.pipeline.Similarity.DefaultTopK,
                    nprobe: Int = graft.pipeline.Similarity.DefaultNProbe,
