@@ -180,8 +180,11 @@ object Similarity {
     * all-vectors variant of [[lshTopK]] where the query side IS the
     * corpus, so NOTHING broadcasts by design: candidates come from a
     * bucketed SELF-join over multi-table OR-amplified hyperplane
-    * signatures, each pair is scored once (candidates dedupe across
-    * tables before any vector is touched), and the per-vector top-k
+    * signatures, a pair colliding in t tables is scored t times and
+    * deduped AFTER scoring by a cheap (a_id, b_id)-keyed max (scoring
+    * is a fused loop on in-bucket data; deduping first would carry a
+    * dim-sized vector across two pair-scale shuffles — see the inline
+    * plan note), and the per-vector top-k
     * runs through WindowGroupLimit partial pruning. The kNN graph is
     * the standard substrate for graph-based curation — SemDeDup-style
     * semantic dedup, connectivity analysis — and its (a_id, b_id)
@@ -197,13 +200,19 @@ object Similarity {
     * would cost 20× the pairs for no recall a 192-bucket misses at
     * k=3). `dim > 0` drops wrong-dimension vectors up front (the
     * registered query pins it so the oracle's len(v) guard is mirrored
-    * exactly). */
+    * exactly). `corpusSize > 0` is the caller-known valid-vector count
+    * — it skips the one count() action the auto plane derivation
+    * otherwise spends (the count runs over the null/dim-FILTERED frame,
+    * so malformed rows never inflate the bucket math). */
   def knnGraph(corpus: DataFrame, k: Int = 3, planes: Int = 0, tables: Int = 4,
-               dim: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val p = if (planes > 0) planes
-            else planesForCorpus(corpus.count(), 64L * math.max(k, 1))
+               dim: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding",
+               corpusSize: Long = 0L): DataFrame = {
     val base = corpus.where(col(vecCol).isNotNull)
     val withDim = if (dim > 0) base.where(size(col(vecCol)) === dim) else base
+    val p = if (planes > 0) planes
+            else planesForCorpus(
+              if (corpusSize > 0) corpusSize else withDim.count(),
+              64L * math.max(k, 1))
     // vectors RIDE the bucket join (one sigs-sized exchange per side,
     // reused), and table-dedup happens AFTER scoring via a cheap
     // (a, b)-keyed max: a pair colliding in t of the 4 tables is scored
@@ -228,6 +237,101 @@ object Similarity {
       .groupBy("a_id", "b_id").agg(max("cosine").as("cosine"))
     val w = Window.partitionBy("a_id").orderBy(col("cosine").desc, col("b_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Default bucket target for the collapse star's plane derivation:
+    * the star has ONE hub per bucket, so a bucket holding several
+    * duplicate classes collapses only the hub's own class — buckets
+    * must be ≈ class-sized, not cosineNearDup's 4096 (the first ×1000
+    * run with the near-dup default measured exactly that failure:
+    * reps stayed ~corpus-sized and the graph stage died on disk). */
+  val DefaultCollapseBucket: Long = 32L
+
+  /** Dup-robust kNN graph: collapse near-identical duplicate classes
+    * FIRST, then build the graph over class representatives only.
+    *
+    * [[knnGraph]]'s within-bucket pair volume is quadratic in duplicate
+    * mass at ANY plane count — N jittered copies of one document share
+    * every bucket and contribute N² scored pairs, so on a dup-heavy
+    * corpus (every real crawl corpus) the direct op dies on shuffle
+    * spill as the corpus grows (measured: both direct legs die on
+    * >75 GB of spill at ×1000 while this composition completes —
+    * BASELINE.md r14). The composition keeps every stage linear:
+    * [[cosineNearDupStar]] emits hub↔member edges (linear in bucket
+    * size), `cosine ≥ collapseThreshold` gates them — on the ROUNDED
+    * (6 dp) cosine, the cross-engine boundary convention, so an oracle
+    * replays the gate identically — [[Dedup.components]] clusters the
+    * classes, and the graph runs over one representative per class
+    * (duplicate classes contribute one node, not N² pairs).
+    *
+    * `attachMembers = true` re-attaches every class member to its
+    * representative's neighbor list (a_id := member id, neighbors stay
+    * representatives) — the SemDeDup-style per-document view; the
+    * within-class neighbors the collapse hides ARE near-identical
+    * duplicates, which is the point of collapsing them. The quality
+    * trade (representative-level vs direct neighbors) is measured, not
+    * assumed: the `knn_collapsed_recall` gate prices the edge overlap
+    * at every gated SF.
+    *
+    * `collapsePlanes <= 0` derives the star's bucket count from the
+    * corpus size at [[DefaultCollapseBucket]]-sized buckets (see its
+    * note — collapse buckets must be ≈ class-sized); `planes <= 0`
+    * derives the graph stage's own bucket count from the REPRESENTATIVE
+    * count, which is the honest post-collapse corpus size. */
+  def knnGraphCollapsed(corpus: DataFrame, k: Int = 3, planes: Int = 0, tables: Int = 4,
+                        dim: Int = 0, collapseThreshold: Double = 0.999,
+                        collapsePlanes: Int = 0, attachMembers: Boolean = false,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = corpus.where(col(vecCol).isNotNull)
+    val valid = if (dim > 0) base.where(size(col(vecCol)) === dim) else base
+    val cp = if (collapsePlanes > 0) collapsePlanes
+             else planesForCorpus(valid.count(), DefaultCollapseBucket)
+    val edges = cosineNearDupStar(valid, planes = cp, idCol = idCol, vecCol = vecCol)
+      .where(round(col("cosine"), 6) >= collapseThreshold)
+    val comp = Dedup.components(edges, valid.select(col(idCol)), idCol = idCol)
+    val reps = valid.join(
+      comp.where(col(idCol) === col("cluster_id")).select(col(idCol)), Seq(idCol))
+    val graph = knnGraph(reps, k, planes, tables, dim = 0, idCol = idCol, vecCol = vecCol)
+    if (!attachMembers) graph
+    else comp.select(col(idCol), col("cluster_id"))
+      .join(graph.withColumnRenamed("a_id", "cluster_id"), Seq("cluster_id"))
+      .select(col(idCol).as("a_id"), col("b_id"), col("cosine"), col("rank"))
+  }
+
+  /** Regime-dispatched kNN graph (the [[Dedup.verifiedPairsAuto]]
+    * candidate-mass-probe precedent): MEASURE the direct plan's scored
+    * -pair volume — Σ over (table, signature) buckets of size·(size−1),
+    * one linear aggregation over the signature frame — and route to
+    * [[knnGraph]] when it sits within `pairFactor`× the uniform-corpus
+    * expectation (n · n/2^planes · tables — what the SAME plane count
+    * costs when no bucket is duplicate-inflated), to [[knnGraphCollapsed]]
+    * when duplicate mass has blown it past that. The probe reuses the
+    * exact signatures the direct plan would bucket on, so the verdict
+    * measures the plan that would run, not a proxy. Probe sums in
+    * DOUBLE: on a dup-heavy corpus the pair count is quadratic in class
+    * size and a 64-bit sum could overflow at the scales this dispatch
+    * exists for. */
+  def knnGraphAuto(corpus: DataFrame, k: Int = 3, planes: Int = 0, tables: Int = 4,
+                   dim: Int = 0, collapseThreshold: Double = 0.999,
+                   collapsePlanes: Int = 0, attachMembers: Boolean = false,
+                   pairFactor: Double = 4.0,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = corpus.where(col(vecCol).isNotNull)
+    val valid = if (dim > 0) base.where(size(col(vecCol)) === dim) else base
+    val bucketTarget = 64L * math.max(k, 1)
+    val n = valid.count()
+    val p = if (planes > 0) planes else planesForCorpus(n, bucketTarget)
+    val mass = valid
+      .select(posexplode(lshSignatures(col(vecCol), p, tables)).as(Seq("tbl", "sig")))
+      .groupBy("tbl", "sig").agg(count(lit(1)).cast("double").as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0.0)).as("m"))
+      .head.getDouble(0)
+    val budget = n.toDouble * (n.toDouble / (1L << p)) * tables * pairFactor
+    if (mass <= budget)
+      knnGraph(valid, k, p, tables, dim = 0, idCol = idCol, vecCol = vecCol, corpusSize = n)
+    else
+      knnGraphCollapsed(valid, k, p, tables, dim = 0, collapseThreshold,
+        collapsePlanes, attachMembers, idCol, vecCol)
   }
 
   /** Per-row nearest-centroid id (1-based) against the centroid table:
@@ -652,6 +756,7 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
     (for (j <- cb.indices; k0 <- cb(j).indices) yield (j, k0 + 1, cb(j)(k0).toSeq))
       .toDF("j", "k", "c").write.mode("overwrite").parquet(s"$path/codebook")
+    writeIndexMeta(spark, path, residual = false)
     // ONE scan emits both the list assignment and the codes; wrong-dim
     // vectors encode null and drop (PqSql's len(v) guard). repartition
     // co-locates each list before the partitioned write (the ivfWrite
@@ -702,6 +807,7 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
     (for (j <- cb.indices; k0 <- cb(j).indices) yield (j, k0 + 1, cb(j)(k0).toSeq))
       .toDF("j", "k", "c").write.mode("overwrite").parquet(s"$path/codebook")
+    writeIndexMeta(spark, path, residual = true)
     val codes = resid.select(col(idCol).cast("long").as("corpus_id"), col("cid"),
         graft.functions.PqEncode.pqEncode(col("resid"), cb).as("codes"))
       .where(col("codes").isNotNull)
@@ -902,23 +1008,68 @@ object Similarity {
     * a statement about codes, not floats. */
   final case class IvfPqIndex(cents: Array[Array[Double]],
                               cb: Array[Array[Array[Double]]],
-                              lists: Map[Int, Array[(Long, Array[Int])]])
+                              lists: Map[Int, Array[(Long, Array[Int])]],
+                              residual: Option[Boolean] = None)
       extends Serializable
 
-  /** Load a persisted IVF-PQ index ([[ivfPqWrite]] layout) into an
-    * [[IvfPqIndex]]. Cell lists sort by id so downstream iteration is
-    * deterministic regardless of parquet row order. */
-  def loadIvfPq(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+  /** One-row `meta` parquet recording HOW the codes were produced
+    * (raw vectors vs residuals v − cent[cid]): the two encodings share
+    * a layout but demand different ADC denominators, so a probe that
+    * guesses wrong returns silently wrong scores — the marker lets
+    * [[loadIvfPq]]/[[graft.streaming.StreamingOps.annAdcStream]]
+    * validate instead. */
+  private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                             path: String, residual: Boolean): Unit = {
+    import spark.implicits._
+    Seq(residual).toDF("residual").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted IVF-PQ index ([[ivfPqWrite]]/[[ivfPqResWrite]]
+    * layout) into an [[IvfPqIndex]]. Cell lists sort by id so downstream
+    * iteration is deterministic regardless of parquet row order. The
+    * encoding-mode marker rides along (None for indexes written before
+    * the marker existed).
+    *
+    * The collect is corpus-proportional (codes ≈2% of raw vectors — the
+    * broadcastable streaming-serving shape), so it is BOUNDED, not
+    * assumed: past `maxRows` (override: `spark.graft.ann.maxIndexRows`)
+    * the load fails fast with the scale-path pointer
+    * ([[graft.streaming.StreamingOps.annAdcStreamJoin]] probes the
+    * cid-partitioned lists where they sit, nothing driver-side). */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                maxRows: Long = -1L): IvfPqIndex = {
+    val listsDf = spark.read.parquet(s"$path/lists")
+      .select(col("cid").cast("int"), col("corpus_id"), col("codes"))
+    val bound =
+      if (maxRows >= 0) maxRows
+      else spark.conf.getOption("spark.graft.ann.maxIndexRows")
+        .map(_.trim.toLong).getOrElse(10_000_000L)
+    val n = listsDf.count()
+    require(n <= bound,
+      s"loadIvfPq: index at $path holds $n code rows > bound $bound — too large to " +
+      "collect/broadcast; probe it in place with StreamingOps.annAdcStreamJoin " +
+      "(stream-static join against the cid-partitioned lists), or raise " +
+      "spark.graft.ann.maxIndexRows / the maxRows argument if the driver has headroom")
     val cents = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
     val cb = readPqCodebook(spark, s"$path/codebook")
-    val lists = spark.read.parquet(s"$path/lists")
-      .select(col("cid").cast("int"), col("corpus_id"), col("codes")).collect()
+    val lists = listsDf.collect()
       .groupBy(_.getInt(0))
       .map { case (cid, rs) =>
         cid -> rs.map(r => (r.getLong(1), r.getSeq[Int](2).toArray)).sortBy(_._1)
       }
-    IvfPqIndex(cents, cb, lists)
+    IvfPqIndex(cents, cb, lists, readIndexMeta(spark, path))
+  }
+
+  /** The encoding-mode marker of a persisted index, if present (indexes
+    * written before the marker existed load as None). */
+  private[graft] def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Option[Boolean] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(s"$path/meta").select("residual").head.getBoolean(0))
+    else None
   }
 
   /** The shared ADC + exact-re-rank tail over an already-encoded corpus

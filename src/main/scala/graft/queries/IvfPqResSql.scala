@@ -46,7 +46,10 @@ object IvfPqResSql {
     s"""qct AS (
       |  SELECT q.vec_id AS query_id, c.cid,
       |    round(${dotFull("q.v", "c.c")}, 6) + 0.0 AS qc
-      |  FROM emb q CROSS JOIN cents${IvfSql.Iters} c WHERE q.vec_id < 10
+      |  -- the q.v guard mirrors pqLutDf's drop-malformed-queries
+      |  -- contract (null / wrong-dimension query vectors emit no rows)
+      |  FROM emb q CROSS JOIN cents${IvfSql.Iters} c
+      |  WHERE q.vec_id < 10 AND q.v IS NOT NULL AND len(q.v) = ${PqSql.Dim}
       |)""".stripMargin
 
   /** ‖cent‖² per cell and the per-(cell, j, k) correction

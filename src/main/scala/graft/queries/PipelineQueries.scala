@@ -173,6 +173,67 @@ object PipelineQueries {
     (0 until planes).map(p =>
       s"(CASE WHEN ${dotChain(t, p)} >= 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
 
+  /** The collapse threshold BOTH knn_graph_collapsed legs pin (Spark arg
+    * and oracle text compile from this one constant). The library
+    * default is 0.999 (collapse near-IDENTICAL classes); the gate corpus
+    * has no true near-dups (max pairwise cosine ≈ 0.6), so the gate pins
+    * a threshold the data can hit — at 0.25 the collapse is non-trivial
+    * at every gated SF (469/500 reps at sf0.001) and every stage of the
+    * composition is exercised. */
+  private val CollapseGateThr = 0.25
+
+  /** Replay CTEs for Similarity.knnGraphCollapsed's composition: star
+    * edges gated at `thr` on the ROUNDED cosine (one 8-plane table, the
+    * cosineNearDupStar construction) → min-label connected components
+    * (`comp`) → representatives (`remb`) → the knn_graph_top3 candidate/
+    * score/rank chain over remb, ending at `cr` (rep-level ranked
+    * edges). Callers append the final projection (and, for the recall
+    * gate, the member-attach join against `comp`). */
+  private def collapsedKnnCtes(thr: Double): String = {
+    val tblRows = (0 until 4).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${sigSql(t, 6)} AS sig FROM remb")
+      .mkString(" UNION ALL ")
+    s"""ssig AS (
+      |  SELECT vec_id, v, ${sigSql(0, 8)} AS sig FROM emb
+      |  WHERE v IS NOT NULL AND len(v) = $EmbDim
+      |),
+      |hub AS (SELECT sig, min(vec_id) AS a_id FROM ssig GROUP BY sig),
+      |sp AS (
+      |  SELECT h.a_id, s.vec_id AS b_id
+      |  FROM ssig s JOIN hub h ON s.sig = h.sig
+      |              JOIN ssig sa ON sa.vec_id = h.a_id
+      |  WHERE s.vec_id != h.a_id
+      |    AND round(list_cosine_similarity(sa.v, s.v), 6) + 0.0 >= $thr
+      |),
+      |sedges AS (SELECT a_id AS src, b_id AS dst FROM sp UNION SELECT b_id, a_id FROM sp),
+      |slab AS (
+      |  SELECT vec_id AS id, vec_id AS label FROM ssig
+      |  UNION
+      |  SELECT e.src AS id, slab.label FROM sedges e JOIN slab ON slab.id = e.dst
+      |),
+      |comp AS (SELECT id AS vec_id, min(label) AS cluster_id FROM slab GROUP BY id),
+      |remb AS (
+      |  SELECT e.vec_id, e.v FROM emb e
+      |  JOIN comp c ON c.vec_id = e.vec_id AND c.cluster_id = e.vec_id
+      |),
+      |csig AS ($tblRows),
+      |ccand AS (
+      |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM csig a JOIN csig b ON a.tbl = b.tbl AND a.sig = b.sig
+      |  WHERE a.vec_id != b.vec_id
+      |),
+      |cs AS (
+      |  SELECT ccand.a_id, ccand.b_id, list_cosine_similarity(ea.v, eb.v) AS cos
+      |  FROM ccand JOIN remb ea ON ea.vec_id = ccand.a_id
+      |             JOIN remb eb ON eb.vec_id = ccand.b_id
+      |),
+      |cr AS (
+      |  SELECT a_id, b_id, cos,
+      |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rnk
+      |  FROM cs
+      |)""".stripMargin
+  }
+
   private val embCte =
     s"emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
@@ -636,10 +697,10 @@ object PipelineQueries {
       // the kNN GRAPH: every vector's top-3 neighbors — the all-vectors
       // op (SemDeDup-substrate) where the query side IS the corpus, so
       // candidates come from a bucketed SELF-join (4 hyperplane tables,
-      // OR-amplified), deduped across tables before any vector is
-      // scored, per-vector top-k via WindowGroupLimit. planes pinned to
-      // 6 here so the oracle replays the exact signatures; the library
-      // default derives planes from corpus size (planesForCorpus)
+      // OR-amplified), scored in-bucket and deduped AFTER scoring by an
+      // (a, b)-keyed max, per-vector top-k via WindowGroupLimit. planes
+      // pinned to 6 here so the oracle replays the exact signatures; the
+      // library default derives planes from corpus size (planesForCorpus)
       (spark, dir) => {
         Similarity.knnGraph(Tables.embeddings(spark, dir), k = 3, planes = 6,
             tables = 4, dim = EmbDim)
@@ -667,6 +728,85 @@ object PipelineQueries {
           |)
           |SELECT a_id, b_id, round(cos, 6) + 0.0 AS cosine, CAST(rnk AS INTEGER) AS rank
           |FROM r WHERE rnk <= 3 ORDER BY a_id, rank""".stripMargin
+      }),
+
+    Entry("knn_graph_collapsed",
+      // the DUP-ROBUST kNN graph (r15 — promoted from the r14 ScaleBench
+      // recipe into Similarity.knnGraphCollapsed): collapse near-identical
+      // duplicate classes first (star edges ≥ thr → connected components),
+      // then build the graph over class REPRESENTATIVES only. On a
+      // dup-heavy corpus the direct op's within-bucket pair volume is
+      // quadratic in duplicate mass at any plane count (both direct legs
+      // die on >75 GB of spill at ×1000 — BASELINE.md r14); every stage
+      // of this composition stays linear. The oracle replays all three
+      // stages end to end. planes/collapsePlanes pinned for the replay;
+      // threshold: see CollapseGateThr.
+      (spark, dir) => {
+        Similarity.knnGraphCollapsed(Tables.embeddings(spark, dir), k = 3,
+            planes = 6, tables = 4, dim = EmbDim,
+            collapseThreshold = CollapseGateThr, collapsePlanes = 8)
+          .select(col("a_id"), col("b_id"), r6(col("cosine")).as("cosine"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("a_id", "rank")
+      },
+      Some(s"""WITH RECURSIVE $embCte,
+        |${collapsedKnnCtes(CollapseGateThr)}
+        |SELECT a_id, b_id, round(cos, 6) + 0.0 AS cosine, CAST(rnk AS INTEGER) AS rank
+        |FROM cr WHERE rnk <= 3 ORDER BY a_id, rank""".stripMargin)),
+
+    Entry("knn_collapsed_recall",
+      // the collapsed graph's quality loss, MEASURED in the gate (the
+      // dedup_star_recall discipline — never assume, price it at every
+      // gated SF): members inherit their representative's neighbor list
+      // (attachMembers = true), and the per-vector edge overlap with the
+      // direct graph is emitted as edge_recall alongside the raw edge
+      // counts. The oracle re-derives BOTH graphs.
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val direct = Similarity.knnGraph(emb, k = 3, planes = 6, tables = 4,
+            dim = EmbDim)
+          .select(col("a_id"), col("b_id"))
+        val coll = Similarity.knnGraphCollapsed(emb, k = 3, planes = 6, tables = 4,
+            dim = EmbDim, collapseThreshold = CollapseGateThr, collapsePlanes = 8,
+            attachMembers = true)
+          .select(col("a_id"), col("b_id"))
+        direct.agg(count(lit(1)).as("edges_direct"))
+          .crossJoin(coll.agg(count(lit(1)).as("edges_collapsed")))
+          .crossJoin(direct.join(coll, Seq("a_id", "b_id"))
+            .agg(count(lit(1)).as("edges_both")))
+          .select(col("edges_direct"), col("edges_collapsed"), col("edges_both"),
+            r6(col("edges_both") / col("edges_direct")).as("edge_recall"))
+      },
+      Some {
+        val tblRows = (0 until 4).map(t =>
+          s"SELECT vec_id, $t AS tbl, CASE WHEN len(v) = $EmbDim THEN ${sigSql(t, 6)} END AS sig FROM emb")
+          .mkString(" UNION ALL ")
+        s"""WITH RECURSIVE $embCte,
+          |sigs AS ($tblRows),
+          |cand AS (
+          |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+          |  WHERE a.vec_id != b.vec_id
+          |), s AS (
+          |  SELECT cand.a_id, cand.b_id, list_cosine_similarity(ea.v, eb.v) AS cos
+          |  FROM cand JOIN emb ea ON ea.vec_id = cand.a_id
+          |            JOIN emb eb ON eb.vec_id = cand.b_id
+          |), r AS (
+          |  SELECT a_id, b_id, cos,
+          |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rnk
+          |  FROM s
+          |),
+          |${collapsedKnnCtes(CollapseGateThr)},
+          |catt AS (
+          |  SELECT c.vec_id AS a_id, cr.b_id
+          |  FROM comp c JOIN cr ON cr.a_id = c.cluster_id AND cr.rnk <= 3
+          |),
+          |de AS (SELECT a_id, b_id FROM r WHERE rnk <= 3)
+          |SELECT (SELECT count(*) FROM de) AS edges_direct,
+          |  (SELECT count(*) FROM catt) AS edges_collapsed,
+          |  (SELECT count(*) FROM de JOIN catt USING (a_id, b_id)) AS edges_both,
+          |  round(CAST((SELECT count(*) FROM de JOIN catt USING (a_id, b_id)) AS DOUBLE) /
+          |        (SELECT count(*) FROM de), 6) + 0.0 AS edge_recall""".stripMargin
       }),
 
     // Build-once/probe-many: the first IVF query in a JVM builds the

@@ -120,7 +120,10 @@ object PqSql {
       |plu AS (
       |  SELECT q.vec_id AS query_id,
       |    list(round(${dotSub("q.v", "c.j", "c.c")}, 6) + 0.0 ORDER BY c.j, c.k) AS lut
-      |  FROM emb q CROSS JOIN pcb$Iters c WHERE q.vec_id < 10
+      |  -- the q.v guard mirrors pqLutDf's drop-malformed-queries
+      |  -- contract (null / wrong-dimension query vectors emit no rows)
+      |  FROM emb q CROSS JOIN pcb$Iters c
+      |  WHERE q.vec_id < 10 AND q.v IS NOT NULL AND len(q.v) = $Dim
       |  GROUP BY q.vec_id
       |)""".stripMargin
   private[queries] val encodeCtes: String = encodeCtesOver("emb")

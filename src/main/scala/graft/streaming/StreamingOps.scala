@@ -562,6 +562,14 @@ object StreamingOps {
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    residual: Boolean = false): DataFrame = {
     import graft.pipeline.Similarity
+    // the two encodings share a layout but need different ADC
+    // denominators — a wrong `residual` flag would return silently
+    // wrong scores, so the index's persisted marker must agree
+    index.residual.foreach { wrote =>
+      require(wrote == residual,
+        s"annAdcStream: the index was written ${if (wrote) "residual" else "raw"}-encoded " +
+        s"(ivfPq${if (wrote) "Res" else ""}Write) but residual = $residual was requested")
+    }
     val bc = queries.sparkSession.sparkContext.broadcast(index)
     // per-codeword tables computed ONCE on the driver and
     // closure-captured — they depend only on the index, not the query.

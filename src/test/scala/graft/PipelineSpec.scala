@@ -867,6 +867,127 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "most vectors should have neighbors at 8 OR-amplified tables")
   }
 
+  private def dupHeavyVecs(classes: Int, copies: Int): Seq[(Long, Seq[Double])] =
+    // `classes` distinct base vectors, each repeated `copies` times EXACTLY
+    // (ids interleave so class ids are not contiguous): the dup-heavy
+    // corpus shape where knnGraph's within-bucket pair volume goes
+    // quadratic — exact copies share every signature deterministically
+    (0L until (classes.toLong * copies)).map { i =>
+      val cls = i % classes
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(cls * 17 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+
+  test("knnGraphCollapsed: duplicate classes collapse to one node; members inherit the rep list") {
+    import org.apache.spark.sql.functions.col
+    val classes = 10
+    val vecs = dupHeavyVecs(classes, copies = 12)
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    // collapsePlanes = 8 (256 buckets, 10 classes) isolates each class in
+    // its own star bucket; graph planes = 2 (4 buckets) makes every rep
+    // collide with others, so every rep appears as an a_id
+    val reps = Similarity.knnGraphCollapsed(df, k = 3, planes = 2, tables = 4,
+      collapsePlanes = 8).cache()
+    // exact copies share the collapse bucket; hub links at cosine 1 pass
+    // any threshold ≤ 1, so each class collapses to its min id (class
+    // ids are i % classes → min member of class c is c itself)
+    val aIds = reps.select("a_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(aIds == (0L until classes).toSet,
+      s"representatives must be the class min ids, got $aIds")
+    val bIds = reps.select("b_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(bIds.subsetOf((0L until classes).toSet), "neighbors must be representatives")
+    // attachMembers: every member's list IS its representative's list
+    val attached = Similarity.knnGraphCollapsed(df, k = 3, planes = 2, tables = 4,
+      collapsePlanes = 8, attachMembers = true)
+    def lists(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view.mapValues(
+        _.map(r => (r.getAs[Number]("rank").intValue, r.getLong(1),
+          math.round(r.getAs[Double]("cosine") * 1e9))).sortBy(_._1).toSeq).toMap
+    val byMember = lists(attached.select("a_id", "b_id", "cosine", "rank").collect())
+    val byRep = lists(reps.select("a_id", "b_id", "cosine", "rank").collect())
+    assert(byMember.size == classes * 12, "every member must carry a list")
+    vecs.foreach { case (id, _) =>
+      assert(byMember(id) == byRep(id % classes),
+        s"member $id must inherit rep ${id % classes}'s list")
+    }
+    reps.unpersist()
+  }
+
+  test("knnGraphCollapsed: with nothing to collapse it equals knnGraph") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0L until 60L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 17 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getAs[Number](3).intValue) ->
+        (r.getLong(1), math.round(r.getAs[Double]("cosine") * 1e9))
+    // distinct vectors, threshold above every cosine → all-singleton
+    // classes → the graph stage sees the full corpus
+    val collapsed = Similarity.knnGraphCollapsed(df, k = 3, planes = 4, tables = 8,
+        collapseThreshold = 1.0000001, collapsePlanes = 5)
+      .select("a_id", "b_id", "cosine", "rank").collect().map(key(_)).toMap
+    val direct = Similarity.knnGraph(df, k = 3, planes = 4, tables = 8)
+      .select("a_id", "b_id", "cosine", "rank").collect().map(key(_)).toMap
+    assert(collapsed == direct, "degenerate collapse must reproduce the direct graph")
+  }
+
+  test("knnGraphAuto: candidate-mass probe routes dup-heavy to collapsed, diverse to direct") {
+    import org.apache.spark.sql.functions.col
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getAs[Number](3).intValue) ->
+        (r.getLong(1), math.round(r.getAs[Double]("cosine") * 1e9))
+    def cols(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "cosine", "rank").collect().map(key(_)).toMap
+    // dup-heavy: 10 classes × 60 exact copies at 64 buckets → scored-pair
+    // mass ~classes·copies²·tables, an order past the uniform expectation
+    val dup = spark.createDataFrame(dupHeavyVecs(10, 60)).toDF("vec_id", "embedding")
+    val auto = cols(Similarity.knnGraphAuto(dup, k = 3, planes = 6, tables = 4,
+      collapsePlanes = 5))
+    val collapsed = cols(Similarity.knnGraphCollapsed(dup, k = 3, planes = 6, tables = 4,
+      collapsePlanes = 5))
+    assert(auto == collapsed, "dup-heavy corpus must take the collapse-first route")
+    // diverse: 600 distinct vectors at the same plane count → within
+    // budget → the direct plan (must NOT collapse: knnGraph output)
+    val vecs = (0L until 600L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 17 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val div = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val auto2 = cols(Similarity.knnGraphAuto(div, k = 3, planes = 6, tables = 4))
+    val direct = cols(Similarity.knnGraph(div, k = 3, planes = 6, tables = 4))
+    assert(auto2 == direct, "diverse corpus must take the direct route")
+  }
+
+  test("loadIvfPq enforces the collect bound and annAdcStream validates the encoding marker") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0L until 20L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 31 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_guard").toString
+    Similarity.ivfPqWrite(df, dir, numCentroids = 2, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 1, pqSampleMod = 1)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.loadIvfPq(spark, dir, maxRows = 3)
+    }
+    assert(e.getMessage.contains("annAdcStreamJoin"),
+      "the failure must point at the stream-static scale path")
+    val ix = Similarity.loadIvfPq(spark, dir)
+    assert(ix.residual.contains(false), "ivfPqWrite must mark the index raw-encoded")
+    val bad = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.annAdcStream(df, ix, residual = true)
+    }
+    assert(bad.getMessage.contains("raw-encoded"),
+      "a residual probe of a raw index must fail loudly, not score wrong")
+  }
+
   test("ivfPqResQuery: full coverage equals brute force (residual corrections cancel at the re-rank)") {
     import org.apache.spark.sql.functions.col
     // same argument as the raw fused test: probing every cell + a
