@@ -704,8 +704,8 @@ object Similarity {
 
   /** Load a codebook written by [[pqWrite]]/[[ivfPqWrite]] back into the
     * driver-side (j)(k)(d) array shape the encode/ADC expressions take. */
-  private def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
-                             path: String): Array[Array[Array[Double]]] = {
+  private[graft] def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
+                                    path: String): Array[Array[Array[Double]]] = {
     val rows = spark.read.parquet(path).collect()
     require(rows.nonEmpty, s"readPqCodebook: empty codebook at $path")
     val cbMap = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
@@ -919,19 +919,7 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val qcDf = pqResQcTable(qRows, cents).toDF("query_id", "cid", "qc")
     val withQ = ivfPqPrunedCodes(spark, path, qDf, nprobe, extraQc = Some(qcDf))
-    val subspaceIdx = sequence(lit(0), lit(mEff - 1))
-    val tCol = typedLit(pqResCorrTable(cents, cb).toSeq)
-    val cnsqCol = typedLit(pqResCellNsq(cents).toSeq)
-    val scored = withQ
-      .withColumn("num", col("qc") + aggregate(
-        zip_with(col("codes"), subspaceIdx, (cd, j) => element_at(col("lut"), j * kEff + cd)),
-        lit(0.0), (a, x) => a + x))
-      .withColumn("den", element_at(cnsqCol, col("cid")) + aggregate(
-        zip_with(col("codes"), subspaceIdx,
-          (cd, j) => element_at(tCol, ((col("cid") - 1) * mEff + j) * kEff + cd)),
-        lit(0.0), (a, x) => a + x))
-      .withColumn("adc", when(col("den") <= 0, lit(0.0)).otherwise(col("num") / sqrt(col("den"))))
-    (scored, qDf)
+    (adcScoreCols(withQ, cb, residCents = Some(cents)), qDf)
   }
 
   /** Probe a persisted IVF-PQ index: pick each query's `nprobe` nearest
@@ -1155,19 +1143,48 @@ object Similarity {
     * chains), adc = num/√den with the den==0 → 0 convention. The
     * codeword-norm lookup folds each ‖c‖² in dim order — the exact
     * chain PqSql unrolls, so den is bit-identical. */
-  private def pqAdcScores(withQ: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
+  private def pqAdcScores(withQ: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame =
+    adcScoreCols(withQ, cb, residCents = None)
+
+  /** ONE definition of the ADC num/den/adc columns for BOTH encodings —
+    * shared by the flat/fused batch probes, the residual batch probe,
+    * and the stream-static join probe, so the fold orders and fixed
+    * points can never drift apart. Raw mode (`residCents = None`) needs
+    * (codes, lut); residual mode additionally needs (cid, qc) and adds
+    * the per-cell corrections (dot(q, cent) numerator constant;
+    * ‖cent‖² + Σ(2·c·cw + ‖cw‖²) denominator — ivfPqResQuery's math,
+    * same fold order, den ≤ 0 → 0 because the rounded ‖ĉ+r̂‖² can go
+    * fractionally negative). */
+  private[graft] def adcScoreCols(withQ: DataFrame, cb: Array[Array[Array[Double]]],
+                                  residCents: Option[Array[Array[Double]]]): DataFrame = {
     val mEff = cb.length
     val kEff = cb(0).length
     val subspaceIdx = sequence(lit(0), lit(mEff - 1))
-    val nsqCol = typedLit(pqNsqFlat(cb).toSeq)
-    withQ
-      .withColumn("num", aggregate(
-        zip_with(col("codes"), subspaceIdx, (cd, j) => element_at(col("lut"), j * kEff + cd)),
-        lit(0.0), (a, x) => a + x))
-      .withColumn("den", aggregate(
-        zip_with(col("codes"), subspaceIdx, (cd, j) => element_at(nsqCol, j * kEff + cd)),
-        lit(0.0), (a, x) => a + x))
-      .withColumn("adc", when(col("den") === 0, lit(0.0)).otherwise(col("num") / sqrt(col("den"))))
+    val lutSum = aggregate(
+      zip_with(col("codes"), subspaceIdx, (cd, j) => element_at(col("lut"), j * kEff + cd)),
+      lit(0.0), (a, x) => a + x)
+    residCents match {
+      case None =>
+        val nsqCol = typedLit(pqNsqFlat(cb).toSeq)
+        withQ
+          .withColumn("num", lutSum)
+          .withColumn("den", aggregate(
+            zip_with(col("codes"), subspaceIdx, (cd, j) => element_at(nsqCol, j * kEff + cd)),
+            lit(0.0), (a, x) => a + x))
+          .withColumn("adc",
+            when(col("den") === 0, lit(0.0)).otherwise(col("num") / sqrt(col("den"))))
+      case Some(cents) =>
+        val tCol = typedLit(pqResCorrTable(cents, cb).toSeq)
+        val cnsqCol = typedLit(pqResCellNsq(cents).toSeq)
+        withQ
+          .withColumn("num", col("qc") + lutSum)
+          .withColumn("den", element_at(cnsqCol, col("cid")) + aggregate(
+            zip_with(col("codes"), subspaceIdx,
+              (cd, j) => element_at(tCol, ((col("cid") - 1) * mEff + j) * kEff + cd)),
+            lit(0.0), (a, x) => a + x))
+          .withColumn("adc",
+            when(col("den") <= 0, lit(0.0)).otherwise(col("num") / sqrt(col("den"))))
+    }
   }
 
   /** Codeword squared norms in (j, k) order, each summed in dim order. */

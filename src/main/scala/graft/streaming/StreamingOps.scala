@@ -665,6 +665,119 @@ object StreamingOps {
         col("__r._2").as("adc"), col("__r._3").as("rank"))
   }
 
+  /** Streaming ANN ADC probe as a STREAM-STATIC JOIN against the
+    * cid-partitioned lists parquet — the index-bigger-than-memory
+    * posture [[annAdcStream]] cannot take: nothing corpus-proportional
+    * is ever collected or broadcast. Only the centroid table and the
+    * codebook load driver-side (k·dim and m·ksub·sub cells — fixed by
+    * config, not corpus size); the compressed lists stay where
+    * [[graft.pipeline.Similarity.ivfPqWrite]] put them and are probed
+    * in place.
+    *
+    * Plan shape: each arriving query computes its nprobe probed cells +
+    * ADC LUT in one per-row pass (closure-captured centroid/codebook
+    * arrays — per-query work, the irreducible ANN probe cost), explodes
+    * to (query_id, cid, qc, lut), and equi-joins the static lists on
+    * cid — a stateless stream-static inner join, so the query needs no
+    * watermark and holds no join state at any stream length. The
+    * per-query top-k then runs through [[graft.functions.TopKByScore]],
+    * a k-cell-bounded native aggregate (window functions are
+    * unsupported on streams; collect_list would buffer the whole probed
+    * candidate set) — run the sink in UPDATE output mode: each query's
+    * candidates arrive within its own micro-batch, so the last update
+    * per query_id is its final top-k.
+    *
+    * ADC math is [[graft.pipeline.Similarity.adcScoreCols]] — the SAME
+    * column definitions as the batch probes, both encodings (the
+    * persisted mode marker must agree with `residual`, like
+    * annAdcStream) — so per-query results are identical to
+    * [[graft.pipeline.Similarity.ivfPqAdcTopK]] /
+    * [[graft.pipeline.Similarity.ivfPqResAdcTopK]] (parity-tested).
+    * Null or wrong-dimension query vectors emit no rows. Emits
+    * (query_id, corpus_id, adc, rank). */
+  def annAdcStreamJoin(queries: DataFrame, path: String,
+                       k: Int = graft.pipeline.Similarity.DefaultTopK,
+                       nprobe: Int = graft.pipeline.Similarity.DefaultNProbe,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       residual: Boolean = false): DataFrame = {
+    import graft.pipeline.Similarity
+    val spark = queries.sparkSession
+    Similarity.readIndexMeta(spark, path).foreach { wrote =>
+      require(wrote == residual,
+        s"annAdcStreamJoin: the index at $path was written " +
+        s"${if (wrote) "residual" else "raw"}-encoded " +
+        s"(ivfPq${if (wrote) "Res" else ""}Write) but residual = $residual was requested")
+    }
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
+    val cb = Similarity.readPqCodebook(spark, s"$path/codebook")
+    val mEff = cb.length
+    val kEff = cb(0).length
+    val sub = cb(0)(0).length
+    // per-query probe: nprobe nearest centroids (CosineSim's fold, ties
+    // to lowest cid), the LUT through pqLutDf's fixed point, and — in
+    // residual mode — dot(q, cent) per probed cell (pqResQcTable's loop)
+    val probe = udf { (qv: Seq[Double]) =>
+      if (qv == null || qv.length != mEff * sub) null
+      else {
+        val q = qv.toArray
+        val probed = cents.zipWithIndex.map { case (c, i) =>
+          val n = math.min(q.length, c.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+          while (d < n) {
+            val x = q(d); val y = c(d)
+            dot += x * y; na += x * x; nb += y * y; d += 1
+          }
+          val sim = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+          (sim, i + 1)
+        }.sortBy(t => (-t._1, t._2)).take(nprobe).map(_._2)
+        val lut = new Array[Double](mEff * kEff)
+        var j = 0
+        while (j < mEff) {
+          var k0 = 0
+          while (k0 < kEff) {
+            val cw = cb(j)(k0)
+            var dot = 0.0; var d = 0
+            while (d < sub) { dot += q(j * sub + d) * cw(d); d += 1 }
+            lut(j * kEff + k0) = Similarity.r6d(dot)
+            k0 += 1
+          }
+          j += 1
+        }
+        val prs = probed.map { cid =>
+          if (!residual) (cid, 0.0)
+          else {
+            val c = cents(cid - 1)
+            var dot = 0.0; var d = 0
+            val n = math.min(q.length, c.length)
+            while (d < n) { dot += q(d) * c(d); d += 1 }
+            (cid, Similarity.r6d(dot))
+          }
+        }
+        (prs.toSeq, lut.toSeq)
+      }
+    }
+    val qSide = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        transform(col(vecCol), _.cast("double")).as("__qv"))
+      .withColumn("__p", probe(col("__qv")))
+      .where(col("__p").isNotNull)
+      .select(col("query_id"), col("__p._2").as("lut"), explode(col("__p._1")).as("__c"))
+      .select(col("query_id"), col("lut"),
+        col("__c._1").as("cid"), col("__c._2").as("qc"))
+    val lists = spark.read.parquet(s"$path/lists")
+      .select(col("cid").cast("int"), col("corpus_id"), col("codes"))
+    val withQ = qSide.join(lists, Seq("cid"))
+      .where(col("corpus_id") =!= col("query_id"))
+    val scored = Similarity.adcScoreCols(withQ, cb,
+      residCents = if (residual) Some(cents) else None)
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topK(col("adc"), col("corpus_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__t")))
+      .select(col("query_id"), col("__t.id").as("corpus_id"),
+        col("__t.score").as("adc"), (col("__i") + 1).cast("int").as("rank"))
+  }
+
   /** Watermarked streaming twin of the props_json_stats rollup
     * (EtlQueries): ONE codegen'd from_json parse per arriving event
     * inside the streaming scan — the same schema-on-read shape as batch,

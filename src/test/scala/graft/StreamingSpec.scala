@@ -679,4 +679,82 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.size == 12, "4 queries x top-3")
     } finally q.stop()
   }
+
+  test("stream-static join ANN probe equals the batch pruned ADC rank (nothing collected)") {
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions.col
+    // the index-bigger-than-memory posture: the compressed lists stay in
+    // their cid-partitioned parquet and are probed via a stateless
+    // stream-static equi-join; per-query top-k through the k-cell
+    // TopKByScore aggregate (update mode — each query's candidates land
+    // in its own micro-batch)
+    val vecs = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 31 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_sj").toString
+    Similarity.ivfPqWrite(df, dir, numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 1, pqSampleMod = 1)
+    implicit val enc = Encoders.product[(Long, Seq[Double])]
+    val ms = MemoryStream[(Long, Seq[Double])](spark)
+    val q = StreamingOps.annAdcStreamJoin(ms.toDF().toDF("vec_id", "embedding"), dir,
+        k = 3, nprobe = 2)
+      .writeStream.format("memory").queryName("ann_join_stream")
+      .outputMode("update").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      ms.addData(vecs.take(2)); q.processAllAvailable()
+      ms.addData(vecs.slice(2, 4) :+ (99L -> Seq(1.0, 2.0))); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(3)) -> (r.getLong(1), math.round(r.getDouble(2) * 1e9))
+      val got = spark.sql(
+        "SELECT query_id, corpus_id, adc, rank FROM ann_join_stream").collect().map(key(_)).toMap
+      val batch = Similarity.ivfPqAdcTopK(spark, dir,
+          df.where(col("vec_id") < 4), k = 3, nprobe = 2)
+        .collect().map(key(_)).toMap
+      assert(got == batch, s"stream-static join must equal batch\n got=$got\n batch=$batch")
+      assert(got.size == 12, "4 queries x top-3")
+      assert(!got.keys.exists(_._1 == 99L), "wrong-dim query must emit no rows")
+    } finally q.stop()
+  }
+
+  test("stream-static join residual ANN probe equals the batch residual ADC rank") {
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions.col
+    val vecs = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 31 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqres_sj").toString
+    Similarity.ivfPqResWrite(df, dir, numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 1, pqSampleMod = 1)
+    // the persisted marker must gate the mode: a raw probe of the
+    // residual index fails loudly instead of scoring wrong
+    val bad = intercept[IllegalArgumentException] {
+      StreamingOps.annAdcStreamJoin(df, dir, residual = false)
+    }
+    assert(bad.getMessage.contains("residual-encoded"))
+    implicit val enc = Encoders.product[(Long, Seq[Double])]
+    val ms = MemoryStream[(Long, Seq[Double])](spark)
+    val q = StreamingOps.annAdcStreamJoin(ms.toDF().toDF("vec_id", "embedding"), dir,
+        k = 3, nprobe = 2, residual = true)
+      .writeStream.format("memory").queryName("ann_res_join_stream")
+      .outputMode("update").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      ms.addData(vecs.take(2)); q.processAllAvailable()
+      ms.addData(vecs.slice(2, 4)); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(3)) -> (r.getLong(1), math.round(r.getDouble(2) * 1e9))
+      val got = spark.sql(
+        "SELECT query_id, corpus_id, adc, rank FROM ann_res_join_stream").collect().map(key(_)).toMap
+      val batch = Similarity.ivfPqResAdcTopK(spark, dir,
+          df.where(col("vec_id") < 4), k = 3, nprobe = 2)
+        .collect().map(key(_)).toMap
+      assert(got == batch, s"residual stream-static join must equal batch\n got=$got\n batch=$batch")
+      assert(got.size == 12, "4 queries x top-3")
+    } finally q.stop()
+  }
 }
