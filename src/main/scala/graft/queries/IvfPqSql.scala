@@ -15,14 +15,14 @@ package graft.queries
   * half's defaults or fixed points recompiles into this oracle
   * automatically (the established can't-drift discipline).
   */
-object IvfPqSql {
+class IvfPqSqlGen(pq: PqSqlGen, nprobe: Int) {
 
   /** The fused ADC scan: codes joined to their coarse cell, restricted
     * to each query's probed cells — the pruning statement itself. */
   private val padFusedCte: String =
     s"""pad AS (
       |  SELECT p.query_id, d.vec_id AS corpus_id,
-      |    (${PqSql.adcNum}) AS num, (${PqSql.adcDen}) AS den
+      |    (${pq.adcNum}) AS num, (${pq.adcDen}) AS den
       |  FROM pcd d JOIN af a ON a.vec_id = d.vec_id
       |       JOIN probes p ON p.cid = a.cid
       |       JOIN plu l ON l.query_id = p.query_id
@@ -33,22 +33,34 @@ object IvfPqSql {
   private val prefixCtes: String =
     s"""WITH ${IvfSql.embCte},
       |${IvfSql.trainCtes},
-      |${PqSql.trainCtes},
-      |${PqSql.encodeCtes},
-      |${IvfSql.probesCte},
+      |${pq.trainCtes},
+      |${pq.encodeCtes},
+      |${IvfSql.probesCteWith(nprobe)},
       |${IvfSql.assignCte("af", s"cents${IvfSql.Iters}")},
       |$padFusedCte""".stripMargin
 
   val annIvfPqTop5Sql: String =
     s"""$prefixCtes,
-      |${PqSql.rerankTail}""".stripMargin
+      |${pq.rerankTail}""".stripMargin
 
   /** The measured-recall gate for the fused path: both pruning losses —
     * unprobed cells AND quantized shortlist order — priced against the
     * exact brute-force top-k, per query, at every gated SF. */
   val annIvfPqRecallSql: String =
     s"""$prefixCtes,
-      |${PqSql.rerankCtes},
-      |${PqSql.bfCte},
-      |${PqSql.recallSelect}""".stripMargin
+      |${pq.rerankCtes},
+      |${pq.bfCte},
+      |${pq.recallSelect}""".stripMargin
 }
+
+/** The default fused generator — emits exactly the pre-parameterization
+  * SQL (same CTE text, same constants). */
+object IvfPqSql extends IvfPqSqlGen(PqSql, graft.pipeline.Similarity.DefaultNProbe)
+
+/** The quality-tier fused generator: ksub = 64 codewords per subspace,
+  * shortlist 256, nprobe 12 — the registered production-recall config
+  * (measured recall@5 0.94/0.96 at sf0.01/sf0.1 where the default
+  * codebook sits at 0.36–0.50). Same replay discipline: both verified
+  * halves composed, every constant compiled from the shared Similarity
+  * Hq* values. */
+object IvfPqHqSql extends IvfPqSqlGen(PqSqlHq, graft.pipeline.Similarity.HqNProbe)

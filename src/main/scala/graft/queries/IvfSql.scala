@@ -93,14 +93,17 @@ object IvfSql {
   /** nprobe nearest centroids per query (the `vec_id < 10` batch) —
     * argmax cosine with ties to the lowest cid, exactly ivfProbe's
     * window. Shared with IvfPqSql. */
-  private[queries] val probesCte: String =
+  private[queries] val probesCte: String = probesCteWith(NProbe)
+
+  /** The same probe CTE at a caller-chosen nprobe (the HQ leg's knob). */
+  private[queries] def probesCteWith(nprobe: Int): String =
     s"""probes AS (
       |  SELECT query_id, qv, cid FROM (
       |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
       |      row_number() OVER (PARTITION BY q.vec_id
       |        ORDER BY list_cosine_similarity(q.v, c.c) DESC, c.cid ASC) AS rn
       |    FROM emb q CROSS JOIN cents$Iters c WHERE q.vec_id < 10
-      |  ) WHERE rn <= $NProbe
+      |  ) WHERE rn <= $nprobe
       |)""".stripMargin
 
   val annIvfTop5Sql: String = {

@@ -18,15 +18,13 @@ import graft.pipeline.Similarity
   * an explicit LEFT-ASSOCIATED chain in the same index order the Scala
   * loops fold, so the doubles are bit-identical rather than merely
   * close (an aggregate SUM() would have engine-chosen order). */
-object PqSql {
+class PqSqlGen(private[queries] val K: Int, private[queries] val Shortlist: Int) {
   // shared with the implementation, not hand-copied (IvfSql discipline)
   private[queries] val Dim = PipelineQueries.EmbDim
   private[queries] val M = Similarity.DefaultPqM
-  private[queries] val K = Similarity.DefaultPqK
   private[queries] val Sub = Dim / M
   private[queries] val Iters = Similarity.DefaultPqIters
   private[queries] val SampleMod = Similarity.DefaultPqSampleMod
-  private[queries] val Shortlist = Similarity.DefaultPqShortlist
   private[queries] val TopK = Similarity.DefaultTopK
   private[queries] val Seed = Similarity.PqHashSeed
 
@@ -220,3 +218,13 @@ object PqSql {
       |$bfCte,
       |$recallSelect""".stripMargin
 }
+
+/** The default-config generator instance — every member compiles from
+  * the registered defaults, so the emitted SQL is exactly the
+  * pre-parameterization text. */
+object PqSql extends PqSqlGen(Similarity.DefaultPqK, Similarity.DefaultPqShortlist)
+
+/** The quality-tier codebook generator (ksub/shortlist from the same
+  * constants the HQ impl legs compile from — Similarity.HqPqK /
+  * HqShortlist). */
+object PqSqlHq extends PqSqlGen(Similarity.HqPqK, Similarity.HqShortlist)
