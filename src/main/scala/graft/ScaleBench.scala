@@ -138,23 +138,24 @@ object ScaleBench {
       // 0.999 → connected components → the kNN graph over class
       // REPRESENTATIVES only (duplicate classes contribute one node,
       // not N² pairs)
-      "knn_graph_collapsed" -> ((spark: SparkSession, dir: String) => {
-        val emb = Tables.embeddings(spark, dir)
-        // planes = 16 (65k buckets), NOT the near-dup default (512): the
-        // star has ONE hub per bucket, so a bucket holding several
-        // duplicate classes collapses only the hub's own class — the
-        // first ×1000 run of this leg measured exactly that (reps stayed
-        // ~corpus-sized and the kNN stage died on disk like the direct
-        // legs). At 65k buckets ≫ ~2k classes each bucket isolates one
-        // class and the whole class hub-links at cosine ≈ 1
-        val pairs = graft.pipeline.Similarity.cosineNearDupStar(emb, planes = 16)
-          .where(col("cosine") >= 0.999)
-        val comp = graft.pipeline.Dedup.components(
-          pairs, emb.select(col("vec_id")), idCol = "vec_id")
-        val reps = emb.join(
-          comp.where(col("vec_id") === col("cluster_id")).select("vec_id"), "vec_id")
-        graft.pipeline.Similarity.knnGraph(reps, k = 3, tables = 4, dim = 64)
-      }),
+      // r15: the r14 bench recipe promoted to library surface — this leg
+      // now measures Similarity.knnGraphCollapsed itself (same stages:
+      // ≥0.999 star at class-sized buckets → components → graph over
+      // representatives; collapsePlanes left to the library's
+      // DefaultCollapseBucket derivation, which lands on 16 planes at
+      // ×1000's 2M vectors — the value the recipe pinned by hand)
+      "knn_graph_collapsed" -> ((spark: SparkSession, dir: String) =>
+        graft.pipeline.Similarity.knnGraphCollapsed(
+          Tables.embeddings(spark, dir), k = 3, tables = 4, dim = 64)),
+      // the dispatcher left to itself (the remove_spans_singleton_auto
+      // convention; "knn_graph_auto" above is the direct op's auto-PLANES
+      // leg, this is the auto-REGIME leg): the candidate-mass probe must
+      // route the dup-heavy replica to the collapse-first plan — wall
+      // should track knn_graph_collapsed plus the probe's one signature
+      // aggregation
+      "knn_graph_auto_dispatch" -> ((spark: SparkSession, dir: String) =>
+        graft.pipeline.Similarity.knnGraphAuto(
+          Tables.embeddings(spark, dir), k = 3, tables = 4, dim = 64)),
       // dedup_clusters_star with the CC driver-finish bound raised
       // 1<<20 → 1<<23 (~8M super-edges ≈ 128-256 MB collected): the
       // round-12 ×1000 audit found the star path's super-linear step is

@@ -239,13 +239,21 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Default bucket target for the collapse star's plane derivation:
-    * the star has ONE hub per bucket, so a bucket holding several
-    * duplicate classes collapses only the hub's own class — buckets
-    * must be ≈ class-sized, not cosineNearDup's 4096 (the first ×1000
-    * run with the near-dup default measured exactly that failure:
-    * reps stayed ~corpus-sized and the graph stage died on disk). */
-  val DefaultCollapseBucket: Long = 32L
+  /** Default bucket target for the collapse star's plane derivation.
+    * The star has ONE hub per bucket, so any bucket holding parts of
+    * TWO duplicate classes collapses only the hub's class and
+    * singleton-izes every member of the other — each collision costs
+    * ~class-size representatives. The constraint is therefore slot
+    * SPARSITY (slots ≫ duplicate-class fragments), not bucket ≈ class
+    * size: at ×100 (200k vectors, 2k classes) a 32-target (8k slots)
+    * measured 35.7k reps from fragment collisions where a 4-target
+    * (65k slots) measured 9.4k — and the near-dup default of 4096
+    * (512 slots) left reps corpus-sized and the graph stage dead on
+    * disk at ×1000 (BASELINE.md r14). Splitting a class across slots
+    * is cheap (one extra rep per fragment); colliding two classes in
+    * a slot is not. Extra empty slots cost nothing — the star is
+    * within-bucket only. */
+  val DefaultCollapseBucket: Long = 4L
 
   /** Dup-robust kNN graph: collapse near-identical duplicate classes
     * FIRST, then build the graph over class representatives only.
@@ -1215,9 +1223,14 @@ object Similarity {
   /** Planes needed so the EXPECTED bucket holds ≤ targetBucketSize vectors
     * (2^planes ≥ n/target): within-bucket pairing is O(n²/2^planes), so a
     * fixed plane count goes quadratic as the corpus grows — the bucket
-    * count must scale with N. */
+    * count must scale with N. Capped at 31: signatures are Int bit
+    * masks (functions.HyperplaneSigs), so plane 31 is the last distinct
+    * bit — past the cap buckets grow linearly with n (2.1B slots),
+    * which stays correct (LSH recall only rises with bucket size) and
+    * merely pays more within-bucket pairs. */
   def planesForCorpus(n: Long, targetBucketSize: Long = 4096): Int =
-    math.max(4, math.ceil(math.log(math.max(n.toDouble / targetBucketSize, 1.0)) / math.log(2.0)).toInt)
+    math.min(31, math.max(4,
+      math.ceil(math.log(math.max(n.toDouble / targetBucketSize, 1.0)) / math.log(2.0)).toInt))
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (within-bucket pairs only — never all-pairs). `planes <= 0`
