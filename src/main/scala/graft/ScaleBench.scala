@@ -156,6 +156,60 @@ object ScaleBench {
       "knn_graph_auto_dispatch" -> ((spark: SparkSession, dir: String) =>
         graft.pipeline.Similarity.knnGraphAuto(
           Tables.embeddings(spark, dir), k = 3, tables = 4, dim = 64)),
+      // probe-only twin of the registry's quality-tier fused leg (the
+      // ann_ivfpq_top5_probe convention): running it AFTER
+      // ann_ivfpq_hq_top5 in one JVM hits the memoized index, so its
+      // wall is the amortized hq online-query price at the decade
+      "ann_ivfpq_hq_probe" -> ((spark: SparkSession, dir: String) =>
+        SparkEntry.queries("ann_ivfpq_hq_top5")(spark, dir)),
+      // the PRODUCTION-SHAPED quality tier at the decade: the registered
+      // hq legs pin numCentroids = 16 for oracle replay, so at ×1000
+      // each coarse cell holds 125k vectors and recall collapses (the
+      // gate-scale artifact the HqPqK scaladoc names — measured 0.26 at
+      // 2M vectors). The knob that must SCALE with the corpus is the
+      // cell count: √n centroids keep cell size AND cell count at √n,
+      // so the probe reads nprobe·√n codes — a vanishing corpus
+      // fraction. This leg builds the same hq codebook at √n coarse
+      // cells (build timed on first run, marker-gated like the replica
+      // itself) and the _recall twin re-measures what the scaling buys
+      // at the decade.
+      "ann_ivfpq_hq_scaled" -> ((spark: SparkSession, dir: String) =>
+        hqScaledProbe(spark, dir)),
+      "ann_ivfpq_hq_scaled_probe" -> ((spark: SparkSession, dir: String) =>
+        hqScaledProbe(spark, dir)),
+      "ann_ivfpq_hq_scaled_recall" -> ((spark: SparkSession, dir: String) => {
+        val emb = Tables.embeddings(spark, dir)
+        val k = graft.pipeline.Similarity.DefaultTopK
+        val bf = graft.pipeline.Similarity.bruteForceTopK(
+            emb, emb.where(col("vec_id") < 10), k = k)
+          .select(col("query_id"), col("corpus_id"))
+        hqScaledProbe(spark, dir, k = k)
+          .select(col("query_id"), col("corpus_id"))
+          .join(bf, Seq("query_id", "corpus_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("__h"))
+          .agg(avg(col("__h") / lit(k.toDouble)).as("recall_at_k"))
+      }),
+      // DEDUP-THEN-INDEX (Similarity.collapseReps → the same hq config):
+      // the ×N replica's embeddings are N jittered copies per base
+      // vector, and a quantized index is recall-capped by that duplicate
+      // mass — all N copies share one PQ code, so the true top-k (the
+      // copies) can only be tie-break-sampled from an ADC-identical
+      // class (√n-centroid hq measures 0.43 at ×1000). This leg collapses
+      // classes first (≥0.999 star → CC → reps), builds the SAME hq
+      // config over the representatives, and measures recall vs brute
+      // force over the collapsed corpus — the production pipeline order.
+      // Wall includes collapse + build + probe on first run (the index
+      // is marker-gated beside the replica like the scaled leg).
+      "ann_hq_collapsed_recall" -> (hqCollapsedRecall(_, _, graft.pipeline.Similarity.HqNProbe)),
+      // the recall-vs-probed-fraction curve over the collapsed index:
+      // the replica's BASE vectors are uniform random (unclusterable —
+      // no centroid carries neighbor signal), so coarse pruning is the
+      // whole recall loss after the collapse removes the duplicate cap.
+      // np32 probes a third of the cells, npall disables pruning (the
+      // residual loss there is PQ quantization alone: what the ADC
+      // shortlist misses at Hq codebook resolution)
+      "ann_hq_collapsed_recall_np32" -> (hqCollapsedRecall(_, _, 32)),
+      "ann_hq_collapsed_recall_npall" -> (hqCollapsedRecall(_, _, Int.MaxValue)),
       // dedup_clusters_star with the CC driver-finish bound raised
       // 1<<20 → 1<<23 (~8M super-edges ≈ 128-256 MB collected): the
       // round-12 ×1000 audit found the star path's super-linear step is
@@ -262,9 +316,23 @@ object ScaleBench {
       drained(); shuffleBytes.set(0)
       val t0 = System.nanoTime()
       try {
-        fn(spark, out).write.format("noop").mode("overwrite").save()
+        val df = fn(spark, out)
+        // recall gates return a tiny per-query frame — at scale points
+        // the VALUE is the result (what the decade costs in recall),
+        // so surface the mean instead of discarding it into noop
+        val recallNote =
+          if (!name.contains("recall")) {
+            df.write.format("noop").mode("overwrite").save(); ""
+          } else {
+            val rows = df.collect()
+            val col = df.schema.fieldNames.indexWhere(_.startsWith("recall"))
+            if (col < 0 || rows.isEmpty) { "" } else {
+              val m = rows.map(_.getDouble(col)).sum / rows.length
+              f"   mean-recall ${m}%.3f"
+            }
+          }
         val wall = (System.nanoTime() - t0) / 1e9
-        println(f"[scale x$mult] $name%-22s wall ${wall}%7.2f s   shuffle-write ${drained() / 1e6}%9.2f MB")
+        println(f"[scale x$mult] $name%-22s wall ${wall}%7.2f s   shuffle-write ${drained() / 1e6}%9.2f MB$recallNote")
       } catch { case e: Throwable =>
         println(s"[scale x$mult] $name FAILED: ${e.toString.linesIterator.next()}")
       }
@@ -295,6 +363,90 @@ object ScaleBench {
       java.nio.file.Files.createFile(done)
     }
     spark.read.parquet(path)
+  }
+
+  /** The √n-centroid quality-tier fused index beside the replica (see
+    * the ann_ivfpq_hq_scaled legs): built once per replica dir, gated by
+    * its own marker (delete it to re-time the build). numCentroids =
+    * ⌈√n⌉ over the valid-vector count; codebook/probe knobs are the
+    * registered hq constants so the ONLY delta vs the gate legs is the
+    * cell count — the knob a production index derives from corpus size. */
+  def hqScaledIndex(spark: SparkSession, dir: String): String = {
+    val path = s"$dir/ivfpq_hq_scaled"
+    val done = java.nio.file.Paths.get(s"$dir/_DONE_HQ_SCALED_v1")
+    if (!java.nio.file.Files.exists(done)) {
+      val emb = Tables.embeddings(spark, dir)
+      val n = emb.where(col("embedding").isNotNull).count()
+      val nc = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      println(s"[scale] building hq-scaled IVF-PQ index: n=$n numCentroids=$nc ...")
+      graft.pipeline.Similarity.ivfPqWrite(emb, path, numCentroids = nc,
+        ksub = graft.pipeline.Similarity.HqPqK)
+      java.nio.file.Files.createFile(done)
+    }
+    path
+  }
+
+  /** Collapsed-representative embeddings beside the replica (the
+    * dedup-then-index corpus for ann_hq_collapsed_recall), written once
+    * so the brute-force and probe sides read one materialization. */
+  def collapsedEmb(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/embeddings_reps.parquet"
+    val done = java.nio.file.Paths.get(s"$dir/_DONE_EMB_REPS_v1")
+    if (!java.nio.file.Files.exists(done)) {
+      println(s"[scale] deriving collapsed-representative embeddings at $path ...")
+      graft.pipeline.Similarity.collapseReps(Tables.embeddings(spark, dir), dim = 64)
+        .write.mode("overwrite").parquet(path)
+      java.nio.file.Files.createFile(done)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** The hq-config fused index over the collapsed representatives:
+    * √(reps) coarse cells — the production-shaped config over the
+    * production-shaped corpus. Marker-gated like the scaled index. */
+  def hqCollapsedIndex(spark: SparkSession, dir: String): String = {
+    val path = s"$dir/ivfpq_hq_reps"
+    val done = java.nio.file.Paths.get(s"$dir/_DONE_HQ_REPS_v1")
+    if (!java.nio.file.Files.exists(done)) {
+      val reps = collapsedEmb(spark, dir)
+      val n = reps.count()
+      val nc = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      println(s"[scale] building hq collapsed-reps IVF-PQ index: n=$n numCentroids=$nc ...")
+      graft.pipeline.Similarity.ivfPqWrite(reps, path, numCentroids = nc,
+        ksub = graft.pipeline.Similarity.HqPqK)
+      java.nio.file.Files.createFile(done)
+    }
+    path
+  }
+
+  /** DEDUP-THEN-INDEX recall (the ann_hq_collapsed_recall legs): the
+    * hq config over the collapsed representatives, measured against
+    * brute force over the same collapsed corpus at the given nprobe.
+    * Wall includes collapse + build + probe on first run (index and reps
+    * are marker-gated beside the replica). */
+  private def hqCollapsedRecall(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val sim = graft.pipeline.Similarity
+    val k = sim.DefaultTopK
+    val emb = Tables.embeddings(spark, dir)
+    val reps = collapsedEmb(spark, dir)
+    val q = emb.where(col("vec_id") < 10)
+    val bf = sim.bruteForceTopK(reps, q, k = k)
+      .select(col("query_id"), col("corpus_id"))
+    sim.ivfPqQuery(spark, hqCollapsedIndex(spark, dir), reps, q, k = k,
+        nprobe = nprobe, shortlist = sim.HqShortlist)
+      .select(col("query_id"), col("corpus_id"))
+      .join(bf, Seq("query_id", "corpus_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("__h"))
+      .agg(avg(col("__h") / lit(k.toDouble)).as("recall_at_k"))
+  }
+
+  private def hqScaledProbe(spark: SparkSession, dir: String,
+                            k: Int = graft.pipeline.Similarity.DefaultTopK): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.pipeline.Similarity.ivfPqQuery(spark, hqScaledIndex(spark, dir), emb,
+      emb.where(col("vec_id") < 10), k = k,
+      nprobe = graft.pipeline.Similarity.HqNProbe,
+      shortlist = graft.pipeline.Similarity.HqShortlist)
   }
 
   /** Build the ×mult replica (see class doc for the distribution

@@ -286,20 +286,69 @@ object Similarity {
     * note — collapse buckets must be ≈ class-sized); `planes <= 0`
     * derives the graph stage's own bucket count from the REPRESENTATIVE
     * count, which is the honest post-collapse corpus size. */
+  /** The collapse front half shared by [[knnGraphCollapsed]] and
+    * [[collapseReps]]: null/dim-filter, star edges at the rounded-cosine
+    * threshold, connected components. Returns (valid corpus frame,
+    * vec→cluster component labels). GRAFT_KNN_DEBUG stage accounting
+    * (the GRAFT_IVF_DEBUG precedent): the star+CC stage is EAGER
+    * (components runs its label rounds as actions), so the split between
+    * collapse cost and downstream cost is observable here. */
+  private def collapseComponents(corpus: DataFrame, dim: Int,
+                                 collapseThreshold: Double, collapsePlanes: Int,
+                                 idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+    val base = corpus.where(col(vecCol).isNotNull)
+    val valid = if (dim > 0) base.where(size(col(vecCol)) === dim) else base
+    val cp = if (collapsePlanes > 0) collapsePlanes
+             else knnTimed("collapse-planes count")(
+               planesForCorpus(valid.count(), DefaultCollapseBucket))
+    val edges = cosineNearDupStar(valid, planes = cp, idCol = idCol, vecCol = vecCol)
+      .where(round(col("cosine"), 6) >= collapseThreshold)
+    val comp = knnTimed("star+cc")(
+      Dedup.components(edges, valid.select(col(idCol)), idCol = idCol))
+    (valid, comp)
+  }
+
+  private def knnTimed[T](what: String)(f: => T): T =
+    if (!sys.env.contains("GRAFT_KNN_DEBUG")) f else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[knn] $what ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+  /** Duplicate-class representatives: every input column of the rows
+    * that are their own component label after the ≥ `collapseThreshold`
+    * cosine collapse — the DEDUP-THEN-INDEX entry point. A quantized ANN
+    * index built over a dup-heavy corpus is recall-capped by duplicate
+    * mass, not by its own knobs: all N copies of a vector share one PQ
+    * code, so a query's true top-k (its own near-copies) can only be
+    * tie-break-sampled from an ADC-identical class — measured at ×1000
+    * (1000 jittered copies/class), the √n-centroid quality-tier index
+    * tops out at recall 0.43 while the SAME config over the collapsed
+    * representatives holds ~1.0 (BASELINE.md r15). Collapse first, index
+    * the representatives, serve members through their class label. */
+  def collapseReps(corpus: DataFrame, dim: Int = 0, collapseThreshold: Double = 0.999,
+                   collapsePlanes: Int = 0,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (valid, comp) = collapseComponents(corpus, dim, collapseThreshold,
+      collapsePlanes, idCol, vecCol)
+    valid.join(comp.where(col(idCol) === col("cluster_id")).select(col(idCol)), Seq(idCol))
+  }
+
   def knnGraphCollapsed(corpus: DataFrame, k: Int = 3, planes: Int = 0, tables: Int = 4,
                         dim: Int = 0, collapseThreshold: Double = 0.999,
                         collapsePlanes: Int = 0, attachMembers: Boolean = false,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val base = corpus.where(col(vecCol).isNotNull)
-    val valid = if (dim > 0) base.where(size(col(vecCol)) === dim) else base
-    val cp = if (collapsePlanes > 0) collapsePlanes
-             else planesForCorpus(valid.count(), DefaultCollapseBucket)
-    val edges = cosineNearDupStar(valid, planes = cp, idCol = idCol, vecCol = vecCol)
-      .where(round(col("cosine"), 6) >= collapseThreshold)
-    val comp = Dedup.components(edges, valid.select(col(idCol)), idCol = idCol)
+    val debug = sys.env.contains("GRAFT_KNN_DEBUG")
+    val (valid, comp) = collapseComponents(corpus, dim, collapseThreshold,
+      collapsePlanes, idCol, vecCol)
     val reps = valid.join(
       comp.where(col(idCol) === col("cluster_id")).select(col(idCol)), Seq(idCol))
-    val graph = knnGraph(reps, k, planes, tables, dim = 0, idCol = idCol, vecCol = vecCol)
+    // the reps count is an extra action under debug only; it is then
+    // REUSED as knnGraph's corpusSize so debug mode adds no second count
+    val repCount = if (debug) knnTimed("reps count") {
+      val n = reps.count(); System.err.println(s"[knn] reps=$n"); n
+    } else 0L
+    val graph = knnGraph(reps, k, planes, tables, dim = 0, idCol = idCol, vecCol = vecCol,
+      corpusSize = repCount)
     if (!attachMembers) graph
     else comp.select(col(idCol), col("cluster_id"))
       .join(graph.withColumnRenamed("a_id", "cluster_id"), Seq("cluster_id"))

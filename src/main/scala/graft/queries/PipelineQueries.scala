@@ -182,17 +182,12 @@ object PipelineQueries {
     * composition is exercised. */
   private val CollapseGateThr = 0.25
 
-  /** Replay CTEs for Similarity.knnGraphCollapsed's composition: star
-    * edges gated at `thr` on the ROUNDED cosine (one 8-plane table, the
-    * cosineNearDupStar construction) → min-label connected components
-    * (`comp`) → representatives (`remb`) → the knn_graph_top3 candidate/
-    * score/rank chain over remb, ending at `cr` (rep-level ranked
-    * edges). Callers append the final projection (and, for the recall
-    * gate, the member-attach join against `comp`). */
-  private def collapsedKnnCtes(thr: Double): String = {
-    val tblRows = (0 until 4).map(t =>
-      s"SELECT vec_id, $t AS tbl, ${sigSql(t, 6)} AS sig FROM remb")
-      .mkString(" UNION ALL ")
+  /** The collapse front half of the replay (shared by the knnGraphCollapsed
+    * legs and embedding_dedup_reps): star edges gated at `thr` on the
+    * ROUNDED cosine (one 8-plane table, the cosineNearDupStar
+    * construction) → min-label connected components (`comp`) →
+    * representatives (`remb`). */
+  private def collapseCtes(thr: Double): String =
     s"""ssig AS (
       |  SELECT vec_id, v, ${sigSql(0, 8)} AS sig FROM emb
       |  WHERE v IS NOT NULL AND len(v) = $EmbDim
@@ -215,7 +210,18 @@ object PipelineQueries {
       |remb AS (
       |  SELECT e.vec_id, e.v FROM emb e
       |  JOIN comp c ON c.vec_id = e.vec_id AND c.cluster_id = e.vec_id
-      |),
+      |)""".stripMargin
+
+  /** Replay CTEs for Similarity.knnGraphCollapsed's composition:
+    * [[collapseCtes]] → the knn_graph_top3 candidate/score/rank chain
+    * over remb, ending at `cr` (rep-level ranked edges). Callers append
+    * the final projection (and, for the recall gate, the member-attach
+    * join against `comp`). */
+  private def collapsedKnnCtes(thr: Double): String = {
+    val tblRows = (0 until 4).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${sigSql(t, 6)} AS sig FROM remb")
+      .mkString(" UNION ALL ")
+    s"""${collapseCtes(thr)},
       |csig AS ($tblRows),
       |ccand AS (
       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
@@ -775,6 +781,25 @@ object PipelineQueries {
         |${collapsedKnnCtes(CollapseGateThr)}
         |SELECT a_id, b_id, round(cos, 6) + 0.0 AS cosine, CAST(rnk AS INTEGER) AS rank
         |FROM cr WHERE rnk <= 3 ORDER BY a_id, rank""".stripMargin)),
+
+    Entry("embedding_dedup_reps",
+      // the DEDUP-THEN-INDEX entry point (Similarity.collapseReps):
+      // duplicate-class representatives after the cosine collapse — what
+      // a quantized ANN index over a dup-heavy corpus must be built ON
+      // (all N copies of a vector share one PQ code, so recall is capped
+      // by shortlist/class-size however the index is configured: the
+      // √n-centroid quality tier tops out at 0.43 on the ×1000 replica
+      // while the same config over these representatives holds ~1.0 —
+      // BASELINE.md r15). Same pinned collapse config as the
+      // knn_graph_collapsed legs; the oracle replays star → CC → reps.
+      (spark, dir) =>
+        Similarity.collapseReps(Tables.embeddings(spark, dir), dim = EmbDim,
+            collapseThreshold = CollapseGateThr, collapsePlanes = 8)
+          .select(col("vec_id"))
+          .orderBy("vec_id"),
+      Some(s"""WITH RECURSIVE $embCte,
+        |${collapseCtes(CollapseGateThr)}
+        |SELECT vec_id FROM remb ORDER BY vec_id""".stripMargin)),
 
     Entry("knn_collapsed_recall",
       // the collapsed graph's quality loss, MEASURED in the gate (the

@@ -914,6 +914,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     reps.unpersist()
   }
 
+  test("collapseReps: one representative row per duplicate class, all columns kept") {
+    val classes = 10
+    val df = spark.createDataFrame(dupHeavyVecs(classes, copies = 12))
+      .toDF("vec_id", "embedding")
+    val reps = Similarity.collapseReps(df, collapsePlanes = 8).collect()
+    assert(reps.map(_.getLong(0)).toSet == (0L until classes).toSet,
+      "representatives must be the class min ids")
+    // representative rows are the ORIGINAL rows (the dedup-then-index
+    // corpus feeds ivfPqWrite directly): vectors must match the source
+    val byId = dupHeavyVecs(classes, copies = 12).toMap
+    reps.foreach(r => assert(r.getSeq[Double](1) == byId(r.getLong(0)),
+      s"rep ${r.getLong(0)} must carry its own embedding"))
+  }
+
   test("knnGraphCollapsed: with nothing to collapse it equals knnGraph") {
     import org.apache.spark.sql.functions.col
     val vecs = (0L until 60L).map { i =>
