@@ -450,8 +450,15 @@ object Similarity {
       require(cents.nonEmpty, "ivfBuild: corpus is empty — nothing to seed centroids from")
       val sample = lloydSample(c, sampleMod, sampleTarget)
       for (it <- 1 to lloydIters) {
-        val means = timed(s"lloyd$it")(sample.select(nearestCid(col("v"), cents).as("cid"),
-            posexplode(col("v")).as(Seq("pos", "x")))
+        // the assignment gets its OWN projection below the explode:
+        // `select(expensive, posexplode(v))` re-evaluates the expensive
+        // expression per EXPLODED row (ExtractGenerator leaves it in the
+        // post-Generate Project) — measured 246 s vs 6 s at 1415
+        // centroids × 64 dims on a 500k sample; the two-step select pins
+        // it under the Generate, once per vector
+        val means = timed(s"lloyd$it")(sample
+          .select(nearestCid(col("v"), cents).as("cid"), col("v"))
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("cid", "pos")
           .agg((if (portableSeed) round(avg("x"), 6) + lit(0.0) else avg("x")).as("m"))
           .groupBy("cid").agg(map_from_arrays(collect_list("pos"), collect_list("m")).as("byPos"))
@@ -676,9 +683,11 @@ object Similarity {
         Array.tabulate(m)(j => seeds.map(s => s.slice(j * sub, (j + 1) * sub)))
       val sample = lloydSample(c, sampleMod, 0L).where(size(col("v")) === lit(dim))
       for (it <- 1 to iters) {
+        // same two-step-select discipline as the ivfBuild Lloyd pass:
+        // pqEncode below the Generate, once per vector, not per element
         val means = timed(s"pq-lloyd$it")(sample
-          .select(graft.functions.PqEncode.pqEncode(col("v"), cb).as("codes"),
-            posexplode(col("v")).as(Seq("pos", "x")))
+          .select(graft.functions.PqEncode.pqEncode(col("v"), cb).as("codes"), col("v"))
+          .select(col("codes"), posexplode(col("v")).as(Seq("pos", "x")))
           .select((col("pos") / lit(sub)).cast("int").as("j"),
             element_at(col("codes"), (col("pos") / lit(sub)).cast("int") + 1).as("k"),
             pmod(col("pos"), lit(sub)).as("d"), col("x"))
