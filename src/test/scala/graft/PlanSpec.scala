@@ -636,4 +636,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "l_returnflag", "l_linestatus", "l_shipdate"),
       s"scan must read exactly the 7 needed columns, got $read")
   }
+
+  test("two-step select pins an expensive expression BELOW the explode") {
+    // `select(expensive, posexplode(v))` leaves the non-generator
+    // expression in the post-Generate projection, re-evaluating it per
+    // EXPLODED element — 35× measured on the 1415-centroid Lloyd pass
+    // (BASELINE.md r15). Both Lloyd loops (ivfBuild, pqTrain) rely on
+    // the two-step shape staying pinned under the optimizer; this test
+    // guards that assumption, and documents the one-step shape's defect.
+    // parquet-backed input: over a LocalRelation the optimizer's
+    // ConvertToLocalRelation evaluates the lower Project at plan time and
+    // the expression disappears from the physical plan entirely
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Array.tabulate(4, 64)((j, d) => math.cos(j * 64 + d))
+    val nc = graft.functions.NearestCentroid
+      .nearestCentroid(transform(col("embedding"), _.cast("double")), cents)
+    def genChildHasNearest(df: DataFrame): Boolean = {
+      df.collect()
+      // search the whole subtree UNDER the Generate (codegen wrappers sit
+      // between it and the projection that carries the expression)
+      physicalNodes(df.queryExecution.executedPlan)
+        .collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+        .exists(g => physicalNodes(g.child).exists(_.expressions.exists(_.find {
+          case _: graft.functions.NearestCentroid => true; case _ => false
+        }.isDefined)))
+    }
+    val twoStep = e.select(nc.as("cid"), col("embedding"))
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos").agg(avg("x"))
+    assert(genChildHasNearest(twoStep),
+      "the two-step select must evaluate NearestCentroid below the Generate (once per row)")
+    val oneStep = e.select(nc.as("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos").agg(avg("x"))
+    assert(!genChildHasNearest(oneStep),
+      "one-step select evaluates NearestCentroid above the Generate — if Spark " +
+      "starts pinning it below, the two-step workaround in ivfBuild/pqTrain can be dropped")
+  }
 }
