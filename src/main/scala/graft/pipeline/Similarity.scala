@@ -285,7 +285,10 @@ object Similarity {
     * corpus size at [[DefaultCollapseBucket]]-sized buckets (see its
     * note — collapse buckets must be ≈ class-sized); `planes <= 0`
     * derives the graph stage's own bucket count from the REPRESENTATIVE
-    * count, which is the honest post-collapse corpus size. */
+    * count, which is the honest post-collapse corpus size. A positive
+    * `corpusSize` (the caller-known valid-vector count — [[knnGraphAuto]]
+    * passes the count its probe already paid for) skips the collapse
+    * plane derivation's own count() action. */
   /** The collapse front half shared by [[knnGraphCollapsed]] and
     * [[collapseReps]]: null/dim-filter, star edges at the rounded-cosine
     * threshold, connected components. Returns (valid corpus frame,
@@ -295,12 +298,14 @@ object Similarity {
     * collapse cost and downstream cost is observable here. */
   private def collapseComponents(corpus: DataFrame, dim: Int,
                                  collapseThreshold: Double, collapsePlanes: Int,
-                                 idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+                                 idCol: String, vecCol: String,
+                                 corpusSize: Long = 0L): (DataFrame, DataFrame) = {
     val base = corpus.where(col(vecCol).isNotNull)
     val valid = if (dim > 0) base.where(size(col(vecCol)) === dim) else base
     val cp = if (collapsePlanes > 0) collapsePlanes
-             else knnTimed("collapse-planes count")(
-               planesForCorpus(valid.count(), DefaultCollapseBucket))
+             else knnTimed("collapse-planes count")(planesForCorpus(
+               if (corpusSize > 0) corpusSize else valid.count(),
+               DefaultCollapseBucket))
     val edges = cosineNearDupStar(valid, planes = cp, idCol = idCol, vecCol = vecCol)
       .where(round(col("cosine"), 6) >= collapseThreshold)
     val comp = knnTimed("star+cc")(
@@ -327,19 +332,21 @@ object Similarity {
     * the representatives, serve members through their class label. */
   def collapseReps(corpus: DataFrame, dim: Int = 0, collapseThreshold: Double = 0.999,
                    collapsePlanes: Int = 0,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   corpusSize: Long = 0L): DataFrame = {
     val (valid, comp) = collapseComponents(corpus, dim, collapseThreshold,
-      collapsePlanes, idCol, vecCol)
+      collapsePlanes, idCol, vecCol, corpusSize)
     valid.join(comp.where(col(idCol) === col("cluster_id")).select(col(idCol)), Seq(idCol))
   }
 
   def knnGraphCollapsed(corpus: DataFrame, k: Int = 3, planes: Int = 0, tables: Int = 4,
                         dim: Int = 0, collapseThreshold: Double = 0.999,
                         collapsePlanes: Int = 0, attachMembers: Boolean = false,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        corpusSize: Long = 0L): DataFrame = {
     val debug = sys.env.contains("GRAFT_KNN_DEBUG")
     val (valid, comp) = collapseComponents(corpus, dim, collapseThreshold,
-      collapsePlanes, idCol, vecCol)
+      collapsePlanes, idCol, vecCol, corpusSize)
     val reps = valid.join(
       comp.where(col(idCol) === col("cluster_id")).select(col(idCol)), Seq(idCol))
     // the reps count is an extra action under debug only; it is then
@@ -388,7 +395,7 @@ object Similarity {
       knnGraph(valid, k, p, tables, dim = 0, idCol = idCol, vecCol = vecCol, corpusSize = n)
     else
       knnGraphCollapsed(valid, k, p, tables, dim = 0, collapseThreshold,
-        collapsePlanes, attachMembers, idCol, vecCol)
+        collapsePlanes, attachMembers, idCol, vecCol, corpusSize = n)
   }
 
   /** Per-row nearest-centroid id (1-based) against the centroid table:
@@ -896,6 +903,61 @@ object Similarity {
       .where(col("codes").isNotNull)
     timed("ivfpqres-encode")(codes.repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists"))
+  }
+
+  /** Append new vectors to a persisted IVF-PQ index WITHOUT retraining —
+    * the incremental-maintenance posture a 100 TB corpus demands (a daily
+    * crawl increment must not re-shuffle, re-train, or re-encode the
+    * other 99%). The persisted centroids + codebook are the model; this
+    * is a pure ENCODE pass over the increment: one scan assigning each
+    * vector its coarse cell and PQ codes (residuals first when the
+    * index's persisted mode marker says so), then an append-mode
+    * cid-partitioned write — only the increment moves, and only through
+    * the one co-locating repartition every list write pays.
+    *
+    * The encode is deterministic given (centroids, codebook), so the
+    * appended lists are EXACTLY what [[ivfPqWrite]]/[[ivfPqResWrite]]
+    * would have emitted for these rows had they been present at write
+    * time with the same trained model — batch-size invariant (one append
+    * of N rows ≡ any partition of it into successive appends), and the
+    * whole prefix-train/append-encode pipeline is oracle-replayable
+    * (queries.IvfPqSqlGen.annIvfPqAppendTop5Sql). The increment's
+    * quantization error is priced by the SAME recall gates as the base
+    * index — appended vectors quantize against codebooks trained without
+    * them, the standard trade of every incremental ANN index; retrain
+    * (a fresh write) when drift accumulates.
+    *
+    * Requires the encoding-mode marker ([[ivfPqWrite]]/[[ivfPqResWrite]]
+    * write it): appending raw codes to a residual index — or vice versa
+    * — would corrupt the lists silently. Duplicate ids are NOT detected
+    * (parquet append cannot see existing rows without scanning them);
+    * appending a row twice leaves two copies, the caller's contract like
+    * any append-only log. */
+  def ivfPqAppend(corpus: DataFrame, path: String,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val residual = readIndexMeta(spark, path).getOrElse(throw new IllegalArgumentException(
+      s"ivfPqAppend: index at $path carries no encoding-mode marker (meta parquet) — " +
+      "appending without knowing raw-vs-residual would corrupt the lists silently; " +
+      "rewrite the index with ivfPqWrite/ivfPqResWrite to stamp it"))
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
+    val cb = readPqCodebook(spark, s"$path/codebook")
+    val codes =
+      if (residual) {
+        val dim = cents(0).length
+        residualFrame(corpus, cents, dim, idCol, vecCol)
+          .select(col(idCol).cast("long").as("corpus_id"), col("cid"),
+            graft.functions.PqEncode.pqEncode(col("resid"), cb).as("codes"))
+          .where(col("codes").isNotNull)
+      } else
+        corpus.select(col(idCol).cast("long").as("corpus_id"),
+            asDouble(col(vecCol)).as("v"),
+            graft.functions.PqEncode.pqEncode(col(vecCol), cb).as("codes"))
+          .where(col("codes").isNotNull)
+          .select(col("corpus_id"), nearestCid(col("v"), cents).as("cid"), col("codes"))
+    timed("ivfpq-append")(codes.repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/lists"))
   }
 
   /** (id, cid, resid): each valid-dim vector's coarse cell and residual

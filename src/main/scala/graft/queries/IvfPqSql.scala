@@ -43,6 +43,27 @@ class IvfPqSqlGen(pq: PqSqlGen, nprobe: Int) {
     s"""$prefixCtes,
       |${pq.rerankTail}""".stripMargin
 
+  /** The incremental-index replay (Similarity.ivfPqWrite over a training
+    * prefix → ivfPqAppend of the rest → ivfPqQuery): BOTH models — the
+    * coarse centroids and the PQ codebooks — train on `trainCteName`
+    * ONLY, while the encode, the full-corpus cell assignment, and the
+    * probe run over emb. That is exactly the lists the write+append
+    * union holds, because the append is a pure encode under the
+    * persisted model (deterministic given centroids+codebook), so the
+    * incremental path is hash-verified end to end like the bulk one.
+    * `trainCte` is the prefix definition the caller pins (it must
+    * expose (vec_id, v)). */
+  def annIvfPqAppendTop5SqlOver(trainCteName: String, trainCte: String): String =
+    s"""WITH ${IvfSql.embCte},
+      |$trainCte,
+      |${IvfSql.trainCtesOver(trainCteName)},
+      |${pq.trainCtesOver(trainCteName)},
+      |${pq.encodeCtes},
+      |${IvfSql.probesCteWith(nprobe)},
+      |${IvfSql.assignCte("af", s"cents${IvfSql.Iters}")},
+      |$padFusedCte,
+      |${pq.rerankTail}""".stripMargin
+
   /** The measured-recall gate for the fused path: both pruning losses —
     * unprobed cells AND quantized shortlist order — priced against the
     * exact brute-force top-k, per query, at every gated SF. */

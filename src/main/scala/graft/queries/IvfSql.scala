@@ -31,24 +31,26 @@ object IvfSql {
   /** The Lloyd refinement's hash sample (ivfBuild `sampleMod`): keep a
     * vector iff its seed hash ≡ 0 (mod SampleMod). Means are computed on
     * THIS subset; the final assignment (af) still covers every vector. */
-  private[queries] val sampCte =
+  private[queries] def sampCteOver(src: String): String =
     s"""samp AS (
-      |  SELECT vec_id, v FROM emb
+      |  SELECT vec_id, v FROM $src
       |  WHERE ((${polyA(8192L)} * (vec_id % $P) + ${polyB(8192L)}) % $P) % $SampleMod = 0
       |    AND v IS NOT NULL
       |)""".stripMargin
+  private[queries] val sampCte = sampCteOver("emb")
 
   /** cents0: portable-hash-ordered seed of K raw corpus vectors — replays
     * ivfBuild's orderBy(h, sid).limit(K); cid = 1-based collect order. */
-  private[queries] val seedCte =
+  private[queries] def seedCteOver(src: String): String =
     s"""cents0 AS (
       |  SELECT row_number() OVER (ORDER BY h, sid) AS cid, v AS c
       |  FROM (
       |    SELECT (${polyA(8192L)} * (vec_id % $P) + ${polyB(8192L)}) % $P AS h,
       |           vec_id AS sid, v
-      |    FROM emb WHERE v IS NOT NULL ORDER BY h, sid LIMIT $K
+      |    FROM $src WHERE v IS NOT NULL ORDER BY h, sid LIMIT $K
       |  )
       |)""".stripMargin
+  private[queries] val seedCte = seedCteOver("emb")
 
   /** Nearest-centroid assignment of every `src` vector against `cents`
     * (argmax cosine, ties to the lowest cid — NearestCentroid's first-wins
@@ -82,13 +84,17 @@ object IvfSql {
 
   /** The coarse-quantizer training half — hash sample, portable seed,
     * every Lloyd round — ending at cents$Iters. Shared verbatim with
-    * IvfPqSql so the fused oracle replays the IDENTICAL centroids. */
-  private[queries] val trainCtes: String = {
+    * IvfPqSql so the fused oracle replays the IDENTICAL centroids.
+    * `src` is the training corpus: emb everywhere except the
+    * incremental-index replay, which trains on a prefix CTE
+    * (IvfPqSqlGen.annIvfPqAppendTop5SqlOver). */
+  private[queries] def trainCtesOver(src: String): String = {
     val lloyds = (1 to Iters).map(lloydCte).mkString(",\n")
-    s"""$sampCte,
-      |$seedCte,
+    s"""${sampCteOver(src)},
+      |${seedCteOver(src)},
       |$lloyds""".stripMargin
   }
+  private[queries] val trainCtes: String = trainCtesOver("emb")
 
   /** nprobe nearest centroids per query (the `vec_id < 10` batch) —
     * argmax cosine with ties to the lowest cid, exactly ivfProbe's

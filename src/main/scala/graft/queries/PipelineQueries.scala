@@ -173,6 +173,33 @@ object PipelineQueries {
     (0 until planes).map(p =>
       s"(CASE WHEN ${dotChain(t, p)} >= 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
 
+  /** The direct kNN-graph replay (4 OR-amplified 6-plane tables, scored
+    * in-bucket, (a,b)-max dedup, per-vector top-3) — shared by
+    * knn_graph_top3 AND knn_graph_auto: on the gate corpora the auto
+    * dispatcher's mass probe routes DIRECT at every SF, so both legs
+    * must hash to this same text. */
+  private lazy val knnGraphTop3Sql: String = {
+    val tblRows = (0 until 4).map(t =>
+      s"SELECT vec_id, $t AS tbl, CASE WHEN len(v) = $EmbDim THEN ${sigSql(t, 6)} END AS sig FROM emb")
+      .mkString(" UNION ALL ")
+    s"""WITH $embCte, sigs AS ($tblRows),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+      |  WHERE a.vec_id != b.vec_id
+      |), s AS (
+      |  SELECT cand.a_id, cand.b_id, list_cosine_similarity(ea.v, eb.v) AS cos
+      |  FROM cand JOIN emb ea ON ea.vec_id = cand.a_id
+      |            JOIN emb eb ON eb.vec_id = cand.b_id
+      |), r AS (
+      |  SELECT a_id, b_id, cos,
+      |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rnk
+      |  FROM s
+      |)
+      |SELECT a_id, b_id, round(cos, 6) + 0.0 AS cosine, CAST(rnk AS INTEGER) AS rank
+      |FROM r WHERE rnk <= 3 ORDER BY a_id, rank""".stripMargin
+  }
+
   /** The collapse threshold BOTH knn_graph_collapsed legs pin (Spark arg
     * and oracle text compile from this one constant). The library
     * default is 0.999 (collapse near-IDENTICAL classes); the gate corpus
@@ -372,6 +399,22 @@ object PipelineQueries {
         col("rank").cast("int").as("rank"))
       .orderBy("query_id", "rank")
   }
+
+  /** One persisted INCREMENTALLY-BUILT fused index per sf dir per JVM:
+    * the model trains on the even-vec_id half only (ivfPqWrite), the odd
+    * half arrives through Similarity.ivfPqAppend — encode-only, no
+    * retrain, append-mode partitioned write. The ann_ivfpq_append_top5
+    * gate probes the union lists against an oracle that trains on the
+    * same prefix and encodes the full corpus. */
+  private val ivfPqAppendIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqAppendIndexFor(spark: SparkSession, dir: String): String =
+    ivfPqAppendIndexDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_app_").toString
+      val emb = Tables.embeddings(spark, d)
+      Similarity.ivfPqWrite(emb.where(col("vec_id") % 2 === 0), p)
+      Similarity.ivfPqAppend(emb.where(col("vec_id") % 2 === 1), p)
+      p
+    })
 
   /** One persisted QUALITY-TIER fused index per sf dir per JVM: same
     * layout as ivfPqIndexFor but trained at Similarity.HqPqK codewords
@@ -736,27 +779,28 @@ object PipelineQueries {
             col("rank").cast("int").as("rank"))
           .orderBy("a_id", "rank")
       },
-      Some {
-        val tblRows = (0 until 4).map(t =>
-          s"SELECT vec_id, $t AS tbl, CASE WHEN len(v) = $EmbDim THEN ${sigSql(t, 6)} END AS sig FROM emb")
-          .mkString(" UNION ALL ")
-        s"""WITH $embCte, sigs AS ($tblRows),
-          |cand AS (
-          |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-          |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
-          |  WHERE a.vec_id != b.vec_id
-          |), s AS (
-          |  SELECT cand.a_id, cand.b_id, list_cosine_similarity(ea.v, eb.v) AS cos
-          |  FROM cand JOIN emb ea ON ea.vec_id = cand.a_id
-          |            JOIN emb eb ON eb.vec_id = cand.b_id
-          |), r AS (
-          |  SELECT a_id, b_id, cos,
-          |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rnk
-          |  FROM s
-          |)
-          |SELECT a_id, b_id, round(cos, 6) + 0.0 AS cosine, CAST(rnk AS INTEGER) AS rank
-          |FROM r WHERE rnk <= 3 ORDER BY a_id, rank""".stripMargin
-      }),
+      Some(knnGraphTop3Sql)),
+
+    Entry("knn_graph_auto",
+      // the DISPATCHED kNN-graph entry point (Similarity.knnGraphAuto)
+      // hash-gated through the route its candidate-mass probe picks: on
+      // the gate corpora the measured within-bucket pair mass sits
+      // inside pairFactor× the uniform expectation at every SF (checked
+      // at all three), so the dispatcher must take the direct graph and
+      // reproduce knn_graph_top3 bit for bit — the same oracle text
+      // gates both. The dup-heavy flip to the collapse route is
+      // scalatested (PipelineSpec) and decade-measured (BASELINE.md
+      // r15); this leg prices the dispatch itself: the valid count +
+      // the signature-mass probe on top of the direct plan.
+      (spark, dir) => {
+        Similarity.knnGraphAuto(Tables.embeddings(spark, dir), k = 3, planes = 6,
+            tables = 4, dim = EmbDim, collapseThreshold = CollapseGateThr,
+            collapsePlanes = 8)
+          .select(col("a_id"), col("b_id"), r6(col("cosine")).as("cosine"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("a_id", "rank")
+      },
+      Some(knnGraphTop3Sql)),
 
     Entry("knn_graph_collapsed",
       // the DUP-ROBUST kNN graph (r15 — promoted from the r14 ScaleBench
@@ -896,6 +940,28 @@ object PipelineQueries {
     // probe-only twin (runs after ann_ivfpq_top5 in name order): the
     // amortized pruned-compressed-scan + ADC + re-rank cost
     Entry("ann_ivfpq_top5_probe", ivfPqProbe, Some(IvfPqSql.annIvfPqTop5Sql)),
+
+    Entry("ann_ivfpq_append_top5",
+      // INCREMENTAL index maintenance (Similarity.ivfPqAppend): the
+      // model — coarse centroids AND PQ codebooks — trains on the
+      // even-vec_id half only; the odd half arrives later as a pure
+      // encode-and-append under the persisted model (no retrain, no
+      // touch of the resident lists — the daily-increment posture at
+      // 100 TB). The probe then runs over the union lists. The oracle
+      // trains both models on the SAME prefix CTE and encodes/assigns/
+      // probes the full corpus — exactly the write+append union, since
+      // the encode is deterministic given centroids+codebook — so the
+      // incremental path is hash-gated end to end like the bulk one.
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.ivfPqQuery(spark, ivfPqAppendIndexFor(spark, dir), emb,
+            emb.where(col("vec_id") < 10))
+          .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(IvfPqSql.annIvfPqAppendTop5SqlOver("pemb",
+        "pemb AS (SELECT vec_id, v FROM emb WHERE vec_id % 2 = 0)"))),
 
     // in-gate recall measurement for both quantized paths: per query,
     // |approx top-5 ∩ exact top-5| / 5 — the oracle re-derives BOTH

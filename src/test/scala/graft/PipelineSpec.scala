@@ -1002,6 +1002,105 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a residual probe of a raw index must fail loudly, not score wrong")
   }
 
+  test("ivfPqAppend: appended rows probe like resident ones; base lists untouched; batch-split invariant") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 31 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val base = df.where(col("vec_id") < 20)
+    val inc = df.where(col("vec_id") >= 20)
+    def listKeys(p: String) = spark.read.parquet(s"$p/lists")
+      .collect().map(r => (r.getAs[Long]("corpus_id"),
+        r.getAs[Number]("cid").intValue, r.getAs[Seq[Int]]("codes"))).toSet
+    val p1 = java.nio.file.Files.createTempDirectory("ivfpq_app1").toString
+    Similarity.ivfPqWrite(base, p1, numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 2, pqSampleMod = 2)
+    val resident = listKeys(p1)
+    Similarity.ivfPqAppend(inc, p1)
+    val after = listKeys(p1)
+    // the resident rows are byte-identical (append never rewrites them)
+    // and the increment's ids all arrived
+    assert(after.filter(_._1 < 20) == resident, "append must not touch resident lists")
+    assert(after.map(_._1) == (0L until 40L).toSet, "every appended id must land")
+    // batch-split invariance: one append ≡ two successive appends
+    val p2 = java.nio.file.Files.createTempDirectory("ivfpq_app2").toString
+    Similarity.ivfPqWrite(base, p2, numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 2, pqSampleMod = 2)
+    Similarity.ivfPqAppend(inc.where(col("vec_id") < 30), p2)
+    Similarity.ivfPqAppend(inc.where(col("vec_id") >= 30), p2)
+    assert(listKeys(p2) == after, "append must be batch-size invariant")
+    // full coverage: the probe over the union lists reproduces brute
+    // force over the union corpus — appended rows are first-class
+    // candidates (present, probeable, exactly re-rankable)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number]("query_id").longValue, r.getAs[Number]("rank").intValue) ->
+        (r.getAs[Number]("corpus_id").longValue, math.round(r.getAs[Double]("cosine") * 1e9))
+    val q = df.where(col("vec_id") < 3)
+    val got = Similarity.ivfPqQuery(spark, p1, df, q, k = 5, nprobe = 4, shortlist = 100)
+      .collect().map(key).toMap
+    val bf = Similarity.bruteForceTopK(df, q, k = 5).collect().map(key).toMap
+    assert(got == bf, "full-coverage probe over write+append must equal brute force")
+  }
+
+  test("ivfPqAppend: residual indexes append residual codes; unmarked indexes are refused") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 13 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val base = df.where(col("vec_id") < 20)
+    val inc = df.where(col("vec_id") >= 20)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_appres").toString
+    Similarity.ivfPqResWrite(base, dir, numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 2, pqSampleMod = 2)
+    Similarity.ivfPqAppend(inc, dir)
+    // the append read the residual marker: the streaming probe in
+    // residual mode (parity twin of ivfPqResAdcTopK) scores the appended
+    // rows — if the append had encoded raw vectors, codes would decode
+    // against the residual codebook to garbage distances but, stronger,
+    // the full-coverage exact re-rank must still reproduce brute force
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number]("query_id").longValue, r.getAs[Number]("rank").intValue) ->
+        (r.getAs[Number]("corpus_id").longValue, math.round(r.getAs[Double]("cosine") * 1e9))
+    val q = df.where(col("vec_id") < 3)
+    val got = Similarity.ivfPqResQuery(spark, dir, df, q, k = 5, nprobe = 4, shortlist = 100)
+      .collect().map(key).toMap
+    val bf = Similarity.bruteForceTopK(df, q, k = 5).collect().map(key).toMap
+    assert(got == bf, "full-coverage residual probe over write+append must equal brute force")
+    // and the codes ARE residual-encoded: re-deriving the increment's
+    // codes from the persisted model's residuals matches the lists
+    val ix = Similarity.loadIvfPq(spark, dir)
+    assert(ix.residual.contains(true))
+    val centLit = org.apache.spark.sql.functions.typedLit(ix.cents.map(_.toSeq).toSeq)
+    val expect = inc.select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("cid",
+        graft.functions.NearestCentroid.nearestCentroid(col("v"), ix.cents))
+      .withColumn("resid", org.apache.spark.sql.functions.zip_with(
+        col("v"),
+        org.apache.spark.sql.functions.element_at(centLit, col("cid")), (a, b) => a - b))
+      .select(col("vec_id"),
+        graft.functions.PqEncode.pqEncode(col("resid"), ix.cb).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[Int]]("codes")).toMap
+    val stored = spark.read.parquet(s"$dir/lists").where(col("corpus_id") >= 20)
+      .collect().map(r => r.getAs[Long]("corpus_id") -> r.getAs[Seq[Int]]("codes")).toMap
+    assert(stored == expect, "appended codes must quantize the residuals, not the raw vectors")
+    // an index with no encoding-mode marker is refused loudly
+    val bare = java.nio.file.Files.createTempDirectory("ivfpq_bare").toString
+    Similarity.ivfPqResWrite(base, bare, numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 1, pqSampleMod = 1)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$bare/meta"), true)
+    val e = intercept[IllegalArgumentException] { Similarity.ivfPqAppend(inc, bare) }
+    assert(e.getMessage.contains("marker"),
+      "append without the raw-vs-residual marker must refuse, not guess")
+  }
+
   test("ivfPqResQuery: full coverage equals brute force (residual corrections cancel at the re-rank)") {
     import org.apache.spark.sql.functions.col
     // same argument as the raw fused test: probing every cell + a
