@@ -210,6 +210,47 @@ object ScaleBench {
       // shortlist misses at Hq codebook resolution)
       "ann_hq_collapsed_recall_np32" -> (hqCollapsedRecall(_, _, 32)),
       "ann_hq_collapsed_recall_npall" -> (hqCollapsedRecall(_, _, Int.MaxValue)),
+      // INCREMENTAL index maintenance at the decade (Similarity.
+      // ivfPqAppend): the leg clones the √n-cell hq index's MODEL only
+      // (centroids + codebook + meta — config-sized, kilobytes) into a
+      // fresh path and appends a 0.1% increment (vec_id ≡ 7 mod 1000).
+      // The wall is the daily-crawl-increment price: one encode pass
+      // over the increment + the co-locating write — it must track the
+      // INCREMENT, not the corpus (the full √n build at the same decade
+      // is the rebuild price recorded beside it, ann_ivfpq_hq_scaled).
+      // A fresh temp path each run keeps the marker-gated shared index
+      // pristine and the leg idempotent.
+      "ivfpq_append" -> ((spark: SparkSession, dir: String) => {
+        val basePath = hqScaledIndex(spark, dir)
+        val p = java.nio.file.Files.createTempDirectory("graft_append_").toString
+        for (part <- Seq("centroids", "codebook", "meta"))
+          spark.read.parquet(s"$basePath/$part")
+            .coalesce(1).write.mode("overwrite").parquet(s"$p/$part")
+        val inc = Tables.embeddings(spark, dir)
+          .where(pmod(col("vec_id"), lit(1000)) === 7)
+        graft.pipeline.Similarity.ivfPqAppend(inc, p)
+        spark.read.parquet(s"$p/lists").groupBy().agg(count(lit(1)).as("appended"))
+      }),
+      // index DELETION at the decade (Similarity.ivfPqDelete): remove
+      // every replica copy of ONE base vector (ids ≡ 13 mod 20000 — the
+      // sf0.1 base corpus size; copies are near-identical so they share
+      // coarse cells) from the shared √n-cell index, then RESTORE them
+      // with ivfPqAppend (same model → identical codes, so the shared
+      // index's content is exactly what it was and the other legs are
+      // undisturbed). Wall = one lists scan to find affected cells +
+      // survivor rewrite of THOSE CELLS ONLY + the restoring append —
+      // the Θ(affected cells) claim measured at the decade. A spread id
+      // set (uniform deletes) degrades toward min(|ids|, cells) cells
+      // rewritten — bounded by the cell count, never by the corpus.
+      "ivfpq_delete" -> ((spark: SparkSession, dir: String) => {
+        val basePath = hqScaledIndex(spark, dir)
+        val sel = pmod(col("vec_id"), lit(20000)) === 13
+        val emb = Tables.embeddings(spark, dir)
+        val removed = graft.pipeline.Similarity.ivfPqDelete(
+          emb.where(sel).select("vec_id"), basePath)
+        graft.pipeline.Similarity.ivfPqAppend(emb.where(sel), basePath)
+        spark.range(1).select(lit(removed).as("removed"))
+      }),
       // dedup_clusters_star with the CC driver-finish bound raised
       // 1<<20 → 1<<23 (~8M super-edges ≈ 128-256 MB collected): the
       // round-12 ×1000 audit found the star path's super-linear step is

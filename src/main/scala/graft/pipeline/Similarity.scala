@@ -960,6 +960,107 @@ object Similarity {
       .write.mode("append").partitionBy("cid").parquet(s"$path/lists"))
   }
 
+  /** Delete vectors from a persisted IVF-PQ index, rewriting ONLY the
+    * coarse cells that hold them — the right-to-be-forgotten pass a
+    * training-data index must support without a corpus-scale rewrite.
+    *
+    * Plan: one scan of the cid-partitioned lists finds the affected
+    * cells and their dead/total counts (one aggregation over a broadcast
+    * join against the id frame — deletion batches are the small side by
+    * contract), then the surviving rows OF THOSE CELLS ONLY are written
+    * to a staging dir beside the lists and swapped in with per-cell
+    * renames (a direct overwrite would be a self-read; the staging dir
+    * also keeps the swap crash-safe per cell: a cell is either its old
+    * files or its rewritten ones). Untouched cells' files are never read
+    * twice, never rewritten, never moved; cells the deletion EMPTIES are
+    * dropped (the staging write emits no dir for them). Work is
+    * therefore Θ(affected cells), not Θ(corpus): deleting a crawl
+    * snapshot's worth of ids from a 100 TB index rewrites the few
+    * thousand cells they live in.
+    *
+    * `ids` must expose `idCol` (any extra columns are ignored). Returns
+    * the number of rows actually removed. The model (centroids,
+    * codebook, meta) is untouched — deletion never needs retraining;
+    * like [[ivfPqAppend]], accumulated drift is the retrain trigger. */
+  def ivfPqDelete(ids: DataFrame, path: String,
+                  idCol: String = "vec_id"): Long = {
+    val spark = ids.sparkSession
+    val del = ids.select(col(idCol).cast("long").as("corpus_id")).distinct()
+    val lists = spark.read.parquet(s"$path/lists")
+      .select(col("cid").cast("int").as("cid"), col("corpus_id"), col("codes"))
+    // the affected cells and the per-cell (dead, survivor) counts in one
+    // aggregation over the broadcast-joined lists scan
+    val affected = lists.join(broadcast(del.withColumn("__dead", lit(1))),
+        Seq("corpus_id"), "left")
+      .groupBy("cid").agg(
+        sum(coalesce(col("__dead"), lit(0))).as("dead"),
+        count(lit(1)).as("total"))
+      .where(col("dead") > 0)
+      .collect()
+    if (affected.isEmpty) return 0L
+    val deadTotal = affected.map(_.getLong(1)).sum
+    val touched = affected.map(_.getInt(0))
+    val staging = s"$path/lists_delete_staging"
+    timed("ivfpq-delete")(lists
+      .where(col("cid").isin(touched.toSeq: _*))
+      .join(broadcast(del), Seq("corpus_id"), "left_anti")
+      .select(col("corpus_id"), col("codes"), col("cid"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(staging))
+    val listsRoot = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = listsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { cid =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/lists/cid=$cid")
+      val staged = new org.apache.hadoop.fs.Path(s"$staging/cid=$cid")
+      fs.delete(live, true)
+      // an emptied cell has no staged dir — the delete above is the swap
+      if (fs.exists(staged)) fs.rename(staged, live)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    deadTotal
+  }
+
+  /** Compact a persisted IVF-PQ index's lists: every [[ivfPqAppend]]
+    * adds at least one file per touched cell, and a probe's read cost
+    * eventually becomes file-open-bound rather than byte-bound (the
+    * classic small-files decay of any append-only partitioned layout).
+    * Cells at or under `maxFilesPerCell` are left ALONE — their files
+    * never move — and only the fragmented cells rewrite, through the
+    * same staging-dir + per-cell-swap discipline as [[ivfPqDelete]], so
+    * compaction work is Θ(fragmented cells), not Θ(corpus). Returns the
+    * number of cells rewritten. Content is unchanged (same rows, same
+    * codes — only the file layout coalesces, one file per rewritten
+    * cell). */
+  def ivfPqCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+                   maxFilesPerCell: Int = 4): Int = {
+    val listsRoot = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = listsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fragmented = fs.listStatus(listsRoot).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        } > maxFilesPerCell)
+      .map(st => st.getPath.getName.stripPrefix("cid=").toInt)
+    if (fragmented.isEmpty) return 0
+    val staging = s"$path/lists_compact_staging"
+    timed("ivfpq-compact")(spark.read.parquet(s"$path/lists")
+      .where(col("cid").isin(fragmented: _*))
+      .select(col("corpus_id"), col("codes"), col("cid").cast("int").as("cid"))
+      .repartition(col("cid"))
+      .sortWithinPartitions(col("cid"), col("corpus_id"))
+      .write.mode("overwrite").partitionBy("cid").parquet(staging))
+    fragmented.foreach { cid =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/lists/cid=$cid")
+      val staged = new org.apache.hadoop.fs.Path(s"$staging/cid=$cid")
+      fs.delete(live, true)
+      fs.rename(staged, live)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    fragmented.size
+  }
+
   /** (id, cid, resid): each valid-dim vector's coarse cell and residual
     * v − cent[cid] — exact elementwise subtraction in one projection. */
   private def residualFrame(corpus: DataFrame, cents: Array[Array[Double]], dim: Int,

@@ -43,6 +43,34 @@ class IvfPqSqlGen(pq: PqSqlGen, nprobe: Int) {
     s"""$prefixCtes,
       |${pq.rerankTail}""".stripMargin
 
+  /** The deletion replay (Similarity.ivfPqWrite over the full corpus →
+    * ivfPqDelete of some ids → ivfPqQuery): the model trains and encodes
+    * over emb exactly like the bulk leg — deletion never retrains — and
+    * the ADC scan simply excludes the deleted rows (`keepPred` over the
+    * code-table alias `d`), which IS the post-swap lists content since
+    * the delete rewrites affected cells to their survivors and touches
+    * nothing else. */
+  def annIvfPqDeleteTop5SqlOver(keepPred: String): String = {
+    val padKept =
+      s"""pad AS (
+        |  SELECT p.query_id, d.vec_id AS corpus_id,
+        |    (${pq.adcNum}) AS num, (${pq.adcDen}) AS den
+        |  FROM pcd d JOIN af a ON a.vec_id = d.vec_id
+        |       JOIN probes p ON p.cid = a.cid
+        |       JOIN plu l ON l.query_id = p.query_id
+        |       CROSS JOIN pnl n
+        |  WHERE d.vec_id != p.query_id AND ($keepPred)
+        |)""".stripMargin
+    s"""WITH ${IvfSql.embCte},
+      |${IvfSql.trainCtes},
+      |${pq.trainCtes},
+      |${pq.encodeCtes},
+      |${IvfSql.probesCteWith(nprobe)},
+      |${IvfSql.assignCte("af", s"cents${IvfSql.Iters}")},
+      |$padKept,
+      |${pq.rerankTail}""".stripMargin
+  }
+
   /** The incremental-index replay (Similarity.ivfPqWrite over a training
     * prefix → ivfPqAppend of the rest → ivfPqQuery): BOTH models — the
     * coarse centroids and the PQ codebooks — train on `trainCteName`

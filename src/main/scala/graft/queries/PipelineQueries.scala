@@ -416,6 +416,39 @@ object PipelineQueries {
       p
     })
 
+  /** One persisted APPEND-FRAGMENTED-THEN-COMPACTED fused index per sf
+    * dir per JVM: the same prefix-trained model as ivfPqAppendIndexFor,
+    * but the odd half arrives in FOUR append batches (fragmenting the
+    * cells) and Similarity.ivfPqCompact(maxFilesPerCell = 1) then
+    * rewrites every multi-file cell to one file. Content must be
+    * invariant, so the gate shares the append leg's oracle verbatim. */
+  private val ivfPqCompactIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqCompactIndexFor(spark: SparkSession, dir: String): String =
+    ivfPqCompactIndexDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_cmp_").toString
+      val emb = Tables.embeddings(spark, d)
+      Similarity.ivfPqWrite(emb.where(col("vec_id") % 2 === 0), p)
+      (1 to 7 by 2).foreach(r =>
+        Similarity.ivfPqAppend(emb.where(col("vec_id") % 8 === r), p))
+      Similarity.ivfPqCompact(spark, p, maxFilesPerCell = 1)
+      p
+    })
+
+  /** One persisted DELETED-FROM fused index per sf dir per JVM: the
+    * full-corpus model and lists (ivfPqWrite), then every odd vec_id
+    * removed through Similarity.ivfPqDelete — affected cells rewritten
+    * to survivors via the staging swap, emptied cells dropped. The
+    * ann_ivfpq_delete_top5 gate probes what remains. */
+  private val ivfPqDeleteIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqDeleteIndexFor(spark: SparkSession, dir: String): String =
+    ivfPqDeleteIndexDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_del_").toString
+      val emb = Tables.embeddings(spark, d)
+      Similarity.ivfPqWrite(emb, p)
+      Similarity.ivfPqDelete(emb.where(col("vec_id") % 2 === 1).select("vec_id"), p)
+      p
+    })
+
   /** One persisted QUALITY-TIER fused index per sf dir per JVM: same
     * layout as ivfPqIndexFor but trained at Similarity.HqPqK codewords
     * per subspace — the production-recall config whose gates price what
@@ -962,6 +995,46 @@ object PipelineQueries {
       },
       Some(IvfPqSql.annIvfPqAppendTop5SqlOver("pemb",
         "pemb AS (SELECT vec_id, v FROM emb WHERE vec_id % 2 = 0)"))),
+
+    Entry("ann_ivfpq_compact_top5",
+      // COMPACTION (Similarity.ivfPqCompact): the append-only layout's
+      // small-files decay reversed — the odd half arrives in four
+      // separate appends (fragmenting every touched cell), compaction
+      // coalesces each multi-file cell to one file through the same
+      // staging+swap discipline as deletion, and the probe must be
+      // bit-identical to the single-append index: the gate shares
+      // ann_ivfpq_append_top5's oracle text verbatim, which is the
+      // content-invariance statement itself.
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.ivfPqQuery(spark, ivfPqCompactIndexFor(spark, dir), emb,
+            emb.where(col("vec_id") < 10))
+          .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(IvfPqSql.annIvfPqAppendTop5SqlOver("pemb",
+        "pemb AS (SELECT vec_id, v FROM emb WHERE vec_id % 2 = 0)"))),
+
+    Entry("ann_ivfpq_delete_top5",
+      // index DELETION (Similarity.ivfPqDelete — the right-to-be-
+      // forgotten pass): the full-corpus index minus every odd vec_id,
+      // removed by rewriting ONLY the coarse cells that held them
+      // (survivor staging write + per-cell swap; emptied cells dropped;
+      // untouched cells' files never move — work is Θ(affected cells),
+      // not Θ(corpus)). The oracle trains and encodes the full corpus —
+      // deletion never retrains — and excludes the deleted ids from the
+      // ADC scan, which IS the post-swap lists content; the probe over
+      // the survivors is hash-gated end to end.
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.ivfPqQuery(spark, ivfPqDeleteIndexFor(spark, dir), emb,
+            emb.where(col("vec_id") < 10))
+          .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(IvfPqSql.annIvfPqDeleteTop5SqlOver("d.vec_id % 2 = 0"))),
 
     // in-gate recall measurement for both quantized paths: per query,
     // |approx top-5 ∩ exact top-5| / 5 — the oracle re-derives BOTH

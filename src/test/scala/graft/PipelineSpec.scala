@@ -1101,6 +1101,109 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "append without the raw-vs-residual marker must refuse, not guess")
   }
 
+  test("ivfPqDelete: survivors probe exactly; untouched cells' files never move; emptied cells drop") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 31 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_del").toString
+    Similarity.ivfPqWrite(df, dir, numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 2, pqSampleMod = 2)
+    val before = spark.read.parquet(s"$dir/lists")
+      .select("corpus_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).intValue).toMap
+    // pick the dead set so that one whole cell empties: every id of the
+    // smallest cell, plus a few ids from one other cell
+    val byCell = before.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+    val (emptyCell, emptyIds) = byCell.minBy(_._2.size)
+    val (mixedCell, mixedIds) = byCell.filter(_._1 != emptyCell).maxBy(_._2.size)
+    val dead = (emptyIds ++ mixedIds.take(2)).toSet
+    val untouched = byCell.keys.filter(c => c != emptyCell && c != mixedCell).toSeq
+    def fileStamps(cid: Int) = {
+      val d = new java.io.File(s"$dir/lists/cid=$cid")
+      if (!d.exists()) Map.empty[String, Long]
+      else d.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    }
+    val stampsBefore = untouched.map(c => c -> fileStamps(c)).toMap
+    val removed = Similarity.ivfPqDelete(
+      spark.createDataFrame(dead.toSeq.sorted.map(Tuple1(_))).toDF("vec_id"), dir)
+    assert(removed == dead.size, "the returned count must be the rows actually removed")
+    val after = spark.read.parquet(s"$dir/lists").select("corpus_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(after == before.keySet -- dead, "exactly the dead ids must vanish")
+    assert(!new java.io.File(s"$dir/lists/cid=$emptyCell").exists(),
+      "a cell the deletion empties must be dropped, not left with dead files")
+    assert(untouched.map(c => c -> fileStamps(c)).toMap == stampsBefore,
+      "cells holding no dead ids must keep their exact files (names and mtimes)")
+    assert(!new java.io.File(s"$dir/lists_delete_staging").exists(),
+      "the staging dir must be cleaned up")
+    // deleting ids that are not in the index is a no-op returning 0
+    assert(Similarity.ivfPqDelete(
+      spark.createDataFrame(Seq(Tuple1(9999L), Tuple1(8888L))).toDF("vec_id"), dir) == 0L)
+    // full coverage: the probe over the survivors equals brute force
+    // over the survivor corpus (deleted vectors are unreachable)
+    val survivors = df.where(!col("vec_id").isin(dead.toSeq: _*))
+    val q = df.where(col("vec_id") < 3)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number]("query_id").longValue, r.getAs[Number]("rank").intValue) ->
+        (r.getAs[Number]("corpus_id").longValue, math.round(r.getAs[Double]("cosine") * 1e9))
+    val got = Similarity.ivfPqQuery(spark, dir, df, q, k = 5, nprobe = 4, shortlist = 100)
+      .collect().map(key).toMap
+    val bf = Similarity.bruteForceTopK(survivors, q, k = 5).collect().map(key).toMap
+    assert(got == bf, "full-coverage probe after delete must equal brute force over survivors")
+  }
+
+  test("ivfPqCompact: fragmented cells coalesce to one file, content unchanged, quiet cells untouched") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0L until 80L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 31 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_cmp").toString
+    Similarity.ivfPqWrite(df.where(col("vec_id") < 20), dir,
+      numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 2, pqSampleMod = 2)
+    // six small appends fragment the touched cells
+    (20L until 80L by 10L).foreach { lo =>
+      Similarity.ivfPqAppend(
+        df.where(col("vec_id") >= lo && col("vec_id") < lo + 10), dir)
+    }
+    def cellFiles(cid: Int) = {
+      val d = new java.io.File(s"$dir/lists/cid=$cid")
+      if (!d.exists()) Array.empty[java.io.File]
+      else d.listFiles().filter(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+    val cids = new java.io.File(s"$dir/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+      .map(_.getName.stripPrefix("cid=").toInt)
+    val fragged = cids.filter(c => cellFiles(c).length > 4)
+    val quiet = cids.filter(c => cellFiles(c).length <= 4)
+    assert(fragged.nonEmpty, "the appends must have fragmented at least one cell")
+    val quietStamps = quiet.map(c => c -> cellFiles(c).map(f =>
+      f.getName -> f.lastModified()).toMap).toMap
+    def content() = spark.read.parquet(s"$dir/lists")
+      .collect().map(r => (r.getAs[Long]("corpus_id"),
+        r.getAs[Number]("cid").intValue, r.getAs[Seq[Int]]("codes"))).toSet
+    val before = content()
+    val rewritten = Similarity.ivfPqCompact(spark, dir)
+    assert(rewritten == fragged.length, "exactly the fragmented cells rewrite")
+    assert(content() == before, "compaction must not change index content")
+    fragged.foreach(c => assert(cellFiles(c).length == 1,
+      s"cell $c must coalesce to one file"))
+    assert(quiet.map(c => c -> cellFiles(c).map(f =>
+      f.getName -> f.lastModified()).toMap).toMap == quietStamps,
+      "cells under the bound must keep their exact files")
+    assert(!new java.io.File(s"$dir/lists_compact_staging").exists(),
+      "the staging dir must be cleaned up")
+    assert(Similarity.ivfPqCompact(spark, dir) == 0, "a compacted index is a no-op")
+  }
+
   test("ivfPqResQuery: full coverage equals brute force (residual corrections cancel at the re-rank)") {
     import org.apache.spark.sql.functions.col
     // same argument as the raw fused test: probing every cell + a
