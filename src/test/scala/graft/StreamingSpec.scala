@@ -719,6 +719,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-static join ANN probe over a maintained index (append + delete) stays batch-exact") {
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions.col
+    // the operational lifecycle composed: write a base index, append an
+    // increment, delete a few ids, compact — the stream-static probe
+    // reads whatever files the maintenance ops left and must still equal
+    // the batch ADC rank over the same path (both sides see the same
+    // survivor lists; nothing is cached driver-side to go stale)
+    val vecs = (0L until 60L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 31 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_sj_maint").toString
+    Similarity.ivfPqWrite(df.where(col("vec_id") < 40), dir,
+      numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 1, pqSampleMod = 1)
+    Similarity.ivfPqAppend(df.where(col("vec_id") >= 40 && col("vec_id") < 50), dir)
+    Similarity.ivfPqAppend(df.where(col("vec_id") >= 50), dir)
+    Similarity.ivfPqDelete(
+      spark.createDataFrame(Seq(Tuple1(5L), Tuple1(45L), Tuple1(55L))).toDF("vec_id"), dir)
+    Similarity.ivfPqCompact(spark, dir, maxFilesPerCell = 1)
+    implicit val enc = Encoders.product[(Long, Seq[Double])]
+    val ms = MemoryStream[(Long, Seq[Double])](spark)
+    val q = StreamingOps.annAdcStreamJoin(ms.toDF().toDF("vec_id", "embedding"), dir,
+        k = 3, nprobe = 2)
+      .writeStream.format("memory").queryName("ann_join_maint")
+      .outputMode("update").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      ms.addData(vecs.take(2)); q.processAllAvailable()
+      ms.addData(vecs.slice(2, 4)); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(3)) -> (r.getLong(1), math.round(r.getDouble(2) * 1e9))
+      val got = spark.sql(
+        "SELECT query_id, corpus_id, adc, rank FROM ann_join_maint").collect().map(key(_)).toMap
+      val batch = Similarity.ivfPqAdcTopK(spark, dir,
+          df.where(col("vec_id") < 4), k = 3, nprobe = 2)
+        .collect().map(key(_)).toMap
+      assert(got == batch, s"maintained-index stream probe must equal batch\n got=$got\n batch=$batch")
+      assert(!got.values.exists(v => Set(5L, 45L, 55L)(v._1)),
+        "deleted ids must be unreachable through the stream probe")
+    } finally q.stop()
+  }
+
   test("stream-static join residual ANN probe equals the batch residual ADC rank") {
     import graft.pipeline.Similarity
     import org.apache.spark.sql.functions.col
