@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Z-order layout evidence (the SkewBench/BucketBench convention:
+  * correctness lives in the registered `zorder_prune` gate, the physics
+  * lives here). Writes the SAME events replica twice — time-sorted (the
+  * natural single-dimension layout every ingestion pipeline produces)
+  * and z-ordered on (user_id, ts) — and runs the canonical needle query
+  * "one user, one time slice" over both, reporting wall and BYTES READ
+  * (task input metrics): the number that predicts 100 TB scan cost.
+  * Layouts are written once beside the replica, marker-gated like the
+  * ScaleBench derived tables.
+  *
+  * Usage: runMain graft.LayoutBench [mult] — uses the ScaleBench replica
+  * at /tmp/graft_scale_x<mult> (generated if absent).
+  */
+object LayoutBench {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(100)
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = s"/tmp/graft_scale_x$mult"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      // AQE re-instantiates plan fragments, so the scan node reachable
+      // from queryExecution is not the instance whose metrics filled —
+      // the bench reads the scan's own numOutputRows/numFiles, so run
+      // the (trivial scan+agg) plans non-adaptively
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val doneFile = java.nio.file.Paths.get(s"$out/_DONE")
+    if (!java.nio.file.Files.exists(doneFile)) ScaleBench.generate(spark, base, out, mult)
+
+    // skipping metric: the SCAN node's own SQL metrics after execution —
+    // rows MATERIALIZED by the parquet reader (what survives row-group
+    // and page pruning, i.e. the IO a layout saves) and files read.
+    // (Task inputMetrics.bytesRead is blind here: the local-fs vectorized
+    // reader bypasses the metered stream — measured 0.19 MB for a 90 MB
+    // full scan — so it cannot see skipping at all.)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    def scanMetrics(df: DataFrame): (Long, Long) = {
+      val ss = scans(df.queryExecution.executedPlan)
+      (ss.map(_.metrics("numOutputRows").value).sum,
+        ss.map(_.metrics("numFiles").value).sum)
+    }
+
+    val events = Tables.eventsNs(spark, out)
+    val tsPath = s"$out/events_ts_sorted.parquet"
+    val zPath = s"$out/events_zorder.parquet"
+    locally {
+      val m = java.nio.file.Paths.get(s"$out/_DONE_LAYOUT_v1")
+      if (!java.nio.file.Files.exists(m)) {
+        println(s"[layout x$mult] writing ts-sorted and z-ordered layouts ...")
+        events.repartitionByRange(col("ts")).sortWithinPartitions("ts")
+          .write.mode("overwrite").parquet(tsPath)
+        graft.etl.Layout.zOrderWrite(events, Seq("user_id", "ts"), zPath)
+        java.nio.file.Files.createFile(m)
+      }
+    }
+
+    // three query shapes — the honest trade, not a cherry-pick: a
+    // single-dim time sort wins the pure time slice (perfect locality
+    // on its one dimension), CANNOT skip for a user lookup (every row
+    // group spans every user), and the z-order serves both from one
+    // layout (each dimension keeps ~half its bits' worth of locality)
+    val b = events.agg(min("ts"), max("ts")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val t1 = lo + ((hi - lo) * 0.40).toLong
+    val t2 = lo + ((hi - lo) * 0.45).toLong
+    val uid = 700L
+    val shapes = Seq(
+      "user_only" -> (col("user_id") === uid),
+      "time_slice" -> col("ts").between(t1, t2),
+      "user+slice" -> (col("user_id") === uid && col("ts").between(t1, t2)))
+
+    Seq("ts_sorted" -> tsPath, "zorder" -> zPath).foreach { case (name, p) =>
+      val df = spark.read.parquet(p)
+      df.limit(1).collect() // footer/reader warmup outside the timed run
+      shapes.foreach { case (shape, pred) =>
+        (1 to 2).foreach { run =>
+          val q = df.where(pred).agg(count(lit(1)).as("n"), sum("value").as("sv"))
+          val t0 = System.nanoTime()
+          val r = q.collect()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val (scanRows, files) = scanMetrics(q)
+          println(f"[layout x$mult] $name%-10s $shape%-11s run$run wall ${wall}%6.3f s   scan-rows ${scanRows}%9d   files $files%3d   rows ${r(0).getLong(0)}")
+        }
+      }
+    }
+    spark.stop()
+  }
+}

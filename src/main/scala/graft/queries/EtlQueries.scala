@@ -94,7 +94,45 @@ object EtlQueries {
       p
     })
 
+  /** One Z-ORDERED events copy per sf dir per JVM (etl.Layout.zOrderWrite
+    * on (user_id, ts)): the multi-dimensional clustering a lakehouse
+    * OPTIMIZE produces — row-group stats become selective on BOTH
+    * interleaved columns at once. ts micro-truncated like every gated
+    * events consumer (the DuckDB precision contract). */
+  private val zorderDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderEventsFor(spark: SparkSession, dir: String): String =
+    zorderDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+      graft.etl.Layout.zOrderWrite(
+        Tables.eventsNs(spark, d).withColumn("ts", expr("(ts div 1000) * 1000")),
+        Seq("user_id", "ts"), p)
+      p
+    })
+
   val entries: Seq[Entry] = Seq(
+    Entry("zorder_prune",
+      // Z-ORDER layout roundtrip (etl.Layout): the gate proves the
+      // curve-ordered rewrite is LOSSLESS — a (user_id)-sliced rollup
+      // over the z-ordered copy must hash-match the oracle over the
+      // original table (selection commutes with layout). What the
+      // layout BUYS — multi-dim row-group skipping measured in
+      // bytes-read against the single-dim time sort — is LayoutBench
+      // evidence (BASELINE.md r15), the SkewBench/BucketBench split:
+      // correctness here, physics there.
+      (spark, dir) => spark.read.parquet(zorderEventsFor(spark, dir))
+        .where(col("user_id").between(100, 200))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          r6(sum(col("value").cast("decimal(38,12)")).cast("double")).as("sum_value"),
+          min("ts").as("min_ts"), max("ts").as("max_ts"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n_events,
+        |  ROUND(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6)+0.0 AS sum_value,
+        |  min((epoch_ns(ts) // 1000) * 1000) AS min_ts,
+        |  max((epoch_ns(ts) // 1000) * 1000) AS max_ts
+        |FROM events WHERE user_id BETWEEN 100 AND 200
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     Entry("align_grid",
       (spark, dir) => {
         val sparse = Tables.bars(spark, dir)

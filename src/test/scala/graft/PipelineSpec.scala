@@ -1204,6 +1204,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.ivfPqCompact(spark, dir) == 0, "a compacted index is a no-op")
   }
 
+  test("Layout.zValue interleaves bits exactly; zOrderWrite is a lossless reorder") {
+    import org.apache.spark.sql.functions.col
+    // bits = 2, two columns scaled over [0, 4): cell = value itself for
+    // 0..3 (v/4*4), the max clamps into the top cell. The textbook
+    // Morton positions: bit i of column j lands at i*n + j.
+    val pts = Seq((0L, 0L), (3L, 0L), (0L, 3L), (3L, 3L), (2L, 1L), (1L, 2L), (4L, 0L))
+    val df = spark.createDataFrame(pts).toDF("x", "y")
+    val z = graft.etl.Layout.zValue(Seq(col("x"), col("y")), Seq(0.0, 0.0),
+      Seq(4.0, 4.0), bits = 2)
+    val got = df.select(col("x"), col("y"), z.as("z")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 0L, (3L, 0L) -> 5L, (0L, 3L) -> 10L,
+      (3L, 3L) -> 15L, (2L, 1L) -> 6L, (1L, 2L) -> 9L, (4L, 0L) -> 5L),
+      s"Morton codes must match the textbook interleave, got $got")
+    // roundtrip: the z-ordered rewrite is a pure reorder — same multiset
+    val rows = (0L until 500L).map(i => (i, i % 37, (i * 31) % 101))
+    val src = spark.createDataFrame(rows).toDF("id", "a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    graft.etl.Layout.zOrderWrite(src, Seq("a", "b"), dir, bits = 8, numFiles = 4)
+    val back = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(back.toSeq == rows.sorted.toSeq, "zOrderWrite must preserve every row")
+    assert(spark.read.parquet(dir).schema.fieldNames.toSet == Set("id", "a", "b"),
+      "the z key must not leak into the written schema")
+  }
+
   test("ivfPqResQuery: full coverage equals brute force (residual corrections cancel at the re-rank)") {
     import org.apache.spark.sql.functions.col
     // same argument as the raw fused test: probing every cell + a
