@@ -251,6 +251,40 @@ object ScaleBench {
         graft.pipeline.Similarity.ivfPqAppend(emb.where(sel), basePath)
         spark.range(1).select(lit(removed).as("removed"))
       }),
+      // the PERSISTED cross-corpus dedup index in its OPERATIONAL shape:
+      // a 0.1% daily batch (doc_id ≡ 1 mod 1000) probed against the
+      // 99.9% reference — the direct path must re-sign and re-shuffle
+      // the whole reference for that sliver of new docs, the indexed
+      // path touches only the batch (the reference's buckets and shingle
+      // arrays sort-merge in place from the bucketed tables, plan-pinned
+      // in PlanSpec). The first leg invocation in a JVM pays the
+      // one-time index build (in-memory catalog — tables re-stage per
+      // JVM; name the leg twice to split build from probe, the
+      // ann_ivfpq_top5/_probe convention). cross_corpus_direct_small is
+      // the apples-to-apples direct leg on the same split. (The % 3
+      // registry split is the wrong shape for this comparison: there the
+      // "batch" is 2/3 of the corpus and the candidate-verify join
+      // dominates both paths — measured 68 s indexed vs 59 s direct at
+      // ×100, i.e. the index only pays when the batch is small, which is
+      // exactly when you need it.)
+      "cross_corpus_indexed" -> ((spark: SparkSession, dir: String) => {
+        val docs = Tables.documents(spark, dir)
+        val prefix = "scale_ccidx_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        if (!Seq("buckets", "shingles", "meta")
+              .forall(s => spark.catalog.tableExists(s"${prefix}_$s"))) {
+          println(s"[scale] staging cross-corpus dedup index $prefix ...")
+          graft.pipeline.Dedup.dedupIndexWrite(
+            docs.where(pmod(col("doc_id"), lit(1000)) =!= 1), prefix, s"$dir/ccidx")
+        }
+        graft.pipeline.Dedup.crossCorpusNearDupIndexed(
+          docs.where(pmod(col("doc_id"), lit(1000)) === 1), prefix)
+      }),
+      "cross_corpus_direct_small" -> ((spark: SparkSession, dir: String) => {
+        val docs = Tables.documents(spark, dir)
+        graft.pipeline.Dedup.crossCorpusNearDup(
+          docs.where(pmod(col("doc_id"), lit(1000)) === 1),
+          docs.where(pmod(col("doc_id"), lit(1000)) =!= 1))
+      }),
       // dedup_clusters_star with the CC driver-finish bound raised
       // 1<<20 → 1<<23 (~8M super-edges ≈ 128-256 MB collected): the
       // round-12 ×1000 audit found the star path's super-linear step is

@@ -708,15 +708,23 @@ object Dedup {
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", shingleK: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol), array_distinct(shingles(col(textCol), shingleK)).as("sh"))
-    pairs
+    jaccardFromShingleCols(pairs
       .join(sh.toDF("a_id", "a_sh"), "a_id")
-      .join(sh.toDF("b_id", "b_sh"), "b_id")
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
-      .withColumn("uni", size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
-      .withColumn("jaccard",
-        when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")))
-      .drop("a_sh", "b_sh", "inter", "uni")
+      .join(sh.toDF("b_id", "b_sh"), "b_id"))
+      .drop("a_sh", "b_sh")
   }
+
+  /** The ONE exact-jaccard verify definition over joined (a_sh, b_sh)
+    * shingle columns — shared by [[ngramJaccard]] (shingles computed
+    * in-plan) and [[crossCorpusNearDupIndexed]] (reference shingles read
+    * from the persisted index), so the verification the two paths apply
+    * cannot drift. */
+  private[pipeline] def jaccardFromShingleCols(joined: DataFrame): DataFrame = joined
+    .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
+    .withColumn("uni", size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
+    .withColumn("jaccard",
+      when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")))
+    .drop("inter", "uni")
 
   /** Contamination FRACTION — the graded refinement of [[decontaminate]]'s
     * boolean flag: for each corpus doc, the share of its distinct k-shingle
@@ -1003,6 +1011,90 @@ object Dedup {
     val both = corpus.select(col(idCol), col(textCol))
       .unionByName(reference.select(col(idCol), col(textCol)))
     val verified = ngramJaccard(pairs, both, textCol, idCol, shingleK)
+      .groupBy("a_id")
+      .agg(max(col("jaccard") >= jaccardThr).as("near_dup"),
+        max(col("jaccard")).as("max_jaccard"))
+    corpus.select(col(idCol)).join(verified, corpus(idCol) === verified("a_id"), "left")
+      .select(col(idCol),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"),
+        col("max_jaccard"))
+  }
+
+  /** Persist the REFERENCE side of cross-corpus dedup as a probe-ready
+    * index — the text-dedup analogue of the fused ANN index
+    * ([[graft.pipeline.Similarity.ivfPqWrite]]): a 100 TB training set's
+    * signatures are computed ONCE, not once per arriving crawl batch.
+    * Two external bucketed tables (the etl.Bucketing discipline):
+    *
+    *   - `<prefix>_buckets` (id, band, bucket), bucketed+sorted on
+    *     (band, bucket) — the candidate join's key, so the probe's
+    *     bucket join shuffles ONLY the arriving batch; the reference
+    *     side sort-merges its co-located buckets in place.
+    *   - `<prefix>_shingles` (id, sh), bucketed+sorted on the id — the
+    *     verify join's key, so the reference never re-shingles and its
+    *     shingle arrays never re-shuffle either.
+    *   - `<prefix>_meta`: one row pinning (numPerms, bands, shingleK) —
+    *     probing with mismatched banding would silently miss duplicates,
+    *     so [[crossCorpusNearDupIndexed]] reads its parameters FROM the
+    *     index (the ivfPq mode-marker precedent, made total: no argument
+    *     to mismatch).
+    *
+    * Rebuild (or append a signed increment with mode("append") semantics
+    * — not provided here; dedup references grow by re-running this on
+    * the grown corpus or by unioning index tables) when the reference
+    * changes. */
+  def dedupIndexWrite(reference: DataFrame, tablePrefix: String, path: String,
+                      numBuckets: Int = 32, textCol: String = "text",
+                      idCol: String = "doc_id", numPerms: Int = 32,
+                      bands: Int = 16, shingleK: Int = 3): Unit = {
+    val spark = reference.sparkSession
+    val buckets = lshBuckets(minhashSignatures(reference, textCol, idCol, numPerms,
+      shingleK, portable = true), idCol, numPerms, bands, portable = true)
+    spark.sql(s"DROP TABLE IF EXISTS `${tablePrefix}_buckets`")
+    buckets.write.mode("overwrite").option("path", s"$path/buckets")
+      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
+      .format("parquet").saveAsTable(s"${tablePrefix}_buckets")
+    val sh = reference.select(col(idCol),
+      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+    spark.sql(s"DROP TABLE IF EXISTS `${tablePrefix}_shingles`")
+    sh.write.mode("overwrite").option("path", s"$path/shingles")
+      .bucketBy(numBuckets, idCol).sortBy(idCol)
+      .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
+    spark.sql(s"DROP TABLE IF EXISTS `${tablePrefix}_meta`")
+    import spark.implicits._
+    Seq((numPerms, bands, shingleK)).toDF("num_perms", "bands", "shingle_k")
+      .coalesce(1).write.mode("overwrite").option("path", s"$path/meta")
+      .format("parquet").saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** [[crossCorpusNearDup]] against a PERSISTED reference index
+    * ([[dedupIndexWrite]]): per-row results are IDENTICAL (same portable
+    * signatures, same banding, same exact-jaccard verify — parity-tested)
+    * but the reference contributes zero signature compute and zero
+    * shuffle: the candidate join sort-merges the co-located
+    * (band, bucket) buckets in place and only the arriving batch
+    * exchanges; the verify join reads the persisted shingle arrays
+    * co-located on the id. Banding parameters come FROM the index's meta
+    * table — only the verification threshold is a probe-time knob. */
+  def crossCorpusNearDupIndexed(corpus: DataFrame, tablePrefix: String,
+                                jaccardThr: Double = 0.5,
+                                textCol: String = "text",
+                                idCol: String = "doc_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val (numPerms, bands, shingleK) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val cb = lshBuckets(minhashSignatures(corpus, textCol, idCol, numPerms,
+      shingleK, portable = true), idCol, numPerms, bands, portable = true)
+    val pairs = cb.toDF("a_id", "band", "bucket")
+      .join(spark.table(s"${tablePrefix}_buckets").toDF("b_id", "band", "bucket"),
+        Seq("band", "bucket"))
+      .select("a_id", "b_id").distinct()
+    val ash = corpus.select(col(idCol).as("a_id"),
+      array_distinct(shingles(col(textCol), shingleK)).as("a_sh"))
+    val rsh = spark.table(s"${tablePrefix}_shingles").toDF("b_id", "b_sh")
+    val verified = jaccardFromShingleCols(pairs
+      .join(ash, "a_id")
+      .join(rsh, "b_id"))
       .groupBy("a_id")
       .agg(max(col("jaccard") >= jaccardThr).as("near_dup"),
         max(col("jaccard")).as("max_jaccard"))

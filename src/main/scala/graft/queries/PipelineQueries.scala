@@ -400,6 +400,24 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** One persisted cross-corpus dedup index per sf dir (the bucketed_join
+    * catalog-recovery discipline: bucketed tables live in the JVM-global
+    * catalog, so re-stage when a fresh session lost them rather than
+    * caching only the name). Reference = the doc_id % 3 == 0 split the
+    * cross_corpus_dedup family pins. */
+  private def ccIndexFor(spark: SparkSession, dir: String): String = {
+    val prefix = "graft_ccidx_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    this.synchronized {
+      if (!Seq("buckets", "shingles", "meta")
+            .forall(s => spark.catalog.tableExists(s"${prefix}_$s"))) {
+        val p = java.nio.file.Files.createTempDirectory("graft_ccidx_").toString
+        Dedup.dedupIndexWrite(
+          Tables.documents(spark, dir).where(col("doc_id") % 3 === 0), prefix, p)
+      }
+    }
+    prefix
+  }
+
   /** One persisted INCREMENTALLY-BUILT fused index per sf dir per JVM:
     * the model trains on the even-vec_id half only (ivfPqWrite), the odd
     * half arrives through Similarity.ivfPqAppend — encode-only, no
@@ -1361,6 +1379,25 @@ object PipelineQueries {
         val docs = Tables.documents(spark, dir)
         Dedup.crossCorpusNearDup(docs.where(col("doc_id") % 3 =!= 0),
             docs.where(col("doc_id") % 3 === 0))
+          .select(col("doc_id"), col("near_dup"),
+            r6(col("max_jaccard")).as("max_jaccard"))
+          .orderBy("doc_id")
+      }, Some(DedupSql.crossCorpusDedupSql())),
+
+    Entry("cross_corpus_dedup_indexed",
+      // the persisted-reference leg (Dedup.dedupIndexWrite →
+      // crossCorpusNearDupIndexed): the reference's signatures, buckets
+      // and shingle arrays are computed ONCE into bucketed tables —
+      // the probe shuffles only the arriving batch (plan-pinned in
+      // PlanSpec) and the banding parameters ride the index's meta
+      // table. Per-row results are identical to cross_corpus_dedup by
+      // construction, so this leg shares its oracle text verbatim —
+      // the precompute-invariance statement (the ann_ivfpq_compact
+      // discipline applied to text dedup).
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Dedup.crossCorpusNearDupIndexed(docs.where(col("doc_id") % 3 =!= 0),
+            ccIndexFor(spark, dir))
           .select(col("doc_id"), col("near_dup"),
             r6(col("max_jaccard")).as("max_jaccard"))
           .orderBy("doc_id")

@@ -1230,6 +1230,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the z key must not leak into the written schema")
   }
 
+  test("crossCorpusNearDupIndexed: per-row identical to the direct path; params come from the index") {
+    import org.apache.spark.sql.functions.col
+    // a corpus with true near-dups across the split, exact dups, and
+    // no-collision strays — the three row classes the contract names
+    val texts = (0L until 40L).map { i =>
+      if (i % 4 == 1) // strays: fully private vocabulary, no collision
+        i -> (0 until 12).map(w => s"u${i}x$w").mkString(" ")
+      else {
+        val words = (0 until 12).map(w => s"w${(i % 7 + w) % 19}")
+        i -> (if (i % 5 == 0) words.mkString(" ")
+              else words.drop(1).mkString(" ") + s" tail$i")
+      }
+    }
+    val all = docs(texts: _*)
+    val ref = all.where(col("doc_id") % 3 === 0)
+    val batch = all.where(col("doc_id") % 3 =!= 0)
+    val ipath = java.nio.file.Files.createTempDirectory("ccidx").toString
+    Dedup.dedupIndexWrite(ref, "test_ccidx", ipath, numBuckets = 4, bands = 8)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      r.getLong(0) -> (r.getBoolean(1),
+        Option(r.get(2)).map(v => math.round(r.getDouble(2) * 1e9)))).toMap
+    val direct = key(Dedup.crossCorpusNearDup(batch, ref, bands = 8))
+    val indexed = key(Dedup.crossCorpusNearDupIndexed(batch, "test_ccidx"))
+    assert(indexed == direct,
+      s"indexed probe must equal the direct path\n idx=$indexed\n dir=$direct")
+    assert(direct.values.exists(_._1) && direct.values.exists(!_._1),
+      "the fixture must exercise both flag values")
+    // the banding params ride the index's meta table (bands = 8 here,
+    // not the default 16): a probe at library defaults would produce
+    // DIFFERENT buckets — equality above proves the meta was honored
+    val meta = spark.table("test_ccidx_meta").head()
+    assert((meta.getInt(0), meta.getInt(1), meta.getInt(2)) == (32, 8, 3))
+  }
+
   test("ivfPqResQuery: full coverage equals brute force (residual corrections cancel at the re-rank)") {
     import org.apache.spark.sql.functions.col
     // same argument as the raw fused test: probing every cell + a

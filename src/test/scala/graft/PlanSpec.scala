@@ -531,6 +531,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("dedup-index candidate join shuffles only the arriving batch") {
+    // the persisted cross-corpus index (Dedup.dedupIndexWrite): the
+    // reference buckets table is bucketed+sorted on the join key
+    // (band, bucket), so the candidate join's ONLY exchange is the
+    // arriving batch's — a 100 TB reference never re-shuffles
+    val base = java.nio.file.Files.createTempDirectory("ccidx_plan_").toString
+    val d = docs(60)
+    graft.pipeline.Dedup.dedupIndexWrite(
+      d.where(col("doc_id") % 3 === 0), "plan_ccidx", base, numBuckets = 4)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batch = d.where(col("doc_id") % 3 =!= 0)
+      val cb = graft.pipeline.Dedup.lshBuckets(
+        graft.pipeline.Dedup.minhashSignatures(batch, portable = true), portable = true)
+      val j = cb.toDF("a_id", "band", "bucket")
+        .join(spark.table("plan_ccidx_buckets").toDF("b_id", "band", "bucket"),
+          Seq("band", "bucket"))
+      assert(countShuffleExchanges(j) == 1,
+        "exactly one exchange — the batch side; the bucketed reference joins in place")
+      assert(j.count() > 0, "the fixture must produce candidates")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("bucketed registry query recovers when the catalog loses its tables") {
     // the JVM-global build-once cache stores table NAMES whose catalog
     // entries die with the session that made them; a later session must
