@@ -1264,6 +1264,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((meta.getInt(0), meta.getInt(1), meta.getInt(2)) == (32, 8, 3))
   }
 
+  test("Layout.zValue is monotone under coordinate dominance (exhaustive 16x16 grid)") {
+    import org.apache.spark.sql.functions.col
+    // the property that makes Morton footer stats selective: if a <= b
+    // on EVERY dimension then z(a) <= z(b), so an axis-aligned rectangle
+    // maps to a bounded set of curve intervals and each row group's
+    // min/max covers a contiguous curve tile. Exhaustive over the full
+    // 16x16 cell grid at bits = 4 — every dominated pair checked.
+    val pts = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
+    val df = spark.createDataFrame(pts).toDF("x", "y")
+    val z = graft.etl.Layout.zValue(Seq(col("x"), col("y")), Seq(0.0, 0.0),
+      Seq(16.0, 16.0), bits = 4)
+    val got = df.select(col("x"), col("y"), z.as("z")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.values.toSeq.distinct.size == 256, "the grid must map to 256 distinct codes")
+    for (((ax, ay), az) <- got; ((bx, by), bz) <- got
+         if ax <= bx && ay <= by && (ax, ay) != (bx, by))
+      assert(az < bz, s"dominated point ($ax,$ay)=$az must order before ($bx,$by)=$bz")
+  }
+
   test("ivfPqResQuery: full coverage equals brute force (residual corrections cancel at the re-rank)") {
     import org.apache.spark.sql.functions.col
     // same argument as the raw fused test: probing every cell + a
