@@ -60,6 +60,7 @@ object LayoutBench {
     val events = Tables.eventsNs(spark, out)
     val tsPath = s"$out/events_ts_sorted.parquet"
     val zPath = s"$out/events_zorder.parquet"
+    val z3Path = s"$out/events_zorder3.parquet"
     locally {
       val m = java.nio.file.Paths.get(s"$out/_DONE_LAYOUT_v1")
       if (!java.nio.file.Files.exists(m)) {
@@ -68,6 +69,15 @@ object LayoutBench {
           .write.mode("overwrite").parquet(tsPath)
         graft.etl.Layout.zOrderWrite(events, Seq("user_id", "ts"), zPath)
         java.nio.file.Files.createFile(m)
+      }
+      // the 3-dim layout: (user, TYPE, time) with the type dimension a
+      // STRING through zStats' dictionary front — each dimension keeps
+      // ~bits/3 of locality, the selectivity split across one more axis
+      val m3 = java.nio.file.Paths.get(s"$out/_DONE_LAYOUT3_v1")
+      if (!java.nio.file.Files.exists(m3)) {
+        println(s"[layout x$mult] writing 3-dim (user, type, ts) z-ordered layout ...")
+        graft.etl.Layout.zOrderWrite(events, Seq("user_id", "event_type", "ts"), z3Path)
+        java.nio.file.Files.createFile(m3)
       }
     }
 
@@ -84,9 +94,13 @@ object LayoutBench {
     val shapes = Seq(
       "user_only" -> (col("user_id") === uid),
       "time_slice" -> col("ts").between(t1, t2),
-      "user+slice" -> (col("user_id") === uid && col("ts").between(t1, t2)))
+      "user+slice" -> (col("user_id") === uid && col("ts").between(t1, t2)),
+      "type_only" -> (col("event_type") === "error"),
+      "u+type+sl" -> (col("user_id") === uid && col("event_type") === "error"
+        && col("ts").between(t1, t2)))
 
-    Seq("ts_sorted" -> tsPath, "zorder" -> zPath).foreach { case (name, p) =>
+    Seq("ts_sorted" -> tsPath, "zorder" -> zPath, "zorder3" -> z3Path)
+      .foreach { case (name, p) =>
       val df = spark.read.parquet(p)
       df.limit(1).collect() // footer/reader warmup outside the timed run
       shapes.foreach { case (shape, pred) =>

@@ -246,9 +246,19 @@ object ScaleBench {
         val basePath = hqScaledIndex(spark, dir)
         val sel = pmod(col("vec_id"), lit(20000)) === 13
         val emb = Tables.embeddings(spark, dir)
-        val removed = graft.pipeline.Similarity.ivfPqDelete(
-          emb.where(sel).select("vec_id"), basePath)
-        graft.pipeline.Similarity.ivfPqAppend(emb.where(sel), basePath)
+        // the shared index mutates in place: drop its _DONE marker while
+        // the delete/restore pair is in flight, so a crash between the
+        // two leaves a rebuild trigger instead of a silently-short index,
+        // and restore in finally so even a failed restore is attempted
+        val done = java.nio.file.Paths.get(s"$dir/_DONE_HQ_SCALED_v1")
+        java.nio.file.Files.deleteIfExists(done)
+        val removed =
+          try graft.pipeline.Similarity.ivfPqDelete(
+            emb.where(sel).select("vec_id"), basePath)
+          finally {
+            graft.pipeline.Similarity.ivfPqAppend(emb.where(sel), basePath)
+            java.nio.file.Files.createFile(done)
+          }
         spark.range(1).select(lit(removed).as("removed"))
       }),
       // the PERSISTED cross-corpus dedup index in its OPERATIONAL shape:
@@ -452,11 +462,17 @@ object ScaleBench {
     if (!java.nio.file.Files.exists(done)) {
       val emb = Tables.embeddings(spark, dir)
       val n = emb.where(col("embedding").isNotNull).count()
-      val nc = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val nc = graft.pipeline.Similarity.scaledNumCentroids(n)
       println(s"[scale] building hq-scaled IVF-PQ index: n=$n numCentroids=$nc ...")
       graft.pipeline.Similarity.ivfPqWrite(emb, path, numCentroids = nc,
         ksub = graft.pipeline.Similarity.HqPqK)
       java.nio.file.Files.createFile(done)
+    } else if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/ids"))) {
+      // an index built before the id-sidecar existed: upgrade in place
+      // (one column-pruned lists scan) so the delete leg measures the
+      // Θ(batch) discovery, not the legacy fallback
+      println(s"[scale] refreshing id sidecar for pre-sidecar index at $path ...")
+      graft.pipeline.Similarity.ivfPqIdsRefresh(spark, path)
     }
     path
   }
@@ -485,7 +501,7 @@ object ScaleBench {
     if (!java.nio.file.Files.exists(done)) {
       val reps = collapsedEmb(spark, dir)
       val n = reps.count()
-      val nc = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val nc = graft.pipeline.Similarity.scaledNumCentroids(n)
       println(s"[scale] building hq collapsed-reps IVF-PQ index: n=$n numCentroids=$nc ...")
       graft.pipeline.Similarity.ivfPqWrite(reps, path, numCentroids = nc,
         ksub = graft.pipeline.Similarity.HqPqK)

@@ -716,10 +716,13 @@ object Dedup {
 
   /** The ONE exact-jaccard verify definition over joined (a_sh, b_sh)
     * shingle columns — shared by [[ngramJaccard]] (shingles computed
-    * in-plan) and [[crossCorpusNearDupIndexed]] (reference shingles read
-    * from the persisted index), so the verification the two paths apply
-    * cannot drift. */
-  private[pipeline] def jaccardFromShingleCols(joined: DataFrame): DataFrame = joined
+    * in-plan), [[crossCorpusNearDupIndexed]] (reference shingles read
+    * from the persisted index), and the streaming indexed probe
+    * (StreamingOps.crossCorpusNearDupStreamIndexed), so the verification
+    * the three paths apply cannot drift. A null b_sh (candidate-less
+    * left-joined row) yields a null jaccard, which the max() rollups
+    * ignore — exactly the batch left-join semantics. */
+  private[graft] def jaccardFromShingleCols(joined: DataFrame): DataFrame = joined
     .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
     .withColumn("uni", size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
     .withColumn("jaccard",
@@ -1039,10 +1042,10 @@ object Dedup {
     *     index (the ivfPq mode-marker precedent, made total: no argument
     *     to mismatch).
     *
-    * Rebuild (or append a signed increment with mode("append") semantics
-    * — not provided here; dedup references grow by re-running this on
-    * the grown corpus or by unioning index tables) when the reference
-    * changes. */
+    * Reference growth is [[dedupIndexAppend]] — a signed increment
+    * through the same portable signatures under the meta table's pinned
+    * banding, append-mode into the same bucketed tables; a full rebuild
+    * is only for changed banding parameters. */
   def dedupIndexWrite(reference: DataFrame, tablePrefix: String, path: String,
                       numBuckets: Int = 32, textCol: String = "text",
                       idCol: String = "doc_id", numPerms: Int = 32,
@@ -1065,6 +1068,49 @@ object Dedup {
     Seq((numPerms, bands, shingleK)).toDF("num_perms", "bands", "shingle_k")
       .coalesce(1).write.mode("overwrite").option("path", s"$path/meta")
       .format("parquet").saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Append a reference INCREMENT to a persisted dedup index
+    * ([[dedupIndexWrite]]) without touching the resident rows — the
+    * [[graft.pipeline.Similarity.ivfPqAppend]] contract for the text
+    * side: a daily reference growth must not re-sign, re-shingle, or
+    * re-shuffle the other 99%. The increment's signatures and shingles
+    * compute under the banding parameters READ FROM the index's meta
+    * table (no argument to mismatch — probing or appending with
+    * different banding would silently miss duplicates), and append
+    * through the SAME bucketBy/sortBy spec, so each bucket gains one
+    * sorted file per append: Spark still prunes and co-locates on the
+    * bucket id, and [[crossCorpusNearDupIndexed]] results are EXACTLY
+    * what a full rebuild over the grown reference would produce
+    * (signatures are per-row, so append ≡ rebuild — parity-tested).
+    *
+    * Like any append-only log, duplicate ids are the caller's contract:
+    * appending a doc twice leaves two copies (harmless for dedup
+    * verdicts — both carry the same shingles — but wasteful). Compact by
+    * rebuilding when append files accumulate. */
+  def dedupIndexAppend(increment: DataFrame, tablePrefix: String,
+                       textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val spark = increment.sparkSession
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val (numPerms, bands, shingleK) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val numBuckets = {
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+          s"${tablePrefix}_buckets")).bucketSpec
+      spec.map(_.numBuckets).getOrElse(throw new IllegalStateException(
+        s"dedupIndexAppend: ${tablePrefix}_buckets carries no bucket spec — " +
+        "was the index written by dedupIndexWrite?"))
+    }
+    val buckets = lshBuckets(minhashSignatures(increment, textCol, idCol, numPerms,
+      shingleK, portable = true), idCol, numPerms, bands, portable = true)
+    buckets.write.mode("append")
+      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
+      .format("parquet").saveAsTable(s"${tablePrefix}_buckets")
+    increment.select(col(idCol),
+        array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+      .write.mode("append")
+      .bucketBy(numBuckets, idCol).sortBy(idCol)
+      .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
   }
 
   /** [[crossCorpusNearDup]] against a PERSISTED reference index

@@ -634,6 +634,18 @@ object Similarity {
   val HqShortlist = 256
   val HqNProbe = 12
 
+  /** The PRODUCTION cell-count rule: numCentroids = max(floor, ⌈√n⌉) —
+    * cells scale with corpus size so a fixed nprobe probes a vanishing
+    * fraction (the knob the pinned-16 gate configs deliberately hold
+    * still). Shared by ScaleBench's decade indexes, the registered
+    * ann_ivfpq_hq_scaled_* gates, and the DuckDB replay
+    * (queries.IvfSql.seedCteScaledOver computes the same rule IN SQL),
+    * so the Spark build and the oracle derive the cell count from the
+    * same definition. `n` is the non-null-embedding count. */
+  val ScaledMinCentroids = 16
+  def scaledNumCentroids(n: Long): Int =
+    math.max(ScaledMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   /** Seed index for the PQ poly-hash (decorrelated from ivfBuild's 8192
     * family so the two samples are independent). */
   val PqHashSeed = 4096L
@@ -827,7 +839,11 @@ object Similarity {
     * Everything downstream is oracle-replayable (queries.IvfPqSql): the
     * coarse path rides ivfBuild's portable seed + 6-dp means (IvfSql's
     * replay), the code path rides pqTrain's (PqSql's replay), and the
-    * fused probe is a composition of the two verified halves. */
+    * fused probe is a composition of the two verified halves.
+    *
+    * Beside the lists, an id→cell SIDECAR (`$path/ids`,
+    * [[ivfPqIdsRefresh]]) is written so [[ivfPqDelete]] discovers
+    * affected cells in Θ(batch) instead of scanning the index. */
   def ivfPqWrite(corpus: DataFrame, path: String,
                  numCentroids: Int = DefaultNumCentroids,
                  lloydIters: Int = DefaultLloydIters,
@@ -858,6 +874,7 @@ object Similarity {
       .select(col("corpus_id"), nearestCid(col("v"), cents).as("cid"), col("codes"))
     timed("ivfpq-encode")(codes.repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists"))
+    ivfPqIdsRefresh(spark, path)
   }
 
   // ---- Residual IVF-PQ: PQ over (v − centroid) — the FAISS-IVFPQ
@@ -903,6 +920,59 @@ object Similarity {
       .where(col("codes").isNotNull)
     timed("ivfpqres-encode")(codes.repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists"))
+    ivfPqIdsRefresh(spark, path)
+  }
+
+  /** (Re)build the id→cell SIDECAR `$path/ids` from the persisted lists:
+    * (corpus_id, cid) range-partitioned AND sorted on corpus_id, so the
+    * files tile the id space and every row group's min/max footer stat
+    * is selective on the id — an id-batch probe (the [[ivfPqDelete]]
+    * discovery) reads the few row groups covering the batch instead of
+    * the whole index, and reads them 2 columns wide instead of dragging
+    * the code arrays. One column-pruned scan of the lists builds it
+    * (codes never deserialize), so refreshing after maintenance costs a
+    * sliver of a rebuild.
+    *
+    * The sidecar is a SUPERSET index by contract: every (id, cell) in
+    * the lists is in the sidecar, but the sidecar may retain ids a
+    * [[ivfPqDelete]] already removed (tombstones). Supersets are always
+    * safe — discovery only NOMINATES candidate cells, and the exact
+    * per-cell dead counts come from the candidate cells' own lists, so
+    * a stale entry can re-nominate a cell (bounded extra read on a
+    * repeat delete of the same ids), never corrupt a result. Call this
+    * after heavy churn to re-tighten. */
+  def ivfPqIdsRefresh(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    spark.read.parquet(s"$path/lists")
+      .select(col("corpus_id"), col("cid").cast("int").as("cid"))
+      .repartitionByRange(col("corpus_id"))
+      .sortWithinPartitions("corpus_id")
+      .write.mode("overwrite").parquet(s"$path/ids")
+  }
+
+  /** Crash-safe swap of one coarse cell's directory: the staged rewrite
+    * replaces the live dir through rename(live → .old) + rename(staged →
+    * live) + delete(.old), every step's boolean checked, so ANY
+    * intermediate state is recoverable by hand (the cell's rows exist at
+    * `.old_cid=N` and/or the staging dir at all times — nothing is
+    * deleted before its replacement is in place). The `.old` holding dir
+    * lives INSIDE the lists root but leads with a dot, so Spark's file
+    * listing and partition discovery never see it even mid-crash. A
+    * missing staged dir means the rewrite emitted no survivors — the
+    * cell is dropped, which is the correct content. */
+  private def swapCellDir(fs: org.apache.hadoop.fs.FileSystem,
+                          listsRoot: org.apache.hadoop.fs.Path,
+                          stagingRoot: String, cid: Int): Unit = {
+    val live = new org.apache.hadoop.fs.Path(listsRoot, s"cid=$cid")
+    val staged = new org.apache.hadoop.fs.Path(s"$stagingRoot/cid=$cid")
+    val old = new org.apache.hadoop.fs.Path(listsRoot, s".old_cid=$cid")
+    if (fs.exists(old)) require(fs.delete(old, true),
+      s"swapCellDir: could not clear stale $old")
+    require(fs.rename(live, old),
+      s"swapCellDir: rename $live -> $old failed (cell left fully live)")
+    if (fs.exists(staged)) require(fs.rename(staged, live),
+      s"swapCellDir: rename $staged -> $live failed (recover the cell from $old)")
+    require(fs.delete(old, true),
+      s"swapCellDir: could not remove the superseded $old")
   }
 
   /** Append new vectors to a persisted IVF-PQ index WITHOUT retraining —
@@ -932,7 +1002,10 @@ object Similarity {
     * — would corrupt the lists silently. Duplicate ids are NOT detected
     * (parquet append cannot see existing rows without scanning them);
     * appending a row twice leaves two copies, the caller's contract like
-    * any append-only log. */
+    * any append-only log. The id-sidecar receives the increment's
+    * (corpus_id, cid) rows in the same pass (one persisted encode feeds
+    * both writes), keeping [[ivfPqDelete]]'s Θ(batch) discovery intact
+    * as the index grows. */
   def ivfPqAppend(corpus: DataFrame, path: String,
                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
@@ -956,45 +1029,93 @@ object Similarity {
             graft.functions.PqEncode.pqEncode(col(vecCol), cb).as("codes"))
           .where(col("codes").isNotNull)
           .select(col("corpus_id"), nearestCid(col("v"), cents).as("cid"), col("codes"))
-    timed("ivfpq-append")(codes.repartition(col("cid"))
-      .write.mode("append").partitionBy("cid").parquet(s"$path/lists"))
+    // one encode pass feeds BOTH the lists append and the id-sidecar
+    // append (persist, not recompute: PqEncode is the expensive half)
+    val staged = codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      timed("ivfpq-append")(staged.repartition(col("cid"))
+        .write.mode("append").partitionBy("cid").parquet(s"$path/lists"))
+      val fs = new org.apache.hadoop.fs.Path(s"$path/ids")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a pre-sidecar index (older ivfPqWrite) keeps its full-scan
+      // delete path; appending a partial sidecar would break the
+      // superset contract
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/ids")))
+        staged.select(col("corpus_id"), col("cid").cast("int").as("cid"))
+          .repartitionByRange(col("corpus_id"))
+          .sortWithinPartitions("corpus_id")
+          .write.mode("append").parquet(s"$path/ids")
+    } finally staged.unpersist()
   }
 
   /** Delete vectors from a persisted IVF-PQ index, rewriting ONLY the
     * coarse cells that hold them — the right-to-be-forgotten pass a
     * training-data index must support without a corpus-scale rewrite.
     *
-    * Plan: one scan of the cid-partitioned lists finds the affected
-    * cells and their dead/total counts (one aggregation over a broadcast
-    * join against the id frame — deletion batches are the small side by
-    * contract), then the surviving rows OF THOSE CELLS ONLY are written
-    * to a staging dir beside the lists and swapped in with per-cell
-    * renames (a direct overwrite would be a self-read; the staging dir
-    * also keeps the swap crash-safe per cell: a cell is either its old
-    * files or its rewritten ones). Untouched cells' files are never read
-    * twice, never rewritten, never moved; cells the deletion EMPTIES are
-    * dropped (the staging write emits no dir for them). Work is
-    * therefore Θ(affected cells), not Θ(corpus): deleting a crawl
-    * snapshot's worth of ids from a 100 TB index rewrites the few
-    * thousand cells they live in.
+    * Plan: DISCOVERY probes the id-sidecar ([[ivfPqIdsRefresh]] — every
+    * [[ivfPqWrite]]/[[ivfPqAppend]] maintains it) for the batch's
+    * candidate cells: the sidecar is range-laid and sorted on corpus_id,
+    * so the probe's pushed-down id predicate reads the few row groups
+    * covering the batch — Θ(batch), not Θ(index); a batch too large to
+    * collect (`spark.graft.ann.maxDeleteDiscoveryIds`, default 2^20)
+    * degrades to a broadcast semi-join over the sidecar, still a
+    * 2-column scan that never drags the code arrays. The exact per-cell
+    * dead counts then come from ONE aggregation over the CANDIDATE
+    * cells' lists only (partition-pruned; stale sidecar tombstones can
+    * re-nominate a cell, never miscount), and the surviving rows OF THE
+    * TRULY AFFECTED CELLS ONLY are written to a staging dir beside the
+    * lists and swapped in per cell via the checked rename chain
+    * ([[swapCellDir]] — every intermediate state recoverable). Untouched
+    * cells' files are never read twice, never rewritten, never moved;
+    * cells the deletion EMPTIES are dropped (the staging write emits no
+    * dir for them). Work is therefore Θ(affected cells) end to end:
+    * deleting a crawl snapshot's worth of ids from a 100 TB index reads
+    * and rewrites the few thousand cells they live in. An index written
+    * before the sidecar existed (no `$path/ids`) falls back to the
+    * legacy full-lists discovery scan — run [[ivfPqIdsRefresh]] once to
+    * upgrade it.
     *
     * `ids` must expose `idCol` (any extra columns are ignored). Returns
     * the number of rows actually removed. The model (centroids,
     * codebook, meta) is untouched — deletion never needs retraining;
-    * like [[ivfPqAppend]], accumulated drift is the retrain trigger. */
+    * like [[ivfPqAppend]], accumulated drift is the retrain trigger.
+    * Deleted ids stay in the sidecar as tombstones (the superset
+    * contract documented at [[ivfPqIdsRefresh]]). */
   def ivfPqDelete(ids: DataFrame, path: String,
                   idCol: String = "vec_id"): Long = {
     val spark = ids.sparkSession
     val del = ids.select(col(idCol).cast("long").as("corpus_id")).distinct()
     val lists = spark.read.parquet(s"$path/lists")
       .select(col("cid").cast("int").as("cid"), col("corpus_id"), col("codes"))
-    // the affected cells and the per-cell (dead, survivor) counts in one
-    // aggregation over the broadcast-joined lists scan
-    val affected = lists.join(broadcast(del.withColumn("__dead", lit(1))),
+    val listsRoot = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = listsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // candidate cells from the sidecar when present (Θ(batch) probe),
+    // else the legacy full-lists discovery scan
+    val candidates: Option[Seq[Int]] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/ids"))) {
+        val cap = spark.conf.getOption("spark.graft.ann.maxDeleteDiscoveryIds")
+          .map(_.toInt).getOrElse(1 << 20)
+        val sidecar = spark.read.parquet(s"$path/ids")
+        val delIds = del.limit(cap + 1).collect().map(_.getLong(0))
+        val probed =
+          if (delIds.length <= cap)
+            // the id set rides INTO the parquet scan as a pushed filter —
+            // the sorted range layout makes the footer stats prune to the
+            // row groups the batch actually touches
+            sidecar.where(col("corpus_id").isInCollection(delIds))
+          else sidecar.join(broadcast(del), Seq("corpus_id"), "left_semi")
+        Some(probed.select("cid").distinct().collect().map(_.getInt(0)).toSeq)
+      } else None
+    if (candidates.exists(_.isEmpty)) return 0L
+    val scanBase = candidates match {
+      case Some(cells) => lists.where(col("cid").isin(cells: _*))
+      case None        => lists
+    }
+    // exact per-cell dead counts over the candidate cells only — this
+    // also drops cells a stale sidecar tombstone re-nominated
+    val affected = scanBase.join(broadcast(del.withColumn("__dead", lit(1))),
         Seq("corpus_id"), "left")
-      .groupBy("cid").agg(
-        sum(coalesce(col("__dead"), lit(0))).as("dead"),
-        count(lit(1)).as("total"))
+      .groupBy("cid").agg(sum(coalesce(col("__dead"), lit(0))).as("dead"))
       .where(col("dead") > 0)
       .collect()
     if (affected.isEmpty) return 0L
@@ -1007,15 +1128,7 @@ object Similarity {
       .select(col("corpus_id"), col("codes"), col("cid"))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(staging))
-    val listsRoot = new org.apache.hadoop.fs.Path(s"$path/lists")
-    val fs = listsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.foreach { cid =>
-      val live = new org.apache.hadoop.fs.Path(s"$path/lists/cid=$cid")
-      val staged = new org.apache.hadoop.fs.Path(s"$staging/cid=$cid")
-      fs.delete(live, true)
-      // an emptied cell has no staged dir — the delete above is the swap
-      if (fs.exists(staged)) fs.rename(staged, live)
-    }
+    touched.foreach(swapCellDir(fs, listsRoot, staging, _))
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     deadTotal
   }
@@ -1035,6 +1148,9 @@ object Similarity {
                    maxFilesPerCell: Int = 4): Int = {
     val listsRoot = new org.apache.hadoop.fs.Path(s"$path/lists")
     val fs = listsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a model-only index (write-less clone, lists never materialized)
+    // has nothing to compact
+    if (!fs.exists(listsRoot)) return 0
     val fragmented = fs.listStatus(listsRoot).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
       .filter(st => fs.listStatus(st.getPath)
@@ -1051,14 +1167,81 @@ object Similarity {
       .repartition(col("cid"))
       .sortWithinPartitions(col("cid"), col("corpus_id"))
       .write.mode("overwrite").partitionBy("cid").parquet(staging))
-    fragmented.foreach { cid =>
-      val live = new org.apache.hadoop.fs.Path(s"$path/lists/cid=$cid")
-      val staged = new org.apache.hadoop.fs.Path(s"$staging/cid=$cid")
-      fs.delete(live, true)
-      fs.rename(staged, live)
-    }
+    fragmented.foreach(swapCellDir(fs, listsRoot, staging, _))
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     fragmented.size
+  }
+
+  /** Combined maintenance pass: [[ivfPqDelete]] + [[ivfPqCompact]] in
+    * ONE staging rewrite — a cell that both holds dead ids and is
+    * fragmented rewrites once, not twice (the nightly-maintenance shape:
+    * the day's right-to-be-forgotten batch and the day's append
+    * fragmentation share most of their touched cells, because both are
+    * driven by the same fresh data). Work is Θ(touched ∪ fragmented
+    * cells); discovery is the delete's Θ(batch) sidecar probe plus the
+    * compact's file listing. Rewritten cells coalesce to one sorted file
+    * AND shed their dead rows; cells only one criterion touches go
+    * through the same single pass. Returns (rowsRemoved,
+    * cellsRewritten). Pass an empty `ids` frame for a compact-only pass
+    * or `maxFilesPerCell = Int.MaxValue` for a delete-only one — both
+    * degrade to the single-purpose ops' exact behavior. */
+  def ivfPqMaintain(ids: DataFrame, path: String,
+                    maxFilesPerCell: Int = 4,
+                    idCol: String = "vec_id"): (Long, Int) = {
+    val spark = ids.sparkSession
+    val del = ids.select(col(idCol).cast("long").as("corpus_id")).distinct()
+    val listsRoot = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = listsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(listsRoot)) return (0L, 0)
+    val lists = spark.read.parquet(s"$path/lists")
+      .select(col("cid").cast("int").as("cid"), col("corpus_id"), col("codes"))
+    // delete side: sidecar-candidate cells → exact dead counts
+    val candidates: Option[Seq[Int]] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/ids"))) {
+        val cap = spark.conf.getOption("spark.graft.ann.maxDeleteDiscoveryIds")
+          .map(_.toInt).getOrElse(1 << 20)
+        val sidecar = spark.read.parquet(s"$path/ids")
+        val delIds = del.limit(cap + 1).collect().map(_.getLong(0))
+        val probed =
+          if (delIds.length <= cap) sidecar.where(col("corpus_id").isInCollection(delIds))
+          else sidecar.join(broadcast(del), Seq("corpus_id"), "left_semi")
+        Some(probed.select("cid").distinct().collect().map(_.getInt(0)).toSeq)
+      } else None
+    val scanBase = candidates match {
+      case Some(cells) if cells.isEmpty => lists.where(lit(false))
+      case Some(cells)                  => lists.where(col("cid").isin(cells: _*))
+      case None                         => lists
+    }
+    val affected = scanBase.join(broadcast(del.withColumn("__dead", lit(1))),
+        Seq("corpus_id"), "left")
+      .groupBy("cid").agg(sum(coalesce(col("__dead"), lit(0))).as("dead"))
+      .where(col("dead") > 0)
+      .collect()
+    val deadTotal = affected.map(_.getLong(1)).sum
+    val deadCells = affected.map(_.getInt(0)).toSet
+    // compact side: fragmented cells from the file listing
+    val fragmented = fs.listStatus(listsRoot).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        } > maxFilesPerCell)
+      .map(st => st.getPath.getName.stripPrefix("cid=").toInt)
+      .toSet
+    val touched = (deadCells ++ fragmented).toSeq.sorted
+    if (touched.isEmpty) return (0L, 0)
+    val staging = s"$path/lists_maintain_staging"
+    timed("ivfpq-maintain")(lists
+      .where(col("cid").isin(touched: _*))
+      .join(broadcast(del), Seq("corpus_id"), "left_anti")
+      .select(col("corpus_id"), col("codes"), col("cid"))
+      .repartition(col("cid"))
+      .sortWithinPartitions(col("cid"), col("corpus_id"))
+      .write.mode("overwrite").partitionBy("cid").parquet(staging))
+    touched.foreach(swapCellDir(fs, listsRoot, staging, _))
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    (deadTotal, touched.size)
   }
 
   /** (id, cid, resid): each valid-dim vector's coarse cell and residual

@@ -109,7 +109,41 @@ object EtlQueries {
       p
     })
 
+  /** One documents copy z-ordered on a STRING + numeric key pair per sf
+    * dir per JVM (Layout.zOrderWrite on (lang, doc_id)): the string
+    * dimension enters through zStats' lexicographic dictionary — the
+    * (source/lang, id/time) layout real corpora cluster on. Stats are
+    * PRECOMPUTED and passed in, so the write itself is single-scan (the
+    * derived-pipeline posture the r15 verdict asked for). */
+  private val zorderDocsDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderDocsFor(spark: SparkSession, dir: String): String =
+    zorderDocsDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_zorder_docs_").toString
+      val docs = Tables.documents(spark, d)
+      val st = graft.etl.Layout.zStats(docs, Seq("lang", "doc_id"))
+      graft.etl.Layout.zOrderWrite(docs, Seq("lang", "doc_id"), p, stats = Some(st))
+      p
+    })
+
   val entries: Seq[Entry] = Seq(
+    Entry("zorder_lang_prune",
+      // Z-ORDER over a string dimension (etl.Layout zStats dictionary
+      // front): same losslessness statement as zorder_prune but the
+      // interleaved key is (lang, doc_id) — a language-sliced id-range
+      // rollup over the curve-ordered copy must hash-match the oracle
+      // over the original table.
+      (spark, dir) => spark.read.parquet(zorderDocsFor(spark, dir))
+        .where(col("lang").isin("en", "es") && col("doc_id").between(100, 5000))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE lang IN ('en','es') AND doc_id BETWEEN 100 AND 5000
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
     Entry("zorder_prune",
       // Z-ORDER layout roundtrip (etl.Layout): the gate proves the
       // curve-ordered rewrite is LOSSLESS — a (user_id)-sliced rollup

@@ -15,7 +15,13 @@ package graft.queries
   * half's defaults or fixed points recompiles into this oracle
   * automatically (the established can't-drift discipline).
   */
-class IvfPqSqlGen(pq: PqSqlGen, nprobe: Int) {
+class IvfPqSqlGen(pq: PqSqlGen, nprobe: Int, scaledCells: Boolean = false) {
+
+  /** The coarse training half: the pinned-K seed by default, the
+    * √n-scaled seed (IvfSql.trainCtesScaled) for the production
+    * cell-count configs — everything downstream is count-agnostic. */
+  private val coarseTrain: String =
+    if (scaledCells) IvfSql.trainCtesScaled else IvfSql.trainCtes
 
   /** The fused ADC scan: codes joined to their coarse cell, restricted
     * to each query's probed cells — the pruning statement itself. */
@@ -32,7 +38,7 @@ class IvfPqSqlGen(pq: PqSqlGen, nprobe: Int) {
 
   private val prefixCtes: String =
     s"""WITH ${IvfSql.embCte},
-      |${IvfSql.trainCtes},
+      |$coarseTrain,
       |${pq.trainCtes},
       |${pq.encodeCtes},
       |${IvfSql.probesCteWith(nprobe)},
@@ -62,7 +68,7 @@ class IvfPqSqlGen(pq: PqSqlGen, nprobe: Int) {
         |  WHERE d.vec_id != p.query_id AND ($keepPred)
         |)""".stripMargin
     s"""WITH ${IvfSql.embCte},
-      |${IvfSql.trainCtes},
+      |$coarseTrain,
       |${pq.trainCtes},
       |${pq.encodeCtes},
       |${IvfSql.probesCteWith(nprobe)},
@@ -113,3 +119,12 @@ object IvfPqSql extends IvfPqSqlGen(PqSql, graft.pipeline.Similarity.DefaultNPro
   * halves composed, every constant compiled from the shared Similarity
   * Hq* values. */
 object IvfPqHqSql extends IvfPqSqlGen(PqSqlHq, graft.pipeline.Similarity.HqNProbe)
+
+/** The PRODUCTION-cell-count quality-tier generator: the hq knobs with
+  * numCentroids derived from corpus size (max(16, ⌈√n⌉) — computed in
+  * SQL by IvfSql.seedCteScaledOver so one oracle text holds at every
+  * SF). This is the config that exposed the ×35 Lloyd plan bug at the
+  * r15 decade audit — registering it pins cell-count-dependent code to
+  * the hash gate, not just the ScaleBench walls. */
+object IvfPqHqScaledSql extends IvfPqSqlGen(PqSqlHq,
+  graft.pipeline.Similarity.HqNProbe, scaledCells = true)

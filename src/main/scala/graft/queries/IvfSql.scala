@@ -96,6 +96,38 @@ object IvfSql {
   }
   private[queries] val trainCtes: String = trainCtesOver("emb")
 
+  /** cents0 at the DATA-DERIVED cell count max(floor, ⌈√n⌉) — the
+    * production rule (Similarity.scaledNumCentroids, one definition)
+    * computed IN SQL over the same non-null count the Spark build uses,
+    * so ONE oracle text holds at every SF. Same portable seed order as
+    * [[seedCteOver]]; only the count differs (a scalar-subquery bound
+    * instead of a literal LIMIT). */
+  private[queries] def seedCteScaledOver(src: String): String =
+    s"""ncnt AS (
+      |  SELECT greatest(${graft.pipeline.Similarity.ScaledMinCentroids},
+      |    CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+      |  FROM $src WHERE v IS NOT NULL
+      |),
+      |cents0 AS (
+      |  SELECT cid, c FROM (
+      |    SELECT row_number() OVER (ORDER BY h, sid) AS cid, v AS c
+      |    FROM (
+      |      SELECT (${polyA(8192L)} * (vec_id % $P) + ${polyB(8192L)}) % $P AS h,
+      |             vec_id AS sid, v
+      |      FROM $src WHERE v IS NOT NULL
+      |    )
+      |  ) WHERE cid <= (SELECT k FROM ncnt)
+      |)""".stripMargin
+
+  /** [[trainCtesOver]] with the scaled seed — the coarse half of the
+    * ann_ivfpq_hq_scaled_* oracles. */
+  private[queries] val trainCtesScaled: String = {
+    val lloyds = (1 to Iters).map(lloydCte).mkString(",\n")
+    s"""${sampCteOver("emb")},
+      |${seedCteScaledOver("emb")},
+      |$lloyds""".stripMargin
+  }
+
   /** nprobe nearest centroids per query (the `vec_id < 10` batch) —
     * argmax cosine with ties to the lowest cid, exactly ivfProbe's
     * window. Shared with IvfPqSql. */

@@ -411,8 +411,14 @@ object PipelineQueries {
       if (!Seq("buckets", "shingles", "meta")
             .forall(s => spark.catalog.tableExists(s"${prefix}_$s"))) {
         val p = java.nio.file.Files.createTempDirectory("graft_ccidx_").toString
-        Dedup.dedupIndexWrite(
-          Tables.documents(spark, dir).where(col("doc_id") % 3 === 0), prefix, p)
+        // the index is built INCREMENTALLY on purpose — write one half,
+        // append the other (Dedup.dedupIndexAppend) — so the
+        // cross_corpus_dedup_indexed gate hash-verifies the append path
+        // against the same rebuild oracle (append ≡ rebuild: signatures
+        // are per-row)
+        val ref = Tables.documents(spark, dir).where(col("doc_id") % 3 === 0)
+        Dedup.dedupIndexWrite(ref.where(col("doc_id") % 2 === 0), prefix, p)
+        Dedup.dedupIndexAppend(ref.where(col("doc_id") % 2 === 1), prefix)
       }
     }
     prefix
@@ -478,6 +484,33 @@ object PipelineQueries {
       Similarity.ivfPqWrite(Tables.embeddings(spark, d), p, ksub = Similarity.HqPqK)
       p
     })
+
+  /** One persisted PRODUCTION-CELL-COUNT quality-tier index per sf dir
+    * per JVM: the hq knobs with numCentroids = max(16, ⌈√n⌉)
+    * (Similarity.scaledNumCentroids — the rule ScaleBench's decade
+    * indexes use and the one a real index derives from corpus size).
+    * Registering it hash-pins cell-count-DEPENDENT code paths (the √n
+    * Lloyd loop that hid the ×35 plan bug) at every gated SF. */
+  private val ivfPqHqScaledIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqHqScaledIndexFor(spark: SparkSession, dir: String): String =
+    ivfPqHqScaledIndexDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_hqs_").toString
+      val emb = Tables.embeddings(spark, d)
+      val n = emb.where(col("embedding").isNotNull).count()
+      Similarity.ivfPqWrite(emb, p,
+        numCentroids = Similarity.scaledNumCentroids(n), ksub = Similarity.HqPqK)
+      p
+    })
+
+  private val ivfPqHqScaledProbe: Q = (spark, dir) => {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfPqQuery(spark, ivfPqHqScaledIndexFor(spark, dir), emb,
+        emb.where(col("vec_id") < 10),
+        nprobe = Similarity.HqNProbe, shortlist = Similarity.HqShortlist)
+      .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
 
   private val ivfPqHqProbe: Q = (spark, dir) => {
     val emb = Tables.embeddings(spark, dir)
@@ -1090,6 +1123,25 @@ object PipelineQueries {
           emb, emb.where(col("vec_id") < 10),
           nprobe = Similarity.HqNProbe, shortlist = Similarity.HqShortlist))
       }, Some(IvfPqHqSql.annIvfPqRecallSql)),
+
+    // the hq config at the PRODUCTION cell count (√n cells instead of
+    // the pinned 16) — the exact configuration that exposed the ×35
+    // Lloyd re-evaluation bug in the r15 decade audit, now hash-pinned
+    // so cell-count-dependent regressions hit the gate, not just the
+    // ScaleBench walls. The oracle derives the cell count IN SQL from
+    // the same non-null count the build uses (IvfSql.seedCteScaledOver),
+    // so one text gates all three SFs.
+    Entry("ann_ivfpq_hq_scaled_top5", ivfPqHqScaledProbe,
+      Some(IvfPqHqScaledSql.annIvfPqTop5Sql)),
+
+    Entry("ann_ivfpq_hq_scaled_recall",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        annRecall(spark, dir, Similarity.ivfPqQuery(spark,
+          ivfPqHqScaledIndexFor(spark, dir),
+          emb, emb.where(col("vec_id") < 10),
+          nprobe = Similarity.HqNProbe, shortlist = Similarity.HqShortlist))
+      }, Some(IvfPqHqScaledSql.annIvfPqRecallSql)),
 
     // the residual-encoded fused index (FAISS-IVFPQ refinement: PQ over
     // v − cent[cid], per-cell ADC corrections): same layout, same plan

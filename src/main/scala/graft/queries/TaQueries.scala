@@ -7,10 +7,11 @@ import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /** Driver-contract query registrations for the TA indicator library
-  * (SURVEY.md §2.1–§2.3). Every frame-expressible operator carries a DuckDB
-  * oracle; recursive (loop-op) operators are registered rows-only and get
-  * their numeric coverage from the golden scalatests instead
-  * (SURVEY.md §5.3).
+  * (SURVEY.md §2.1–§2.3). EVERY operator carries a DuckDB oracle —
+  * frame-expressible ones replay as plain window SQL, recursive (loop-op)
+  * ones as list_reduce / WITH RECURSIVE state-machine replays (the
+  * `mesaCtes` / fold-CTE generators below); the golden scalatests add
+  * reference-valued coverage on top (SURVEY.md §5.3).
   *
   * Output contract per query: columns `(symbol, ord, <outputs>)`, values
   * `round(x, 6) + 0.0` (−0.0 normalized), rows ordered by (symbol, ord) —

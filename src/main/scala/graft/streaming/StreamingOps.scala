@@ -389,7 +389,9 @@ object StreamingOps {
     * table (band,bucket → member ids) and its distinct shingle sets, both
     * collected and shipped as broadcast variables — the exact-mode bound
     * is the reference size, same posture as decontaminateStream's fp set
-    * (the unbounded-reference path is [[crossCorpusContainmentStream]]).
+    * (past executor memory, [[crossCorpusNearDupStreamIndexed]] keeps
+    * exactness by probing the persisted index in place, and
+    * [[crossCorpusContainmentStream]] trades it for a fixed bitmap).
     * Each micro-batch is then stateless and shuffle-free: the arriving
     * doc's signature and band buckets are computed by the SAME native
     * expressions as batch (Dedup.bandBucketsExpr — one definition, no
@@ -460,6 +462,70 @@ object StreamingOps {
               Dedup.tokens(col(textCol)), shingleK, numPerms),
             numPerms, bands, portable = true), bb => bb.getField("bucket"))).as("__v"))
       .select(col(idCol), col("__v._1").as("near_dup"), col("__v._2").as("max_jaccard"))
+  }
+
+  /** Streaming cross-corpus dedup against a PERSISTED reference index
+    * ([[graft.pipeline.Dedup.dedupIndexWrite]]) — the stream-static-join
+    * twin of [[graft.pipeline.Dedup.crossCorpusNearDupIndexed]] and the
+    * EXACT leg [[crossCorpusNearDupStream]] cannot offer past executor
+    * memory: nothing reference-proportional is ever collected or
+    * broadcast (only the 3-cell meta row loads driver-side). The
+    * [[annAdcStreamJoin]] discipline applied to text dedup: the
+    * reference's bucketed buckets/shingles tables are probed IN PLACE,
+    * so an unbounded reference gets an exact streaming probe — the leg
+    * the Bloom containment path only approximates.
+    *
+    * Plan shape, all stateless until the final rollup: each arriving doc
+    * computes its signature + band buckets by the SAME native
+    * expressions as batch (Dedup.bandBucketsExpr — one definition, no
+    * drift) and its distinct shingle set in one projection;
+    * explode_outer keeps candidate-less and null-text docs alive; a
+    * stream-static LEFT join against the buckets table nominates
+    * reference candidates (band-bucket equi-join — the static side
+    * prunes/co-locates on its bucket spec); a second LEFT join against
+    * the shingles table fetches candidate shingles; the shared
+    * Dedup.jaccardFromShingleCols verifies exactly; and one per-doc
+    * aggregate rolls up (near_dup, max_jaccard). Candidate-less docs
+    * surface as (false, NULL) exactly like batch — null jaccards fall
+    * out of max(). No watermark and no join state at any stream length;
+    * aggregate state is one row per arriving doc id — run the sink in
+    * UPDATE mode (a doc's candidates arrive within its own micro-batch,
+    * so the last update per id is final). Banding parameters come FROM
+    * the index's meta table; only the verification threshold is a
+    * probe-time knob. Per-doc results are IDENTICAL to
+    * crossCorpusNearDupIndexed (parity-tested across micro-batch
+    * boundaries). */
+  def crossCorpusNearDupStreamIndexed(corpus: DataFrame, tablePrefix: String,
+                                      jaccardThr: Double = 0.5,
+                                      textCol: String = "text",
+                                      idCol: String = "doc_id"): DataFrame = {
+    import graft.pipeline.Dedup
+    val spark = corpus.sparkSession
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val (numPerms, bands, shingleK) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val qSide = corpus
+      .select(col(idCol).as("a_id"),
+        array_distinct(Dedup.shingles(col(textCol), shingleK)).as("a_sh"),
+        Dedup.bandBucketsExpr(
+          graft.functions.TextHashes.minhashShinglePoly(
+            Dedup.tokens(col(textCol)), shingleK, numPerms),
+          numPerms, bands, portable = true).as("__bb"))
+      .select(col("a_id"), col("a_sh"), explode_outer(col("__bb")).as("__b"))
+      .select(col("a_id"), col("a_sh"),
+        col("__b.band").as("band"), col("__b.bucket").as("bucket"))
+    val cand = qSide.join(
+      spark.table(s"${tablePrefix}_buckets").toDF("b_id", "band", "bucket"),
+      Seq("band", "bucket"), "left")
+    val joined = cand.join(
+      spark.table(s"${tablePrefix}_shingles").toDF("b_id", "b_sh"),
+      Seq("b_id"), "left")
+    Dedup.jaccardFromShingleCols(joined)
+      .groupBy(col("a_id"))
+      .agg(max(col("jaccard") >= jaccardThr).as("__nd"),
+        max(col("jaccard")).as("max_jaccard"))
+      .select(col("a_id").as(idCol),
+        coalesce(col("__nd"), lit(false)).as("near_dup"),
+        col("max_jaccard"))
   }
 
   /** Streaming cross-corpus dedup against a reference too large for the

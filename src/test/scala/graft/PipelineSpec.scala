@@ -1204,6 +1204,141 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.ivfPqCompact(spark, dir) == 0, "a compacted index is a no-op")
   }
 
+  test("ivfPqMaintain: one staging pass == sequential delete + compact; shared cells rewrite once") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0L until 80L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 31 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    def build(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("ivfpq_mnt").toString
+      Similarity.ivfPqWrite(df.where(col("vec_id") < 40), dir,
+        numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+        m = 4, ksub = 4, pqIters = 2, pqSampleMod = 2)
+      (40L until 80L by 10L).foreach(lo => Similarity.ivfPqAppend(
+        df.where(col("vec_id") >= lo && col("vec_id") < lo + 10), dir))
+      dir
+    }
+    val a = build()
+    val b = build()
+    val dead = Seq(3L, 17L, 44L, 71L)
+    val deadDf = spark.createDataFrame(dead.map(Tuple1(_))).toDF("vec_id")
+    val (removed, rewritten) = Similarity.ivfPqMaintain(deadDf, a, maxFilesPerCell = 1)
+    val removedB = Similarity.ivfPqDelete(deadDf, b)
+    Similarity.ivfPqCompact(spark, b, maxFilesPerCell = 1)
+    assert(removed == dead.size && removedB == dead.size)
+    def content(dir: String) = spark.read.parquet(s"$dir/lists")
+      .collect().map(r => (r.getAs[Long]("corpus_id"),
+        r.getAs[Number]("cid").intValue, r.getAs[Seq[Int]]("codes"))).toSet
+    assert(content(a) == content(b),
+      "the combined pass must leave exactly the sequential ops' content")
+    // every touched cell coalesced to one file in the single pass
+    val cells = new java.io.File(s"$a/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(rewritten > 0 && cells.forall(c => c.listFiles().count(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")) == 1),
+      "maintained cells must coalesce to one file each")
+    assert(!new java.io.File(s"$a/lists_maintain_staging").exists())
+    // compact-only degenerate: empty id batch on an already-tight index
+    assert(Similarity.ivfPqMaintain(
+      spark.createDataFrame(Seq.empty[Tuple1[Long]]).toDF("vec_id"), a,
+      maxFilesPerCell = 1) == ((0L, 0)))
+  }
+
+  test("ivfPq id sidecar: mirrors the lists, drives delete discovery, fallback and refresh agree") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0L until 60L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 31 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    def build(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("ivfpq_sc").toString
+      Similarity.ivfPqWrite(df.where(col("vec_id") < 40), dir,
+        numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+        m = 4, ksub = 4, pqIters = 2, pqSampleMod = 2)
+      Similarity.ivfPqAppend(df.where(col("vec_id") >= 40), dir)
+      dir
+    }
+    def pairsOf(path: String) = spark.read.parquet(path)
+      .select("corpus_id", "cid").collect()
+      .map(r => r.getAs[Long]("corpus_id") -> r.getAs[Number]("cid").intValue).toSet
+    val a = build()
+    val b = build()
+    // write + append both maintain the sidecar: it mirrors the lists
+    assert(pairsOf(s"$a/ids") == pairsOf(s"$a/lists"),
+      "after write + append the sidecar must hold exactly the lists' (id, cell) pairs")
+    // the same delete through sidecar discovery (a) and through the
+    // legacy full-scan fallback (b, sidecar removed) must agree exactly
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete()
+    }
+    rmTree(new java.io.File(s"$b/ids"))
+    val dead = Seq(1L, 7L, 23L, 45L, 59L)
+    val deadDf = spark.createDataFrame(dead.map(Tuple1(_))).toDF("vec_id")
+    val ra = Similarity.ivfPqDelete(deadDf, a)
+    val rb = Similarity.ivfPqDelete(deadDf, b)
+    assert(ra == dead.size && rb == dead.size,
+      "both discovery paths must remove exactly the dead rows")
+    assert(pairsOf(s"$a/lists") == pairsOf(s"$b/lists"),
+      "sidecar and fallback discovery must leave identical survivor lists")
+    // the sidecar keeps tombstones (superset contract) — a repeat delete
+    // re-nominates their cells but the exact per-cell count drops them
+    assert(pairsOf(s"$a/ids").map(_._1).intersect(dead.toSet) == dead.toSet,
+      "deleted ids stay in the sidecar as tombstones")
+    assert(Similarity.ivfPqDelete(deadDf, a) == 0L,
+      "a repeat delete over stale tombstones must be an exact no-op")
+    // refresh re-tightens: the sidecar mirrors the lists again
+    Similarity.ivfPqIdsRefresh(spark, a)
+    assert(pairsOf(s"$a/ids") == pairsOf(s"$a/lists"),
+      "ivfPqIdsRefresh must rebuild the sidecar to exactly the live lists")
+    // an oversized batch degrades to the broadcast-join probe — same answer
+    spark.conf.set("spark.graft.ann.maxDeleteDiscoveryIds", "2")
+    try {
+      val dead2 = Seq(2L, 8L, 24L, 46L)
+      val dead2Df = spark.createDataFrame(dead2.map(Tuple1(_))).toDF("vec_id")
+      assert(Similarity.ivfPqDelete(dead2Df, a) == dead2.size,
+        "the over-cap broadcast-join discovery must find the same cells")
+      assert(!pairsOf(s"$a/lists").map(_._1).exists(dead2.contains),
+        "the over-cap path must remove exactly the dead rows")
+    } finally spark.conf.unset("spark.graft.ann.maxDeleteDiscoveryIds")
+  }
+
+  test("Layout string dimensions: dictionary rank == manual integer image; stale stats stay lossless") {
+    import org.apache.spark.sql.functions.col
+    val rows = for (l <- Seq("de", "en", "es", "fr"); i <- 0L until 25L)
+      yield (l, i * 7 % 100, s"$l-$i")
+    val df = spark.createDataFrame(rows).toDF("lang", "k", "payload")
+    val st = graft.etl.Layout.zStats(df, Seq("lang", "k"))
+    // the dictionary is the lexicographic rank over the distinct values
+    assert(st.dicts.head.contains(Map("de" -> 0, "en" -> 1, "es" -> 2, "fr" -> 3)))
+    assert(st.dicts(1).isEmpty && st.mins == Seq(0.0, 0.0) && st.maxs == Seq(3.0, 98.0))
+    // zValueWith over the string == zValue over the hand-encoded integer
+    val manual = df.withColumn("__li",
+      when(col("lang") === "de", 0).when(col("lang") === "en", 1)
+        .when(col("lang") === "es", 2).otherwise(3))
+    val a = df.select(graft.etl.Layout.zValueWith(
+      Seq(col("lang"), col("k")), st, bits = 8).as("z")).collect().map(_.getLong(0))
+    val b = manual.select(graft.etl.Layout.zValue(
+      Seq(col("__li"), col("k")), st.mins, st.maxs, bits = 8).as("z"))
+      .collect().map(_.getLong(0))
+    assert(a.toSeq == b.toSeq, "the dictionary front must be a pure integer re-image")
+    // single-scan write with PRECOMPUTED stats from a previous snapshot:
+    // an unseen lang ("zz") clamps to cell 0 but every row survives
+    val grown = spark.createDataFrame(rows :+ (("zz", 50L, "zz-0"))).toDF("lang", "k", "payload")
+    val out = java.nio.file.Files.createTempDirectory("zorder_str").toString + "/t"
+    graft.etl.Layout.zOrderWrite(grown, Seq("lang", "k"), out, bits = 8, stats = Some(st))
+    val back = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(back == grown.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2))).toSet,
+      "z-order with stale snapshot stats must stay a lossless reorder")
+  }
+
   test("Layout.zValue interleaves bits exactly; zOrderWrite is a lossless reorder") {
     import org.apache.spark.sql.functions.col
     // bits = 2, two columns scaled over [0, 4): cell = value itself for

@@ -189,6 +189,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming INDEXED cross-corpus probe equals batch across micro-batches; index append == rebuild") {
+    import org.apache.spark.sql.functions.col
+    val reference = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog every single morning",
+      101L -> "to be or not to be that is the question for all of us",
+      102L -> "pack my box with five dozen liquor jugs right now please",
+      103L -> "sphinx of black quartz judge my vow said the old examiner")
+    val corpus = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog every single morning",
+      1L -> "the quick brown fox jumps over the lazy dog every single evening",
+      2L -> "she said to be or not to be that is the question and left",
+      3L -> "completely unrelated text about distributed query engines and shuffles",
+      4L -> "dog fox brown quick lazy the over jumps",
+      5L -> "sphinx of black quartz judge my vow said the old examiner")
+    val refDf = spark.createDataFrame(reference).toDF("doc_id", "text")
+    val corpusDf = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val dedup = graft.pipeline.Dedup
+    // one index built in full, one built write-half + append-half
+    dedup.dedupIndexWrite(refDf, "sidx_full",
+      java.nio.file.Files.createTempDirectory("sidx_f").toString, numBuckets = 4)
+    dedup.dedupIndexWrite(refDf.where(col("doc_id") < 102), "sidx_inc",
+      java.nio.file.Files.createTempDirectory("sidx_i").toString, numBuckets = 4)
+    dedup.dedupIndexAppend(refDf.where(col("doc_id") >= 102), "sidx_inc")
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)))).toMap
+    val batchFull = asMap(dedup.crossCorpusNearDupIndexed(corpusDf, "sidx_full")
+      .select("doc_id", "near_dup", "max_jaccard").collect())
+    val batchInc = asMap(dedup.crossCorpusNearDupIndexed(corpusDf, "sidx_inc")
+      .select("doc_id", "near_dup", "max_jaccard").collect())
+    assert(batchInc == batchFull,
+      s"an appended index must probe exactly like a rebuilt one\n inc=$batchInc\n full=$batchFull")
+    // the streaming stream-static twin over the APPENDED index, split
+    // across micro-batch boundaries
+    implicit val enc = Encoders.product[(Long, String)]
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.crossCorpusNearDupStreamIndexed(
+        ms.toDF().toDF("doc_id", "text"), "sidx_inc")
+      .writeStream.format("memory").queryName("xidx_stream")
+      .outputMode("update").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      val (b1, b2) = corpus.splitAt(3)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val got = asMap(spark.sql(
+        "SELECT doc_id, near_dup, max_jaccard FROM xidx_stream").collect())
+      assert(got == batchFull, s"stream must equal batch\n got=$got\n batch=$batchFull")
+      assert(got(0L) == ((true, java.lang.Double.valueOf(1.0))))
+      assert(got(5L) == ((true, java.lang.Double.valueOf(1.0))),
+        "a doc matching only APPENDED reference rows must flag through the stream probe")
+      assert(got(3L) == ((false, null)), "unrelated doc: no candidates -> (false, NULL)")
+    } finally q.stop()
+  }
+
   test("streaming cross-corpus containment equals the batch bloom probe for the same bitmap") {
     val reference = Seq(
       100L -> "the quick brown fox jumps over the lazy dog every single morning",
