@@ -295,6 +295,22 @@ object ScaleBench {
           docs.where(pmod(col("doc_id"), lit(1000)) === 1),
           docs.where(pmod(col("doc_id"), lit(1000)) =!= 1))
       }),
+      // reference GROWTH on the persisted dedup index: a 0.1% increment
+      // (doc_id ≡ 2 mod 1000 — disjoint from the probe batch) appended
+      // through Dedup.dedupIndexAppend — signature compute + bucketed
+      // append of the increment ONLY, vs cross_corpus_indexed's staging
+      // leg which re-signs the whole reference. Measures the append ≡
+      // rebuild trade the ivfpq_append leg measures for the ANN side.
+      // Requires cross_corpus_indexed to have staged the index in this
+      // JVM (name it first on the command line).
+      "ccidx_append" -> ((spark: SparkSession, dir: String) => {
+        val docs = Tables.documents(spark, dir)
+        val prefix = "scale_ccidx_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.pipeline.Dedup.dedupIndexAppend(
+          docs.where(pmod(col("doc_id"), lit(1000)) === 2), prefix)
+        spark.table(s"${prefix}_buckets").groupBy()
+          .agg(count(lit(1)).as("bucket_rows"))
+      }),
       // dedup_clusters_star with the CC driver-finish bound raised
       // 1<<20 → 1<<23 (~8M super-edges ≈ 128-256 MB collected): the
       // round-12 ×1000 audit found the star path's super-linear step is
