@@ -96,6 +96,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"projection must prune the text column from the scan:\n$plan")
   }
 
+  test("ivfPqDelete discovery: the delete batch's ids push INTO the sidecar scan") {
+    // the Θ(batch) claim's plan half: the sidecar probe must carry the
+    // id predicate in PushedFilters (row-group stats prune on the sorted
+    // range layout) and read only the two sidecar columns
+    val vecs = (0L until 30L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 31 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("plan_sidecar_").toString
+    Similarity.ivfPqWrite(df, dir, numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 2, pqSampleMod = 2)
+    // the exact probe shape ivfPqDelete builds under the cap
+    val q = spark.read.parquet(s"$dir/ids")
+      .where(col("corpus_id").isInCollection(Seq(3L, 17L)))
+      .select("cid").distinct()
+    val plan = executedPlan(q)
+    assert(plan.contains("PushedFilters: [In(corpus_id,")
+        || plan.contains("PushedFilters: [IsNotNull(corpus_id), In(corpus_id"),
+      s"the id batch must reach the sidecar's parquet reader as a pushed filter:\n$plan")
+    assert(plan.contains("ReadSchema: struct<corpus_id:bigint,cid:int>"),
+      s"discovery must read the 2-column sidecar, never the code arrays:\n$plan")
+  }
+
   test("sequence packing shuffles once, on the shard key") {
     val df = Packing.packSequences(docs(60), budget = 16, shards = 4)
     // one hash exchange on shard feeds the per-shard running-offset
