@@ -98,6 +98,36 @@ class IvfPqSqlGen(pq: PqSqlGen, nprobe: Int, scaledCells: Boolean = false) {
       |$padFusedCte,
       |${pq.rerankTail}""".stripMargin
 
+  /** The combined-maintenance replay (ivfPqWrite over a training prefix
+    * → fragmenting ivfPqAppend batches → ivfPqMaintain deleting some ids
+    * AND compacting in one staging pass): the append replay's
+    * prefix-trained models + the delete replay's survivor exclusion,
+    * composed — compaction is content-invariant by contract, so the
+    * maintained index must probe bit-identically to this text, which is
+    * itself the two verified single-purpose replays joined. */
+  def annIvfPqMaintainTop5SqlOver(trainCteName: String, trainCte: String,
+                                  keepPred: String): String = {
+    val padKept =
+      s"""pad AS (
+        |  SELECT p.query_id, d.vec_id AS corpus_id,
+        |    (${pq.adcNum}) AS num, (${pq.adcDen}) AS den
+        |  FROM pcd d JOIN af a ON a.vec_id = d.vec_id
+        |       JOIN probes p ON p.cid = a.cid
+        |       JOIN plu l ON l.query_id = p.query_id
+        |       CROSS JOIN pnl n
+        |  WHERE d.vec_id != p.query_id AND ($keepPred)
+        |)""".stripMargin
+    s"""WITH ${IvfSql.embCte},
+      |$trainCte,
+      |${IvfSql.trainCtesOver(trainCteName)},
+      |${pq.trainCtesOver(trainCteName)},
+      |${pq.encodeCtes},
+      |${IvfSql.probesCteWith(nprobe)},
+      |${IvfSql.assignCte("af", s"cents${IvfSql.Iters}")},
+      |$padKept,
+      |${pq.rerankTail}""".stripMargin
+  }
+
   /** The measured-recall gate for the fused path: both pruning losses —
     * unprobed cells AND quantized shortlist order — priced against the
     * exact brute-force top-k, per query, at every gated SF. */

@@ -458,6 +458,27 @@ object PipelineQueries {
       p
     })
 
+  /** One persisted MAINTAINED fused index per sf dir per JVM: model
+    * trained on the even half (ivfPqWrite), the odd half arrives in TWO
+    * fragmenting appends, then Similarity.ivfPqMaintain removes every
+    * vec_id ≡ 1 (mod 4) AND compacts to one file per cell in ONE
+    * staging rewrite — the nightly-maintenance shape. The gate's oracle
+    * composes the append replay (prefix-trained models, full-corpus
+    * encode) with the delete replay (survivor exclusion); compaction is
+    * content-invariant so the same text covers it. */
+  private val ivfPqMaintainIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqMaintainIndexFor(spark: SparkSession, dir: String): String =
+    ivfPqMaintainIndexDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_mnt_").toString
+      val emb = Tables.embeddings(spark, d)
+      Similarity.ivfPqWrite(emb.where(col("vec_id") % 2 === 0), p)
+      Seq(1, 3).foreach(r =>
+        Similarity.ivfPqAppend(emb.where(col("vec_id") % 4 === r), p))
+      Similarity.ivfPqMaintain(emb.where(col("vec_id") % 4 === 1).select("vec_id"),
+        p, maxFilesPerCell = 1)
+      p
+    })
+
   /** One persisted DELETED-FROM fused index per sf dir per JVM: the
     * full-corpus model and lists (ivfPqWrite), then every odd vec_id
     * removed through Similarity.ivfPqDelete — affected cells rewritten
@@ -1086,6 +1107,26 @@ object PipelineQueries {
           .orderBy("query_id", "rank")
       },
       Some(IvfPqSql.annIvfPqDeleteTop5SqlOver("d.vec_id % 2 = 0"))),
+
+    Entry("ann_ivfpq_maintain_top5",
+      // COMBINED maintenance (Similarity.ivfPqMaintain — delete +
+      // compact in one staging rewrite, cells touched by both criteria
+      // rewritten once): prefix-trained model, two fragmenting appends,
+      // then one maintain pass removing vec_id ≡ 1 (mod 4) and
+      // coalescing every cell. Hash-gated end to end by the append and
+      // delete replays COMPOSED (annIvfPqMaintainTop5SqlOver) —
+      // compaction must be invisible in the content for this to pass.
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        Similarity.ivfPqQuery(spark, ivfPqMaintainIndexFor(spark, dir), emb,
+            emb.where(col("vec_id") < 10))
+          .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(IvfPqSql.annIvfPqMaintainTop5SqlOver("pemb",
+        "pemb AS (SELECT vec_id, v FROM emb WHERE vec_id % 2 = 0)",
+        "d.vec_id % 4 != 1"))),
 
     // in-gate recall measurement for both quantized paths: per query,
     // |approx top-5 ∩ exact top-5| / 5 — the oracle re-derives BOTH
