@@ -1113,6 +1113,109 @@ object Dedup {
       .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
   }
 
+  /** Compact a persisted dedup index: every [[dedupIndexAppend]] adds
+    * one file set per bucket, and the probe's sort-merge side eventually
+    * goes file-open-bound (the ivfPqCompact decay on the text side).
+    * Rewrites both tables to one file per bucket through a staged-table
+    * swap; content unchanged (probe parity-tested). */
+  def dedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                        tablePrefix: String): Unit =
+    dedupIndexRewrite(spark, tablePrefix, dropIds = None)
+
+  /** Remove reference docs from a persisted dedup index — the
+    * right-to-be-forgotten pass on the dedup REFERENCE (a takedown'd
+    * site's pages must stop suppressing near-duplicates of themselves).
+    * Both tables rewrite minus the ids through the staged-table swap and
+    * come out compacted as a side effect. Unlike ivfPqDelete this is a
+    * one-pass Θ(index) rewrite, not Θ(batch): the buckets table is keyed
+    * by (band, bucket), not by id, so no id-sidecar can prune it — the
+    * honest cost of forgetting from an inverted layout, paid once per
+    * takedown batch, with the rewrite itself still one scan per table.
+    * Returns the number of reference docs removed. */
+  def dedupIndexDelete(ids: DataFrame, tablePrefix: String,
+                       idCol: String = "doc_id"): Long = {
+    val spark = ids.sparkSession
+    val del = ids.select(col(idCol).cast("long").as("__drop_id")).distinct()
+    val shName = spark.table(s"${tablePrefix}_shingles").columns.head
+    val removed = spark.table(s"${tablePrefix}_shingles")
+      .join(broadcast(del), col(shName) === col("__drop_id"), "left_semi")
+      .count()
+    if (removed > 0) dedupIndexRewrite(spark, tablePrefix, dropIds = Some(del))
+    removed
+  }
+
+  /** The one staged-rewrite mechanism behind [[dedupIndexCompact]] and
+    * [[dedupIndexDelete]]: for each index table, write the (optionally
+    * id-filtered) content as a staged table at a fresh location under
+    * the SAME bucket/sort spec, then drop the live name and rename the
+    * staged table into it. The staged table is fully materialized before
+    * anything is dropped, so a crash leaves either the intact original
+    * or a complete `<name>_staged` to recover from; the superseded
+    * location is deleted last. */
+  private def dedupIndexRewrite(spark: org.apache.spark.sql.SparkSession,
+                                tablePrefix: String,
+                                dropIds: Option[DataFrame]): Unit = {
+    // scan-side bucketing OFF for the rewrite: with it on, the source
+    // table's bucket spec satisfies the co-locating repartition's
+    // required partitioning and the optimizer elides the exchange —
+    // while the actual scan stays per-file-split, so every split writes
+    // its own file per bucket and the "compaction" emits MORE files
+    // than it read (observed 3 file sets -> 12 files at 4 buckets). A
+    // plain scan keeps the exchange and each task holds exactly one
+    // bucket: one file per bucket, which is the point.
+    val bucketingWas = spark.conf.get("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    try dedupIndexRewriteUnbucketedScan(spark, tablePrefix, dropIds)
+    finally spark.conf.set("spark.sql.sources.bucketing.enabled", bucketingWas)
+  }
+
+  private def dedupIndexRewriteUnbucketedScan(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      dropIds: Option[DataFrame]): Unit = {
+    val catalog = spark.sessionState.catalog
+    Seq("buckets", "shingles").foreach { t =>
+      val name = s"${tablePrefix}_$t"
+      val meta = catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name))
+      val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
+        s"dedupIndexRewrite: $name carries no bucket spec"))
+      val oldLoc = new org.apache.hadoop.fs.Path(meta.location)
+      // fresh sibling location: <loc>_r1, _r2, ... (first free suffix)
+      val fs = oldLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val newLoc = Iterator.from(1).map(i =>
+        new org.apache.hadoop.fs.Path(oldLoc.toString + s"_r$i"))
+        .find(p => !fs.exists(p)).get
+      val live = spark.table(name)
+      val idName = live.columns.head
+      val kept = dropIds match {
+        case Some(del) =>
+          live.join(broadcast(del), col(idName) === col("__drop_id"), "left_anti")
+        case None => live
+      }
+      val staged = s"${name}_staged"
+      spark.sql(s"DROP TABLE IF EXISTS `$staged`")
+      // co-locate each bucket's rows in one task before the bucketed
+      // write (repartition hashing matches the bucket-id hashing), so
+      // the rewrite emits ONE file per bucket — otherwise every input
+      // split writes its own file per bucket and the compaction
+      // re-fragments what it set out to coalesce
+      val colocated = kept.repartition(spec.numBuckets,
+        spec.bucketColumnNames.map(col): _*)
+      val writer = colocated.write.mode("overwrite")
+        .option("path", newLoc.toString)
+        .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+          spec.bucketColumnNames.tail: _*)
+      (if (spec.sortColumnNames.nonEmpty)
+         writer.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+       else writer)
+        .format("parquet").saveAsTable(staged)
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      spark.sql(s"ALTER TABLE `$staged` RENAME TO `$name`")
+      fs.delete(oldLoc, true)
+    }
+  }
+
   /** [[crossCorpusNearDup]] against a PERSISTED reference index
     * ([[dedupIndexWrite]]): per-row results are IDENTICAL (same portable
     * signatures, same banding, same exact-jaccard verify — parity-tested)

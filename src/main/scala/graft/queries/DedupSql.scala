@@ -108,11 +108,20 @@ object DedupSql {
     * n-gram jaccard verify, then per-corpus-doc any/max rollup with the
     * no-candidate docs surfacing (false, NULL). */
   def crossCorpusDedupSql(bands: Int = 16): String =
+    crossCorpusDedupSqlOver("doc_id % 3 != 0", "doc_id % 3 = 0", bands)
+
+  /** The same replay with caller-pinned corpus/reference predicates
+    * (over the bare column name `doc_id`, alias-qualified here) — the
+    * index-maintenance gates (dedupIndexDelete) replay a SHRUNK
+    * reference through the identical pipeline text. */
+  def crossCorpusDedupSqlOver(corpusPred: String, refPred: String,
+                              bands: Int = 16): String =
     s"""WITH $tokCte, $shCte, $shFpCte, ${sigCte()}, ${bucketCte(bands = bands)},
       |p AS (
       |  SELECT DISTINCT cb.doc_id AS a_id, rb.doc_id AS b_id
       |  FROM b cb JOIN b rb ON cb.band = rb.band AND cb.bucket = rb.bucket
-      |  WHERE cb.doc_id % 3 != 0 AND rb.doc_id % 3 = 0
+      |  WHERE (${corpusPred.replace("doc_id", "cb.doc_id")})
+      |    AND (${refPred.replace("doc_id", "rb.doc_id")})
       |), shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
       |jac AS (
       |  SELECT p.a_id,
@@ -124,7 +133,7 @@ object DedupSql {
       |SELECT d.doc_id,
       |  coalesce(bool_or(j.jaccard >= 0.5), false) AS near_dup,
       |  round(max(j.jaccard), 6) + 0.0 AS max_jaccard
-      |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 != 0) d
+      |FROM (SELECT doc_id FROM documents WHERE $corpusPred) d
       |LEFT JOIN jac j ON j.a_id = d.doc_id
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 

@@ -424,6 +424,27 @@ object PipelineQueries {
     prefix
   }
 
+  /** One persisted DELETED-FROM dedup index per sf dir per JVM: the full
+    * %3==0 reference written, then every even-id reference doc removed
+    * through Dedup.dedupIndexDelete (the staged-table swap; the tables
+    * come out compacted as a side effect). The gate's oracle replays the
+    * direct pipeline over the SHRUNK reference — forgetting must be
+    * indistinguishable from never having indexed the removed docs. */
+  private def ccForgetIndexFor(spark: SparkSession, dir: String): String = {
+    val prefix = "graft_ccfgt_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    this.synchronized {
+      if (!Seq("buckets", "shingles", "meta")
+            .forall(s => spark.catalog.tableExists(s"${prefix}_$s"))) {
+        val p = java.nio.file.Files.createTempDirectory("graft_ccfgt_").toString
+        val ref = Tables.documents(spark, dir).where(col("doc_id") % 3 === 0)
+        Dedup.dedupIndexWrite(ref, prefix, p)
+        Dedup.dedupIndexDelete(
+          ref.where(col("doc_id") % 2 === 0).select("doc_id"), prefix)
+      }
+    }
+    prefix
+  }
+
   /** One persisted INCREMENTALLY-BUILT fused index per sf dir per JVM:
     * the model trains on the even-vec_id half only (ivfPqWrite), the odd
     * half arrives through Similarity.ivfPqAppend — encode-only, no
@@ -1495,6 +1516,24 @@ object PipelineQueries {
             r6(col("max_jaccard")).as("max_jaccard"))
           .orderBy("doc_id")
       }, Some(DedupSql.crossCorpusDedupSql())),
+
+    Entry("cross_corpus_dedup_forget",
+      // right-to-be-forgotten on the dedup REFERENCE
+      // (Dedup.dedupIndexDelete — the staged-table swap): the %3==0
+      // reference indexed in full, every even-id reference doc removed,
+      // then the standard probe. The oracle replays the direct pipeline
+      // over the SHRUNK reference (crossCorpusDedupSqlOver) — deletion
+      // must be indistinguishable from never indexing those docs, and
+      // the swap's compaction side effect must be content-invisible.
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Dedup.crossCorpusNearDupIndexed(docs.where(col("doc_id") % 3 =!= 0),
+            ccForgetIndexFor(spark, dir))
+          .select(col("doc_id"), col("near_dup"),
+            r6(col("max_jaccard")).as("max_jaccard"))
+          .orderBy("doc_id")
+      }, Some(DedupSql.crossCorpusDedupSqlOver(
+        "doc_id % 3 != 0", "doc_id % 3 = 0 AND doc_id % 2 = 1"))),
 
     Entry("cross_corpus_dedup_hp",
       // the documented precision lever on the cross-corpus bucket join,

@@ -1399,6 +1399,57 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((meta.getInt(0), meta.getInt(1), meta.getInt(2)) == (32, 8, 3))
   }
 
+  test("dedupIndex compact + delete: staged swap keeps probes exact; delete == rebuild on the shrunk reference") {
+    import org.apache.spark.sql.functions.col
+    val texts = (0L until 40L).map { i =>
+      if (i % 4 == 1) i -> (0 until 12).map(w => s"u${i}x$w").mkString(" ")
+      else {
+        val words = (0 until 12).map(w => s"w${(i % 7 + w) % 19}")
+        i -> (if (i % 5 == 0) words.mkString(" ")
+              else words.drop(1).mkString(" ") + s" tail$i")
+      }
+    }
+    val all = docs(texts: _*)
+    val ref = all.where(col("doc_id") % 3 === 0)
+    val batch = all.where(col("doc_id") % 3 =!= 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      r.getLong(0) -> (r.getBoolean(1),
+        Option(r.get(2)).map(v => math.round(r.getDouble(2) * 1e9)))).toMap
+    // fragmented build: write one third, append the rest in two batches
+    val p1 = java.nio.file.Files.createTempDirectory("didx_frag").toString
+    Dedup.dedupIndexWrite(ref.where(col("doc_id") < 12), "didx_frag", p1,
+      numBuckets = 4, bands = 8)
+    Dedup.dedupIndexAppend(ref.where(col("doc_id") >= 12 && col("doc_id") < 27), "didx_frag")
+    Dedup.dedupIndexAppend(ref.where(col("doc_id") >= 27), "didx_frag")
+    val before = key(Dedup.crossCorpusNearDupIndexed(batch, "didx_frag"))
+    def dataFiles(tbl: String) = {
+      val loc = new java.io.File(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location)
+      loc.listFiles().count(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+    }
+    assert(dataFiles("didx_frag_buckets") > 4,
+      "the appends must have fragmented the buckets table")
+    Dedup.dedupIndexCompact(spark, "didx_frag")
+    assert(dataFiles("didx_frag_buckets") <= 4 && dataFiles("didx_frag_shingles") <= 4,
+      "compaction must coalesce to at most one file per bucket")
+    assert(key(Dedup.crossCorpusNearDupIndexed(batch, "didx_frag")) == before,
+      "compaction must not change probe results")
+    // delete half the reference -> probes equal a fresh index on the rest
+    val dead = ref.where(col("doc_id") % 2 === 0)
+    val removed = Dedup.dedupIndexDelete(dead.select("doc_id"), "didx_frag")
+    assert(removed == dead.count(), "removed count = reference docs dropped")
+    val p2 = java.nio.file.Files.createTempDirectory("didx_ref2").toString
+    Dedup.dedupIndexWrite(ref.where(col("doc_id") % 2 =!= 0), "didx_ref2", p2,
+      numBuckets = 4, bands = 8)
+    assert(key(Dedup.crossCorpusNearDupIndexed(batch, "didx_frag"))
+        == key(Dedup.crossCorpusNearDupIndexed(batch, "didx_ref2")),
+      "a deleted-from index must probe exactly like one rebuilt on the survivors")
+    // deleting absent ids is a no-op
+    assert(Dedup.dedupIndexDelete(
+      spark.createDataFrame(Seq(Tuple1(9999L))).toDF("doc_id"), "didx_frag") == 0L)
+  }
+
   test("Layout.zValue is monotone under coordinate dominance (exhaustive 16x16 grid)") {
     import org.apache.spark.sql.functions.col
     // the property that makes Morton footer stats selective: if a <= b
