@@ -139,14 +139,32 @@ object Layout {
     * `numFiles <= 0` keeps the session's shuffle parallelism. */
   def zOrderWrite(df: DataFrame, zCols: Seq[String], path: String,
                   bits: Int = 16, numFiles: Int = 0,
-                  stats: Option[ZStats] = None): Unit = {
+                  stats: Option[ZStats] = None): Unit =
+    zOrderedFrame(df, zCols, bits, numFiles, stats)
+      .write.mode("overwrite").parquet(path)
+
+  /** Append an INCREMENT to an existing z-ordered layout — the
+    * incremental OPTIMIZE a daily partition needs: the new rows
+    * curve-order among themselves under the SNAPSHOT's stats (pass the
+    * `ZStats` persisted at layout time — out-of-range values clamp, the
+    * documented trade) and land as new files beside the resident ones,
+    * which never rewrite. Each file set tiles the curve independently,
+    * so footer-stat skipping still prunes within every set; what
+    * accumulates is files per curve tile, not lost selectivity —
+    * re-cluster with a fresh [[zOrderWrite]] when file counts decay
+    * reads (the ivfPqCompact posture). */
+  def zOrderAppend(df: DataFrame, zCols: Seq[String], path: String,
+                   stats: ZStats, bits: Int = 16, numFiles: Int = 0): Unit =
+    zOrderedFrame(df, zCols, bits, numFiles, Some(stats))
+      .write.mode("append").parquet(path)
+
+  private def zOrderedFrame(df: DataFrame, zCols: Seq[String], bits: Int,
+                            numFiles: Int, stats: Option[ZStats]): DataFrame = {
     val st = stats.getOrElse(zStats(df, zCols))
     val z = zValueWith(zCols.map(col), st, bits)
     val keyed = df.withColumn("__zvalue", z)
     val ranged = if (numFiles > 0) keyed.repartitionByRange(numFiles, col("__zvalue"))
                  else keyed.repartitionByRange(col("__zvalue"))
-    ranged.sortWithinPartitions("__zvalue")
-      .drop("__zvalue")
-      .write.mode("overwrite").parquet(path)
+    ranged.sortWithinPartitions("__zvalue").drop("__zvalue")
   }
 }

@@ -1337,6 +1337,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back == grown.collect().map(r =>
       (r.getString(0), r.getLong(1), r.getString(2))).toSet,
       "z-order with stale snapshot stats must stay a lossless reorder")
+    // incremental OPTIMIZE: an increment appends under the snapshot
+    // stats; resident files never move, total content = union
+    val residentFiles = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val inc = spark.createDataFrame(
+      Seq(("en", 7L, "inc-0"), ("fr", 93L, "inc-1"))).toDF("lang", "k", "payload")
+    graft.etl.Layout.zOrderAppend(inc, Seq("lang", "k"), out, st, bits = 8)
+    val after = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(after == back ++ Set(("en", 7L, "inc-0"), ("fr", 93L, "inc-1")),
+      "zOrderAppend must add exactly the increment")
+    val residentAfter = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(residentFiles.forall { case (n, ts) => residentAfter.get(n).contains(ts) },
+      "resident files must never move on an incremental append")
   }
 
   test("Layout.zValue interleaves bits exactly; zOrderWrite is a lossless reorder") {
