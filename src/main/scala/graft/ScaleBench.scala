@@ -261,6 +261,43 @@ object ScaleBench {
           }
         spark.range(1).select(lit(removed).as("removed"))
       }),
+      // COMBINED maintenance at the decade (Similarity.ivfPqMaintain):
+      // the delete leg's class removal AND a full compaction in ONE
+      // staging pass over the shared √n-cell index — cells the delete
+      // touches and cells the appends fragmented rewrite once, not
+      // twice. Restore + marker discipline as ivfpq_delete. Compare
+      // against ivfpq_delete + ivfpq_compact walls run separately.
+      "ivfpq_maintain" -> ((spark: SparkSession, dir: String) => {
+        val basePath = hqScaledIndex(spark, dir)
+        val sel = pmod(col("vec_id"), lit(20000)) === 13
+        val emb = Tables.embeddings(spark, dir)
+        val done = java.nio.file.Paths.get(s"$dir/_DONE_HQ_SCALED_v1")
+        java.nio.file.Files.deleteIfExists(done)
+        val (removed, rewritten) =
+          try graft.pipeline.Similarity.ivfPqMaintain(
+            emb.where(sel).select("vec_id"), basePath, maxFilesPerCell = 4)
+          finally {
+            graft.pipeline.Similarity.ivfPqAppend(emb.where(sel), basePath)
+            java.nio.file.Files.createFile(done)
+          }
+        spark.range(1).select(lit(removed).as("removed"),
+          lit(rewritten).as("cells_rewritten"))
+      }),
+      // right-to-be-forgotten on the DEDUP REFERENCE at the decade
+      // (Dedup.dedupIndexDelete): drop a 0.1% slice of the indexed
+      // reference through the staged-table swap. This is the documented
+      // Θ(index) rewrite — the buckets table is keyed by (band, bucket),
+      // no id sidecar can prune it — so the leg MEASURES that honesty:
+      // expect ~the staging leg's wall, not the append leg's. Requires
+      // cross_corpus_indexed to have staged the index in this JVM (name
+      // it first on the command line).
+      "ccidx_forget" -> ((spark: SparkSession, dir: String) => {
+        val docs = Tables.documents(spark, dir)
+        val prefix = "scale_ccidx_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val removed = graft.pipeline.Dedup.dedupIndexDelete(
+          docs.where(pmod(col("doc_id"), lit(1000)) === 3).select("doc_id"), prefix)
+        spark.range(1).select(lit(removed).as("removed"))
+      }),
       // the PERSISTED cross-corpus dedup index in its OPERATIONAL shape:
       // a 0.1% daily batch (doc_id ≡ 1 mod 1000) probed against the
       // 99.9% reference — the direct path must re-sign and re-shuffle
