@@ -563,8 +563,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // arriving batch's — a 100 TB reference never re-shuffles
     val base = java.nio.file.Files.createTempDirectory("ccidx_plan_").toString
     val d = docs(60)
+    // built INCREMENTALLY (write-half + append-half) — the appended
+    // bucket files must keep the co-located join property, since that
+    // is the shape the registered gate and a growing reference produce
+    val ref = d.where(col("doc_id") % 3 === 0)
     graft.pipeline.Dedup.dedupIndexWrite(
-      d.where(col("doc_id") % 3 === 0), "plan_ccidx", base, numBuckets = 4)
+      ref.where(col("doc_id") < 30), "plan_ccidx", base, numBuckets = 4)
+    graft.pipeline.Dedup.dedupIndexAppend(
+      ref.where(col("doc_id") >= 30), "plan_ccidx")
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -575,7 +581,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         .join(spark.table("plan_ccidx_buckets").toDF("b_id", "band", "bucket"),
           Seq("band", "bucket"))
       assert(countShuffleExchanges(j) == 1,
-        "exactly one exchange — the batch side; the bucketed reference joins in place")
+        "exactly one exchange — the batch side; the appended bucketed reference joins in place")
       assert(j.count() > 0, "the fixture must produce candidates")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
