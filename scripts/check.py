@@ -49,6 +49,18 @@ for name, sql in sorted(oracle.items()):
     bad_col = None
     for c in spark_df.columns:
         a, b = spark_df[c].to_numpy(), duck_df[c].to_numpy()
+        # The driver's hash is value-REPRESENTATION-sensitive: a Spark
+        # bigint 1609 vs a DuckDB-widened HUGEINT->float64 1609.0
+        # hash-mismatches even though float coercion below would pass.
+        # Flag the dtype-class split (integer one side, float the other)
+        # as a failure so the local gate predicts the driver's.
+        ka, kb = a.dtype.kind, b.dtype.kind
+        if {ka, kb} <= {'i', 'u', 'f'} and (ka == 'f') != (kb == 'f'):
+            bad_col = (name, 'dtype-class', c,
+                       f'spark={a.dtype} oracle={b.dtype} '
+                       '(driver hash is representation-sensitive; '
+                       'CAST the oracle column, e.g. ::BIGINT)')
+            break
         if a.dtype.kind == 'f' or b.dtype.kind == 'f':
             a = a.astype(float); b = b.astype(float)
             eq = (np.isnan(a) & np.isnan(b)) | (a == b)
@@ -62,7 +74,7 @@ for name, sql in sorted(oracle.items()):
     if bad_col:
         fails.append(bad_col)
         rec(name, rows=True, schema=True, sr=len(spark_df), orr=len(duck_df),
-            err=f'values: {bad_col[2]} ({bad_col[3]} diffs)')
+            err=f'{bad_col[1]}: {bad_col[2]} ({bad_col[3]})')
     else:
         n_ok += 1
         rec(name, rows=True, schema=True, hsh=True,

@@ -177,18 +177,18 @@ object ScaleBench {
         hqScaledProbe(spark, dir)),
       "ann_ivfpq_hq_scaled_probe" -> ((spark: SparkSession, dir: String) =>
         hqScaledProbe(spark, dir)),
-      "ann_ivfpq_hq_scaled_recall" -> ((spark: SparkSession, dir: String) => {
-        val emb = Tables.embeddings(spark, dir)
-        val k = graft.pipeline.Similarity.DefaultTopK
-        val bf = graft.pipeline.Similarity.bruteForceTopK(
-            emb, emb.where(col("vec_id") < 10), k = k)
-          .select(col("query_id"), col("corpus_id"))
-        hqScaledProbe(spark, dir, k = k)
-          .select(col("query_id"), col("corpus_id"))
-          .join(bf, Seq("query_id", "corpus_id"))
-          .groupBy("query_id").agg(count(lit(1)).as("__h"))
-          .agg(avg(col("__h") / lit(k.toDouble)).as("recall_at_k"))
-      }),
+      "ann_ivfpq_hq_scaled_recall" -> ((spark: SparkSession, dir: String) =>
+        hqScaledRecall(spark, dir, scaledNp = false)),
+      // the nprobe SCALING RULE at the decade (Similarity.scaledNProbe —
+      // max(12, ⌈cells/3⌉)): the fixed-nprobe leg above prices the
+      // probed-fraction decay (12 of √n cells → a vanishing fraction at
+      // the decade); this pair records what the rule buys back in
+      // recall and what it costs in probe wall (the _np probe reads
+      // ~cells/3 lists instead of 12). Run both; compare.
+      "ann_ivfpq_hq_scaled_np" -> ((spark: SparkSession, dir: String) =>
+        hqScaledProbe(spark, dir, scaledNp = true)),
+      "ann_ivfpq_hq_scaled_np_recall" -> ((spark: SparkSession, dir: String) =>
+        hqScaledRecall(spark, dir, scaledNp = true)),
       // DEDUP-THEN-INDEX (Similarity.collapseReps → the same hq config):
       // the ×N replica's embeddings are N jittered copies per base
       // vector, and a quantized index is recall-capped by that duplicate
@@ -252,13 +252,15 @@ object ScaleBench {
         // and restore in finally so even a failed restore is attempted
         val done = java.nio.file.Paths.get(s"$dir/_DONE_HQ_SCALED_v1")
         java.nio.file.Files.deleteIfExists(done)
-        val removed =
-          try graft.pipeline.Similarity.ivfPqDelete(
-            emb.where(sel).select("vec_id"), basePath)
-          finally {
-            graft.pipeline.Similarity.ivfPqAppend(emb.where(sel), basePath)
-            java.nio.file.Files.createFile(done)
-          }
+        val removed = graft.pipeline.Similarity.ivfPqDelete(
+          emb.where(sel).select("vec_id"), basePath)
+        // restore + marker on the SUCCESS path only: an exception above
+        // leaves the marker absent, so the next run REBUILDS the shared
+        // index rather than re-appending the full slice onto a
+        // partially-deleted one (duplicate rows in cells whose swap
+        // never ran) under a marker that falsely asserts health
+        graft.pipeline.Similarity.ivfPqAppend(emb.where(sel), basePath)
+        java.nio.file.Files.createFile(done)
         spark.range(1).select(lit(removed).as("removed"))
       }),
       // COMBINED maintenance at the decade (Similarity.ivfPqMaintain):
@@ -273,30 +275,52 @@ object ScaleBench {
         val emb = Tables.embeddings(spark, dir)
         val done = java.nio.file.Paths.get(s"$dir/_DONE_HQ_SCALED_v1")
         java.nio.file.Files.deleteIfExists(done)
-        val (removed, rewritten) =
-          try graft.pipeline.Similarity.ivfPqMaintain(
-            emb.where(sel).select("vec_id"), basePath, maxFilesPerCell = 4)
-          finally {
-            graft.pipeline.Similarity.ivfPqAppend(emb.where(sel), basePath)
-            java.nio.file.Files.createFile(done)
-          }
+        val (removed, rewritten) = graft.pipeline.Similarity.ivfPqMaintain(
+          emb.where(sel).select("vec_id"), basePath, maxFilesPerCell = 4)
+        // success-path-only restore + marker (the ivfpq_delete rationale)
+        graft.pipeline.Similarity.ivfPqAppend(emb.where(sel), basePath)
+        java.nio.file.Files.createFile(done)
         spark.range(1).select(lit(removed).as("removed"),
           lit(rewritten).as("cells_rewritten"))
       }),
       // right-to-be-forgotten on the DEDUP REFERENCE at the decade
-      // (Dedup.dedupIndexDelete): drop a 0.1% slice of the indexed
-      // reference through the staged-table swap. This is the documented
-      // Θ(index) rewrite — the buckets table is keyed by (band, bucket),
-      // no id sidecar can prune it — so the leg MEASURES that honesty:
-      // expect ~the staging leg's wall, not the append leg's. Requires
-      // cross_corpus_indexed to have staged the index in this JVM (name
-      // it first on the command line).
+      // (Dedup.dedupIndexDelete): tombstone a 0.1% slice of the indexed
+      // reference. Since round 17 this is the Θ(batch) LOGICAL delete —
+      // a pushed-filter residency probe of the id-sorted shingles table
+      // plus a batch-sized tombstone append; expect ~the append leg's
+      // wall, not the staging leg's (the old Θ(index) staged rewrite is
+      // now ccidx_compact_fold). Requires cross_corpus_indexed to have
+      // staged the index in this JVM (name it first on the command
+      // line).
       "ccidx_forget" -> ((spark: SparkSession, dir: String) => {
         val docs = Tables.documents(spark, dir)
         val prefix = "scale_ccidx_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
         val removed = graft.pipeline.Dedup.dedupIndexDelete(
           docs.where(pmod(col("doc_id"), lit(1000)) === 3).select("doc_id"), prefix)
         spark.range(1).select(lit(removed).as("removed"))
+      }),
+      // the PRICE of logical forgetting at probe time: the
+      // cross_corpus_indexed probe re-run while the tombstone set is
+      // non-empty, so the reference-bucket scan pays the broadcast
+      // anti-join. Compare this wall against cross_corpus_indexed's —
+      // the delta is the anti-join overhead the tombstone design buys
+      // its Θ(batch) deletes with. Run AFTER ccidx_forget.
+      "ccidx_probe_tombstoned" -> ((spark: SparkSession, dir: String) => {
+        val docs = Tables.documents(spark, dir)
+        val prefix = "scale_ccidx_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.pipeline.Dedup.crossCorpusNearDupIndexed(
+          docs.where(pmod(col("doc_id"), lit(1000)) === 1), prefix)
+      }),
+      // the PHYSICAL half of forgetting (Dedup.dedupIndexCompact): fold
+      // the accumulated tombstones into the one staged rewrite
+      // compaction already pays — the honest Θ(index) cost, now paid
+      // once per maintenance window instead of once per takedown batch.
+      // Run AFTER ccidx_forget; wall ≈ the old per-batch delete's.
+      "ccidx_compact_fold" -> ((spark: SparkSession, dir: String) => {
+        val prefix = "scale_ccidx_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.pipeline.Dedup.dedupIndexCompact(spark, prefix)
+        spark.table(s"${prefix}_tombstones").groupBy()
+          .agg(count(lit(1)).as("tombstones_left"))
       }),
       // the PERSISTED cross-corpus dedup index in its OPERATIONAL shape:
       // a 0.1% daily batch (doc_id ≡ 1 mod 1000) probed against the
@@ -585,12 +609,31 @@ object ScaleBench {
   }
 
   private def hqScaledProbe(spark: SparkSession, dir: String,
-                            k: Int = graft.pipeline.Similarity.DefaultTopK): DataFrame = {
+                            k: Int = graft.pipeline.Similarity.DefaultTopK,
+                            scaledNp: Boolean = false): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    graft.pipeline.Similarity.ivfPqQuery(spark, hqScaledIndex(spark, dir), emb,
-      emb.where(col("vec_id") < 10), k = k,
-      nprobe = graft.pipeline.Similarity.HqNProbe,
+    val path = hqScaledIndex(spark, dir)
+    val np =
+      if (scaledNp) graft.pipeline.Similarity.scaledNProbe(
+        spark.read.parquet(s"$path/centroids").count().toInt)
+      else graft.pipeline.Similarity.HqNProbe
+    graft.pipeline.Similarity.ivfPqQuery(spark, path, emb,
+      emb.where(col("vec_id") < 10), k = k, nprobe = np,
       shortlist = graft.pipeline.Similarity.HqShortlist)
+  }
+
+  private def hqScaledRecall(spark: SparkSession, dir: String,
+                             scaledNp: Boolean): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val k = graft.pipeline.Similarity.DefaultTopK
+    val bf = graft.pipeline.Similarity.bruteForceTopK(
+        emb, emb.where(col("vec_id") < 10), k = k)
+      .select(col("query_id"), col("corpus_id"))
+    hqScaledProbe(spark, dir, k = k, scaledNp = scaledNp)
+      .select(col("query_id"), col("corpus_id"))
+      .join(bf, Seq("query_id", "corpus_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("__h"))
+      .agg(avg(col("__h") / lit(k.toDouble)).as("recall_at_k"))
   }
 
   /** Build the ×mult replica (see class doc for the distribution

@@ -1068,6 +1068,32 @@ object Dedup {
     Seq((numPerms, bands, shingleK)).toDF("num_perms", "bands", "shingle_k")
       .coalesce(1).write.mode("overwrite").option("path", s"$path/meta")
       .format("parquet").saveAsTable(s"${tablePrefix}_meta")
+    spark.sql(s"DROP TABLE IF EXISTS `${tablePrefix}_tombstones`")
+    spark.range(0).select(col("id").as("doc_id"))
+      .coalesce(1).write.mode("overwrite").option("path", s"$path/tombstones")
+      .format("parquet").saveAsTable(s"${tablePrefix}_tombstones")
+  }
+
+  /** The tombstone side table behind [[dedupIndexDelete]]'s Θ(batch)
+    * logical forgetting: one bigint `doc_id` column of reference ids the
+    * probes must treat as never indexed. [[dedupIndexWrite]] creates it
+    * empty; an index written before tombstones existed gets one created
+    * (empty, beside the other tables) on its first delete. */
+  private def ensureTombstoneTable(spark: org.apache.spark.sql.SparkSession,
+                                   tablePrefix: String): String = {
+    val name = s"${tablePrefix}_tombstones"
+    if (!spark.catalog.tableExists(name)) {
+      val metaLoc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${tablePrefix}_meta"))
+          .location)
+      spark.range(0).select(col("id").as("doc_id"))
+        .coalesce(1).write.mode("overwrite")
+        .option("path", new org.apache.hadoop.fs.Path(
+          metaLoc.getParent, "tombstones").toString)
+        .format("parquet").saveAsTable(name)
+    }
+    name
   }
 
   /** Append a reference INCREMENT to a persisted dedup index
@@ -1101,46 +1127,94 @@ object Dedup {
         s"dedupIndexAppend: ${tablePrefix}_buckets carries no bucket spec — " +
         "was the index written by dedupIndexWrite?"))
     }
-    val buckets = lshBuckets(minhashSignatures(increment, textCol, idCol, numPerms,
-      shingleK, portable = true), idCol, numPerms, bands, portable = true)
-    buckets.write.mode("append")
-      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
-      .format("parquet").saveAsTable(s"${tablePrefix}_buckets")
+    // shingles append FIRST: the two appends are not atomic, and the
+    // failure modes are asymmetric. An orphan shingles row (shingles
+    // landed, buckets didn't) is inert — nothing nominates it, so a
+    // crash between the writes degrades to "increment not yet indexed"
+    // (recover by re-appending or rebuilding). The reverse order would
+    // leave bucket rows whose b_id has no shingles row, and the probe's
+    // inner verify join would silently DROP those candidate pairs —
+    // missed duplicates with no error.
     increment.select(col(idCol),
         array_distinct(shingles(col(textCol), shingleK)).as("sh"))
       .write.mode("append")
       .bucketBy(numBuckets, idCol).sortBy(idCol)
       .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
+    lshBuckets(minhashSignatures(increment, textCol, idCol, numPerms,
+      shingleK, portable = true), idCol, numPerms, bands, portable = true)
+      .write.mode("append")
+      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
+      .format("parquet").saveAsTable(s"${tablePrefix}_buckets")
   }
 
   /** Compact a persisted dedup index: every [[dedupIndexAppend]] adds
     * one file set per bucket, and the probe's sort-merge side eventually
     * goes file-open-bound (the ivfPqCompact decay on the text side).
     * Rewrites both tables to one file per bucket through a staged-table
-    * swap; content unchanged (probe parity-tested). */
+    * swap — and FOLDS the accumulated [[dedupIndexDelete]] tombstones
+    * into the rewrite (the rows drop physically here, then the tombstone
+    * table clears), so compaction is also the physical half of
+    * forgetting. Probe content is invariant either way: tombstoned rows
+    * were already invisible to [[crossCorpusNearDupIndexed]]
+    * (parity-tested). Clear-after-rewrite is the crash-safe order — a
+    * crash between leaves tombstones over already-removed rows, and an
+    * anti-join that never matches is harmless; the next compact clears
+    * them. */
   def dedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
-                        tablePrefix: String): Unit =
-    dedupIndexRewrite(spark, tablePrefix, dropIds = None)
+                        tablePrefix: String): Unit = {
+    val tomb = ensureTombstoneTable(spark, tablePrefix)
+    val tombs = spark.table(tomb).select(col("doc_id").as("__drop_id"))
+    val fold = if (tombs.isEmpty) None else Some(tombs)
+    dedupIndexRewrite(spark, tablePrefix, dropIds = fold)
+    if (fold.isDefined)
+      spark.range(0).select(col("id").as("doc_id"))
+        .coalesce(1).write.mode("overwrite").insertInto(tomb)
+  }
 
-  /** Remove reference docs from a persisted dedup index — the
+  /** Forget reference docs in a persisted dedup index — the
     * right-to-be-forgotten pass on the dedup REFERENCE (a takedown'd
     * site's pages must stop suppressing near-duplicates of themselves).
-    * Both tables rewrite minus the ids through the staged-table swap and
-    * come out compacted as a side effect. Unlike ivfPqDelete this is a
-    * one-pass Θ(index) rewrite, not Θ(batch): the buckets table is keyed
-    * by (band, bucket), not by id, so no id-sidecar can prune it — the
-    * honest cost of forgetting from an inverted layout, paid once per
-    * takedown batch, with the rewrite itself still one scan per table.
-    * Returns the number of reference docs removed. */
+    *
+    * This is a LOGICAL delete, Θ(batch) like [[ivfPqDelete]]: the batch
+    * ids land in the `<prefix>_tombstones` side table, and every probe
+    * ([[crossCorpusNearDupIndexed]], the streaming twin) anti-joins its
+    * reference-bucket scan against the broadcast tombstone set — the
+    * forgotten docs never nominate a candidate pair, so results are
+    * indistinguishable from never having indexed them (hash-gated
+    * against the shrunk-reference oracle). The inverted (band, bucket)
+    * layout means no id structure can prune a PHYSICAL per-batch
+    * removal — that Θ(index) rewrite is deferred to
+    * [[dedupIndexCompact]], which folds all accumulated tombstones into
+    * the one staged rewrite it was already paying and then clears them.
+    *
+    * The returned count (batch ids actually resident and not already
+    * forgotten) reads the id-sorted shingles table through a pushed-down
+    * id filter — row groups outside the batch's id range prune on footer
+    * stats, the ivfPqDelete sidecar-probe discipline; batches past
+    * `spark.graft.dedup.maxDeleteDiscoveryIds` (default 2^20) degrade to
+    * a broadcast semi-join. */
   def dedupIndexDelete(ids: DataFrame, tablePrefix: String,
                        idCol: String = "doc_id"): Long = {
     val spark = ids.sparkSession
-    val del = ids.select(col(idCol).cast("long").as("__drop_id")).distinct()
-    val shName = spark.table(s"${tablePrefix}_shingles").columns.head
-    val removed = spark.table(s"${tablePrefix}_shingles")
-      .join(broadcast(del), col(shName) === col("__drop_id"), "left_semi")
-      .count()
-    if (removed > 0) dedupIndexRewrite(spark, tablePrefix, dropIds = Some(del))
+    val del = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val tomb = ensureTombstoneTable(spark, tablePrefix)
+    val shingleTbl = spark.table(s"${tablePrefix}_shingles")
+    val shName = shingleTbl.columns.head
+    val cap = spark.conf.getOption("spark.graft.dedup.maxDeleteDiscoveryIds")
+      .map(_.toInt).getOrElse(1 << 20)
+    val delIds = del.limit(cap + 1).collect().map(_.getLong(0))
+    val resident =
+      if (delIds.length <= cap)
+        shingleTbl.where(col(shName).isInCollection(delIds))
+          .select(col(shName).cast("long").as("doc_id"))
+      else
+        shingleTbl.select(col(shName).cast("long").as("doc_id"))
+          .join(broadcast(del), Seq("doc_id"), "left_semi")
+    val newTombs = resident.distinct()
+      .join(broadcast(spark.table(tomb)), Seq("doc_id"), "left_anti")
+    val removed = newTombs.count()
+    if (removed > 0)
+      newTombs.coalesce(1).write.mode("append").insertInto(tomb)
     removed
   }
 
@@ -1155,24 +1229,6 @@ object Dedup {
   private def dedupIndexRewrite(spark: org.apache.spark.sql.SparkSession,
                                 tablePrefix: String,
                                 dropIds: Option[DataFrame]): Unit = {
-    // scan-side bucketing OFF for the rewrite: with it on, the source
-    // table's bucket spec satisfies the co-locating repartition's
-    // required partitioning and the optimizer elides the exchange —
-    // while the actual scan stays per-file-split, so every split writes
-    // its own file per bucket and the "compaction" emits MORE files
-    // than it read (observed 3 file sets -> 12 files at 4 buckets). A
-    // plain scan keeps the exchange and each task holds exactly one
-    // bucket: one file per bucket, which is the point.
-    val bucketingWas = spark.conf.get("spark.sql.sources.bucketing.enabled", "true")
-    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
-    try dedupIndexRewriteUnbucketedScan(spark, tablePrefix, dropIds)
-    finally spark.conf.set("spark.sql.sources.bucketing.enabled", bucketingWas)
-  }
-
-  private def dedupIndexRewriteUnbucketedScan(
-      spark: org.apache.spark.sql.SparkSession,
-      tablePrefix: String,
-      dropIds: Option[DataFrame]): Unit = {
     val catalog = spark.sessionState.catalog
     Seq("buckets", "shingles").foreach { t =>
       val name = s"${tablePrefix}_$t"
@@ -1186,7 +1242,18 @@ object Dedup {
       val newLoc = Iterator.from(1).map(i =>
         new org.apache.hadoop.fs.Path(oldLoc.toString + s"_r$i"))
         .find(p => !fs.exists(p)).get
-      val live = spark.table(name)
+      // read the table's FILES, not the catalog table: a bucketed scan's
+      // spec satisfies the co-locating repartition's required
+      // partitioning and the optimizer elides the exchange — while the
+      // actual scan stays per-file-split, so every split writes its own
+      // file per bucket and the "compaction" emits MORE files than it
+      // read (observed 3 file sets -> 12 files at 4 buckets). A plain
+      // file scan keeps the exchange and each task holds exactly one
+      // bucket: one file per bucket, which is the point. (Scoping the
+      // fix to this read, rather than flipping
+      // spark.sql.sources.bucketing.enabled session-wide, keeps
+      // concurrent probes on the shared session bucket-pruned.)
+      val live = spark.read.parquet(oldLoc.toString)
       val idName = live.columns.head
       val kept = dropIds match {
         case Some(del) =>
@@ -1234,9 +1301,22 @@ object Dedup {
     val (numPerms, bands, shingleK) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val cb = lshBuckets(minhashSignatures(corpus, textCol, idCol, numPerms,
       shingleK, portable = true), idCol, numPerms, bands, portable = true)
+    // tombstone anti-join on the reference-bucket scan: docs a
+    // dedupIndexDelete logically forgot must never nominate a candidate
+    // pair. Broadcast (the tombstone set is takedown-batch-scale) and
+    // BEFORE the candidate join, so the filter rides the bucketed scan's
+    // partitioning — no new exchange, and the verify join never sees a
+    // forgotten b_id either. Absent table = pre-tombstone index, no
+    // overhead.
+    val refBuckets = {
+      val base = spark.table(s"${tablePrefix}_buckets").toDF("b_id", "band", "bucket")
+      if (spark.catalog.tableExists(s"${tablePrefix}_tombstones"))
+        base.join(broadcast(spark.table(s"${tablePrefix}_tombstones")
+          .select(col("doc_id").as("b_id"))), Seq("b_id"), "left_anti")
+      else base
+    }
     val pairs = cb.toDF("a_id", "band", "bucket")
-      .join(spark.table(s"${tablePrefix}_buckets").toDF("b_id", "band", "bucket"),
-        Seq("band", "bucket"))
+      .join(refBuckets, Seq("band", "bucket"))
       .select("a_id", "b_id").distinct()
     val ash = corpus.select(col(idCol).as("a_id"),
       array_distinct(shingles(col(textCol), shingleK)).as("a_sh"))

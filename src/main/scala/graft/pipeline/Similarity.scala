@@ -646,6 +646,20 @@ object Similarity {
   def scaledNumCentroids(n: Long): Int =
     math.max(ScaledMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
 
+  /** The production NPROBE companion to [[scaledNumCentroids]]:
+    * nprobe = max(HqNProbe, ⌈cells/3⌉), so the probed fraction stays
+    * ≥ ⅓ once the √n cell count outgrows the fixed-12 floor — at fixed
+    * nprobe the fraction decays with corpus size and recall@5 decays
+    * with it (measured 0.90/0.86/0.68 across the gated SFs at cells
+    * 16/23/45; BASELINE.md r16). Probe cost grows ∝ cells ∝ √n — the
+    * fraction it scans of the corpus still VANISHES (⅓ of cells, each
+    * holding ~√n rows ⇒ ~n/√n·⅓ reads per query against n total).
+    * Shared by the registered ann_ivfpq_hq_scaled_np_* gates and the
+    * DuckDB replay (queries.IvfSql.probesCteScaledNp computes the same
+    * rule IN SQL over the same derived cell count). */
+  def scaledNProbe(cells: Int): Int =
+    math.max(HqNProbe, math.ceil(cells / 3.0).toInt)
+
   /** Seed index for the PQ poly-hash (decorrelated from ivfBuild's 8192
     * family so the two samples are independent). */
   val PqHashSeed = 4096L
@@ -1029,12 +1043,18 @@ object Similarity {
             graft.functions.PqEncode.pqEncode(col(vecCol), cb).as("codes"))
           .where(col("codes").isNotNull)
           .select(col("corpus_id"), nearestCid(col("v"), cents).as("cid"), col("codes"))
-    // one encode pass feeds BOTH the lists append and the id-sidecar
-    // append (persist, not recompute: PqEncode is the expensive half)
+    // one encode pass feeds BOTH the id-sidecar append and the lists
+    // append (persist, not recompute: PqEncode is the expensive half).
+    // Sidecar FIRST: the two appends are not atomic, and the superset
+    // contract ("every (id, cell) in the lists is in the sidecar") makes
+    // the failure modes asymmetric — a crash after the sidecar append
+    // but before the lists append leaves extra sidecar entries, which
+    // are safe tombstones (discovery only NOMINATES cells); the reverse
+    // order would leave lists rows the sidecar never saw, so a later
+    // delete's discovery would silently skip them — a
+    // right-to-be-forgotten miss with no error.
     val staged = codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      timed("ivfpq-append")(staged.repartition(col("cid"))
-        .write.mode("append").partitionBy("cid").parquet(s"$path/lists"))
       val fs = new org.apache.hadoop.fs.Path(s"$path/ids")
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       // a pre-sidecar index (older ivfPqWrite) keeps its full-scan
@@ -1045,7 +1065,52 @@ object Similarity {
           .repartitionByRange(col("corpus_id"))
           .sortWithinPartitions("corpus_id")
           .write.mode("append").parquet(s"$path/ids")
+      timed("ivfpq-append")(staged.repartition(col("cid"))
+        .write.mode("append").partitionBy("cid").parquet(s"$path/lists"))
     } finally staged.unpersist()
+  }
+
+  /** The one delete-discovery mechanism behind [[ivfPqDelete]] and
+    * [[ivfPqMaintain]]: nominate the batch's candidate cells from the id
+    * sidecar when present (a pushed-down Θ(batch) probe over the
+    * range-laid 2-column table; batches past
+    * `spark.graft.ann.maxDeleteDiscoveryIds` degrade to a broadcast
+    * semi-join that still never drags the code arrays), then take EXACT
+    * per-cell dead counts from the candidate cells' lists only — a stale
+    * sidecar tombstone can re-nominate a cell, never miscount, because
+    * the counts come from the lists themselves. No sidecar (an index
+    * written before it existed) falls back to a full-lists count scan.
+    * Returns (cid, deadRows) for the cells that truly hold batch ids —
+    * empty when the batch touches nothing. */
+  private def discoverDeadCells(spark: org.apache.spark.sql.SparkSession,
+                                path: String, fs: org.apache.hadoop.fs.FileSystem,
+                                lists: DataFrame, del: DataFrame): Array[(Int, Long)] = {
+    val candidates: Option[Seq[Int]] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/ids"))) {
+        val cap = spark.conf.getOption("spark.graft.ann.maxDeleteDiscoveryIds")
+          .map(_.toInt).getOrElse(1 << 20)
+        val sidecar = spark.read.parquet(s"$path/ids")
+        val delIds = del.limit(cap + 1).collect().map(_.getLong(0))
+        val probed =
+          if (delIds.length <= cap)
+            // the id set rides INTO the parquet scan as a pushed filter —
+            // the sorted range layout makes the footer stats prune to the
+            // row groups the batch actually touches
+            sidecar.where(col("corpus_id").isInCollection(delIds))
+          else sidecar.join(broadcast(del), Seq("corpus_id"), "left_semi")
+        Some(probed.select("cid").distinct().collect().map(_.getInt(0)).toSeq)
+      } else None
+    val scanBase = candidates match {
+      case Some(cells) if cells.isEmpty => return Array.empty
+      case Some(cells)                  => lists.where(col("cid").isin(cells: _*))
+      case None                         => lists
+    }
+    scanBase.join(broadcast(del.withColumn("__dead", lit(1))),
+        Seq("corpus_id"), "left")
+      .groupBy("cid").agg(sum(coalesce(col("__dead"), lit(0))).as("dead"))
+      .where(col("dead") > 0)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
   }
 
   /** Delete vectors from a persisted IVF-PQ index, rewriting ONLY the
@@ -1089,38 +1154,10 @@ object Similarity {
       .select(col("cid").cast("int").as("cid"), col("corpus_id"), col("codes"))
     val listsRoot = new org.apache.hadoop.fs.Path(s"$path/lists")
     val fs = listsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // candidate cells from the sidecar when present (Θ(batch) probe),
-    // else the legacy full-lists discovery scan
-    val candidates: Option[Seq[Int]] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/ids"))) {
-        val cap = spark.conf.getOption("spark.graft.ann.maxDeleteDiscoveryIds")
-          .map(_.toInt).getOrElse(1 << 20)
-        val sidecar = spark.read.parquet(s"$path/ids")
-        val delIds = del.limit(cap + 1).collect().map(_.getLong(0))
-        val probed =
-          if (delIds.length <= cap)
-            // the id set rides INTO the parquet scan as a pushed filter —
-            // the sorted range layout makes the footer stats prune to the
-            // row groups the batch actually touches
-            sidecar.where(col("corpus_id").isInCollection(delIds))
-          else sidecar.join(broadcast(del), Seq("corpus_id"), "left_semi")
-        Some(probed.select("cid").distinct().collect().map(_.getInt(0)).toSeq)
-      } else None
-    if (candidates.exists(_.isEmpty)) return 0L
-    val scanBase = candidates match {
-      case Some(cells) => lists.where(col("cid").isin(cells: _*))
-      case None        => lists
-    }
-    // exact per-cell dead counts over the candidate cells only — this
-    // also drops cells a stale sidecar tombstone re-nominated
-    val affected = scanBase.join(broadcast(del.withColumn("__dead", lit(1))),
-        Seq("corpus_id"), "left")
-      .groupBy("cid").agg(sum(coalesce(col("__dead"), lit(0))).as("dead"))
-      .where(col("dead") > 0)
-      .collect()
+    val affected = discoverDeadCells(spark, path, fs, lists, del)
     if (affected.isEmpty) return 0L
-    val deadTotal = affected.map(_.getLong(1)).sum
-    val touched = affected.map(_.getInt(0))
+    val deadTotal = affected.map(_._2).sum
+    val touched = affected.map(_._1)
     val staging = s"$path/lists_delete_staging"
     timed("ivfpq-delete")(lists
       .where(col("cid").isin(touched.toSeq: _*))
@@ -1196,29 +1233,9 @@ object Similarity {
     val lists = spark.read.parquet(s"$path/lists")
       .select(col("cid").cast("int").as("cid"), col("corpus_id"), col("codes"))
     // delete side: sidecar-candidate cells → exact dead counts
-    val candidates: Option[Seq[Int]] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/ids"))) {
-        val cap = spark.conf.getOption("spark.graft.ann.maxDeleteDiscoveryIds")
-          .map(_.toInt).getOrElse(1 << 20)
-        val sidecar = spark.read.parquet(s"$path/ids")
-        val delIds = del.limit(cap + 1).collect().map(_.getLong(0))
-        val probed =
-          if (delIds.length <= cap) sidecar.where(col("corpus_id").isInCollection(delIds))
-          else sidecar.join(broadcast(del), Seq("corpus_id"), "left_semi")
-        Some(probed.select("cid").distinct().collect().map(_.getInt(0)).toSeq)
-      } else None
-    val scanBase = candidates match {
-      case Some(cells) if cells.isEmpty => lists.where(lit(false))
-      case Some(cells)                  => lists.where(col("cid").isin(cells: _*))
-      case None                         => lists
-    }
-    val affected = scanBase.join(broadcast(del.withColumn("__dead", lit(1))),
-        Seq("corpus_id"), "left")
-      .groupBy("cid").agg(sum(coalesce(col("__dead"), lit(0))).as("dead"))
-      .where(col("dead") > 0)
-      .collect()
-    val deadTotal = affected.map(_.getLong(1)).sum
-    val deadCells = affected.map(_.getInt(0)).toSet
+    val affected = discoverDeadCells(spark, path, fs, lists, del)
+    val deadTotal = affected.map(_._2).sum
+    val deadCells = affected.map(_._1).toSet
     // compact side: fragmented cells from the file listing
     val fragmented = fs.listStatus(listsRoot).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
@@ -1241,6 +1258,23 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cid").parquet(staging))
     touched.foreach(swapCellDir(fs, listsRoot, staging, _))
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    // sidecar RE-TIGHTENING: deletes leave their ids in `$path/ids` as
+    // tombstones by the superset contract ([[ivfPqIdsRefresh]]), and
+    // nothing else ever removes them — a long-lived index would
+    // re-nominate dead cells forever. Maintenance is the natural place
+    // to pay the refresh (one 2-column scan of the lists we just
+    // rewrote), but only when the tombstone mass is worth it: refresh
+    // when sidecar rows exceed live rows by
+    // `spark.graft.ann.sidecarRefreshRatio` (default 0.1 — one refresh
+    // per ~10% churn, amortized Θ(batch) like the rest of the pass).
+    val idsPath = new org.apache.hadoop.fs.Path(s"$path/ids")
+    if (deadTotal > 0 && fs.exists(idsPath)) {
+      val ratio = spark.conf.getOption("spark.graft.ann.sidecarRefreshRatio")
+        .map(_.toDouble).getOrElse(0.1)
+      val sidecarRows = spark.read.parquet(s"$path/ids").count()
+      val liveRows = spark.read.parquet(s"$path/lists").count()
+      if (sidecarRows > liveRows * (1.0 + ratio)) ivfPqIdsRefresh(spark, path)
+    }
     (deadTotal, touched.size)
   }
 

@@ -113,15 +113,26 @@ object DedupSql {
   /** The same replay with caller-pinned corpus/reference predicates
     * (over the bare column name `doc_id`, alias-qualified here) — the
     * index-maintenance gates (dedupIndexDelete) replay a SHRUNK
-    * reference through the identical pipeline text. */
+    * reference through the identical pipeline text.
+    *
+    * The bare-column contract is ENFORCED: qualification happens on the
+    * identifier boundary (`\bdoc_id\b` — substrings like `my_doc_id`
+    * never touched), and a predicate that arrives already qualified
+    * (`d.doc_id`) is rejected rather than corrupted into `d.cb.doc_id`. */
   def crossCorpusDedupSqlOver(corpusPred: String, refPred: String,
-                              bands: Int = 16): String =
+                              bands: Int = 16): String = {
+    def qualify(pred: String, alias: String): String = {
+      require(!pred.contains(".doc_id"),
+        s"crossCorpusDedupSqlOver: predicate '$pred' already qualifies doc_id — " +
+        "pass predicates over the BARE column name; this generator alias-qualifies them")
+      pred.replaceAll("\\bdoc_id\\b", s"$alias.doc_id")
+    }
     s"""WITH $tokCte, $shCte, $shFpCte, ${sigCte()}, ${bucketCte(bands = bands)},
       |p AS (
       |  SELECT DISTINCT cb.doc_id AS a_id, rb.doc_id AS b_id
       |  FROM b cb JOIN b rb ON cb.band = rb.band AND cb.bucket = rb.bucket
-      |  WHERE (${corpusPred.replace("doc_id", "cb.doc_id")})
-      |    AND (${refPred.replace("doc_id", "rb.doc_id")})
+      |  WHERE (${qualify(corpusPred, "cb")})
+      |    AND (${qualify(refPred, "rb")})
       |), shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
       |jac AS (
       |  SELECT p.a_id,
@@ -136,6 +147,7 @@ object DedupSql {
       |FROM (SELECT doc_id FROM documents WHERE $corpusPred) d
       |LEFT JOIN jac j ON j.a_id = d.doc_id
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Cross-source overlap matrix: verified near-dup pairs (n-gram
     * jaccard ≥ thr) grouped by UNORDERED source pair — counts and max

@@ -125,6 +125,27 @@ object EtlQueries {
       p
     })
 
+  /** One INCREMENTALLY-GROWN z-ordered documents copy per sf dir per
+    * JVM: a %4==0 snapshot written with zOrderWrite, the remaining three
+    * quarters arriving through THREE zOrderAppend batches under the
+    * SNAPSHOT's persisted ZStats — the daily-OPTIMIZE shape (resident
+    * files never rewrite; each increment curve-orders among itself).
+    * The gate's oracle is the zorder_lang_prune losslessness statement
+    * over the UNION: append must be content-invisible. */
+  private val zorderAppendDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderAppendDocsFor(spark: SparkSession, dir: String): String =
+    zorderAppendDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_zorder_app_").toString
+      val docs = Tables.documents(spark, d)
+      val snap = docs.where(col("doc_id") % 4 === 0)
+      val st = graft.etl.Layout.zStats(snap, Seq("lang", "doc_id"))
+      graft.etl.Layout.zOrderWrite(snap, Seq("lang", "doc_id"), p, stats = Some(st))
+      for (r <- 1 to 3)
+        graft.etl.Layout.zOrderAppend(docs.where(col("doc_id") % 4 === r),
+          Seq("lang", "doc_id"), p, st)
+      p
+    })
+
   val entries: Seq[Entry] = Seq(
     Entry("zorder_lang_prune",
       // Z-ORDER over a string dimension (etl.Layout zStats dictionary
@@ -139,7 +160,29 @@ object EtlQueries {
           sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("lang", "source"),
-      Some("""SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      Some("""SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE lang IN ('en','es') AND doc_id BETWEEN 100 AND 5000
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
+    Entry("zorder_append",
+      // INCREMENTAL z-order maintenance (etl.Layout.zOrderAppend): a
+      // quarter snapshot plus three appended increments, each
+      // curve-ordered under the SNAPSHOT's ZStats beside resident files
+      // that never rewrite — the daily-OPTIMIZE shape. Same
+      // losslessness statement as zorder_lang_prune, over the grown
+      // layout: a language-sliced id-range rollup must hash-match the
+      // oracle over the original table, so the append (including its
+      // unseen-value clamp/dictionary-null trade, which only moves
+      // rows between files) is content-invisible.
+      (spark, dir) => spark.read.parquet(zorderAppendDocsFor(spark, dir))
+        .where(col("lang").isin("en", "es") && col("doc_id").between(100, 5000))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents WHERE lang IN ('en','es') AND doc_id BETWEEN 100 AND 5000
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),

@@ -15,13 +15,22 @@ package graft.queries
   * half's defaults or fixed points recompiles into this oracle
   * automatically (the established can't-drift discipline).
   */
-class IvfPqSqlGen(pq: PqSqlGen, nprobe: Int, scaledCells: Boolean = false) {
+class IvfPqSqlGen(pq: PqSqlGen, nprobe: Int, scaledCells: Boolean = false,
+                  scaledNprobe: Boolean = false) {
+  require(!scaledNprobe || scaledCells,
+    "scaledNprobe derives its bound from the scaled seed's ncnt CTE — " +
+    "it is only meaningful with scaledCells")
 
   /** The coarse training half: the pinned-K seed by default, the
     * √n-scaled seed (IvfSql.trainCtesScaled) for the production
     * cell-count configs — everything downstream is count-agnostic. */
   private val coarseTrain: String =
     if (scaledCells) IvfSql.trainCtesScaled else IvfSql.trainCtes
+
+  /** The probe CTE: literal nprobe by default, the data-derived
+    * max(HqNProbe, ⌈cells/3⌉) rule for the production config. */
+  private def probesCte: String =
+    if (scaledNprobe) IvfSql.probesCteScaledNp else IvfSql.probesCteWith(nprobe)
 
   /** The fused ADC scan: codes joined to their coarse cell, restricted
     * to each query's probed cells — the pruning statement itself. */
@@ -41,7 +50,7 @@ class IvfPqSqlGen(pq: PqSqlGen, nprobe: Int, scaledCells: Boolean = false) {
       |$coarseTrain,
       |${pq.trainCtes},
       |${pq.encodeCtes},
-      |${IvfSql.probesCteWith(nprobe)},
+      |$probesCte,
       |${IvfSql.assignCte("af", s"cents${IvfSql.Iters}")},
       |$padFusedCte""".stripMargin
 
@@ -71,7 +80,7 @@ class IvfPqSqlGen(pq: PqSqlGen, nprobe: Int, scaledCells: Boolean = false) {
       |$coarseTrain,
       |${pq.trainCtes},
       |${pq.encodeCtes},
-      |${IvfSql.probesCteWith(nprobe)},
+      |$probesCte,
       |${IvfSql.assignCte("af", s"cents${IvfSql.Iters}")},
       |$padKept,
       |${pq.rerankTail}""".stripMargin
@@ -93,7 +102,7 @@ class IvfPqSqlGen(pq: PqSqlGen, nprobe: Int, scaledCells: Boolean = false) {
       |${IvfSql.trainCtesOver(trainCteName)},
       |${pq.trainCtesOver(trainCteName)},
       |${pq.encodeCtes},
-      |${IvfSql.probesCteWith(nprobe)},
+      |$probesCte,
       |${IvfSql.assignCte("af", s"cents${IvfSql.Iters}")},
       |$padFusedCte,
       |${pq.rerankTail}""".stripMargin
@@ -122,7 +131,7 @@ class IvfPqSqlGen(pq: PqSqlGen, nprobe: Int, scaledCells: Boolean = false) {
       |${IvfSql.trainCtesOver(trainCteName)},
       |${pq.trainCtesOver(trainCteName)},
       |${pq.encodeCtes},
-      |${IvfSql.probesCteWith(nprobe)},
+      |$probesCte,
       |${IvfSql.assignCte("af", s"cents${IvfSql.Iters}")},
       |$padKept,
       |${pq.rerankTail}""".stripMargin
@@ -158,3 +167,13 @@ object IvfPqHqSql extends IvfPqSqlGen(PqSqlHq, graft.pipeline.Similarity.HqNProb
   * the hash gate, not just the ScaleBench walls. */
 object IvfPqHqScaledSql extends IvfPqSqlGen(PqSqlHq,
   graft.pipeline.Similarity.HqNProbe, scaledCells = true)
+
+/** The production config with BOTH data-derived knobs: √n cells AND the
+  * nprobe scaling rule max(HqNProbe, ⌈cells/3⌉) (Similarity.scaledNProbe
+  * — computed in SQL by IvfSql.probesCteScaledNp over the same ncnt the
+  * seed derives). At fixed nprobe the probed fraction decays with corpus
+  * size and recall decays with it (0.90/0.86/0.68 across the gated SFs);
+  * this generator's paired recall gate prices what the rule buys back at
+  * every SF with one oracle text. */
+object IvfPqHqScaledNpSql extends IvfPqSqlGen(PqSqlHq,
+  graft.pipeline.Similarity.HqNProbe, scaledCells = true, scaledNprobe = true)

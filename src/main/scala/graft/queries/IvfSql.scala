@@ -133,6 +133,23 @@ object IvfSql {
     * window. Shared with IvfPqSql. */
   private[queries] val probesCte: String = probesCteWith(NProbe)
 
+  /** The probe CTE at the DATA-DERIVED nprobe max(HqNProbe, ⌈k/3⌉)
+    * (Similarity.scaledNProbe, one definition) — the rn bound is a
+    * scalar subquery over the same `ncnt` cell count the scaled seed
+    * derives, so ONE oracle text prices the scaling rule at every SF.
+    * Only valid alongside [[seedCteScaledOver]] (ncnt must be in
+    * scope). */
+  private[queries] val probesCteScaledNp: String =
+    s"""probes AS (
+      |  SELECT query_id, qv, cid FROM (
+      |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.v, c.c) DESC, c.cid ASC) AS rn
+      |    FROM emb q CROSS JOIN cents$Iters c WHERE q.vec_id < 10
+      |  ) WHERE rn <= (SELECT greatest(${graft.pipeline.Similarity.HqNProbe},
+      |    CAST(ceil(k / 3.0) AS BIGINT)) FROM ncnt)
+      |)""".stripMargin
+
   /** The same probe CTE at a caller-chosen nprobe (the HQ leg's knob). */
   private[queries] def probesCteWith(nprobe: Int): String =
     s"""probes AS (

@@ -425,11 +425,13 @@ object PipelineQueries {
   }
 
   /** One persisted DELETED-FROM dedup index per sf dir per JVM: the full
-    * %3==0 reference written, then every even-id reference doc removed
-    * through Dedup.dedupIndexDelete (the staged-table swap; the tables
-    * come out compacted as a side effect). The gate's oracle replays the
-    * direct pipeline over the SHRUNK reference — forgetting must be
-    * indistinguishable from never having indexed the removed docs. */
+    * %3==0 reference written, then every even-id reference doc forgotten
+    * through Dedup.dedupIndexDelete — since round 17 a Θ(batch) LOGICAL
+    * delete into the tombstone side table, so this fixture exercises the
+    * probe-time anti-join path (the rows are still physically resident).
+    * The gate's oracle replays the direct pipeline over the SHRUNK
+    * reference — forgetting must be indistinguishable from never having
+    * indexed the removed docs. */
   private def ccForgetIndexFor(spark: SparkSession, dir: String): String = {
     val prefix = "graft_ccfgt_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
     this.synchronized {
@@ -440,6 +442,28 @@ object PipelineQueries {
         Dedup.dedupIndexWrite(ref, prefix, p)
         Dedup.dedupIndexDelete(
           ref.where(col("doc_id") % 2 === 0).select("doc_id"), prefix)
+      }
+    }
+    prefix
+  }
+
+  /** The PHYSICAL half of dedup-index forgetting: same logical deletes
+    * as [[ccForgetIndexFor]], then Dedup.dedupIndexCompact folds the
+    * tombstones into its staged rewrite (rows drop from the tables, the
+    * tombstone side table clears). The gate shares the shrunk-reference
+    * oracle verbatim — logical and physical forgetting must be
+    * indistinguishable from each other AND from never indexing. */
+  private def ccForgetCompactIndexFor(spark: SparkSession, dir: String): String = {
+    val prefix = "graft_ccfgc_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    this.synchronized {
+      if (!Seq("buckets", "shingles", "meta")
+            .forall(s => spark.catalog.tableExists(s"${prefix}_$s"))) {
+        val p = java.nio.file.Files.createTempDirectory("graft_ccfgc_").toString
+        val ref = Tables.documents(spark, dir).where(col("doc_id") % 3 === 0)
+        Dedup.dedupIndexWrite(ref, prefix, p)
+        Dedup.dedupIndexDelete(
+          ref.where(col("doc_id") % 2 === 0).select("doc_id"), prefix)
+        Dedup.dedupIndexCompact(spark, prefix)
       }
     }
     prefix
@@ -553,6 +577,26 @@ object PipelineQueries {
         col("rank").cast("int").as("rank"))
       .orderBy("query_id", "rank")
   }
+
+  /** The same persisted √n-cell index probed under the PRODUCTION nprobe
+    * rule (Similarity.scaledNProbe — max(12, ⌈cells/3⌉), cells read off
+    * the index's own centroid table): the probe-side twin of the scaled
+    * cell count, so the fixed-nprobe recall decay the plain scaled leg
+    * prices (0.90/0.86/0.68) has its remedy gated right beside it. */
+  private val ivfPqHqScaledNpQuery: (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val path = ivfPqHqScaledIndexFor(spark, dir)
+      val cells = spark.read.parquet(s"$path/centroids").count().toInt
+      Similarity.ivfPqQuery(spark, path, emb, emb.where(col("vec_id") < 10),
+        nprobe = Similarity.scaledNProbe(cells), shortlist = Similarity.HqShortlist)
+    }
+
+  private val ivfPqHqScaledNpProbe: Q = (spark, dir) =>
+    ivfPqHqScaledNpQuery(spark, dir)
+      .select(col("query_id"), col("corpus_id"), r6(col("cosine")).as("cosine"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
 
   private val ivfPqHqProbe: Q = (spark, dir) => {
     val emb = Tables.embeddings(spark, dir)
@@ -1205,6 +1249,22 @@ object PipelineQueries {
           nprobe = Similarity.HqNProbe, shortlist = Similarity.HqShortlist))
       }, Some(IvfPqHqScaledSql.annIvfPqRecallSql)),
 
+    // the √n-cell index under the production NPROBE rule
+    // (Similarity.scaledNProbe — max(12, ⌈cells/3⌉)): the fixed-nprobe
+    // legs above price the recall decay (probed fraction 75%→52%→27%
+    // across the SFs as cells grow 16→23→45); this pair gates the rule
+    // that arrests it, with the oracle deriving BOTH data-dependent
+    // knobs in SQL (IvfSql.seedCteScaledOver + probesCteScaledNp), so
+    // one text holds at every SF. Same persisted index — the rule is a
+    // probe-time knob, which is the point: recall is recoverable
+    // without touching a byte of a 100 TB index.
+    Entry("ann_ivfpq_hq_scaled_np_top5", ivfPqHqScaledNpProbe,
+      Some(IvfPqHqScaledNpSql.annIvfPqTop5Sql)),
+
+    Entry("ann_ivfpq_hq_scaled_np_recall",
+      (spark, dir) => annRecall(spark, dir, ivfPqHqScaledNpQuery(spark, dir)),
+      Some(IvfPqHqScaledNpSql.annIvfPqRecallSql)),
+
     // the residual-encoded fused index (FAISS-IVFPQ refinement: PQ over
     // v − cent[cid], per-cell ADC corrections): same layout, same plan
     // shape, finer quantization at the same codebook budget — and its
@@ -1518,17 +1578,36 @@ object PipelineQueries {
       }, Some(DedupSql.crossCorpusDedupSql())),
 
     Entry("cross_corpus_dedup_forget",
-      // right-to-be-forgotten on the dedup REFERENCE
-      // (Dedup.dedupIndexDelete — the staged-table swap): the %3==0
-      // reference indexed in full, every even-id reference doc removed,
-      // then the standard probe. The oracle replays the direct pipeline
-      // over the SHRUNK reference (crossCorpusDedupSqlOver) — deletion
-      // must be indistinguishable from never indexing those docs, and
-      // the swap's compaction side effect must be content-invisible.
+      // right-to-be-forgotten on the dedup REFERENCE, LOGICAL half
+      // (Dedup.dedupIndexDelete — Θ(batch) tombstone append; the probe
+      // anti-joins the broadcast tombstone set): the %3==0 reference
+      // indexed in full, every even-id reference doc forgotten, then
+      // the standard probe over the still-physically-resident tables.
+      // The oracle replays the direct pipeline over the SHRUNK
+      // reference (crossCorpusDedupSqlOver) — logical deletion must be
+      // indistinguishable from never indexing those docs.
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
         Dedup.crossCorpusNearDupIndexed(docs.where(col("doc_id") % 3 =!= 0),
             ccForgetIndexFor(spark, dir))
+          .select(col("doc_id"), col("near_dup"),
+            r6(col("max_jaccard")).as("max_jaccard"))
+          .orderBy("doc_id")
+      }, Some(DedupSql.crossCorpusDedupSqlOver(
+        "doc_id % 3 != 0", "doc_id % 3 = 0 AND doc_id % 2 = 1"))),
+
+    Entry("cross_corpus_dedup_forget_compact",
+      // right-to-be-forgotten, PHYSICAL half (Dedup.dedupIndexCompact
+      // folds the accumulated tombstones into its staged rewrite and
+      // clears the side table): same deletes as the logical leg, then
+      // compact, then the standard probe — now over tables whose rows
+      // are physically gone and whose tombstone set is empty. Shares
+      // the shrunk-reference oracle verbatim: both halves of forgetting
+      // must produce the identical result.
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Dedup.crossCorpusNearDupIndexed(docs.where(col("doc_id") % 3 =!= 0),
+            ccForgetCompactIndexFor(spark, dir))
           .select(col("doc_id"), col("near_dup"),
             r6(col("max_jaccard")).as("max_jaccard"))
           .orderBy("doc_id")

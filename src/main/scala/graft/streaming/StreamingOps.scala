@@ -513,9 +513,18 @@ object StreamingOps {
       .select(col("a_id"), col("a_sh"), explode_outer(col("__bb")).as("__b"))
       .select(col("a_id"), col("a_sh"),
         col("__b.band").as("band"), col("__b.bucket").as("bucket"))
-    val cand = qSide.join(
-      spark.table(s"${tablePrefix}_buckets").toDF("b_id", "band", "bucket"),
-      Seq("band", "bucket"), "left")
+    // tombstone anti-join on the static bucket side (the batch twin's
+    // discipline): logically-forgotten reference docs never nominate a
+    // candidate. Static-side-only transform — stream-static join rules
+    // are untouched; absent table = pre-tombstone index.
+    val refBuckets = {
+      val base = spark.table(s"${tablePrefix}_buckets").toDF("b_id", "band", "bucket")
+      if (spark.catalog.tableExists(s"${tablePrefix}_tombstones"))
+        base.join(broadcast(spark.table(s"${tablePrefix}_tombstones")
+          .select(col("doc_id").as("b_id"))), Seq("b_id"), "left_anti")
+      else base
+    }
+    val cand = qSide.join(refBuckets, Seq("band", "bucket"), "left")
     val joined = cand.join(
       spark.table(s"${tablePrefix}_shingles").toDF("b_id", "b_sh"),
       Seq("b_id"), "left")

@@ -1247,6 +1247,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       maxFilesPerCell = 1) == ((0L, 0)))
   }
 
+  test("ivfPqMaintain re-tightens the id sidecar once tombstone mass crosses the ratio") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0L until 80L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 31 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_tight").toString
+    Similarity.ivfPqWrite(df, dir, numCentroids = 4, lloydIters = 1,
+      ivfSampleMod = 1, m = 4, ksub = 4, pqIters = 2, pqSampleMod = 2)
+    def sidecarRows() = spark.read.parquet(s"$dir/ids").count()
+    assert(sidecarRows() == 80L)
+    // small churn (5% < the 10% ratio): tombstones RETAINED — the
+    // superset contract says a refresh this cheap isn't paid per batch
+    val small = spark.createDataFrame(Seq(Tuple1(3L), Tuple1(17L))).toDF("vec_id")
+    val (rm1, _) = Similarity.ivfPqMaintain(small, dir, maxFilesPerCell = 1)
+    assert(rm1 == 2L)
+    assert(sidecarRows() == 80L,
+      "below-ratio churn must keep the sidecar untouched (tombstones are cheap)")
+    // heavy churn (a quarter of the index): the delete→maintain sequence
+    // must fold an ivfPqIdsRefresh in and SHRINK the sidecar to the
+    // survivors — a long-lived index stops re-nominating dead cells
+    val heavy = spark.createDataFrame((20L until 40L).map(Tuple1(_))).toDF("vec_id")
+    val (rm2, _) = Similarity.ivfPqMaintain(heavy, dir, maxFilesPerCell = 1)
+    assert(rm2 == 20L)
+    assert(sidecarRows() == 58L,
+      "past-ratio churn must re-tighten the sidecar to the live rows")
+    assert(spark.read.parquet(s"$dir/ids").select("corpus_id").collect()
+      .map(_.getLong(0)).toSet ==
+      spark.read.parquet(s"$dir/lists").select("corpus_id").collect()
+        .map(_.getLong(0)).toSet,
+      "the refreshed sidecar must mirror the lists exactly")
+  }
+
   test("ivfPq id sidecar: mirrors the lists, drives delete discovery, fallback and refresh agree") {
     import org.apache.spark.sql.functions.col
     val vecs = (0L until 60L).map { i =>
@@ -1452,19 +1487,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "compaction must coalesce to at most one file per bucket")
     assert(key(Dedup.crossCorpusNearDupIndexed(batch, "didx_frag")) == before,
       "compaction must not change probe results")
-    // delete half the reference -> probes equal a fresh index on the rest
+    // delete half the reference -> probes equal a fresh index on the rest.
+    // The delete is LOGICAL (Θ(batch) tombstone append): the physical
+    // tables must be untouched, the tombstone table must hold the batch,
+    // and the probe's anti-join must hide the forgotten docs exactly.
     val dead = ref.where(col("doc_id") % 2 === 0)
+    val shinglesBefore = spark.table("didx_frag_shingles").count()
     val removed = Dedup.dedupIndexDelete(dead.select("doc_id"), "didx_frag")
     assert(removed == dead.count(), "removed count = reference docs dropped")
+    assert(spark.table("didx_frag_shingles").count() == shinglesBefore,
+      "logical delete must not rewrite the physical tables")
+    assert(spark.table("didx_frag_tombstones").count() == removed,
+      "the tombstone table must hold exactly the forgotten ids")
     val p2 = java.nio.file.Files.createTempDirectory("didx_ref2").toString
     Dedup.dedupIndexWrite(ref.where(col("doc_id") % 2 =!= 0), "didx_ref2", p2,
       numBuckets = 4, bands = 8)
-    assert(key(Dedup.crossCorpusNearDupIndexed(batch, "didx_frag"))
-        == key(Dedup.crossCorpusNearDupIndexed(batch, "didx_ref2")),
+    val survivors = key(Dedup.crossCorpusNearDupIndexed(batch, "didx_ref2"))
+    assert(key(Dedup.crossCorpusNearDupIndexed(batch, "didx_frag")) == survivors,
       "a deleted-from index must probe exactly like one rebuilt on the survivors")
-    // deleting absent ids is a no-op
+    // deleting absent ids is a no-op; re-deleting tombstoned ids too
     assert(Dedup.dedupIndexDelete(
       spark.createDataFrame(Seq(Tuple1(9999L))).toDF("doc_id"), "didx_frag") == 0L)
+    assert(Dedup.dedupIndexDelete(dead.select("doc_id"), "didx_frag") == 0L,
+      "re-deleting already-tombstoned ids must count zero")
+    // compact folds the tombstones physically: rows drop from the
+    // tables, the side table clears, and the probe is unchanged
+    Dedup.dedupIndexCompact(spark, "didx_frag")
+    assert(spark.table("didx_frag_shingles").count() == shinglesBefore - removed,
+      "compact must physically shed the tombstoned rows")
+    assert(spark.table("didx_frag_tombstones").count() == 0,
+      "compact must clear the folded tombstones")
+    assert(key(Dedup.crossCorpusNearDupIndexed(batch, "didx_frag")) == survivors,
+      "physical forgetting must probe identically to logical forgetting")
   }
 
   test("Layout.zValue is monotone under coordinate dominance (exhaustive 16x16 grid)") {

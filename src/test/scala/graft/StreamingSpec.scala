@@ -241,6 +241,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "a doc matching only APPENDED reference rows must flag through the stream probe")
       assert(got(3L) == ((false, null)), "unrelated doc: no candidates -> (false, NULL)")
     } finally q.stop()
+    // logical forgetting reaches the STREAM probe too: tombstone the one
+    // reference doc corpus doc 5 matches, re-probe through a fresh
+    // stream — the forgotten doc must stop nominating candidates while
+    // everything else is untouched (the batch twin asserts the same)
+    assert(dedup.dedupIndexDelete(
+      spark.createDataFrame(Seq(Tuple1(103L))).toDF("doc_id"), "sidx_inc") == 1L)
+    val batchForgot = asMap(dedup.crossCorpusNearDupIndexed(corpusDf, "sidx_inc")
+      .select("doc_id", "near_dup", "max_jaccard").collect())
+    assert(batchForgot(5L) == ((false, null)),
+      "batch probe must treat the tombstoned doc as never indexed")
+    val ms2 = MemoryStream[(Long, String)](spark)
+    val q2 = StreamingOps.crossCorpusNearDupStreamIndexed(
+        ms2.toDF().toDF("doc_id", "text"), "sidx_inc")
+      .writeStream.format("memory").queryName("xidx_stream_fgt")
+      .outputMode("update").option("checkpointLocation", tmpCheckpoint()).start()
+    try {
+      ms2.addData(corpus); q2.processAllAvailable()
+      val got2 = asMap(spark.sql(
+        "SELECT doc_id, near_dup, max_jaccard FROM xidx_stream_fgt").collect())
+      assert(got2 == batchForgot,
+        s"stream must equal batch after forgetting\n got=$got2\n batch=$batchForgot")
+      assert(got2(5L) == ((false, null)),
+        "the stream probe must anti-join the tombstones")
+      assert(got2(0L) == ((true, java.lang.Double.valueOf(1.0))),
+        "unrelated reference docs must keep flagging")
+    } finally q2.stop()
   }
 
   test("streaming cross-corpus containment equals the batch bloom probe for the same bitmap") {
