@@ -210,6 +210,16 @@ object ScaleBench {
       // shortlist misses at Hq codebook resolution)
       "ann_hq_collapsed_recall_np32" -> (hqCollapsedRecall(_, _, 32)),
       "ann_hq_collapsed_recall_npall" -> (hqCollapsedRecall(_, _, Int.MaxValue)),
+      // the production nprobe RULE on the collapsed (production-shaped)
+      // corpus — where coarse pruning IS the recall loss, unlike the raw
+      // replica whose duplicate mass shortlist-caps recall regardless of
+      // nprobe (measured: 0.433 at both nprobe 12 and 472 at ×1000).
+      // scaledNProbe(√reps cells) probes ~⅓ of cells at any decade.
+      "ann_hq_collapsed_recall_npscaled" -> ((spark: SparkSession, dir: String) => {
+        val cells = spark.read.parquet(s"${hqCollapsedIndex(spark, dir)}/centroids")
+          .count().toInt
+        hqCollapsedRecall(spark, dir, graft.pipeline.Similarity.scaledNProbe(cells))
+      }),
       // INCREMENTAL index maintenance at the decade (Similarity.
       // ivfPqAppend): the leg clones the √n-cell hq index's MODEL only
       // (centroids + codebook + meta — config-sized, kilobytes) into a

@@ -1210,12 +1210,20 @@ object Dedup {
       else
         shingleTbl.select(col(shName).cast("long").as("doc_id"))
           .join(broadcast(del), Seq("doc_id"), "left_semi")
+    // persist the batch-sized result between the count and the append:
+    // the residency probe is the expensive half (a full id-column scan
+    // when the batch's ids spread across every row group — uniform
+    // takedown ids defeat min/max pruning), and without the cache it
+    // would run twice (measured ~19.5 s → ~10 s at ×1000)
     val newTombs = resident.distinct()
       .join(broadcast(spark.table(tomb)), Seq("doc_id"), "left_anti")
-    val removed = newTombs.count()
-    if (removed > 0)
-      newTombs.coalesce(1).write.mode("append").insertInto(tomb)
-    removed
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val removed = newTombs.count()
+      if (removed > 0)
+        newTombs.coalesce(1).write.mode("append").insertInto(tomb)
+      removed
+    } finally newTombs.unpersist()
   }
 
   /** The one staged-rewrite mechanism behind [[dedupIndexCompact]] and

@@ -583,6 +583,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(countShuffleExchanges(j) == 1,
         "exactly one exchange — the batch side; the appended bucketed reference joins in place")
       assert(j.count() > 0, "the fixture must produce candidates")
+      // the tombstone anti-join (logical forgetting) must ride the
+      // bucketed reference scan WITHOUT a new exchange: the tombstone
+      // set is batch-sized and broadcast, so the candidate join keeps
+      // its one-exchange property with forgetting in the plan
+      assert(graft.pipeline.Dedup.dedupIndexDelete(
+        ref.where(col("doc_id") === 0).select("doc_id"), "plan_ccidx") == 1L)
+      val tomb = spark.table("plan_ccidx_tombstones").select(col("doc_id").as("b_id"))
+      val rb = spark.table("plan_ccidx_buckets").toDF("b_id", "band", "bucket")
+        .join(org.apache.spark.sql.functions.broadcast(tomb), Seq("b_id"), "left_anti")
+      val j2 = cb.toDF("a_id", "band", "bucket").join(rb, Seq("band", "bucket"))
+      assert(countShuffleExchanges(j2) == 1,
+        "the tombstone anti-join must not cost the candidate join its one-exchange property")
+      assert(j2.count() > 0, "the tombstoned fixture must still produce candidates")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
