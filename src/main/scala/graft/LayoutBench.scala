@@ -20,6 +20,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 object LayoutBench {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(100)
+    val lifecycle = args.length > 1 && args(1) == "lifecycle"
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = s"/tmp/graft_scale_x$mult"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -58,6 +59,82 @@ object LayoutBench {
     }
 
     val events = Tables.eventsNs(spark, out)
+
+    // ---- layout LIFECYCLE physics (runMain graft.LayoutBench <mult>
+    // lifecycle): what appends cost the reader, what maintain buys back,
+    // and what the file manifest prunes — the decade evidence for
+    // zOrderMaintain / manifestUpdate / prunedFiles. Fresh dir per run
+    // (the pass mutates the layout; marker-gating would poison reruns).
+    if (lifecycle) {
+      import graft.etl.Layout
+      val lp = s"$out/events_zorder_lifecycle.parquet"
+      val fs = new org.apache.hadoop.fs.Path(lp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(lp), true)
+      val zc = Seq("user_id", "ts")
+      // 70% snapshot + six 5% increments — the daily-OPTIMIZE shape
+      val snap = events.where(pmod(col("user_id"), lit(20)) >= 6)
+      val st = Layout.zStats(snap, zc)
+      Layout.zOrderWrite(snap, zc, lp, stats = Some(st))
+      Layout.saveZStats(spark, lp, zc, st)
+      var t0 = System.nanoTime()
+      Layout.manifestRefresh(spark, lp, zc)
+      val wRefresh = (System.nanoTime() - t0) / 1e9
+      def live() = fs.listStatus(new org.apache.hadoop.fs.Path(lp))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+      val residentMin = live().map(_.getLen).min
+      for (r <- 0 until 6)
+        Layout.zOrderAppend(events.where(pmod(col("user_id"), lit(20)) === r),
+          zc, lp, st)
+      t0 = System.nanoTime()
+      Layout.manifestUpdate(spark, lp, zc)
+      val wUpdate = (System.nanoTime() - t0) / 1e9
+      val filesGrown = live().length
+      val b = events.agg(min("ts"), max("ts")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val needlePred = col("user_id") === 700L &&
+        col("ts").between(lo + ((hi - lo) * 0.40).toLong, lo + ((hi - lo) * 0.45).toLong)
+      def needle(df: DataFrame, label: String): Unit = {
+        df.limit(1).collect()
+        val q = df.where(needlePred).agg(count(lit(1)).as("n"))
+        val t = System.nanoTime(); q.collect()
+        val wall = (System.nanoTime() - t) / 1e9
+        val (rows, files) = scanMetrics(q)
+        println(f"[lifecycle x$mult] needle/$label%-9s wall $wall%6.3f s   scan-rows $rows%9d   files $files%4d")
+      }
+      needle(spark.read.parquet(lp), "grown")
+      // manifest pruning on the grown layout: the needle box's file list
+      t0 = System.nanoTime()
+      val pruned = Layout.prunedFiles(spark, lp,
+        Seq(Layout.Bound("user_id", 700L, 700L),
+          Layout.Bound("ts", lo + ((hi - lo) * 0.40).toLong,
+            lo + ((hi - lo) * 0.45).toLong)))
+      val wPrune = (System.nanoTime() - t0) / 1e9
+      println(f"[lifecycle x$mult] manifest: refresh $wRefresh%6.2f s   update-after-appends $wUpdate%6.2f s   prune lookup $wPrune%5.3f s   files kept ${pruned.length}%4d / $filesGrown")
+      needle(Layout.readPruned(spark, lp,
+        Seq(Layout.Bound("user_id", 700L, 700L),
+          Layout.Bound("ts", lo + ((hi - lo) * 0.40).toLong,
+            lo + ((hi - lo) * 0.45).toLong))), "pruned")
+      // maintain: compact everything smaller than the snapshot's files
+      t0 = System.nanoTime()
+      val compacted = Layout.zOrderMaintain(spark, lp, zc, st,
+        smallFileBytes = residentMin)
+      val wMaintain = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      Layout.manifestUpdate(spark, lp, zc)
+      val wUpd2 = (System.nanoTime() - t0) / 1e9
+      println(f"[lifecycle x$mult] maintain: compacted $compacted%4d files -> ${live().length}%4d live   wall $wMaintain%6.2f s   manifest reconcile $wUpd2%5.2f s")
+      needle(spark.read.parquet(lp), "maintained")
+      // the honest comparator: what a FULL re-cluster of the table costs
+      val fullPath = s"$out/events_zorder_full_rw.parquet"
+      t0 = System.nanoTime()
+      Layout.zOrderWrite(spark.read.parquet(lp), zc, fullPath, stats = Some(st))
+      println(f"[lifecycle x$mult] full rewrite comparator: ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      fs.delete(new org.apache.hadoop.fs.Path(fullPath), true)
+      spark.stop(); return
+    }
+
     val tsPath = s"$out/events_ts_sorted.parquet"
     val zPath = s"$out/events_zorder.parquet"
     val z3Path = s"$out/events_zorder3.parquet"

@@ -167,4 +167,232 @@ object Layout {
                  else keyed.repartitionByRange(col("__zvalue"))
     ranged.sortWithinPartitions("__zvalue").drop("__zvalue")
   }
+
+  import org.apache.spark.sql.SparkSession
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** A live DATA file of the layout: skips Spark metadata (`_SUCCESS`),
+    * sidecars (`_zstats`, `_manifest`) and any dot-hidden staging or
+    * superseded file — the same visibility rule Spark's own file listing
+    * applies, so "what this returns" ≡ "what a read of `path` scans". */
+  private def dataFiles(fs: FileSystem, root: HPath) =
+    fs.listStatus(root).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+
+  /** Persist [[ZStats]] as a `_zstats` parquet sidecar INSIDE the layout
+    * (underscore-prefixed, so table reads never see it): one row per
+    * z-column — (idx, col, min, max, dict) — making the layout
+    * self-describing. [[zOrderAppend]]/[[zOrderMaintain]] callers load
+    * the snapshot's stats from here instead of threading them through
+    * application state (the index-sidecar posture: the artifact carries
+    * what its maintenance needs). */
+  def saveZStats(spark: SparkSession, path: String, zCols: Seq[String],
+                 stats: ZStats): Unit = {
+    require(zCols.length == stats.mins.length,
+      "saveZStats: zCols and stats must be parallel")
+    import spark.implicits._
+    zCols.indices.map(j => (j, zCols(j), stats.mins(j), stats.maxs(j),
+        stats.dicts(j).orNull))
+      .toDF("idx", "col", "min", "max", "dict")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_zstats")
+  }
+
+  /** Read an underscore-named sidecar dir by its PART FILES: passing the
+    * dir itself makes Spark's listing filter warn (underscore paths are
+    * "hidden"), so resolve the parquet files explicitly — same rows, no
+    * reliance on hidden-path reading. */
+  private def readSidecar(spark: SparkSession, dir: String): DataFrame = {
+    val (fs, root) = fsFor(spark, dir)
+    val parts = fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    require(parts.nonEmpty, s"readSidecar: no parquet part files under $dir")
+    spark.read.parquet(parts.toIndexedSeq: _*)
+  }
+
+  /** Load the `_zstats` sidecar written by [[saveZStats]]: returns the
+    * z-columns in layout order plus their [[ZStats]]. */
+  def loadZStats(spark: SparkSession, path: String): (Seq[String], ZStats) = {
+    val rows = readSidecar(spark, s"$path/_zstats").collect().sortBy(_.getInt(0))
+    val zCols = rows.toSeq.map(_.getString(1))
+    (zCols, ZStats(
+      rows.toSeq.map(_.getDouble(2)),
+      rows.toSeq.map(_.getDouble(3)),
+      rows.toSeq.map(r => Option(r.getMap[String, Int](4)).map(_.toMap))))
+  }
+
+  /** Compact a z-ordered layout's SMALL files — the periodic OPTIMIZE
+    * that keeps [[zOrderAppend]] sustainable: every append lands one
+    * file set per curve tile, and after enough increments a probe goes
+    * file-open-bound (the ivfPqCompact decay on the layout side). Files
+    * under `smallFileBytes` are read back (and ONLY them — resident
+    * full-size files never rewrite, so the pass is Θ(appended bytes),
+    * not Θ(table)), curve-ordered together under the SNAPSHOT's stats,
+    * and written as ~`targetFileBytes` files.
+    *
+    * Swap discipline (the [[graft.pipeline.Similarity]] cell-swap
+    * contract): staged files are fully written first, then every small
+    * original renames to a dot-hidden `.<name>.maintained`, then staged
+    * files promote into the root, then the hidden originals drop — every
+    * step's boolean checked, nothing deleted before its replacement
+    * exists, so ANY intermediate state is hand-recoverable (the rows
+    * live in the staging dir and/or the hidden files at all times).
+    * Readers racing the swap can see a partial file set — run
+    * maintenance in the same exclusion window as any lakehouse OPTIMIZE.
+    *
+    * Returns the number of files compacted (0 = nothing to do: fewer
+    * than two small files). Refresh `_manifest` afterwards with
+    * [[manifestUpdate]] — it reconciles both the new files and the
+    * dropped ones in one Θ(new files) pass. */
+  def zOrderMaintain(spark: SparkSession, path: String, zCols: Seq[String],
+                     stats: ZStats, bits: Int = 16,
+                     smallFileBytes: Long = 64L << 20,
+                     targetFileBytes: Long = 128L << 20): Int = {
+    val (fs, root) = fsFor(spark, path)
+    val small = dataFiles(fs, root).filter(_.getLen < smallFileBytes)
+    if (small.length <= 1) return 0
+    val staging = new HPath(root, ".maint_staging")
+    if (fs.exists(staging)) require(fs.delete(staging, true),
+      s"zOrderMaintain: could not clear stale $staging")
+    val numFiles = math.max(1L,
+      (small.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
+    zOrderedFrame(df, zCols, bits, numFiles, Some(stats))
+      .write.mode("overwrite").parquet(staging.toString)
+    // staged part names carry a per-write UUID, so promoting them under
+    // their own names cannot collide with resident files
+    val stagedParts = dataFiles(fs, staging)
+    val hidden = small.map { s =>
+      val h = new HPath(root, s".${s.getPath.getName}.maintained")
+      require(fs.rename(s.getPath, h),
+        s"zOrderMaintain: rename ${s.getPath} -> $h failed (layout fully live)")
+      h
+    }
+    stagedParts.foreach { s =>
+      require(fs.rename(s.getPath, new HPath(root, s.getPath.getName)),
+        s"zOrderMaintain: promote ${s.getPath} failed (recover from $staging " +
+        "and the .maintained files)")
+    }
+    hidden.foreach(h => require(fs.delete(h, false),
+      s"zOrderMaintain: could not remove superseded $h"))
+    require(fs.delete(staging, true),
+      s"zOrderMaintain: could not remove emptied $staging")
+    small.length
+  }
+
+  /** A FILE-LEVEL min/max manifest for a layout — the sidecar that makes
+    * file pruning a driver-side lookup instead of a footer read per
+    * file. Parquet row-group stats already skip WITHIN a file, but the
+    * planner still lists and footer-reads every file to find that out;
+    * at lakehouse scale (millions of files) the listing round-trips are
+    * the bottleneck, which is exactly why Delta/Iceberg carry manifests.
+    * `_manifest` holds one row per live data file: (file, min_<col>,
+    * max_<col> for every tracked column, in the column's NATIVE type —
+    * no lossy casts, string dimensions compare lexicographically like
+    * the z-dictionary).
+    *
+    * [[manifestRefresh]] rebuilds it with one column-pruned scan of the
+    * whole layout (Θ(table) on the tracked columns only — the bulk
+    * posture). [[manifestUpdate]] reconciles incrementally: stats
+    * compute ONLY for files the manifest has never seen, rows of dead
+    * files drop — Θ(new files), the daily-append posture; call it after
+    * [[zOrderAppend]] or [[zOrderMaintain]]. */
+  def manifestRefresh(spark: SparkSession, path: String,
+                      cols: Seq[String]): Unit = {
+    val (fs, root) = fsFor(spark, path)
+    writeManifest(spark, path, manifestRows(spark, path,
+      dataFiles(fs, root).map(_.getPath.toString).toIndexedSeq, cols))
+  }
+
+  /** Scheme-insensitive file identity: `input_file_name()` emits
+    * `file:///…` where listStatus emits `file:/…` — Path construction
+    * canonicalizes both to one form, so set arithmetic between "what
+    * the manifest saw" and "what is on disk" never double-counts a
+    * file for its spelling. */
+  private def canonFile(s: String): String = new HPath(s).toString
+
+  def manifestUpdate(spark: SparkSession, path: String,
+                     cols: Seq[String]): Unit = {
+    val (fs, root) = fsFor(spark, path)
+    val liveByCanon = dataFiles(fs, root)
+      .map(s => canonFile(s.getPath.toString) -> s.getPath.toString).toMap
+    val manifest = readSidecar(spark, s"$path/_manifest")
+    val prior = manifest.collect()
+      .map(r => canonFile(r.getString(r.fieldIndex("file"))) -> r).toMap
+    val kept = prior.view.filterKeys(liveByCanon.keySet).values.toSeq
+    val fresh = (liveByCanon.keySet -- prior.keySet).toIndexedSeq.sorted
+      .map(liveByCanon)
+    val freshRows =
+      if (fresh.isEmpty) Seq.empty
+      else manifestRows(spark, path, fresh, cols).collect().toSeq
+    writeManifest(spark, path,
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(kept ++ freshRows, 1), manifest.schema))
+  }
+
+  /** One row per file in `files`: (file, min_/max_ per tracked column in
+    * native type). input_file_name() keys the group, so the whole pass
+    * is one column-pruned scan + one partial-aggregated groupBy. */
+  private def manifestRows(spark: SparkSession, path: String,
+                           files: Seq[String], cols: Seq[String]): DataFrame =
+    spark.read.parquet(files: _*)
+      .select(input_file_name().as("file") +: cols.map(col): _*)
+      .groupBy("file")
+      .agg(min(cols.head).as(s"min_${cols.head}"),
+        (Seq(max(cols.head).as(s"max_${cols.head}")) ++
+          cols.tail.flatMap(c =>
+            Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c")))): _*)
+
+  private def writeManifest(spark: SparkSession, path: String,
+                            rows: DataFrame): Unit = {
+    // staged swap: never leave the layout without a manifest mid-write
+    val (fs, _) = fsFor(spark, path)
+    val staged = new HPath(s"$path/.manifest_staged")
+    val live = new HPath(s"$path/_manifest")
+    rows.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    if (fs.exists(live)) require(fs.delete(live, true),
+      s"writeManifest: could not drop superseded $live")
+    require(fs.rename(staged, live),
+      s"writeManifest: promote $staged failed (manifest absent — refresh)")
+  }
+
+  /** An inclusive range predicate against the manifest: files whose
+    * [min_col, max_col] interval intersects [lo, hi] survive. Native
+    * typed comparison (pass Long for bigint columns, String for string
+    * columns). Range semantics only: a file pruned by bounds can still
+    * hold NULLs in `col`, which no BETWEEN-shaped predicate matches, so
+    * pruning is lossless for range scans — null-seeking reads must scan
+    * the full layout. */
+  final case class Bound(col: String, lo: Any, hi: Any)
+
+  /** The manifest-pruned file list for a conjunction of [[Bound]]s — the
+    * driver-side skip. Collect is bounded by the SURVIVING file count
+    * (the point of pruning); an empty result means no file can hold a
+    * matching row. */
+  def prunedFiles(spark: SparkSession, path: String,
+                  bounds: Seq[Bound]): Seq[String] = {
+    require(bounds.nonEmpty, "prunedFiles: give at least one Bound")
+    val pred = bounds.map(b =>
+        col(s"max_${b.col}") >= lit(b.lo) && col(s"min_${b.col}") <= lit(b.hi))
+      .reduce(_ && _)
+    readSidecar(spark, s"$path/_manifest").where(pred)
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
+  }
+
+  /** Read only the manifest-surviving files for `bounds`. The caller
+    * still applies its row-level predicate — the manifest prunes the
+    * FILE list (what the planner would otherwise discover one footer at
+    * a time); parquet row-group stats prune within the survivors as
+    * always. */
+  def readPruned(spark: SparkSession, path: String,
+                 bounds: Seq[Bound]): DataFrame = {
+    val files = prunedFiles(spark, path, bounds)
+    if (files.isEmpty) spark.read.parquet(path).where(lit(false))
+    else spark.read.parquet(files: _*)
+  }
 }

@@ -1,0 +1,64 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, NumericType}
+
+/** One-pass column profiling — the schema-drift / data-quality sweep a
+  * training-data pipeline runs on every ingested drop before anything
+  * else touches it (row counts, null fractions, cardinalities, ranges).
+  *
+  * Scale shape: ONE aggregation over the table produces every per-column
+  * statistic — no per-column scans, no driver iteration over columns at
+  * runtime (the column loop unrolls at PLAN time into one wide agg).
+  * count(DISTINCT …) over several columns plans as Spark's expand +
+  * partial-aggregate pipeline: rows multiply by the distinct-column
+  * count BUT each leg carries only its own column, partial aggregation
+  * runs map-side, and nothing collects. The long-format pivot at the
+  * end is a literal array explode of the SINGLE agg row — free.
+  * For corpora where exact distinct counts are not worth their shuffle,
+  * swap count_distinct for approx_count_distinct at the call site — the
+  * shape is otherwise identical (the length_quantiles_approx posture).
+  */
+object Profile {
+
+  /** Profile `cols` of `df` in one aggregation pass. Output: one row per
+    * column — (column, n_rows, n_nulls, n_distinct, min_num, max_num,
+    * min_str, max_str); numeric ranges land in min/max_num (cast to
+    * double), string ranges in min/max_str, the other pair stays null —
+    * so the frame unions heterogeneous column types without lossy
+    * stringification. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: give at least one column")
+    val kinds: Seq[(String, Boolean, Boolean)] = cols.map { c =>
+      df.schema(c).dataType match {
+        case StringType     => (c, false, true)
+        case _: NumericType => (c, true, false)
+        case other          => throw new IllegalArgumentException(
+          s"profile: column $c has unsupported type $other — profile " +
+          "numeric and string columns (cast or hash the rest first)")
+      }
+    }
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__rows") +: kinds.flatMap { case (c, isNum, _) =>
+        Seq(
+          count(col(c)).as(s"__nn_$c"),
+          count_distinct(col(c)).as(s"__nd_$c"),
+          (if (isNum) min(col(c)).cast("double") else min(col(c))).as(s"__min_$c"),
+          (if (isNum) max(col(c)).cast("double") else max(col(c))).as(s"__max_$c"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = kinds.map { case (c, isNum, isStr) =>
+      struct(
+        lit(c).as("column"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        (if (isNum) col(s"__min_$c") else lit(null).cast("double")).as("min_num"),
+        (if (isNum) col(s"__max_$c") else lit(null).cast("double")).as("max_num"),
+        (if (isStr) col(s"__min_$c") else lit(null).cast("string")).as("min_str"),
+        (if (isStr) col(s"__max_$c") else lit(null).cast("string")).as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+}

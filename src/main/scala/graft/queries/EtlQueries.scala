@@ -146,7 +146,106 @@ object EtlQueries {
       p
     })
 
+  /** One FULL-LIFECYCLE z-ordered documents copy per sf dir per JVM:
+    * quarter snapshot written with a persisted `_zstats` sidecar and a
+    * `_manifest`, three zOrderAppend increments (stats loaded FROM the
+    * sidecar — the layout is self-describing), a manifest reconcile,
+    * then zOrderMaintain compacting the small files under the staged
+    * hide-promote-drop swap, and a final manifest reconcile. The two
+    * gates over it state (a) maintain is content-invisible and (b)
+    * manifest file pruning is lossless for range predicates. */
+  private val zorderMaintDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderMaintDocsFor(spark: SparkSession, dir: String): String =
+    zorderMaintDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_zorder_mnt_").toString
+      val docs = Tables.documents(spark, d)
+      val zc = Seq("lang", "doc_id")
+      val snap = docs.where(col("doc_id") % 4 === 0)
+      val st = graft.etl.Layout.zStats(snap, zc)
+      graft.etl.Layout.zOrderWrite(snap, zc, p, stats = Some(st))
+      graft.etl.Layout.saveZStats(spark, p, zc, st)
+      graft.etl.Layout.manifestRefresh(spark, p, zc)
+      val (zcLoaded, stLoaded) = graft.etl.Layout.loadZStats(spark, p)
+      for (r <- 1 to 3)
+        graft.etl.Layout.zOrderAppend(docs.where(col("doc_id") % 4 === r),
+          zcLoaded, p, stLoaded)
+      graft.etl.Layout.manifestUpdate(spark, p, zcLoaded)
+      graft.etl.Layout.zOrderMaintain(spark, p, zcLoaded, stLoaded)
+      graft.etl.Layout.manifestUpdate(spark, p, zcLoaded)
+      p
+    })
+
   val entries: Seq[Entry] = Seq(
+    Entry("table_profile",
+      // ONE-PASS column profiling (etl.Profile): every per-column stat —
+      // rows, nulls, exact distincts, typed ranges — from a single wide
+      // aggregation (the distinct legs plan as expand + map-side partial
+      // agg; nothing collects, no per-column scans). The ingest-time
+      // data-quality sweep a pipeline runs before anything else touches
+      // a drop.
+      (spark, dir) => graft.etl.Profile.profile(
+          Tables.documents(spark, dir),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("column"),
+      Some("""WITH p AS (
+        |  SELECT 'doc_id' AS "column", count(*) AS n_rows,
+        |    count(*) - count(doc_id) AS n_nulls,
+        |    count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS DOUBLE) AS min_num,
+        |    CAST(max(doc_id) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM documents
+        |  UNION ALL SELECT 'lang', count(*), count(*) - count(lang),
+        |    count(DISTINCT lang), NULL, NULL, min(lang), max(lang) FROM documents
+        |  UNION ALL SELECT 'source', count(*), count(*) - count(source),
+        |    count(DISTINCT source), NULL, NULL, min(source), max(source) FROM documents
+        |  UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |    count(DISTINCT n_chars), CAST(min(n_chars) AS DOUBLE),
+        |    CAST(max(n_chars) AS DOUBLE), NULL, NULL FROM documents
+        |) SELECT * FROM p ORDER BY "column"""".stripMargin)),
+
+    Entry("zorder_maintain",
+      // INCREMENTAL OPTIMIZE of the layout (etl.Layout.zOrderMaintain):
+      // snapshot + three appends compacted back under the staged swap,
+      // stats riding the layout's own _zstats sidecar. Same
+      // losslessness statement as zorder_append, over the MAINTAINED
+      // layout — compaction (file merges + curve re-order of the small
+      // set) must be content-invisible.
+      (spark, dir) => spark.read.parquet(zorderMaintDocsFor(spark, dir))
+        .where(col("lang").isin("en", "es") && col("doc_id").between(100, 5000))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE lang IN ('en','es') AND doc_id BETWEEN 100 AND 5000
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
+    Entry("zorder_manifest_prune",
+      // FILE-LEVEL manifest pruning (etl.Layout prunedFiles/readPruned):
+      // the read plans over ONLY the files whose manifest (min, max) box
+      // intersects the predicate's — the driver-side skip that makes a
+      // millions-of-files layout plannable without a footer read per
+      // file. The gate states pruning is LOSSLESS: the range rollup over
+      // the pruned file set must hash-match the oracle over the original
+      // table (so no surviving row ever lives in a pruned file).
+      (spark, dir) => graft.etl.Layout.readPruned(spark,
+          zorderMaintDocsFor(spark, dir),
+          Seq(graft.etl.Layout.Bound("lang", "en", "es"),
+            graft.etl.Layout.Bound("doc_id", 100L, 5000L)))
+        .where(col("lang").isin("en", "es") && col("doc_id").between(100, 5000))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE lang IN ('en','es') AND doc_id BETWEEN 100 AND 5000
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
     Entry("zorder_lang_prune",
       // Z-ORDER over a string dimension (etl.Layout zStats dictionary
       // front): same losslessness statement as zorder_prune but the

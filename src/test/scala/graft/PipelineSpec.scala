@@ -1391,6 +1391,96 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "resident files must never move on an incremental append")
   }
 
+  test("Profile: one-pass column stats with exact null/distinct accounting and typed ranges") {
+    val df = spark.createDataFrame(Seq(
+      (Some(3L), Some("b")), (Some(1L), None), (None, Some("a")),
+      (Some(3L), Some("c")), (Some(7L), Some("a")))).toDF("k", "s")
+    val got = graft.etl.Profile.profile(df, Seq("k", "s")).orderBy("column")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)), Option(r.get(5)),
+        Option(r.get(6)), Option(r.get(7))))
+    assert(got.toSeq == Seq(
+      ("k", 5L, 1L, 3L, Some(1.0), Some(7.0), None, None),
+      ("s", 5L, 1L, 3L, None, None, Some("a"), Some("c"))),
+      s"profile must count nulls/distincts exactly and type the ranges, got ${got.toSeq}")
+    // one job, one aggregation: the plan carries no join and ONE scan
+    val plan = graft.etl.Profile.profile(df, Seq("k", "s"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      "profile must stay a single-scan aggregation — no per-column joins")
+    intercept[IllegalArgumentException] {
+      graft.etl.Profile.profile(
+        df.withColumn("arr", array(col("k"))), Seq("arr"))
+    }
+  }
+
+  test("Layout lifecycle: zstats sidecar roundtrips; zOrderMaintain compacts ONLY small files losslessly; the manifest prunes and reconciles incrementally") {
+    import org.apache.spark.sql.functions.col
+    val rows = for (l <- Seq("de", "en", "es", "fr"); i <- 0L until 400L)
+      yield (l, i, s"$l-$i-" + ("x" * 20))
+    val df = spark.createDataFrame(rows).toDF("lang", "k", "payload")
+    val cols = Seq("lang", "k")
+    val snap = df.where(col("k") % 4 === 0)
+    val st = graft.etl.Layout.zStats(snap, cols)
+    val out = java.nio.file.Files.createTempDirectory("zorder_life").toString + "/t"
+    // one BIG resident file + a persisted stats sidecar + a manifest
+    graft.etl.Layout.zOrderWrite(snap, cols, out, bits = 8, numFiles = 1,
+      stats = Some(st))
+    graft.etl.Layout.saveZStats(spark, out, cols, st)
+    val (loadedCols, loadedSt) = graft.etl.Layout.loadZStats(spark, out)
+    assert(loadedCols == cols && loadedSt == st,
+      "the _zstats sidecar must roundtrip columns and stats exactly")
+    graft.etl.Layout.manifestRefresh(spark, out, cols)
+    // three appends under the SIDECAR's stats, two small files each
+    for (r <- 1 to 3)
+      graft.etl.Layout.zOrderAppend(df.where(col("k") % 4 === r), cols, out,
+        loadedSt, bits = 8, numFiles = 2)
+    graft.etl.Layout.manifestUpdate(spark, out, cols)
+    def liveFiles() = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(liveFiles().length == 7, "1 resident + 3x2 appended files expected")
+    assert(spark.read.parquet(s"$out/_manifest").count() == 7,
+      "manifestUpdate must track every live file")
+    // manifest pruning: an (en..es, k-range) box keeps a strict subset
+    // of files, and the pruned read agrees with the full read
+    val bounds = Seq(graft.etl.Layout.Bound("lang", "en", "es"),
+      graft.etl.Layout.Bound("k", 0L, 99L))
+    val pf = graft.etl.Layout.prunedFiles(spark, out, bounds)
+    assert(pf.nonEmpty && pf.size < 7,
+      s"the box must prune at least one of 7 files, kept ${pf.size}")
+    val rowPred = col("lang").isin("en", "es") && col("k").between(0, 99)
+    def keyset(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(keyset(graft.etl.Layout.readPruned(spark, out, bounds).where(rowPred))
+        == keyset(spark.read.parquet(out).where(rowPred)),
+      "manifest pruning must be lossless for the range predicate")
+    // maintain: threshold between resident and appended sizes — ONLY the
+    // six appended files compact, the resident file never moves
+    val resident = liveFiles().maxBy(_.length)
+    val before = keyset(spark.read.parquet(out))
+    val n = graft.etl.Layout.zOrderMaintain(spark, out, cols, loadedSt,
+      bits = 8, smallFileBytes = resident.length)
+    assert(n == 6, s"exactly the six appended files must compact, got $n")
+    val after = liveFiles()
+    assert(after.length == 2, "six small files must merge into one beside the resident")
+    assert(after.exists(f => f.getName == resident.getName
+        && f.lastModified() == resident.lastModified()),
+      "the resident full-size file must never rewrite")
+    assert(keyset(spark.read.parquet(out)) == before,
+      "zOrderMaintain must preserve content exactly")
+    // the manifest reconciles: dead rows drop, the merged file appears
+    graft.etl.Layout.manifestUpdate(spark, out, cols)
+    assert(spark.read.parquet(s"$out/_manifest").count() == 2,
+      "manifestUpdate must drop dead files and add the merged one")
+    assert(keyset(graft.etl.Layout.readPruned(spark, out, bounds).where(rowPred))
+        == keyset(spark.read.parquet(out).where(rowPred)),
+      "pruning must stay lossless over the maintained layout")
+    // nothing small left (the merged file alone is <= 1 small file)
+    assert(graft.etl.Layout.zOrderMaintain(spark, out, cols, loadedSt,
+      bits = 8, smallFileBytes = resident.length) == 0,
+      "a second maintain must be a no-op")
+  }
+
   test("Layout.zValue interleaves bits exactly; zOrderWrite is a lossless reorder") {
     import org.apache.spark.sql.functions.col
     // bits = 2, two columns scaled over [0, 4): cell = value itself for
