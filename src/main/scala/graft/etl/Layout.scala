@@ -350,15 +350,23 @@ object Layout {
 
   private def writeManifest(spark: SparkSession, path: String,
                             rows: DataFrame): Unit = {
-    // staged swap: never leave the layout without a manifest mid-write
+    // the swapCellDir rename chain (live → .old → promote → drop), every
+    // boolean checked: a crash at any step leaves the rows at `.old`
+    // and/or the staging dir — recover by hand or just manifestRefresh
+    // (the manifest is derived state; the data files are the truth)
     val (fs, _) = fsFor(spark, path)
     val staged = new HPath(s"$path/.manifest_staged")
     val live = new HPath(s"$path/_manifest")
+    val old = new HPath(s"$path/.manifest_old")
     rows.coalesce(1).write.mode("overwrite").parquet(staged.toString)
-    if (fs.exists(live)) require(fs.delete(live, true),
-      s"writeManifest: could not drop superseded $live")
+    if (fs.exists(old)) require(fs.delete(old, true),
+      s"writeManifest: could not clear stale $old")
+    if (fs.exists(live)) require(fs.rename(live, old),
+      s"writeManifest: rename $live -> $old failed (manifest fully live)")
     require(fs.rename(staged, live),
-      s"writeManifest: promote $staged failed (manifest absent — refresh)")
+      s"writeManifest: promote $staged failed (recover from $old or refresh)")
+    if (fs.exists(old)) require(fs.delete(old, true),
+      s"writeManifest: could not remove the superseded $old")
   }
 
   /** An inclusive range predicate against the manifest: files whose

@@ -882,4 +882,33 @@ object StreamingOps {
       .groupBy(col("event_type"), window(col("ts"), windowDur, slideDur))
       .agg(count(lit(1)).as("n_events"), avg("value").as("avg_value"),
         max("value").as("max_value"))
+
+  /** Streaming z-order ingestion — the streaming twin of
+    * [[graft.etl.Layout.zOrderAppend]] + manifestUpdate: every
+    * micro-batch curve-orders under the layout's persisted `_zstats`
+    * sidecar (loaded per batch from the layout itself — the artifact is
+    * self-describing, nothing rides in application state) and appends
+    * beside resident files, then the `_manifest` reconciles in
+    * Θ(batch files). The continuous-crawl ingestion shape: readers keep
+    * full multi-dim skipping over everything already landed, and
+    * [[graft.etl.Layout.zOrderMaintain]] compacts on schedule exactly
+    * as in the batch lifecycle.
+    *
+    * Delivery is foreachBatch's at-least-once: a batch retried after a
+    * mid-append failure appends twice (the append-only-log contract
+    * [[graft.pipeline.Similarity.ivfPqAppend]] documents) — carry a
+    * unique key and dedup downstream, or make landing idempotent at the
+    * next compaction, per the caller's pipeline contract. */
+  def zOrderSinkStream(rows: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val spark = batch.sparkSession
+        val (zc, st) = graft.etl.Layout.loadZStats(spark, path)
+        graft.etl.Layout.zOrderAppend(batch.toDF(), zc, path, st)
+        graft.etl.Layout.manifestUpdate(spark, path, zc)
+      }
+      .start()
 }

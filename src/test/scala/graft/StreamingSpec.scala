@@ -882,4 +882,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.size == 12, "4 queries x top-3")
     } finally q.stop()
   }
+
+  test("streaming z-order sink: micro-batches land curve-ordered beside resident files; manifest reconciles per batch") {
+    import org.apache.spark.sql.functions.col
+    val rows = for (l <- Seq("de", "en", "fr"); i <- 0L until 60L)
+      yield (l, i, s"$l-$i")
+    val df = spark.createDataFrame(rows).toDF("lang", "k", "payload")
+    val zc = Seq("lang", "k")
+    val snap = df.where(col("k") < 30)
+    val st = graft.etl.Layout.zStats(snap, zc)
+    val out = java.nio.file.Files.createTempDirectory("zsink").toString + "/t"
+    graft.etl.Layout.zOrderWrite(snap, zc, out, bits = 8, numFiles = 1,
+      stats = Some(st))
+    graft.etl.Layout.saveZStats(spark, out, zc, st)
+    graft.etl.Layout.manifestRefresh(spark, out, zc)
+    def liveFiles() = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val resident = liveFiles().map(f => f.getName -> f.lastModified()).toMap
+    implicit val enc = Encoders.product[(String, Long, String)]
+    val ms = MemoryStream[(String, Long, String)](spark)
+    val q = StreamingOps.zOrderSinkStream(
+      ms.toDF().toDF("lang", "k", "payload"), out, tmpCheckpoint())
+    try {
+      val inc = rows.filter(_._2 >= 30)
+      val (b1, b2) = inc.splitAt(40)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      def keyset(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(keyset(spark.read.parquet(out)) == rows.toSet,
+        "after both batches the layout must hold snapshot + every streamed row")
+      assert(resident.forall { case (n, ts) =>
+          liveFiles().exists(f => f.getName == n && f.lastModified() == ts) },
+        "resident files must never move under streaming ingestion")
+      // the manifest tracked every batch's files, so pruning works NOW
+      val lf = liveFiles().length
+      val pruned = graft.etl.Layout.prunedFiles(spark, out,
+        Seq(graft.etl.Layout.Bound("k", 50L, 59L)))
+      assert(pruned.nonEmpty && pruned.size <= lf,
+        "the per-batch manifest reconcile must keep pruning live")
+      val pred = col("k").between(50, 59)
+      assert(keyset(graft.etl.Layout.readPruned(spark, out,
+          Seq(graft.etl.Layout.Bound("k", 50L, 59L))).where(pred))
+          == keyset(spark.read.parquet(out).where(pred)),
+        "manifest pruning over the streamed layout must stay lossless")
+    } finally q.stop()
+  }
 }
