@@ -96,6 +96,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"projection must prune the text column from the scan:\n$plan")
   }
 
+  test("manifest pruning: the pruned read plans ONLY the surviving files") {
+    // the driver-side-skip claim's plan half: readPruned's scan must
+    // touch exactly the manifest-surviving file set — file pruning
+    // happens before the scan plans, not inside it
+    import graft.etl.Layout
+    val rows = for (a <- 0L until 40L; b <- 0L until 10L) yield (a, b, a * 100 + b)
+    val df = spark.createDataFrame(rows).toDF("a", "b", "v")
+    val dir = java.nio.file.Files.createTempDirectory("plan_manifest_").toString + "/t"
+    Layout.zOrderWrite(df, Seq("a", "b"), dir, bits = 8, numFiles = 4)
+    Layout.manifestRefresh(spark, dir, Seq("a", "b"))
+    val bounds = Seq(Layout.Bound("a", 0L, 5L), Layout.Bound("b", 0L, 5L))
+    val pruned = Layout.prunedFiles(spark, dir, bounds)
+    assert(pruned.nonEmpty && pruned.size < 4,
+      s"the corner box must keep a strict subset of the 4 curve files, kept ${pruned.size}")
+    val q = Layout.readPruned(spark, dir, bounds)
+      .where(col("a") <= 5 && col("b") <= 5).agg(count(lit(1)).as("n"))
+    val n = q.collect()(0).getLong(0)
+    assert(n == rows.count { case (a, b, _) => a <= 5 && b <= 5 },
+      "the pruned read must still see every matching row")
+    val scanned = physicalNodes(q.queryExecution.executedPlan)
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned == pruned.size,
+      s"the scan must plan exactly the ${pruned.size} surviving files, planned $scanned")
+  }
+
   test("ivfPqDelete discovery: the delete batch's ids push INTO the sidecar scan") {
     // the Θ(batch) claim's plan half: the sidecar probe must carry the
     // id predicate in PushedFilters (row-group stats prune on the sorted
