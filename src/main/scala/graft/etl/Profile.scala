@@ -61,4 +61,37 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** The 100 TB leg of the cardinality half, hash-gated via the
+    * bound-twin pattern (the quantileBoundCheck posture): per column,
+    * approx_count_distinct's HLL++ estimate beside the exact count and a
+    * boolean asserting the estimate sits inside `tol` × the sketch's
+    * configured relative standard deviation. The HLL register state is a
+    * pure max-merge over a deterministic hash, so the estimate — and
+    * therefore the boolean — is a FIXED function of the input set
+    * (order- and partitioning-independent): TRUE in the oracle, and a
+    * sketch drifting outside its guarantee fails the hash rather than
+    * passing silently. Production profiling at corpus scale runs the
+    * approx column alone (no exact pass, no distinct-value shuffle);
+    * the exact leg here exists to gate the sketch. */
+  def profileBoundCheck(df: DataFrame, cols: Seq[String],
+                        rsd: Double = 0.05, tol: Double = 4.0): DataFrame = {
+    require(cols.nonEmpty, "profileBoundCheck: give at least one column")
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__rows") +: cols.flatMap { c =>
+        Seq(count(col(c)).as(s"__nn_$c"),
+          count_distinct(col(c)).as(s"__nd_$c"),
+          approx_count_distinct(col(c), rsd).as(s"__ad_$c"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__nn_$c")).as("n_nulls"),
+        (abs(col(s"__ad_$c") - col(s"__nd_$c"))
+          <= lit(tol * rsd) * col(s"__nd_$c")).as("nd_ok"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
 }

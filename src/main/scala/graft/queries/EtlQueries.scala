@@ -204,6 +204,25 @@ object EtlQueries {
         |    CAST(max(n_chars) AS DOUBLE), NULL, NULL FROM documents
         |) SELECT * FROM p ORDER BY "column"""".stripMargin)),
 
+    Entry("table_profile_approx",
+      // the sketch leg of the same sweep, bound-twin-gated: HLL++
+      // estimates are a deterministic max-merge over a fixed hash, so
+      // the in-tolerance boolean is a stable function of the input set —
+      // TRUE in the oracle, and an out-of-guarantee sketch fails the
+      // hash. Production profiling runs the approx column alone (no
+      // distinct-value shuffle); the exact leg exists to gate it.
+      (spark, dir) => graft.etl.Profile.profileBoundCheck(
+          Tables.documents(spark, dir),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("column"),
+      Some("""WITH p AS (
+        |  SELECT 'doc_id' AS "column", count(*) AS n_rows,
+        |    count(*) - count(doc_id) AS n_nulls, TRUE AS nd_ok FROM documents
+        |  UNION ALL SELECT 'lang', count(*), count(*) - count(lang), TRUE FROM documents
+        |  UNION ALL SELECT 'source', count(*), count(*) - count(source), TRUE FROM documents
+        |  UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars), TRUE FROM documents
+        |) SELECT * FROM p ORDER BY "column"""".stripMargin)),
+
     Entry("zorder_maintain",
       // INCREMENTAL OPTIMIZE of the layout (etl.Layout.zOrderMaintain):
       // snapshot + three appends compacted back under the staged swap,
