@@ -309,39 +309,38 @@ object Layout {
       dataFiles(fs, root).map(_.getPath.toString).toIndexedSeq, cols))
   }
 
-  /** Scheme-insensitive file identity: `input_file_name()` emits
-    * `file:///…` where listStatus emits `file:/…` — Path construction
-    * canonicalizes both to one form, so set arithmetic between "what
-    * the manifest saw" and "what is on disk" never double-counts a
-    * file for its spelling. */
-  private def canonFile(s: String): String = new HPath(s).toString
-
   def manifestUpdate(spark: SparkSession, path: String,
                      cols: Seq[String]): Unit = {
+    import spark.implicits._
     val (fs, root) = fsFor(spark, path)
-    val liveByCanon = dataFiles(fs, root)
-      .map(s => canonFile(s.getPath.toString) -> s.getPath.toString).toMap
+    // the driver holds only file NAMES here (what any manifest system's
+    // listing already pays), never the stat rows: the surviving rows
+    // ride a broadcast semi-join straight from the old manifest parquet
+    // into the staged write, so reconcile shuffles nothing and collects
+    // nothing row-shaped
+    val live = dataFiles(fs, root).map(_.getPath.getName)
     val manifest = readSidecar(spark, s"$path/_manifest")
-    val prior = manifest.collect()
-      .map(r => canonFile(r.getString(r.fieldIndex("file"))) -> r).toMap
-    val kept = prior.view.filterKeys(liveByCanon.keySet).values.toSeq
-    val fresh = (liveByCanon.keySet -- prior.keySet).toIndexedSeq.sorted
-      .map(liveByCanon)
-    val freshRows =
-      if (fresh.isEmpty) Seq.empty
-      else manifestRows(spark, path, fresh, cols).collect().toSeq
-    writeManifest(spark, path,
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(kept ++ freshRows, 1), manifest.schema))
+    val prior = manifest.select("file").as[String].collect().toSet
+    val fresh = live.filterNot(prior).sorted.toIndexedSeq
+    val kept = manifest.join(
+      broadcast(live.toIndexedSeq.toDF("file")), Seq("file"), "left_semi")
+    val rows =
+      if (fresh.isEmpty) kept
+      else kept.unionByName(
+        manifestRows(spark, path, fresh.map(n => s"$path/$n"), cols))
+    writeManifest(spark, path, rows)
   }
 
   /** One row per file in `files`: (file, min_/max_ per tracked column in
-    * native type). input_file_name() keys the group, so the whole pass
-    * is one column-pruned scan + one partial-aggregated groupBy. */
+    * native type). input_file_name() keys the group — reduced to the
+    * BASENAME, so manifest identity is sibling-unique, scheme-free, and
+    * survives relocating the layout directory — and the whole pass is
+    * one column-pruned scan + one partial-aggregated groupBy. */
   private def manifestRows(spark: SparkSession, path: String,
                            files: Seq[String], cols: Seq[String]): DataFrame =
     spark.read.parquet(files: _*)
-      .select(input_file_name().as("file") +: cols.map(col): _*)
+      .select(element_at(split(input_file_name(), "/"), -1).as("file")
+        +: cols.map(col): _*)
       .groupBy("file")
       .agg(min(cols.head).as(s"min_${cols.head}"),
         (Seq(max(cols.head).as(s"max_${cols.head}")) ++
@@ -378,10 +377,10 @@ object Layout {
     * the full layout. */
   final case class Bound(col: String, lo: Any, hi: Any)
 
-  /** The manifest-pruned file list for a conjunction of [[Bound]]s — the
-    * driver-side skip. Collect is bounded by the SURVIVING file count
-    * (the point of pruning); an empty result means no file can hold a
-    * matching row. */
+  /** The manifest-pruned file list (BASENAMES, the manifest's identity)
+    * for a conjunction of [[Bound]]s — the driver-side skip. Collect is
+    * bounded by the SURVIVING file count (the point of pruning); an
+    * empty result means no file can hold a matching row. */
   def prunedFiles(spark: SparkSession, path: String,
                   bounds: Seq[Bound]): Seq[String] = {
     require(bounds.nonEmpty, "prunedFiles: give at least one Bound")
@@ -401,6 +400,6 @@ object Layout {
                  bounds: Seq[Bound]): DataFrame = {
     val files = prunedFiles(spark, path, bounds)
     if (files.isEmpty) spark.read.parquet(path).where(lit(false))
-    else spark.read.parquet(files: _*)
+    else spark.read.parquet(files.map(n => s"$path/$n"): _*)
   }
 }
