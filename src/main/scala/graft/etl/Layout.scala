@@ -254,6 +254,19 @@ object Layout {
                      smallFileBytes: Long = 64L << 20,
                      targetFileBytes: Long = 128L << 20): Int = {
     val (fs, root) = fsFor(spark, path)
+    // refuse to run over the debris of an interrupted swap: .maintained
+    // files hold rows that are INVISIBLE to readers until an operator
+    // either un-hides them (their staged replacements never promoted) or
+    // drops them (promotion completed, only the drop step was lost) —
+    // compacting on top would entangle two recovery states
+    val stale = fs.listStatus(root).filter(s => s.isFile
+      && s.getPath.getName.endsWith(".maintained"))
+    require(stale.isEmpty,
+      s"zOrderMaintain: ${stale.length} dot-hidden .maintained file(s) under " +
+      s"$root from an interrupted swap — if ${stale.head.getPath.getName
+        .stripSuffix(".maintained").stripPrefix(".")}'s replacement was " +
+      "promoted (compacted part files present), delete the hidden files; " +
+      "otherwise rename them back (strip the dot and suffix) before retrying")
     val small = dataFiles(fs, root).filter(_.getLen < smallFileBytes)
     if (small.length <= 1) return 0
     val staging = new HPath(root, ".maint_staging")

@@ -1479,6 +1479,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.etl.Layout.zOrderMaintain(spark, out, cols, loadedSt,
       bits = 8, smallFileBytes = resident.length) == 0,
       "a second maintain must be a no-op")
+    // interrupted-swap debris makes the next maintain fail LOUDLY (the
+    // hidden rows are reader-invisible; compacting on top would
+    // entangle two recovery states)
+    val vict = liveFiles().head
+    val hiddenPath = new java.io.File(vict.getParentFile,
+      s".${vict.getName}.maintained")
+    assert(vict.renameTo(hiddenPath))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.etl.Layout.zOrderMaintain(spark, out, cols, loadedSt, bits = 8)
+      }
+      assert(e.getMessage.contains("interrupted swap"),
+        s"maintain must refuse over swap debris, got: ${e.getMessage}")
+    } finally assert(hiddenPath.renameTo(vict))
   }
 
   test("Layout.zValue interleaves bits exactly; zOrderWrite is a lossless reorder") {
