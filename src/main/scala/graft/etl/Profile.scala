@@ -94,4 +94,66 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** The INCREMENTAL half of profiling — what a growing corpus actually
+    * needs: profile each drop once, MERGE the profiles, never rescan
+    * resident data. Counts add, typed ranges min/max — exact under
+    * merge — and the cardinality term rides a DataSketches HLL sketch
+    * ([[org.apache.spark.sql.functions.hll_sketch_agg]]): register
+    * states are max-merges, so a union of per-drop sketches estimates
+    * the UNION's cardinality with the same guarantee as one pass over
+    * everything. Output = [[profile]]'s row shape with the sketch
+    * binary in place of the exact distinct count. Integral and string
+    * columns only (the sketch's input domain — hash or cast the rest,
+    * exactly the constraint DataSketches itself imposes). */
+  def profileSketch(df: DataFrame, cols: Seq[String],
+                    lgConfigK: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "profileSketch: give at least one column")
+    import org.apache.spark.sql.types._
+    val kinds: Seq[(String, Boolean, Boolean)] = cols.map { c =>
+      df.schema(c).dataType match {
+        case StringType => (c, false, true)
+        case ByteType | ShortType | IntegerType | LongType => (c, true, false)
+        case other => throw new IllegalArgumentException(
+          s"profileSketch: column $c has type $other — HLL sketches take " +
+          "integral and string columns; cast or hash the rest first")
+      }
+    }
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__rows") +: kinds.flatMap { case (c, isNum, _) =>
+        Seq(count(col(c)).as(s"__nn_$c"),
+          hll_sketch_agg(col(c), lit(lgConfigK)).as(s"__sk_$c"),
+          (if (isNum) min(col(c)).cast("double") else min(col(c))).as(s"__min_$c"),
+          (if (isNum) max(col(c)).cast("double") else max(col(c))).as(s"__max_$c"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = kinds.map { case (c, isNum, isStr) =>
+      struct(
+        lit(c).as("column"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__nn_$c")).as("n_nulls"),
+        (if (isNum) col(s"__min_$c") else lit(null).cast("double")).as("min_num"),
+        (if (isNum) col(s"__max_$c") else lit(null).cast("double")).as("max_num"),
+        (if (isStr) col(s"__min_$c") else lit(null).cast("string")).as("min_str"),
+        (if (isStr) col(s"__max_$c") else lit(null).cast("string")).as("max_str"),
+        col(s"__sk_$c").as("nd_sketch"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Merge any union of [[profileSketch]] frames into one profile per
+    * column: counts SUM, ranges MIN/MAX (both exact under merge), HLL
+    * sketches UNION → estimate. This is the whole point of the sketch
+    * shape: profiling a 100 TB corpus is one pass per DROP plus this
+    * metadata-scale aggregation — the resident data never rescans, and
+    * the estimate carries the single-pass sketch's guarantee because
+    * register max-merge is associative and order-independent. */
+  def profileMerge(parts: DataFrame): DataFrame =
+    parts.groupBy("column").agg(
+      sum("n_rows").as("n_rows"),
+      sum("n_nulls").as("n_nulls"),
+      min("min_num").as("min_num"), max("max_num").as("max_num"),
+      min("min_str").as("min_str"), max("max_str").as("max_str"),
+      round(hll_sketch_estimate(hll_union_agg(col("nd_sketch"))))
+        .cast("long").as("n_distinct_est"))
 }

@@ -223,6 +223,53 @@ object EtlQueries {
         |  UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars), TRUE FROM documents
         |) SELECT * FROM p ORDER BY "column"""".stripMargin)),
 
+    Entry("table_profile_incremental",
+      // INCREMENTAL profiling (etl.Profile.profileSketch/profileMerge):
+      // the corpus profiled as three disjoint drops, merged WITHOUT
+      // rescanning — counts sum, typed ranges min/max (exact under
+      // merge: every merged value here hash-matches the oracle computed
+      // over the whole table), and the cardinality term rides a
+      // DataSketches HLL union whose estimate is bound-twin-gated
+      // (register max-merge is order-independent, so the boolean is a
+      // fixed function of the input set). The exact n_distinct column
+      // comes from the one-pass exact profile the estimate is judged
+      // against.
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val pcols = Seq("doc_id", "lang", "source", "n_chars")
+        val parts = (0 to 2).map(r => graft.etl.Profile.profileSketch(
+            docs.where(pmod(col("doc_id"), lit(3)) === r), pcols))
+          .reduce(_.unionByName(_))
+        val merged = graft.etl.Profile.profileMerge(parts).alias("m")
+        val exact = graft.etl.Profile.profile(docs, pcols).alias("e")
+        merged.join(exact, "column")
+          .select(col("column"),
+            col("m.n_rows").as("n_rows"), col("m.n_nulls").as("n_nulls"),
+            col("e.n_distinct").as("n_distinct"),
+            col("m.min_num").as("min_num"), col("m.max_num").as("max_num"),
+            col("m.min_str").as("min_str"), col("m.max_str").as("max_str"),
+            (abs(col("m.n_distinct_est") - col("e.n_distinct"))
+              <= lit(0.1) * col("e.n_distinct") + lit(2)).as("nd_ok"))
+          .orderBy("column")
+      },
+      Some("""WITH p AS (
+        |  SELECT 'doc_id' AS "column", count(*) AS n_rows,
+        |    count(*) - count(doc_id) AS n_nulls,
+        |    count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS DOUBLE) AS min_num,
+        |    CAST(max(doc_id) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+        |    TRUE AS nd_ok
+        |  FROM documents
+        |  UNION ALL SELECT 'lang', count(*), count(*) - count(lang),
+        |    count(DISTINCT lang), NULL, NULL, min(lang), max(lang), TRUE FROM documents
+        |  UNION ALL SELECT 'source', count(*), count(*) - count(source),
+        |    count(DISTINCT source), NULL, NULL, min(source), max(source), TRUE FROM documents
+        |  UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |    count(DISTINCT n_chars), CAST(min(n_chars) AS DOUBLE),
+        |    CAST(max(n_chars) AS DOUBLE), NULL, NULL, TRUE FROM documents
+        |) SELECT * FROM p ORDER BY "column"""".stripMargin)),
+
     Entry("zorder_maintain",
       // INCREMENTAL OPTIMIZE of the layout (etl.Layout.zOrderMaintain):
       // snapshot + three appends compacted back under the staged swap,

@@ -898,17 +898,28 @@ object StreamingOps {
     * mid-append failure appends twice (the append-only-log contract
     * [[graft.pipeline.Similarity.ivfPqAppend]] documents) — carry a
     * unique key and dedup downstream, or make landing idempotent at the
-    * next compaction, per the caller's pipeline contract. */
-  def zOrderSinkStream(rows: DataFrame, path: String, checkpoint: String)
+    * next compaction, per the caller's pipeline contract.
+    *
+    * `maintainEvery > 0` makes the layout SELF-maintaining: every Nth
+    * micro-batch runs [[graft.etl.Layout.zOrderMaintain]] (+ a manifest
+    * reconcile) inside the same foreachBatch slot — serialized with the
+    * appends by the streaming engine, so compaction never races an
+    * in-flight landing, and the file count stays bounded without an
+    * external scheduler. */
+  def zOrderSinkStream(rows: DataFrame, path: String, checkpoint: String,
+                       maintainEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) =>
+                       batchId: Long) =>
         val spark = batch.sparkSession
         val (zc, st) = graft.etl.Layout.loadZStats(spark, path)
         graft.etl.Layout.zOrderAppend(batch.toDF(), zc, path, st)
         graft.etl.Layout.manifestUpdate(spark, path, zc)
+        if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0
+            && graft.etl.Layout.zOrderMaintain(spark, path, zc, st) > 0)
+          graft.etl.Layout.manifestUpdate(spark, path, zc)
       }
       .start()
 }

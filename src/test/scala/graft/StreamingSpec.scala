@@ -902,30 +902,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val enc = Encoders.product[(String, Long, String)]
     val ms = MemoryStream[(String, Long, String)](spark)
     val q = StreamingOps.zOrderSinkStream(
-      ms.toDF().toDF("lang", "k", "payload"), out, tmpCheckpoint())
+      ms.toDF().toDF("lang", "k", "payload"), out, tmpCheckpoint(),
+      maintainEvery = 2)
     try {
       val inc = rows.filter(_._2 >= 30)
-      val (b1, b2) = inc.splitAt(40)
+      val (b1, rest) = inc.splitAt(40)
+      val (b2, b3) = rest.splitAt(30)
       ms.addData(b1); q.processAllAvailable()
       ms.addData(b2); q.processAllAvailable()
       def keyset(d: org.apache.spark.sql.DataFrame) = d.collect()
         .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
-      assert(keyset(spark.read.parquet(out)) == rows.toSet,
-        "after both batches the layout must hold snapshot + every streamed row")
+      assert(keyset(spark.read.parquet(out)) == (snap.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet ++ b1 ++ b2),
+        "after two batches the layout must hold snapshot + every streamed row")
       assert(resident.forall { case (n, ts) =>
           liveFiles().exists(f => f.getName == n && f.lastModified() == ts) },
-        "resident files must never move under streaming ingestion")
-      // the manifest tracked every batch's files, so pruning works NOW
+        "resident files must never move under streaming ingestion (pre-maintain)")
+      // batch 2 (0-based) crosses maintainEvery=2: the sink compacts the
+      // layout in the same foreachBatch slot, then reconciles the manifest
+      val before = liveFiles().length
+      ms.addData(b3); q.processAllAvailable()
+      assert(liveFiles().length < before,
+        s"the maintainEvery batch must shrink the file count, $before -> ${liveFiles().length}")
+      assert(keyset(spark.read.parquet(out)) == rows.toSet,
+        "self-maintenance must be content-invisible")
       val lf = liveFiles().length
       val pruned = graft.etl.Layout.prunedFiles(spark, out,
         Seq(graft.etl.Layout.Bound("k", 50L, 59L)))
       assert(pruned.nonEmpty && pruned.size <= lf,
-        "the per-batch manifest reconcile must keep pruning live")
+        "the post-maintain manifest reconcile must keep pruning live")
       val pred = col("k").between(50, 59)
       assert(keyset(graft.etl.Layout.readPruned(spark, out,
           Seq(graft.etl.Layout.Bound("k", 50L, 59L))).where(pred))
           == keyset(spark.read.parquet(out).where(pred)),
-        "manifest pruning over the streamed layout must stay lossless")
+        "manifest pruning over the maintained streamed layout must stay lossless")
     } finally q.stop()
   }
 }
