@@ -132,6 +132,19 @@ object LayoutBench {
       Layout.zOrderWrite(spark.read.parquet(lp), zc, fullPath, stats = Some(st))
       println(f"[lifecycle x$mult] full rewrite comparator: ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       fs.delete(new org.apache.hadoop.fs.Path(fullPath), true)
+      // right-to-be-forgotten on the maintained layout: the manifest
+      // names the files whose [min,max] can hold the batch; only they
+      // rewrite — measure the affected fraction and the wall against
+      // the full-rewrite comparator above
+      t0 = System.nanoTime()
+      val (dropped, rewritten) = Layout.zOrderDelete(spark, lp, zc, st,
+        "user_id", Seq(700L, 701L, 702L))
+      val wDel = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      Layout.manifestUpdate(spark, lp, zc)
+      val wUpd3 = (System.nanoTime() - t0) / 1e9
+      println(f"[lifecycle x$mult] forget: dropped $dropped%d rows, rewrote $rewritten%d/${live().length}%d files   wall $wDel%6.2f s   manifest reconcile $wUpd3%5.2f s")
+      needle(spark.read.parquet(lp), "forgotten")
       spark.stop(); return
     }
 

@@ -259,14 +259,7 @@ object Layout {
     // either un-hides them (their staged replacements never promoted) or
     // drops them (promotion completed, only the drop step was lost) —
     // compacting on top would entangle two recovery states
-    val stale = fs.listStatus(root).filter(s => s.isFile
-      && s.getPath.getName.endsWith(".maintained"))
-    require(stale.isEmpty,
-      s"zOrderMaintain: ${stale.length} dot-hidden .maintained file(s) under " +
-      s"$root from an interrupted swap — if ${stale.head.getPath.getName
-        .stripSuffix(".maintained").stripPrefix(".")}'s replacement was " +
-      "promoted (compacted part files present), delete the hidden files; " +
-      "otherwise rename them back (strip the dot and suffix) before retrying")
+    requireNoSwapDebris(fs, root)
     val small = dataFiles(fs, root).filter(_.getLen < smallFileBytes)
     if (small.length <= 1) return 0
     val staging = new HPath(root, ".maint_staging")
@@ -277,25 +270,109 @@ object Layout {
     val df = spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
     zOrderedFrame(df, zCols, bits, numFiles, Some(stats))
       .write.mode("overwrite").parquet(staging.toString)
-    // staged part names carry a per-write UUID, so promoting them under
-    // their own names cannot collide with resident files
+    swapInStaged(fs, root, staging, small)
+    small.length
+  }
+
+  /** Refuse to run a swap over the debris of an interrupted one:
+    * `.maintained` files hold rows INVISIBLE to readers until an
+    * operator either un-hides them (their staged replacements never
+    * promoted) or drops them (promotion completed, only the drop step
+    * was lost) — a second swap on top would entangle two recovery
+    * states. */
+  private def requireNoSwapDebris(fs: FileSystem, root: HPath): Unit = {
+    val stale = fs.listStatus(root).filter(s => s.isFile
+      && s.getPath.getName.endsWith(".maintained"))
+    require(stale.isEmpty,
+      s"${stale.length} dot-hidden .maintained file(s) under " +
+      s"$root from an interrupted swap — if ${stale.headOption.map(_.getPath
+        .getName.stripSuffix(".maintained").stripPrefix(".")).getOrElse("")}'s " +
+      "replacement was promoted (new part files present), delete the hidden " +
+      "files; otherwise rename them back (strip the dot and suffix) before retrying")
+  }
+
+  /** The hide-promote-drop swap shared by [[zOrderMaintain]] and
+    * [[zOrderDelete]]: every victim renames to a dot-hidden
+    * `.<name>.maintained`, the staged part files promote into the root
+    * under their own names (per-write UUIDs — no collision with
+    * residents), then the hidden victims and the emptied staging dir
+    * drop. Every boolean checked; nothing is deleted before its
+    * replacement is in place, so ANY intermediate state is
+    * hand-recoverable (the rows live in staging and/or the hidden files
+    * at all times). */
+  private def swapInStaged(fs: FileSystem, root: HPath, staging: HPath,
+                           victims: Seq[org.apache.hadoop.fs.FileStatus]): Unit = {
     val stagedParts = dataFiles(fs, staging)
-    val hidden = small.map { s =>
+    val hidden = victims.map { s =>
       val h = new HPath(root, s".${s.getPath.getName}.maintained")
       require(fs.rename(s.getPath, h),
-        s"zOrderMaintain: rename ${s.getPath} -> $h failed (layout fully live)")
+        s"swapInStaged: rename ${s.getPath} -> $h failed (layout fully live)")
       h
     }
     stagedParts.foreach { s =>
       require(fs.rename(s.getPath, new HPath(root, s.getPath.getName)),
-        s"zOrderMaintain: promote ${s.getPath} failed (recover from $staging " +
+        s"swapInStaged: promote ${s.getPath} failed (recover from $staging " +
         "and the .maintained files)")
     }
     hidden.foreach(h => require(fs.delete(h, false),
-      s"zOrderMaintain: could not remove superseded $h"))
+      s"swapInStaged: could not remove superseded $h"))
     require(fs.delete(staging, true),
-      s"zOrderMaintain: could not remove emptied $staging")
-    small.length
+      s"swapInStaged: could not remove emptied $staging")
+  }
+
+  /** Right-to-be-forgotten on the LAYOUT itself: drop `ids` (values of
+    * the manifest-tracked column `idCol`) by rewriting ONLY the files
+    * whose manifest [min, max] interval can hold any of them — the
+    * manifest turns a takedown batch into a Θ(affected files) pass, the
+    * same discipline ivfPqDelete's id sidecar buys the ANN index. The
+    * affected files' survivors re-curve-order under the snapshot stats
+    * and swap in through the [[zOrderMaintain]] hide-promote-drop chain
+    * (every rename checked, nothing deleted before its replacement
+    * exists); untouched files never open. Run [[manifestUpdate]]
+    * afterwards (one Θ(new files) reconcile covers the dropped and
+    * added files).
+    *
+    * Deletion is PHYSICAL and immediate — the takedown contract for
+    * base data, unlike the two-phase tombstone path the dedup index
+    * takes (where the artifact is derived and probes can mask). Returns
+    * (rows dropped, files rewritten); (0, 0) when no file can hold any
+    * batch id. Batch-sized `ids` by contract (they broadcast into the
+    * anti-join and drive a driver-side interval test per file). */
+  def zOrderDelete(spark: SparkSession, path: String, zCols: Seq[String],
+                   stats: ZStats, idCol: String, ids: Seq[Any],
+                   bits: Int = 16): (Long, Int) = {
+    require(ids.nonEmpty, "zOrderDelete: give at least one id")
+    val (fs, root) = fsFor(spark, path)
+    requireNoSwapDebris(fs, root)
+    val manifest = readSidecar(spark, s"$path/_manifest")
+    // the driver-side interval test: a file is AFFECTED when any batch
+    // id sits inside its [min, max] — the same footer-stat logic as
+    // prunedFiles, applied per id and OR-reduced
+    val pred = ids.map(v =>
+        col(s"min_$idCol") <= lit(v) && col(s"max_$idCol") >= lit(v))
+      .reduce(_ || _)
+    val affected = manifest.where(pred)
+      .select("file").collect().map(_.getString(0)).toIndexedSeq.sorted
+    if (affected.isEmpty) return (0L, 0)
+    val affectedSet = affected.toSet
+    val affStatus = dataFiles(fs, root)
+      .filter(s => affectedSet(s.getPath.getName))
+    require(affStatus.length == affected.length,
+      s"zOrderDelete: manifest names ${affected.length} affected file(s) but " +
+      s"${affStatus.length} are on disk — reconcile with manifestUpdate first")
+    val staging = new HPath(root, ".delete_staging")
+    if (fs.exists(staging)) require(fs.delete(staging, true),
+      s"zOrderDelete: could not clear stale $staging")
+    val src = spark.read.parquet(
+      affStatus.map(_.getPath.toString).toIndexedSeq: _*)
+    val dropped = src.where(col(idCol).isInCollection(ids)).count()
+    // null-safe survivor predicate: a bare !isin evaluates to NULL for
+    // null ids and would silently drop rows the batch never named
+    zOrderedFrame(src.where(col(idCol).isNull || !col(idCol).isInCollection(ids)),
+        zCols, bits, math.max(1, affStatus.length), Some(stats))
+      .write.mode("overwrite").parquet(staging.toString)
+    swapInStaged(fs, root, staging, affStatus.toIndexedSeq)
+    (dropped, affected.length)
   }
 
   /** A FILE-LEVEL min/max manifest for a layout — the sidecar that makes

@@ -175,7 +175,53 @@ object EtlQueries {
       p
     })
 
+  /** One FORGOTTEN-FROM z-ordered documents copy per sf dir per JVM: the
+    * full table written with stats + manifest sidecars, then a
+    * deterministic takedown batch (doc_id ≡ 13 mod 97) physically
+    * dropped through [[graft.etl.Layout.zOrderDelete]] — the manifest
+    * names the affected files, only they rewrite (hide-promote-drop
+    * swap), and the manifest reconciles after. The gate's oracle is the
+    * shrunk table: deletion must be indistinguishable from never having
+    * written the batch (the cross_corpus_dedup_forget statement, on the
+    * base layout). */
+  private val zorderForgetDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderForgetDocsFor(spark: SparkSession, dir: String): String =
+    zorderForgetDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_zorder_fgt_").toString
+      val docs = Tables.documents(spark, d)
+      val zc = Seq("lang", "doc_id")
+      val st = graft.etl.Layout.zStats(docs, zc)
+      graft.etl.Layout.zOrderWrite(docs, zc, p, stats = Some(st))
+      graft.etl.Layout.saveZStats(spark, p, zc, st)
+      graft.etl.Layout.manifestRefresh(spark, p, zc)
+      val batch = docs.where(col("doc_id") % 97 === 13)
+        .select("doc_id").collect().map(_.getLong(0)).toIndexedSeq
+      graft.etl.Layout.zOrderDelete(spark, p, zc, st, "doc_id", batch)
+      graft.etl.Layout.manifestUpdate(spark, p, zc)
+      p
+    })
+
   val entries: Seq[Entry] = Seq(
+    Entry("zorder_forget",
+      // RIGHT-TO-BE-FORGOTTEN on the base layout (etl.Layout
+      // .zOrderDelete): a takedown batch physically dropped by
+      // rewriting ONLY the manifest-named affected files. The rollup
+      // over the forgotten layout must hash-match the oracle over the
+      // SHRUNK table — deletion ≡ never written, the same statement the
+      // dedup-index forget gate makes, now for base data.
+      (spark, dir) => spark.read.parquet(zorderForgetDocsFor(spark, dir))
+        .where(col("lang").isin("en", "es") && col("doc_id").between(100, 5000))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE lang IN ('en','es') AND doc_id BETWEEN 100 AND 5000
+        |  AND doc_id % 97 <> 13
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
     Entry("table_profile",
       // ONE-PASS column profiling (etl.Profile): every per-column stat —
       // rows, nulls, exact distincts, typed ranges — from a single wide

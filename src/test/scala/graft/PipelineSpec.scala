@@ -1495,6 +1495,50 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally assert(hiddenPath.renameTo(vict))
   }
 
+  test("zOrderDelete: manifest-targeted forgetting rewrites ONLY affected files; null ids survive") {
+    import org.apache.spark.sql.functions.col
+    val rows: Seq[(String, Option[Long], String)] =
+      (for (l <- Seq("de", "en", "es", "fr"); i <- 0L until 100L)
+        yield (l, Some(i), s"$l-$i")) ++ Seq(("en", None, "null-0"), ("fr", None, "null-1"))
+    val df = spark.createDataFrame(rows).toDF("lang", "k", "payload")
+    val cols = Seq("lang", "k")
+    val st = graft.etl.Layout.zStats(df, cols)
+    val out = java.nio.file.Files.createTempDirectory("zdel").toString + "/t"
+    graft.etl.Layout.zOrderWrite(df, cols, out, bits = 8, numFiles = 4,
+      stats = Some(st))
+    graft.etl.Layout.saveZStats(spark, out, cols, st)
+    graft.etl.Layout.manifestRefresh(spark, out, cols)
+    def liveFiles() = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val before = liveFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(before.size == 4)
+    // k's high bit dominates the curve, so files ~tile by k: a low-k
+    // batch must leave the high-k files untouched
+    val (dropped, rewritten) = graft.etl.Layout.zOrderDelete(
+      spark, out, cols, st, "k", Seq(5L, 6L), bits = 8)
+    assert(dropped == 8L, s"two ks x four langs must drop, got $dropped")
+    assert(rewritten >= 1 && rewritten < 4,
+      s"the manifest must prune at least one file from the rewrite, touched $rewritten")
+    val after = liveFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(before.count { case (n, ts) => after.get(n).contains(ts) } == 4 - rewritten,
+      "exactly the affected files may move")
+    def keyset() = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getString(2))).toSet
+    assert(keyset() == rows.filterNot(r => r._2.exists(Set(5L, 6L))).toSet,
+      "deletion must remove exactly the batch — null-k rows survive")
+    // manifest reconciles; a fresh delete of an id that is ALREADY gone
+    // touches files (intervals still cover it) but drops nothing
+    graft.etl.Layout.manifestUpdate(spark, out, cols)
+    val (d2, _) = graft.etl.Layout.zOrderDelete(
+      spark, out, cols, st, "k", Seq(5L), bits = 8)
+    assert(d2 == 0L, "re-deleting a forgotten id must be a no-op on content")
+    // out-of-range batch: no file interval covers it -> (0, 0), no IO
+    assert(graft.etl.Layout.zOrderDelete(
+      spark, out, cols, st, "k", Seq(10000L), bits = 8) == ((0L, 0)),
+      "a batch outside every file interval must touch nothing")
+  }
+
   test("Layout.zValue interleaves bits exactly; zOrderWrite is a lossless reorder") {
     import org.apache.spark.sql.functions.col
     // bits = 2, two columns scaled over [0, 4): cell = value itself for
