@@ -201,6 +201,27 @@ object EtlQueries {
       p
     })
 
+  /** The ONE losslessness statement every z-layout gate makes: a
+    * language-sliced id-range rollup over the rewritten / grown /
+    * maintained / pruned / forgotten layout must hash-match the oracle
+    * over the original table (selection commutes with layout). One
+    * definition for all five gates, so the Spark shape and the oracle
+    * SQL cannot drift apart per gate — only the layout under test and
+    * the oracle's WHERE (shrunk for the forget gate) vary. */
+  private def docsSliceRollup(df: DataFrame): DataFrame =
+    df.where(col("lang").isin("en", "es") && col("doc_id").between(100, 5000))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang", "source")
+
+  private def docsSliceRollupSql(extraWhere: String = ""): String =
+    s"""SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM documents WHERE lang IN ('en','es') AND doc_id BETWEEN 100 AND 5000$extraWhere
+       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("zorder_forget",
       // RIGHT-TO-BE-FORGOTTEN on the base layout (etl.Layout
@@ -209,18 +230,9 @@ object EtlQueries {
       // over the forgotten layout must hash-match the oracle over the
       // SHRUNK table — deletion ≡ never written, the same statement the
       // dedup-index forget gate makes, now for base data.
-      (spark, dir) => spark.read.parquet(zorderForgetDocsFor(spark, dir))
-        .where(col("lang").isin("en", "es") && col("doc_id").between(100, 5000))
-        .groupBy("lang", "source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).cast("long").as("sum_chars"),
-          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
-        .orderBy("lang", "source"),
-      Some("""SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM documents WHERE lang IN ('en','es') AND doc_id BETWEEN 100 AND 5000
-        |  AND doc_id % 97 <> 13
-        |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+      (spark, dir) => docsSliceRollup(
+        spark.read.parquet(zorderForgetDocsFor(spark, dir))),
+      Some(docsSliceRollupSql(" AND doc_id % 97 <> 13"))),
 
     Entry("table_profile",
       // ONE-PASS column profiling (etl.Profile): every per-column stat —
@@ -323,17 +335,9 @@ object EtlQueries {
       // losslessness statement as zorder_append, over the MAINTAINED
       // layout — compaction (file merges + curve re-order of the small
       // set) must be content-invisible.
-      (spark, dir) => spark.read.parquet(zorderMaintDocsFor(spark, dir))
-        .where(col("lang").isin("en", "es") && col("doc_id").between(100, 5000))
-        .groupBy("lang", "source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).cast("long").as("sum_chars"),
-          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
-        .orderBy("lang", "source"),
-      Some("""SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM documents WHERE lang IN ('en','es') AND doc_id BETWEEN 100 AND 5000
-        |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+      (spark, dir) => docsSliceRollup(
+        spark.read.parquet(zorderMaintDocsFor(spark, dir))),
+      Some(docsSliceRollupSql())),
 
     Entry("zorder_manifest_prune",
       // FILE-LEVEL manifest pruning (etl.Layout prunedFiles/readPruned):
@@ -343,20 +347,11 @@ object EtlQueries {
       // file. The gate states pruning is LOSSLESS: the range rollup over
       // the pruned file set must hash-match the oracle over the original
       // table (so no surviving row ever lives in a pruned file).
-      (spark, dir) => graft.etl.Layout.readPruned(spark,
-          zorderMaintDocsFor(spark, dir),
-          Seq(graft.etl.Layout.Bound("lang", "en", "es"),
-            graft.etl.Layout.Bound("doc_id", 100L, 5000L)))
-        .where(col("lang").isin("en", "es") && col("doc_id").between(100, 5000))
-        .groupBy("lang", "source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).cast("long").as("sum_chars"),
-          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
-        .orderBy("lang", "source"),
-      Some("""SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM documents WHERE lang IN ('en','es') AND doc_id BETWEEN 100 AND 5000
-        |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+      (spark, dir) => docsSliceRollup(graft.etl.Layout.readPruned(spark,
+        zorderMaintDocsFor(spark, dir),
+        Seq(graft.etl.Layout.Bound("lang", "en", "es"),
+          graft.etl.Layout.Bound("doc_id", 100L, 5000L)))),
+      Some(docsSliceRollupSql())),
 
     Entry("zorder_lang_prune",
       // Z-ORDER over a string dimension (etl.Layout zStats dictionary
@@ -364,17 +359,9 @@ object EtlQueries {
       // interleaved key is (lang, doc_id) — a language-sliced id-range
       // rollup over the curve-ordered copy must hash-match the oracle
       // over the original table.
-      (spark, dir) => spark.read.parquet(zorderDocsFor(spark, dir))
-        .where(col("lang").isin("en", "es") && col("doc_id").between(100, 5000))
-        .groupBy("lang", "source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("sum_chars"),
-          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
-        .orderBy("lang", "source"),
-      Some("""SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM documents WHERE lang IN ('en','es') AND doc_id BETWEEN 100 AND 5000
-        |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+      (spark, dir) => docsSliceRollup(
+        spark.read.parquet(zorderDocsFor(spark, dir))),
+      Some(docsSliceRollupSql())),
 
     Entry("zorder_append",
       // INCREMENTAL z-order maintenance (etl.Layout.zOrderAppend): a
@@ -386,17 +373,9 @@ object EtlQueries {
       // oracle over the original table, so the append (including its
       // unseen-value clamp/dictionary-null trade, which only moves
       // rows between files) is content-invisible.
-      (spark, dir) => spark.read.parquet(zorderAppendDocsFor(spark, dir))
-        .where(col("lang").isin("en", "es") && col("doc_id").between(100, 5000))
-        .groupBy("lang", "source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).cast("long").as("sum_chars"),
-          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
-        .orderBy("lang", "source"),
-      Some("""SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM documents WHERE lang IN ('en','es') AND doc_id BETWEEN 100 AND 5000
-        |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+      (spark, dir) => docsSliceRollup(
+        spark.read.parquet(zorderAppendDocsFor(spark, dir))),
+      Some(docsSliceRollupSql())),
 
     Entry("zorder_prune",
       // Z-ORDER layout roundtrip (etl.Layout): the gate proves the
