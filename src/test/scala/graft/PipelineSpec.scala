@@ -1495,6 +1495,83 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally assert(hiddenPath.renameTo(vict))
   }
 
+  test("zValue == scalar reference interleave on seeded-random inputs (clamp, nulls, 2 and 3 dims)") {
+    import org.apache.spark.sql.functions.col
+    // the scalar reference: the textbook construction, reimplemented
+    // independently of the Column algebra under test
+    def refZ(vals: Seq[Option[Double]], mins: Seq[Double], maxs: Seq[Double],
+             bits: Int): Long = {
+      val n = vals.length
+      val cells = (1L << bits).toDouble
+      val scaled = vals.zipWithIndex.map { case (v, j) =>
+        val lo = mins(j)
+        val span = math.max(maxs(j) - lo, java.lang.Double.MIN_VALUE)
+        val c = math.floor((v.getOrElse(lo) - lo) / span * cells)
+        math.min(math.max(c, 0.0), cells - 1.0).toLong
+      }
+      (0 until bits).flatMap(i => scaled.zipWithIndex.map { case (s, j) =>
+        ((s >> i) & 1L) << (i * n + j)
+      }).reduce(_ | _)
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 4) {
+      val nCols = 2 + trial % 2
+      val bits = Seq(4, 8, 12, 16)(trial)
+      val mins = Seq.fill(nCols)(rnd.nextDouble() * 100 - 50)
+      val maxs = mins.map(_ + rnd.nextDouble() * 200 + 1)
+      // points include out-of-range values (clamp path) and nulls (cell 0)
+      val pts: Seq[Seq[Option[Double]]] = Seq.fill(200)(Seq.tabulate(nCols)(j =>
+        if (rnd.nextInt(10) == 0) None
+        else Some(mins(j) - 50 + rnd.nextDouble() * (maxs(j) - mins(j) + 100))))
+      val rows = pts.map(p => org.apache.spark.sql.Row(
+        p.map(_.map(java.lang.Double.valueOf).orNull): _*))
+      val schema = org.apache.spark.sql.types.StructType(Seq.tabulate(nCols)(j =>
+        org.apache.spark.sql.types.StructField(s"c$j",
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema)
+      val got = df.select(graft.etl.Layout.zValue(
+          Seq.tabulate(nCols)(j => col(s"c$j")), mins, maxs, bits).as("z"))
+        .collect().map(_.getLong(0))
+      val want = pts.map(p => refZ(p, mins, maxs, bits))
+      assert(got.toSeq == want,
+        s"trial $trial (nCols=$nCols bits=$bits): Column z-codes must equal the scalar reference")
+    }
+  }
+
+  test("profileMerge(random split) == profile(whole): counts and ranges exact, estimate in bound") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Option[Long], Option[String])] = Seq.tabulate(3000) { i =>
+      (if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(400).toLong),
+       if (rnd.nextInt(15) == 0) None else Some(s"v${rnd.nextInt(37)}"))
+    }
+    val df = spark.createDataFrame(rows).toDF("k", "s")
+      .withColumn("slice", pmod(monotonically_increasing_id(), lit(4)))
+    for (nSlices <- Seq(2, 4)) {
+      val parts = (0 until nSlices).map(r => graft.etl.Profile.profileSketch(
+          df.where(col("slice") % nSlices === r).drop("slice"), Seq("k", "s")))
+        .reduce(_.unionByName(_))
+      val merged = graft.etl.Profile.profileMerge(parts)
+        .collect().map(r => r.getString(0) -> r).toMap
+      val whole = graft.etl.Profile.profile(df.drop("slice"), Seq("k", "s"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      for (c <- Seq("k", "s")) {
+        val (m, w) = (merged(c), whole(c))
+        assert(m.getLong(m.fieldIndex("n_rows")) == w.getLong(w.fieldIndex("n_rows"))
+            && m.getLong(m.fieldIndex("n_nulls")) == w.getLong(w.fieldIndex("n_nulls")),
+          s"$nSlices slices, $c: counts must merge exactly")
+        for (f <- Seq("min_num", "max_num", "min_str", "max_str"))
+          assert(m.get(m.fieldIndex(f)) == w.get(w.fieldIndex(f)),
+            s"$nSlices slices, $c: $f must merge exactly")
+        val est = m.getLong(m.fieldIndex("n_distinct_est"))
+        val exact = w.getLong(w.fieldIndex("n_distinct"))
+        assert(math.abs(est - exact) <= 0.1 * exact + 2,
+          s"$nSlices slices, $c: HLL union estimate $est must sit within bound of $exact")
+      }
+    }
+  }
+
   test("zOrderDelete: manifest-targeted forgetting rewrites ONLY affected files; null ids survive") {
     import org.apache.spark.sql.functions.col
     val rows: Seq[(String, Option[Long], String)] =
