@@ -270,7 +270,7 @@ object Layout {
     val df = spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
     zOrderedFrame(df, zCols, bits, numFiles, Some(stats))
       .write.mode("overwrite").parquet(staging.toString)
-    swapInStaged(fs, root, staging, small)
+    swapInStaged(fs, root, staging, small.toIndexedSeq)
     small.length
   }
 
