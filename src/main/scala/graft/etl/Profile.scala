@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, NumericType}
+import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampType}
 
 /** One-pass column profiling — the schema-drift / data-quality sweep a
   * training-data pipeline runs on every ingested drop before anything
@@ -27,28 +27,42 @@ object Profile {
     * min_str, max_str); numeric ranges land in min/max_num (cast to
     * double), string ranges in min/max_str, the other pair stays null —
     * so the frame unions heterogeneous column types without lossy
-    * stringification. */
+    * stringification. Timestamp columns profile as epoch MICROSECONDS
+    * and date columns as epoch DAYS in the numeric slot (min/max taken
+    * over the converted value — monotone, so identical to converting the
+    * typed extremes; counts/distincts run on the original column) —
+    * events.ts-style drift columns need no manual cast.
+    *
+    * Precision contract for min/max_num: the slot is an IEEE double, so
+    * integral values above 2^53 and high-precision DecimalType ranges
+    * round to the nearest representable double (epoch micros sit at
+    * ~1.7e15, well inside exact range). Corpora needing exact wide
+    * ranges should keep them in a typed sidecar — the layout `_manifest`
+    * does exactly that. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile: give at least one column")
-    val kinds: Seq[(String, Boolean, Boolean)] = cols.map { c =>
+    // (name, numeric-image expr or null, is-numeric, is-string)
+    val kinds: Seq[(String, Column, Boolean, Boolean)] = cols.map { c =>
       df.schema(c).dataType match {
-        case StringType     => (c, false, true)
-        case _: NumericType => (c, true, false)
+        case StringType     => (c, col(c), false, true)
+        case _: NumericType => (c, col(c), true, false)
+        case TimestampType  => (c, unix_micros(col(c)), true, false)
+        case DateType       => (c, unix_date(col(c)), true, false)
         case other          => throw new IllegalArgumentException(
           s"profile: column $c has unsupported type $other — profile " +
-          "numeric and string columns (cast or hash the rest first)")
+          "numeric, string, timestamp and date columns (cast or hash the rest first)")
       }
     }
     val aggs: Seq[Column] =
-      count(lit(1)).as("__rows") +: kinds.flatMap { case (c, isNum, _) =>
+      count(lit(1)).as("__rows") +: kinds.flatMap { case (c, v, isNum, _) =>
         Seq(
           count(col(c)).as(s"__nn_$c"),
           count_distinct(col(c)).as(s"__nd_$c"),
-          (if (isNum) min(col(c)).cast("double") else min(col(c))).as(s"__min_$c"),
-          (if (isNum) max(col(c)).cast("double") else max(col(c))).as(s"__max_$c"))
+          (if (isNum) min(v).cast("double") else min(v)).as(s"__min_$c"),
+          (if (isNum) max(v).cast("double") else max(v)).as(s"__max_$c"))
       }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = kinds.map { case (c, isNum, isStr) =>
+    val rows = kinds.map { case (c, _, isNum, isStr) =>
       struct(
         lit(c).as("column"),
         col("__rows").as("n_rows"),
@@ -103,31 +117,36 @@ object Profile {
     * states are max-merges, so a union of per-drop sketches estimates
     * the UNION's cardinality with the same guarantee as one pass over
     * everything. Output = [[profile]]'s row shape with the sketch
-    * binary in place of the exact distinct count. Integral and string
-    * columns only (the sketch's input domain — hash or cast the rest,
-    * exactly the constraint DataSketches itself imposes). */
+    * binary in place of the exact distinct count. Integral, string,
+    * timestamp and date columns (the datetime types enter as their
+    * epoch-integral image — micros / days — for both the sketch and the
+    * ranges, so per-drop sketches of a time column union exactly like
+    * any long column); hash or cast anything else, exactly the
+    * constraint DataSketches itself imposes. */
   def profileSketch(df: DataFrame, cols: Seq[String],
                     lgConfigK: Int = 12): DataFrame = {
     require(cols.nonEmpty, "profileSketch: give at least one column")
     import org.apache.spark.sql.types._
-    val kinds: Seq[(String, Boolean, Boolean)] = cols.map { c =>
+    val kinds: Seq[(String, Column, Boolean, Boolean)] = cols.map { c =>
       df.schema(c).dataType match {
-        case StringType => (c, false, true)
-        case ByteType | ShortType | IntegerType | LongType => (c, true, false)
+        case StringType => (c, col(c), false, true)
+        case ByteType | ShortType | IntegerType | LongType => (c, col(c), true, false)
+        case TimestampType => (c, unix_micros(col(c)), true, false)
+        case DateType => (c, unix_date(col(c)), true, false)
         case other => throw new IllegalArgumentException(
           s"profileSketch: column $c has type $other — HLL sketches take " +
-          "integral and string columns; cast or hash the rest first")
+          "integral, string, timestamp and date columns; cast or hash the rest first")
       }
     }
     val aggs: Seq[Column] =
-      count(lit(1)).as("__rows") +: kinds.flatMap { case (c, isNum, _) =>
+      count(lit(1)).as("__rows") +: kinds.flatMap { case (c, v, isNum, _) =>
         Seq(count(col(c)).as(s"__nn_$c"),
-          hll_sketch_agg(col(c), lit(lgConfigK)).as(s"__sk_$c"),
-          (if (isNum) min(col(c)).cast("double") else min(col(c))).as(s"__min_$c"),
-          (if (isNum) max(col(c)).cast("double") else max(col(c))).as(s"__max_$c"))
+          hll_sketch_agg(v, lit(lgConfigK)).as(s"__sk_$c"),
+          (if (isNum) min(v).cast("double") else min(v)).as(s"__min_$c"),
+          (if (isNum) max(v).cast("double") else max(v)).as(s"__max_$c"))
       }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = kinds.map { case (c, isNum, isStr) =>
+    val rows = kinds.map { case (c, _, isNum, isStr) =>
       struct(
         lit(c).as("column"),
         col("__rows").as("n_rows"),

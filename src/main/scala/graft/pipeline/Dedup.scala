@@ -1079,6 +1079,28 @@ object Dedup {
     * probes must treat as never indexed. [[dedupIndexWrite]] creates it
     * empty; an index written before tombstones existed gets one created
     * (empty, beside the other tables) on its first delete. */
+  /** The reference-bucket scan with the tombstone mask applied — the ONE
+    * definition behind [[crossCorpusNearDupIndexed]] and the streaming
+    * twin: docs a [[dedupIndexDelete]] logically forgot must never
+    * nominate a candidate pair. Broadcast (the tombstone set is
+    * takedown-batch-scale) and BEFORE the candidate join, so the filter
+    * rides the bucketed scan's partitioning — no new exchange, and the
+    * verify join never sees a forgotten b_id either. The anti-join is
+    * SKIPPED entirely when the table is absent (pre-tombstone index) OR
+    * empty (post-[[dedupIndexCompact]] steady state — the one-row
+    * emptiness probe against the one-file table is a driver-side
+    * constant, where the always-on anti-join was a permanent ~15–17%
+    * wall tax measured with tombstones present). */
+  private[graft] def tombstoneMaskedBuckets(
+      spark: org.apache.spark.sql.SparkSession, tablePrefix: String): DataFrame = {
+    val base = spark.table(s"${tablePrefix}_buckets").toDF("b_id", "band", "bucket")
+    val name = s"${tablePrefix}_tombstones"
+    if (spark.catalog.tableExists(name) && !spark.table(name).isEmpty)
+      base.join(broadcast(spark.table(name)
+        .select(col("doc_id").as("b_id"))), Seq("b_id"), "left_anti")
+    else base
+  }
+
   private def ensureTombstoneTable(spark: org.apache.spark.sql.SparkSession,
                                    tablePrefix: String): String = {
     val name = s"${tablePrefix}_tombstones"
@@ -1309,20 +1331,7 @@ object Dedup {
     val (numPerms, bands, shingleK) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val cb = lshBuckets(minhashSignatures(corpus, textCol, idCol, numPerms,
       shingleK, portable = true), idCol, numPerms, bands, portable = true)
-    // tombstone anti-join on the reference-bucket scan: docs a
-    // dedupIndexDelete logically forgot must never nominate a candidate
-    // pair. Broadcast (the tombstone set is takedown-batch-scale) and
-    // BEFORE the candidate join, so the filter rides the bucketed scan's
-    // partitioning — no new exchange, and the verify join never sees a
-    // forgotten b_id either. Absent table = pre-tombstone index, no
-    // overhead.
-    val refBuckets = {
-      val base = spark.table(s"${tablePrefix}_buckets").toDF("b_id", "band", "bucket")
-      if (spark.catalog.tableExists(s"${tablePrefix}_tombstones"))
-        base.join(broadcast(spark.table(s"${tablePrefix}_tombstones")
-          .select(col("doc_id").as("b_id"))), Seq("b_id"), "left_anti")
-      else base
-    }
+    val refBuckets = tombstoneMaskedBuckets(spark, tablePrefix)
     val pairs = cb.toDF("a_id", "band", "bucket")
       .join(refBuckets, Seq("band", "bucket"))
       .select("a_id", "b_id").distinct()

@@ -513,17 +513,15 @@ object StreamingOps {
       .select(col("a_id"), col("a_sh"), explode_outer(col("__bb")).as("__b"))
       .select(col("a_id"), col("a_sh"),
         col("__b.band").as("band"), col("__b.bucket").as("bucket"))
-    // tombstone anti-join on the static bucket side (the batch twin's
-    // discipline): logically-forgotten reference docs never nominate a
-    // candidate. Static-side-only transform — stream-static join rules
-    // are untouched; absent table = pre-tombstone index.
-    val refBuckets = {
-      val base = spark.table(s"${tablePrefix}_buckets").toDF("b_id", "band", "bucket")
-      if (spark.catalog.tableExists(s"${tablePrefix}_tombstones"))
-        base.join(broadcast(spark.table(s"${tablePrefix}_tombstones")
-          .select(col("doc_id").as("b_id"))), Seq("b_id"), "left_anti")
-      else base
-    }
+    // tombstone mask on the static bucket side — the batch twin's ONE
+    // definition (Dedup.tombstoneMaskedBuckets): logically-forgotten
+    // reference docs never nominate a candidate; absent OR empty table
+    // (post-compaction steady state) skips the anti-join entirely.
+    // Static-side-only transform — stream-static join rules untouched.
+    // The emptiness check runs once at query START: a dedupIndexDelete
+    // landing mid-stream is picked up on restart, the static-side
+    // snapshot contract every stream-static join already carries.
+    val refBuckets = Dedup.tombstoneMaskedBuckets(spark, tablePrefix)
     val cand = qSide.join(refBuckets, Seq("band", "bucket"), "left")
     val joined = cand.join(
       spark.table(s"${tablePrefix}_shingles").toDF("b_id", "b_sh"),
@@ -903,9 +901,19 @@ object StreamingOps {
     * `maintainEvery > 0` makes the layout SELF-maintaining: every Nth
     * micro-batch runs [[graft.etl.Layout.zOrderMaintain]] (+ a manifest
     * reconcile) inside the same foreachBatch slot — serialized with the
-    * appends by the streaming engine, so compaction never races an
-    * in-flight landing, and the file count stays bounded without an
-    * external scheduler. */
+    * appends by the streaming engine, so compaction never races the
+    * sink's OWN landings, and the file count stays bounded without an
+    * external scheduler. Two caveats the batch Layout docs carry that
+    * apply here verbatim: (a) EXTERNAL readers racing the
+    * hide-promote-drop swap can see a partial file set — a maintaining
+    * sink needs the same reader-exclusion window as any lakehouse
+    * OPTIMIZE, so leave `maintainEvery` off (the default) when readers
+    * query the layout continuously and schedule maintenance in a quiet
+    * window instead; (b) a crash mid-swap leaves `.maintained` debris
+    * that makes the next maintenance call — and therefore stream
+    * RESTART once batchId reaches the next maintenance slot — fail
+    * loudly until the debris is hand-recovered per the
+    * requireNoSwapDebris message. */
   def zOrderSinkStream(rows: DataFrame, path: String, checkpoint: String,
                        maintainEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
