@@ -1616,6 +1616,253 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a batch outside every file interval must touch nothing")
   }
 
+  test("zOrderForget: tombstone mask hides exactly the batch; maintain folds only affected files and clears the sidecar") {
+    import org.apache.spark.sql.functions.col
+    import graft.etl.Layout
+    val rows: Seq[(String, Option[Long], String)] =
+      (for (l <- Seq("de", "en", "es", "fr"); i <- 0L until 100L)
+        yield (l, Some(i), s"$l-$i")) ++ Seq(("en", None, "null-0"))
+    val df = spark.createDataFrame(rows).toDF("lang", "k", "payload")
+    val cols = Seq("lang", "k")
+    val st = Layout.zStats(df, cols)
+    val out = java.nio.file.Files.createTempDirectory("zfgt").toString + "/t"
+    Layout.zOrderWrite(df, cols, out, bits = 8, numFiles = 4, stats = Some(st))
+    Layout.saveZStats(spark, out, cols, st)
+    Layout.manifestRefresh(spark, out, cols)
+    def liveFiles() = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val before = liveFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(before.size == 4)
+    def keyset(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getString(2))).toSet
+    val full = rows.toSet
+    val shrunk = rows.filterNot(r => r._2.exists(Set(5L, 6L))).toSet
+    // the forget is LOGICAL: a pure sidecar append, no data file moves
+    val resident = Layout.zOrderForget(spark, out, "k", Seq(5L, 6L))
+    assert(resident == 8L, s"four langs x two ks are resident, got $resident")
+    assert(liveFiles().map(f => f.getName -> f.lastModified()).toMap == before,
+      "zOrderForget must not touch any data file")
+    assert(keyset(spark.read.parquet(out).toDF("lang", "k", "payload")).map(identity) ==
+      full.map(t => (t._1, t._2, t._3)),
+      "a bare read still sees tombstoned rows (the documented contract)")
+    assert(keyset(Layout.readLayout(spark, out)) == shrunk,
+      "readLayout must hide exactly the batch — null-k rows survive the mask")
+    // readPruned applies the same mask on the pruned file set
+    assert(keyset(Layout.readPruned(spark, out,
+        Seq(Layout.Bound("lang", "de", "fr"), Layout.Bound("k", 0L, 99L)))) == shrunk,
+      "readPruned must mask tombstones too")
+    // repeat forget of tombstoned ids is a no-op; unseen ids count 0 resident
+    assert(Layout.zOrderForget(spark, out, "k", Seq(5L, 6L)) == 0L)
+    assert(Layout.zOrderForget(spark, out, "k", Seq(50000L)) == 0L,
+      "an id no file interval holds must count zero residents")
+    // the FOLD: maintain with no small files rewrites ONLY the files
+    // whose manifest interval holds a tombstoned id, drops their rows,
+    // clears the sidecar, and reconciles the manifest in place
+    val n = Layout.zOrderMaintain(spark, out, cols, st, bits = 8,
+      smallFileBytes = 1, targetFileBytes = 1L << 30)
+    assert(n >= 1 && n < 4, s"the fold must rewrite a strict subset, touched $n")
+    val after = liveFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(before.count { case (name, ts) => after.get(name).contains(ts) } == 4 - n,
+      "untouched files must not move in the fold")
+    assert(!new java.io.File(s"$out/_tombstones").exists(),
+      "the fold must clear the tombstone sidecar")
+    assert(keyset(spark.read.parquet(out).toDF("lang", "k", "payload")) == shrunk,
+      "after the fold a bare read equals the shrunk table — physical removal")
+    assert(keyset(Layout.readLayout(spark, out)) == shrunk,
+      "post-fold readLayout pays no mask and reads the same content")
+    assert(spark.read.parquet(s"$out/_manifest").count() == liveFiles().length,
+      "the fold must reconcile the manifest in place")
+    // steady state: no smalls, no tombstones -> no-op
+    assert(Layout.zOrderMaintain(spark, out, cols, st, bits = 8,
+      smallFileBytes = 1, targetFileBytes = 1L << 30) == 0)
+    // a maintain asked to fold WITHOUT a manifest must refuse loudly
+    val out2 = java.nio.file.Files.createTempDirectory("zfgt2").toString + "/t"
+    Layout.zOrderWrite(df, cols, out2, bits = 8, numFiles = 2, stats = Some(st))
+    Layout.zOrderForget(spark, out2, "k", Seq(1L))
+    val e = intercept[IllegalArgumentException] {
+      Layout.zOrderMaintain(spark, out2, cols, st, bits = 8)
+    }
+    assert(e.getMessage.contains("manifestRefresh"),
+      s"fold without a manifest must name the recovery step, got: ${e.getMessage}")
+  }
+
+  test("zOrderUpsert: MERGE rewrites only affected files; pure inserts append; upserted ids un-forget") {
+    import org.apache.spark.sql.functions.col
+    import graft.etl.Layout
+    val rows: Seq[(String, Long, String)] =
+      for (l <- Seq("de", "en", "es", "fr"); i <- 0L until 100L)
+        yield (l, i, s"$l-$i")
+    val df = spark.createDataFrame(rows).toDF("lang", "k", "payload")
+    val cols = Seq("lang", "k")
+    val st = Layout.zStats(df, cols)
+    val out = java.nio.file.Files.createTempDirectory("zups").toString + "/t"
+    Layout.zOrderWrite(df, cols, out, bits = 8, numFiles = 4, stats = Some(st))
+    Layout.saveZStats(spark, out, cols, st)
+    Layout.manifestRefresh(spark, out, cols)
+    def liveFiles() = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val before = liveFiles().map(f => f.getName -> f.lastModified()).toMap
+    def keyset() = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // mixed batch: k in {5, 6} updated (every lang's row of that id is
+    // superseded — replace-the-id semantics), two brand-new ids inserted
+    val batch = spark.createDataFrame(
+        (for (l <- Seq("de", "en", "es", "fr"); i <- Seq(5L, 6L))
+          yield (l, i, s"UPD-$l-$i")) ++
+        Seq(("xx", 200L, "NEW-200"), ("yy", 201L, "NEW-201")))
+      .toDF("lang", "k", "payload")
+    val (superseded, written, filesRw) =
+      Layout.zOrderUpsert(spark, out, cols, st, "k", batch, bits = 8)
+    assert(superseded == 8L, s"4 langs x 2 updated ids, got $superseded")
+    assert(written == 10L, s"8 updates + 2 inserts, got $written")
+    assert(filesRw >= 1 && filesRw < 4,
+      s"the manifest must keep untouched files out of the MERGE, rewrote $filesRw")
+    val after = liveFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(before.count { case (n2, ts) => after.get(n2).contains(ts) } == 4 - filesRw,
+      "exactly the affected files may move")
+    val expect = rows.filterNot(r => Set(5L, 6L)(r._2)).toSet ++
+      batch.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(keyset() == expect, "MERGE = anti-join old ids, union batch")
+    assert(spark.read.parquet(s"$out/_manifest").count() == liveFiles().length,
+      "upsert must reconcile the manifest in place")
+    // pure insert: no file interval can hold the batch ids -> append
+    // path, zero rewrites, content grows by the batch
+    val ins = spark.createDataFrame(Seq(("zz", 300L, "NEW-300")))
+      .toDF("lang", "k", "payload")
+    val (s2, w2, f2) = Layout.zOrderUpsert(spark, out, cols, st, "k", ins, bits = 8)
+    assert((s2, w2, f2) == ((0L, 1L, 0)), s"pure insert must append, got ($s2,$w2,$f2)")
+    assert(keyset() == expect + (("zz", 300L, "NEW-300")))
+    // un-forget: a tombstoned id the batch re-ingests must be live again
+    assert(Layout.zOrderForget(spark, out, "k", Seq(10L, 11L)) == 8L)
+    assert(Layout.readLayout(spark, out).where(col("k").isin(10L, 11L)).isEmpty,
+      "forgotten ids must be masked")
+    val rev = spark.createDataFrame(Seq(("en", 10L, "REVIVED-10")))
+      .toDF("lang", "k", "payload")
+    Layout.zOrderUpsert(spark, out, cols, st, "k", rev, bits = 8)
+    val vis = Layout.readLayout(spark, out).where(col("k") === 10L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(vis == Set(("en", 10L, "REVIVED-10")),
+      "the upserted id must leave the tombstone mask; id 11 stays masked")
+    assert(Layout.readLayout(spark, out).where(col("k") === 11L).isEmpty,
+      "non-upserted tombstoned ids stay masked")
+    // null ids are refused — MERGE is keyed
+    val nullBatch = spark.createDataFrame(
+        Seq(("en", Some(1L), "x"), ("en", Option.empty[Long], "y")))
+      .toDF("lang", "k", "payload")
+    val e = intercept[IllegalArgumentException] {
+      Layout.zOrderUpsert(spark, out, cols, st, "k", nullBatch, bits = 8)
+    }
+    assert(e.getMessage.contains("null ids"))
+  }
+
+  test("manifest completeness guard: files landed after the last reconcile make targeted mutations refuse") {
+    import org.apache.spark.sql.functions.col
+    import graft.etl.Layout
+    val rows: Seq[(String, Long, String)] =
+      for (l <- Seq("en", "fr"); i <- 0L until 50L) yield (l, i, s"$l-$i")
+    val df = spark.createDataFrame(rows).toDF("lang", "k", "payload")
+    val cols = Seq("lang", "k")
+    val st = Layout.zStats(df, cols)
+    val out = java.nio.file.Files.createTempDirectory("zgrd").toString + "/t"
+    Layout.zOrderWrite(df, cols, out, bits = 8, numFiles = 2, stats = Some(st))
+    Layout.manifestRefresh(spark, out, cols)
+    // a file the manifest has never seen: landed by append, no reconcile
+    Layout.zOrderAppend(
+      spark.createDataFrame(Seq(("en", 7L, "late-7"))).toDF("lang", "k", "payload"),
+      cols, out, st, bits = 8)
+    val eDel = intercept[IllegalArgumentException] {
+      Layout.zOrderDelete(spark, out, cols, st, "k", Seq(7L), bits = 8)
+    }
+    assert(eDel.getMessage.contains("manifestUpdate"),
+      s"zOrderDelete over an incomplete manifest could leave ids alive while " +
+      s"reporting success — must refuse, got: ${eDel.getMessage}")
+    val eUps = intercept[IllegalArgumentException] {
+      Layout.zOrderUpsert(spark, out, cols, st, "k",
+        spark.createDataFrame(Seq(("en", 7L, "u"))).toDF("lang", "k", "payload"),
+        bits = 8)
+    }
+    assert(eUps.getMessage.contains("manifestUpdate"))
+    // forget still works (the mask needs no manifest; the residency count
+    // falls back to a full pushed-filter scan) — but the FOLD refuses
+    assert(Layout.zOrderForget(spark, out, "k", Seq(7L)) == 3L,
+      "two resident rows + the unreconciled late file's row")
+    val eFold = intercept[IllegalArgumentException] {
+      Layout.zOrderMaintain(spark, out, cols, st, bits = 8,
+        smallFileBytes = 1, targetFileBytes = 1L << 30)
+    }
+    assert(eFold.getMessage.contains("manifestUpdate"))
+    // after the reconcile every op proceeds
+    Layout.manifestUpdate(spark, out, cols)
+    assert(Layout.zOrderMaintain(spark, out, cols, st, bits = 8,
+      smallFileBytes = 1, targetFileBytes = 1L << 30) >= 1)
+    assert(spark.read.parquet(out).where(col("k") === 7L).count() == 0,
+      "the fold must shed every row of the forgotten id, late file included")
+  }
+
+  test("manifest null counts make null-seeking pruning lossless") {
+    import org.apache.spark.sql.functions.col
+    import graft.etl.Layout
+    val rows: Seq[(String, Option[Long], String)] =
+      (for (l <- Seq("en", "fr"); i <- 0L until 100L)
+        yield (l, Some(i), s"$l-$i")) ++
+      Seq(("en", None, "n0"), ("fr", None, "n1"), ("en", None, "n2"))
+    val df = spark.createDataFrame(rows).toDF("lang", "k", "payload")
+    val cols = Seq("lang", "k")
+    val st = Layout.zStats(df, cols)
+    val out = java.nio.file.Files.createTempDirectory("znul").toString + "/t"
+    Layout.zOrderWrite(df, cols, out, bits = 8, numFiles = 4, stats = Some(st))
+    Layout.manifestRefresh(spark, out, cols)
+    // null k encodes to cell 0, so the null rows cluster at the curve's
+    // low end: the null-seeking file list is a strict subset
+    val nf = Layout.prunedFiles(spark, out, Nil, nullCols = Seq("k"))
+    assert(nf.nonEmpty && nf.length < 4,
+      s"null-seeking pruning must keep a strict subset, kept ${nf.length}/4")
+    assert(Layout.readPruned(spark, out, Nil, nullCols = Seq("k"))
+        .where(col("k").isNull).count() == 3,
+      "null-seeking pruning must be lossless — every IS NULL row survives")
+    // range bounds still prune files whose tracked column is all-null
+    // away (no BETWEEN matches a NULL) — unchanged semantics
+    assert(Layout.readPruned(spark, out,
+        Seq(Layout.Bound("k", 0L, 99L))).where(col("k").between(0L, 99L))
+        .count() == 200)
+  }
+
+  test("Profile: timestamp and date columns profile as epoch micros / days") {
+    import org.apache.spark.sql.functions.col
+    val ts = (secs: Long) => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(secs))
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val rows = Seq(
+      (ts(1000L), d("2026-01-01")),
+      (ts(2000L), d("2026-03-01")),
+      (ts(2000L), d("2026-01-01")),
+      (null.asInstanceOf[java.sql.Timestamp], d("2026-02-01")))
+    val df = spark.createDataFrame(rows).toDF("ts", "day")
+    val p = graft.etl.Profile.profile(df, Seq("ts", "day")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val tsRow = p("ts")
+    assert(tsRow.getLong(1) == 4L && tsRow.getLong(2) == 1L && tsRow.getLong(3) == 2L,
+      "ts: 4 rows, 1 null, 2 distinct")
+    assert(tsRow.getDouble(4) == 1000e6 && tsRow.getDouble(5) == 2000e6,
+      s"ts range must be epoch micros, got ${tsRow.getDouble(4)}..${tsRow.getDouble(5)}")
+    val dayRow = p("day")
+    val epochDay = (s: String) => java.time.LocalDate.parse(s).toEpochDay.toDouble
+    assert(dayRow.getDouble(4) == epochDay("2026-01-01")
+        && dayRow.getDouble(5) == epochDay("2026-03-01"),
+      "date range must be epoch days")
+    // the sketch/merge path takes the same epoch-integral image: two
+    // slices merge to the whole-table profile exactly on counts/ranges
+    val parts = Seq(df.where(col("day") <= lit(d("2026-01-31"))),
+        df.where(col("day") > lit(d("2026-01-31"))))
+      .map(s => graft.etl.Profile.profileSketch(s, Seq("ts", "day")))
+      .reduce(_.unionByName(_))
+    val m = graft.etl.Profile.profileMerge(parts).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("ts").getDouble(m("ts").fieldIndex("min_num")) == 1000e6
+        && m("ts").getDouble(m("ts").fieldIndex("max_num")) == 2000e6,
+      "merged ts range must equal the one-pass range")
+  }
+
   test("Layout.zValue interleaves bits exactly; zOrderWrite is a lossless reorder") {
     import org.apache.spark.sql.functions.col
     // bits = 2, two columns scaled over [0, 4): cell = value itself for
@@ -1727,9 +1974,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p2 = java.nio.file.Files.createTempDirectory("didx_ref2").toString
     Dedup.dedupIndexWrite(ref.where(col("doc_id") % 2 =!= 0), "didx_ref2", p2,
       numBuckets = 4, bands = 8)
-    val survivors = key(Dedup.crossCorpusNearDupIndexed(batch, "didx_ref2"))
-    assert(key(Dedup.crossCorpusNearDupIndexed(batch, "didx_frag")) == survivors,
+    val survivors = key(Dedup.crossCorpusNearDupIndexed(batch, "didx_frag"))
+    assert(survivors == key(Dedup.crossCorpusNearDupIndexed(batch, "didx_ref2")),
       "a deleted-from index must probe exactly like one rebuilt on the survivors")
+    // with tombstones resident the probe pays the broadcast anti-join ...
+    assert(Dedup.crossCorpusNearDupIndexed(batch, "didx_frag")
+        .queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "a tombstoned index's probe must carry the anti-join mask")
     // deleting absent ids is a no-op; re-deleting tombstoned ids too
     assert(Dedup.dedupIndexDelete(
       spark.createDataFrame(Seq(Tuple1(9999L))).toDF("doc_id"), "didx_frag") == 0L)
@@ -1744,6 +1995,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "compact must clear the folded tombstones")
     assert(key(Dedup.crossCorpusNearDupIndexed(batch, "didx_frag")) == survivors,
       "physical forgetting must probe identically to logical forgetting")
+    // ... and the post-compaction steady state pays NOTHING: the empty
+    // tombstone set skips the anti-join at plan time, it does not run
+    // an always-true mask forever
+    assert(!Dedup.crossCorpusNearDupIndexed(batch, "didx_frag")
+        .queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "an empty tombstone set must skip the anti-join entirely")
   }
 
   test("Layout.zValue is monotone under coordinate dominance (exhaustive 16x16 grid)") {
