@@ -145,6 +145,51 @@ object LayoutBench {
       val wUpd3 = (System.nanoTime() - t0) / 1e9
       println(f"[lifecycle x$mult] forget: dropped $dropped%d rows, rewrote $rewritten%d/${live().length}%d files   wall $wDel%6.2f s   manifest reconcile $wUpd3%5.2f s")
       needle(spark.read.parquet(lp), "forgotten")
+      // ---- Θ(batch) LOGICAL forgetting (zOrderForget): the same
+      // per-user takedown shape, but the batch lands in the _tombstones
+      // sidecar and reads mask it — nothing table-proportional moves at
+      // forget time; the next maintain folds the rows out physically.
+      // The three walls to compare: physical delete above, the logical
+      // forget here, and the fold (amortized into maintenance).
+      t0 = System.nanoTime()
+      val masked = Layout.zOrderForget(spark, lp, "user_id",
+        Seq(703L, 704L, 705L))
+      val wFgt = (System.nanoTime() - t0) / 1e9
+      println(f"[lifecycle x$mult] forget-tomb: masked $masked%d rows   wall $wFgt%6.2f s   (vs physical $wDel%6.2f s)")
+      needle(Layout.readLayout(spark, lp), "fgt-mask")
+      t0 = System.nanoTime()
+      val folded = Layout.zOrderMaintain(spark, lp, zc, st,
+        smallFileBytes = 1, targetFileBytes = residentMin.max(2L))
+      val wFold = (System.nanoTime() - t0) / 1e9
+      println(f"[lifecycle x$mult] forget-fold: rewrote $folded%d files   wall $wFold%6.2f s   tombstones cleared")
+      needle(spark.read.parquet(lp), "fgt-folded")
+      // ---- MERGE (zOrderUpsert): one user's history re-scored in ONE
+      // swap + ONE reconcile, vs the delete-then-append two-pass. Both
+      // batches stage to a scratch parquet first so their lineage never
+      // reads files the mutation is about to rename away.
+      val scratch = s"$out/upsert_batch.parquet"
+      spark.read.parquet(lp).where(col("user_id") === 720L)
+        .withColumn("value", col("value") * 1.01)
+        .write.mode("overwrite").parquet(scratch)
+      val batch1 = spark.read.parquet(scratch)
+      t0 = System.nanoTime()
+      val (sup, wrote, rw) = Layout.zOrderUpsert(spark, lp, zc, st,
+        "user_id", batch1)
+      val wUps = (System.nanoTime() - t0) / 1e9
+      println(f"[lifecycle x$mult] upsert: superseded $sup%d rows, wrote $wrote%d, rewrote $rw%d files   wall $wUps%6.2f s")
+      val scratch2 = s"$out/upsert_batch2.parquet"
+      spark.read.parquet(lp).where(col("user_id") === 721L)
+        .withColumn("value", col("value") * 1.01)
+        .write.mode("overwrite").parquet(scratch2)
+      val batch2 = spark.read.parquet(scratch2)
+      t0 = System.nanoTime()
+      Layout.zOrderDelete(spark, lp, zc, st, "user_id", Seq(721L))
+      Layout.zOrderAppend(batch2, zc, lp, st)
+      Layout.manifestUpdate(spark, lp, zc)
+      val wDelApp = (System.nanoTime() - t0) / 1e9
+      println(f"[lifecycle x$mult] upsert comparator (delete-then-append): wall $wDelApp%6.2f s   (two swaps + reconcile)")
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch2), true)
       spark.stop(); return
     }
 

@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampNTZType, TimestampType}
 
 /** One-pass column profiling — the schema-drift / data-quality sweep a
   * training-data pipeline runs on every ingested drop before anything
@@ -47,6 +47,10 @@ object Profile {
         case StringType     => (c, col(c), false, true)
         case _: NumericType => (c, col(c), true, false)
         case TimestampType  => (c, unix_micros(col(c)), true, false)
+        // NTZ (what parquet timestamps without tz metadata read as):
+        // interpret in the session zone — run profiling under UTC, the
+        // Tables.eventsNs contract, so the image equals DuckDB's epoch
+        case TimestampNTZType => (c, unix_micros(col(c).cast(TimestampType)), true, false)
         case DateType       => (c, unix_date(col(c)), true, false)
         case other          => throw new IllegalArgumentException(
           s"profile: column $c has unsupported type $other — profile " +
@@ -132,6 +136,7 @@ object Profile {
         case StringType => (c, col(c), false, true)
         case ByteType | ShortType | IntegerType | LongType => (c, col(c), true, false)
         case TimestampType => (c, unix_micros(col(c)), true, false)
+        case TimestampNTZType => (c, unix_micros(col(c).cast(TimestampType)), true, false)
         case DateType => (c, unix_date(col(c)), true, false)
         case other => throw new IllegalArgumentException(
           s"profileSketch: column $c has type $other — HLL sketches take " +

@@ -201,6 +201,87 @@ object EtlQueries {
       p
     })
 
+  /** One LOGICALLY-forgotten z-ordered documents copy per sf dir per
+    * JVM — the Θ(batch) twin of the zorder_forget fixture: the same
+    * takedown batch lands in the `_tombstones` sidecar through
+    * [[graft.etl.Layout.zOrderForget]] (one batch-sized file written;
+    * zero data files move — the dedupIndexDelete design on base data)
+    * and every read through [[graft.etl.Layout.readLayout]] masks it.
+    * The gate's oracle is the SAME shrunk table: logical deletion must
+    * be indistinguishable from never having written the batch. */
+  private val zorderForgetTombDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderForgetTombDocsFor(spark: SparkSession, dir: String): String =
+    zorderForgetTombDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_zorder_ftb_").toString
+      val docs = Tables.documents(spark, d)
+      val zc = Seq("lang", "doc_id")
+      val st = graft.etl.Layout.zStats(docs, zc)
+      graft.etl.Layout.zOrderWrite(docs, zc, p, stats = Some(st))
+      graft.etl.Layout.saveZStats(spark, p, zc, st)
+      graft.etl.Layout.manifestRefresh(spark, p, zc)
+      val batch = docs.where(col("doc_id") % 97 === 13)
+        .select("doc_id").collect().map(_.getLong(0)).toIndexedSeq
+      graft.etl.Layout.zOrderForget(spark, p, "doc_id", batch)
+      p
+    })
+
+  /** The PHYSICAL half of tombstone forgetting, re-checked AFTER the
+    * fold (the cross_corpus_dedup_forget_compact discipline): a
+    * snapshot + three appends (so maintenance has genuine small files
+    * to compact), the takedown batch tombstoned, then
+    * [[graft.etl.Layout.zOrderMaintain]] folds the tombstones into the
+    * compaction rewrite it already pays and clears the sidecar. The
+    * gate reads the layout BARE — no mask — so it proves the rows are
+    * physically gone, not merely hidden. */
+  private val zorderForgetFoldDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderForgetFoldDocsFor(spark: SparkSession, dir: String): String =
+    zorderForgetFoldDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_zorder_ffd_").toString
+      val docs = Tables.documents(spark, d)
+      val zc = Seq("lang", "doc_id")
+      val snap = docs.where(col("doc_id") % 4 === 0)
+      val st = graft.etl.Layout.zStats(snap, zc)
+      graft.etl.Layout.zOrderWrite(snap, zc, p, stats = Some(st))
+      graft.etl.Layout.saveZStats(spark, p, zc, st)
+      graft.etl.Layout.manifestRefresh(spark, p, zc)
+      for (r <- 1 to 3)
+        graft.etl.Layout.zOrderAppend(docs.where(col("doc_id") % 4 === r),
+          zc, p, st)
+      graft.etl.Layout.manifestUpdate(spark, p, zc)
+      val batch = docs.where(col("doc_id") % 97 === 13)
+        .select("doc_id").collect().map(_.getLong(0)).toIndexedSeq
+      graft.etl.Layout.zOrderForget(spark, p, "doc_id", batch)
+      graft.etl.Layout.zOrderMaintain(spark, p, zc, st)
+      p
+    })
+
+  /** One MERGED (upserted) z-ordered documents copy per sf dir per JVM
+    * ([[graft.etl.Layout.zOrderUpsert]]): a batch of re-scored rows
+    * (doc_id ≡ 7 mod 89, n_chars bumped — the daily quality-rescore
+    * shape) plus brand-new rows (ids offset past the corpus) merged in
+    * ONE staged swap — the manifest names the affected files, their
+    * survivors + the whole batch re-curve-order together, untouched
+    * files never open. The oracle is the merged table (anti-join the
+    * updated ids, union the batch) computed by DuckDB from scratch. */
+  private val zorderUpsertDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderUpsertDocsFor(spark: SparkSession, dir: String): String =
+    zorderUpsertDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_zorder_ups_").toString
+      val docs = Tables.documents(spark, d)
+      val zc = Seq("lang", "doc_id")
+      val st = graft.etl.Layout.zStats(docs, zc)
+      graft.etl.Layout.zOrderWrite(docs, zc, p, stats = Some(st))
+      graft.etl.Layout.saveZStats(spark, p, zc, st)
+      graft.etl.Layout.manifestRefresh(spark, p, zc)
+      val upd = docs.where(col("doc_id") % 89 === 7)
+        .withColumn("n_chars", (col("n_chars") + 1000).cast("long"))
+      val ins = docs.where(col("doc_id") % 101 === 5)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      graft.etl.Layout.zOrderUpsert(spark, p, zc, st, "doc_id",
+        upd.unionByName(ins))
+      p
+    })
+
   /** The ONE losslessness statement every z-layout gate makes: a
     * language-sliced id-range rollup over the rewritten / grown /
     * maintained / pruned / forgotten layout must hash-match the oracle
@@ -222,6 +303,16 @@ object EtlQueries {
        |FROM documents WHERE lang IN ('en','es') AND doc_id BETWEEN 100 AND 5000$extraWhere
        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  /** The zorder_upsert gate's statement needs the WHOLE table (inserted
+    * ids sit past the corpus range, a slice would never see them): the
+    * same rollup shape, unsliced. */
+  private def docsFullRollup(df: DataFrame): DataFrame =
+    df.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang", "source")
+
   val entries: Seq[Entry] = Seq(
     Entry("zorder_forget",
       // RIGHT-TO-BE-FORGOTTEN on the base layout (etl.Layout
@@ -233,6 +324,83 @@ object EtlQueries {
       (spark, dir) => docsSliceRollup(
         spark.read.parquet(zorderForgetDocsFor(spark, dir))),
       Some(docsSliceRollupSql(" AND doc_id % 97 <> 13"))),
+
+    Entry("zorder_forget_tomb",
+      // Θ(batch) LOGICAL forgetting on the base layout (etl.Layout
+      // .zOrderForget + readLayout): the takedown batch lands in the
+      // _tombstones sidecar — one batch-sized file, zero data files
+      // rewritten, the dedupIndexDelete design applied to base data —
+      // and the masked read must hash-match the SAME shrunk-table
+      // oracle as the physical path: deletion ≡ never written, whether
+      // the rows moved or not.
+      (spark, dir) => docsSliceRollup(graft.etl.Layout.readLayout(
+        spark, zorderForgetTombDocsFor(spark, dir))),
+      Some(docsSliceRollupSql(" AND doc_id % 97 <> 13"))),
+
+    Entry("zorder_forget_tomb_compact",
+      // the PHYSICAL half, re-checked AFTER the maintain fold (the
+      // cross_corpus_dedup_forget_compact discipline): tombstones folded
+      // into the compaction rewrite maintenance already pays, sidecar
+      // cleared, and the layout read BARE — no mask — must still match
+      // the shrunk oracle, proving the rows are gone, not hidden.
+      (spark, dir) => docsSliceRollup(
+        spark.read.parquet(zorderForgetFoldDocsFor(spark, dir))),
+      Some(docsSliceRollupSql(" AND doc_id % 97 <> 13"))),
+
+    Entry("zorder_upsert",
+      // MERGE on the z-layout (etl.Layout.zOrderUpsert): re-scored rows
+      // supersede their ids and new rows insert in ONE staged swap +
+      // ONE manifest reconcile (vs the delete-then-append two-pass).
+      // The full-table rollup over the upserted layout must hash-match
+      // DuckDB computing the merge from scratch: anti-join the updated
+      // ids, union the batch.
+      (spark, dir) => docsFullRollup(
+        spark.read.parquet(zorderUpsertDocsFor(spark, dir))),
+      Some("""WITH batch AS (
+        |  SELECT doc_id, text, lang, source, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id % 89 = 7
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 101 = 5
+        |), merged AS (
+        |  SELECT * FROM documents WHERE doc_id % 89 <> 7
+        |  UNION ALL SELECT * FROM batch
+        |)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM merged GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
+    Entry("table_profile_ts",
+      // datetime profiling (etl.Profile over events.ts): timestamp
+      // columns enter the numeric slot as epoch MICROSECONDS (min/max
+      // taken over the monotone image — identical to converting the
+      // typed extremes; micros sit at ~1.7e15, exact in a double), so
+      // the most natural drift column a pipeline watches profiles
+      // without a manual cast. Same one-wide-aggregation shape as
+      // table_profile.
+      (spark, dir) => graft.etl.Profile.profile(
+          Tables.table(spark, dir, "events"),
+          Seq("event_id", "event_type", "ts", "user_id"))
+        .orderBy("column"),
+      Some("""WITH p AS (
+        |  SELECT 'event_id' AS "column", count(*) AS n_rows,
+        |    count(*) - count(event_id) AS n_nulls,
+        |    count(DISTINCT event_id) AS n_distinct,
+        |    CAST(min(event_id) AS DOUBLE) AS min_num,
+        |    CAST(max(event_id) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM events
+        |  UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type),
+        |    count(DISTINCT event_type), NULL, NULL, min(event_type), max(event_type)
+        |  FROM events
+        |  UNION ALL SELECT 'ts', count(*), count(*) - count(ts),
+        |    count(DISTINCT ts), CAST(epoch_ns(min(ts)) // 1000 AS DOUBLE),
+        |    CAST(epoch_ns(max(ts)) // 1000 AS DOUBLE), NULL, NULL FROM events
+        |  UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id),
+        |    count(DISTINCT user_id), CAST(min(user_id) AS DOUBLE),
+        |    CAST(max(user_id) AS DOUBLE), NULL, NULL FROM events
+        |) SELECT * FROM p ORDER BY "column"""".stripMargin)),
 
     Entry("table_profile",
       // ONE-PASS column profiling (etl.Profile): every per-column stat —
