@@ -938,4 +938,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "manifest pruning over the maintained streamed layout must stay lossless")
     } finally q.stop()
   }
+
+  test("streaming z-order sink folds externally-landed tombstones at its maintenance slot") {
+    import org.apache.spark.sql.functions.col
+    // a zOrderForget arriving BETWEEN micro-batches (a takedown hitting a
+    // live ingestion layout) must (a) mask immediately for readLayout
+    // consumers and (b) fold physically at the sink's next maintainEvery
+    // slot — the self-maintaining stream inherits Θ(batch) forgetting
+    // with no extra machinery, because the sink reconciles the manifest
+    // per batch so the fold's completeness guard always holds.
+    val rows = for (l <- Seq("en", "fr"); i <- 0L until 40L) yield (l, i, s"$l-$i")
+    val df = spark.createDataFrame(rows).toDF("lang", "k", "payload")
+    val zc = Seq("lang", "k")
+    val snap = df.where(col("k") < 20)
+    val st = graft.etl.Layout.zStats(snap, zc)
+    val out = java.nio.file.Files.createTempDirectory("zsinkfgt").toString + "/t"
+    graft.etl.Layout.zOrderWrite(snap, zc, out, bits = 8, numFiles = 1,
+      stats = Some(st))
+    graft.etl.Layout.saveZStats(spark, out, zc, st)
+    graft.etl.Layout.manifestRefresh(spark, out, zc)
+    implicit val enc = Encoders.product[(String, Long, String)]
+    val ms = MemoryStream[(String, Long, String)](spark)
+    val q = StreamingOps.zOrderSinkStream(
+      ms.toDF().toDF("lang", "k", "payload"), out, tmpCheckpoint(),
+      maintainEvery = 2)
+    try {
+      val inc = rows.filter(_._2 >= 20)
+      val (b1, rest) = inc.splitAt(15)
+      val (b2, b3) = rest.splitAt(15)
+      ms.addData(b1); q.processAllAvailable()
+      // the takedown lands between batches: id 3 (both langs resident in
+      // the snapshot) and id 25 (only en-25 streamed so far — fr-25
+      // arrives AFTER the forget and is masked by id too: tombstones
+      // suppress the id until folded; re-ingesting a forgotten id is
+      // zOrderUpsert's un-forget contract, not a plain append)
+      assert(graft.etl.Layout.zOrderForget(spark, out, "k", Seq(3L, 25L)) == 3L,
+        "en-3, fr-3 and en-25 are resident at forget time")
+      def keyset(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      val expect = (snap.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getString(2))).toSet ++ b1 ++ b2 ++ b3)
+        .filterNot(t => Set(3L, 25L)(t._2))
+      ms.addData(b2); q.processAllAvailable()
+      assert(!keyset(graft.etl.Layout.readLayout(spark, out)).exists(t => Set(3L, 25L)(t._2)),
+        "the mask must hide the batch while the stream keeps landing")
+      // batch 2 crosses maintainEvery=2: the fold runs inside the same
+      // serialized foreachBatch slot — tombstones drop physically
+      ms.addData(b3); q.processAllAvailable()
+      assert(!new java.io.File(s"$out/_tombstones").exists(),
+        "the maintenance slot must fold and clear the tombstones")
+      assert(keyset(spark.read.parquet(out)) == expect,
+        "a BARE read after the fold must equal the shrunk content — physically gone")
+    } finally q.stop()
+  }
 }
