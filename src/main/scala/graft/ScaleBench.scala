@@ -332,6 +332,18 @@ object ScaleBench {
         spark.table(s"${prefix}_tombstones").groupBy()
           .agg(count(lit(1)).as("tombstones_left"))
       }),
+      // the POST-COMPACTION steady state (r18): the probe re-run with
+      // the tombstone table EMPTY — since the empty-set skip, the plan
+      // carries no anti-join at all (pinned in PipelineSpec), so this
+      // wall must read ≈ cross_corpus_indexed's clean probe, NOT
+      // ccidx_probe_tombstoned's ~15–17%-taxed one. Run AFTER
+      // ccidx_compact_fold.
+      "ccidx_probe_postcompact" -> ((spark: SparkSession, dir: String) => {
+        val docs = Tables.documents(spark, dir)
+        val prefix = "scale_ccidx_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.pipeline.Dedup.crossCorpusNearDupIndexed(
+          docs.where(pmod(col("doc_id"), lit(1000)) === 1), prefix)
+      }),
       // the PERSISTED cross-corpus dedup index in its OPERATIONAL shape:
       // a 0.1% daily batch (doc_id ≡ 1 mod 1000) probed against the
       // 99.9% reference — the direct path must re-sign and re-shuffle

@@ -152,7 +152,13 @@ object Layout {
     * so footer-stat skipping still prunes within every set; what
     * accumulates is files per curve tile, not lost selectivity —
     * re-cluster with a fresh [[zOrderWrite]] when file counts decay
-    * reads (the ivfPqCompact posture). */
+    * reads (the ivfPqCompact posture).
+    *
+    * Forget interplay: tombstones mask by ID, so rows of a
+    * [[zOrderForget]]-forgotten id appended here stay masked — and the
+    * next maintenance fold drops them physically. Re-ingesting a
+    * forgotten id is [[zOrderUpsert]]'s contract (it un-forgets the
+    * batch ids), not a plain append. */
   def zOrderAppend(df: DataFrame, zCols: Seq[String], path: String,
                    stats: ZStats, bits: Int = 16, numFiles: Int = 0): Unit =
     zOrderedFrame(df, zCols, bits, numFiles, Some(stats))
