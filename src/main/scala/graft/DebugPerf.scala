@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scratch perf isolation for round work (not part of the contract). */
@@ -11,38 +12,39 @@ object DebugPerf {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def noop(df: org.apache.spark.sql.DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); 0L
+    }
     def timed(what: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"[perf] $what%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      println(f"[perf] $what%-48s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
-    val docs = Tables.documents(spark, sfDir)
-    docs.count()
-    timed("where(repetitionKeep).count")(
-      docs.where(graft.pipeline.Repetition.repetitionKeep(col("text"))).count())
-    timed("select keep flag count")(
-      docs.select(graft.pipeline.Repetition.repetitionKeep(col("text")).as("k"))
-        .where(col("k")).count())
-    timed("distinctRatio only filter")(
-      docs.where(graft.pipeline.Repetition.distinctRatio(col("text")) > 0.2).count())
-    timed("topTokenRatio only filter")(
-      docs.where(graft.pipeline.Repetition.topTokenRatio(col("text")) < 0.3).count())
-    timed("dup2 only filter")(
-      docs.where(coalesce(graft.pipeline.Repetition.dupNgramRatio(col("text"), 2), lit(0.0)) < 0.5).count())
-    timed("bigram topK")(
-      graft.pipeline.Vocab.ngramTopK(docs, 2, 100, exactDocFreq = true).count())
-    timed("packText alone")(
-      graft.pipeline.Packing.packText(docs, 512, 8).count())
-    timed("packText on pre-filtered")(
-      graft.pipeline.Packing.packText(
-        docs.where(graft.pipeline.Repetition.repetitionKeep(col("text"))), 512, 8).count())
-    // does .count() prune projection work? compare against full materialization
-    val sma = SparkEntry.queries("sma_20")
-    timed("sma_20 .count()")(sma(spark, sfDir).count())
-    timed("sma_20 toRdd.count()")(sma(spark, sfDir).queryExecution.toRdd.count())
-    val rep = SparkEntry.queries("repetition_stats")
-    timed("repetition_stats .count()")(rep(spark, sfDir).count())
-    timed("repetition_stats toRdd.count()")(rep(spark, sfDir).queryExecution.toRdd.count())
+    // per-job wall listener
+    val jobT = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobT.put(js.jobId, System.nanoTime())
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = jobT.remove(je.jobId)
+        if (t0 != 0L)
+          println(f"[job] ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+    })
+    val bars = Tables.bars(spark, sfDir)
+    bars.count()
+    noop(bars.limit(64).select(col("symbol")))
+    val q = SparkEntry.queries("cdlengulfing")
+    // planning cost alone
+    timed("cdlengulfing plan only") {
+      q(spark, sfDir).queryExecution.executedPlan; 0L
+    }
+    timed("cdlengulfing run 1")(noop(q(spark, sfDir)))
+    timed("cdlengulfing run 2")(noop(q(spark, sfDir)))
+    timed("cdlengulfing run 3")(noop(q(spark, sfDir)))
+    val q2 = SparkEntry.queries("sma_20")
+    timed("sma_20 run 1")(noop(q2(spark, sfDir)))
+    timed("sma_20 run 2")(noop(q2(spark, sfDir)))
     spark.stop()
   }
 }

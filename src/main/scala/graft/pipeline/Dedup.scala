@@ -95,13 +95,31 @@ object Dedup {
   private[graft] def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
-  /** Word k-shingles of the normalized text. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val words = tokens(text)
+  /** Word k-shingles of the normalized text.
+    *
+    * Built from k shifted SLICES zipped together, NOT a per-position
+    * `slice(words, i + 1, k)` lambda — the same O(tokens²) trap
+    * documented (and fixed the same way) on [[Repetition.ngrams]]:
+    * Catalyst does no common-subexpression elimination inside
+    * higher-order-function lambdas, so when `words` is an expression (a
+    * regex split), the per-position slice form re-ran the ENTIRE
+    * tokenization for every gram position — measured 4.3 s for a
+    * 5 000-doc × ~52-gram corpus vs 0.2 s for the split itself (r18).
+    * The slice form evaluates `words` O(k) times per ROW; the zip
+    * lambdas only touch their bound element variables. Output strings
+    * are identical by construction (same windows, same single-space
+    * join). */
+  def shingles(text: Column, k: Int = 3): Column = shinglesOfTokens(tokens(text), k)
+
+  /** [[shingles]] over an already-tokenized array column — for callers
+    * that stage the token array as an attribute (spanRewrite) so the
+    * slices below are O(k) array reads, not re-tokenizations. */
+  private[graft] def shinglesOfTokens(words: Column, k: Int): Column =
     when(size(words) < k, array(concat_ws(" ", words)))
-      .otherwise(transform(sequence(lit(0), size(words) - k),
-        i => concat_ws(" ", slice(words, i + 1, lit(k)))))
-  }
+      .otherwise({
+        val parts = (0 until k).map(j => slice(words, lit(j + 1), size(words) - (k - 1)))
+        parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+      })
 
   /** (id, sig: array<long>[numPerms]) minhash signatures via a native
     * expression — computed entirely inside the scan stage (map-side only;
@@ -1529,8 +1547,16 @@ object Dedup {
     // 100 TB win
     val singleton = singletonDominated(docs,
       graft.functions.TextHashes.shingleFps(tokens(col(textCol)), k))
-    def freq = frequentSpans(docs, textCol, idCol, k, minDocs,
-      fpPrefilter = singleton)
+    // persist the detection result across the regime probe and the
+    // (possible) join-leg reuse: without it the overflow branch
+    // recomputed the WHOLE detection aggregation a second time inside
+    // spanRewriteJoin's broadcast build (the collect below and the join
+    // plan are separate actions, so nothing else shares their shuffle).
+    // The frame is bounded by totalSpans/minDocs — the frequentSpans
+    // broadcast bound — so caching it is batch-scale, and the literal
+    // leg drops the handle as soon as the set moves into the driver.
+    val freq = guardedPersist(frequentSpans(docs, textCol, idCol, k, minDocs,
+      fpPrefilter = singleton))
     val freqRows = freq.select("gram").limit(maxLiteralSpans + 1).collect()
     if (freqRows.length <= maxLiteralSpans)
       // the rewrite scan dispatches on the SAME cached regime verdict: a
@@ -1538,8 +1564,13 @@ object Dedup {
       // builds a gram string on fp hits (rare there by definition); a
       // repeated-vocabulary corpus would fp-hit on most positions, so
       // the one-pass string probe is the cheaper plan
-      spanRewrite(docs, freqRows.map(_.getString(0)).toSeq, textCol, idCol, k,
-        fpShortCircuit = fpRewrite.getOrElse(singleton))
+      {
+        // the set now lives in the driver literal — the cached detection
+        // frame has no further reader
+        freq.unpersist(blocking = false)
+        spanRewrite(docs, freqRows.map(_.getString(0)).toSeq, textCol, idCol, k,
+          fpShortCircuit = fpRewrite.getOrElse(singleton))
+      }
     else
       // set-size regime dispatch, not a capacity refusal: past the
       // literal bound (a repetition-dominated corpus, or a 100 TB one
@@ -1605,14 +1636,25 @@ object Dedup {
       freqGrams.iterator.map(UTF8String.fromString).toSet
     def isFreq(g: Column): Column =
       GraftBridge.column(InSet(GraftBridge.expression(g), hset))
+    // stage the token array as a REAL column first, so every reference
+    // below — and in particular the slices inside the transform lambdas,
+    // which Catalyst never CSEs — reads the attribute instead of
+    // re-running the regex split per gram position (the O(tokens²) trap
+    // documented on [[shingles]]; on the fp leg the per-HIT gramAt slice
+    // re-split the whole doc for ~every position of a
+    // repeated-vocabulary corpus — measured 9.1 s → ~2 s at sf0.1).
+    // CollapseProject keeps the barrier: __toks is referenced more than
+    // once above, and the optimizer does not inline non-trivial aliases
+    // with multiple uses.
+    val toks = col("__toks")
     val freqFlags: Column =
-      if (!fpShortCircuit) transform(shingles(col(textCol), k), isFreq _)
+      if (!fpShortCircuit)
+        transform(shinglesOfTokens(toks, k), isFreq _)
       else {
         val fpSet: Set[Any] =
           freqGrams.iterator.map(g => java.lang.Long.valueOf(gramPolyFp(g))).toSet
         def isFpHit(f: Column): Column =
           GraftBridge.column(InSet(GraftBridge.expression(f), fpSet))
-        val toks = tokens(col(textCol))
         // gram string for ONE window, built lazily inside the And's
         // right branch; the <k fallback mirrors shingles()
         def gramAt(p: Column): Column =
@@ -1621,8 +1663,8 @@ object Dedup {
         transform(graft.functions.TextHashes.shingleFps(toks, k),
           (f, p) => isFpHit(f) && isFreq(gramAt(p)))
       }
-    val staged = docs.select(col(idCol), tokens(col(textCol)).as("__toks"),
-      freqFlags.as("__freq"))
+    val staged = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), freqFlags.as("__freq"))
     rebuildFromFlags(staged, idCol, k)
   }
 

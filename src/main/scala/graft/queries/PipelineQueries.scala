@@ -14,6 +14,28 @@ object PipelineQueries {
 
   private def r6(c: Column): Column = round(c, 6) + lit(0.0)
 
+  /** Presentation sort with a lineage barrier (r18). Every registered
+    * query orders its output for the driver's row-order-sensitive hash,
+    * but a global sort's RangePartitioning SAMPLES its child in a
+    * separate pass — and when the body lives entirely in the scan stage
+    * (per-row projection work with no shuffle between scan and sort),
+    * that sampling pass re-executes the whole body: the query computes
+    * twice (guide §2.4's "orderBy used only to make output
+    * deterministic"; measured +3.3 s of a 2.3 s body on
+    * repetition_stats at sf0.1). `localCheckpoint(eager = false)`
+    * materializes the body's partitions on first use, so the sampler
+    * and the sort shuffle read stored blocks instead of recomputing.
+    * Rows, their order (partition layout and intra-partition order are
+    * preserved, so even ties sort identically), and the
+    * noop-materialize semantics are unchanged — only the duplicated
+    * pass disappears. The 100 TB reading: one extra materialization of
+    * the OUTPUT (not the input) in exchange for not re-running the full
+    * scan+compute; applied ONLY where the body is scan-stage-heavy —
+    * window/join/agg queries already end at a shuffle boundary the
+    * sampler reuses, and there the barrier would be pure overhead. */
+  private def sortedBarrier(df: DataFrame, keys: String*): DataFrame =
+    df.localCheckpoint(eager = false).orderBy(keys.map(col): _*)
+
   final case class Entry(name: String, q: Q, oracle: Option[String])
 
   /** Shared oracle CTEs for the text-quality stats: CTE `q` exposes
@@ -677,7 +699,7 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Entry("text_quality",
-      (spark, dir) => {
+      (spark, dir) => sortedBarrier({
         // project the language-score array once; the inlined argmax form
         // re-evaluated every score (and its tokenization) per tie-check
         val t = col("text")
@@ -690,8 +712,7 @@ object PipelineQueries {
           r6(TextStats.meanTokenLen(t)).as("mean_token_len"),
           TextStats.fingerprint(t).as("fingerprint"),
           TextStats.bpeishTokens(t).cast("long").as("n_tokens_bpeish"))
-          .orderBy("doc_id")
-      },
+      }, "doc_id"),
       // every stat replayed in DuckDB: ratio arithmetic is identical int
       // counts + double division, the fingerprint is the same poly-mod
       // fold over code points, and the langid argmax keeps Spark's
@@ -1710,9 +1731,8 @@ object PipelineQueries {
       // on both engines and still hash-matches.
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
-        Dedup.decontaminateBloom(docs.where(col("doc_id") % 50 =!= 0),
-            docs.where(col("doc_id") % 50 === 0))
-          .orderBy("doc_id")
+        sortedBarrier(Dedup.decontaminateBloom(docs.where(col("doc_id") % 50 =!= 0),
+            docs.where(col("doc_id") % 50 === 0)), "doc_id")
       },
       Some {
         val k = 5
@@ -1834,7 +1854,7 @@ object PipelineQueries {
       // dedup). array_distinct preserves first-occurrence order; the
       // oracle re-derives that order via min(position).
       (spark, dir) =>
-        Dedup.dedupDocTokens(Tables.documents(spark, dir)).orderBy("doc_id"),
+        sortedBarrier(Dedup.dedupDocTokens(Tables.documents(spark, dir)), "doc_id"),
       Some(
         s"""WITH ${DedupSql.tokCte},
           |pos AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS p FROM tok),
@@ -1995,9 +2015,9 @@ object PipelineQueries {
       // tokens starting every 56, short docs yield one chunk, the last
       // window runs short. Pure per-row explode — zero shuffles; all
       // arithmetic integral, text reassembly exact on both engines.
-      (spark, dir) => Packing.chunkTokens(Tables.documents(spark, dir),
-          size = 64, overlap = 8)
-        .orderBy("doc_id", "chunk_id"),
+      (spark, dir) => sortedBarrier(
+        Packing.chunkTokens(Tables.documents(spark, dir), size = 64, overlap = 8),
+        "doc_id", "chunk_id"),
       Some("""WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
         |),
@@ -2268,7 +2288,7 @@ object PipelineQueries {
       // arithmetic over the token array — zero shuffle, runs inside the
       // scan stage at any corpus size. Ratios are int/int divisions in
       // double, so the oracle's unnest-based replay is IEEE-identical.
-      (spark, dir) => {
+      (spark, dir) => sortedBarrier({
         // tokenize ONCE into an attribute, then compute each RAW signal
         // once and derive both the rounded column and the keep flag from
         // the raw attributes — the single-projection form evaluated every
@@ -2290,8 +2310,7 @@ object PipelineQueries {
               col("rt") < Repetition.MaxTopTokenRatio &&
               coalesce(col("r2"), lit(0.0)) < Repetition.MaxDup2Ratio &&
               coalesce(col("r3"), lit(0.0)) < Repetition.MaxDup3Ratio).as("rep_keep"))
-          .orderBy("doc_id")
-      },
+      }, "doc_id"),
       Some(s"""WITH ${repCtes("documents")}
         |SELECT doc_id,
         |  ROUND(raw_distinct, 6)+0.0 AS distinct_ratio,
@@ -2309,10 +2328,10 @@ object PipelineQueries {
       // combination. Counts follow the scrub order (email -> IP -> phone;
       // an IPv4 is also a valid phone match, so phones are counted after
       // IPs are gone). The scrubbed text itself is hash-compared.
-      (spark, dir) => Pii.withScrub(Pii.demoPii(Tables.documents(spark, dir)))
-        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
-          col("text_scrubbed"))
-        .orderBy("doc_id"),
+      (spark, dir) => sortedBarrier(
+        Pii.withScrub(Pii.demoPii(Tables.documents(spark, dir)))
+          .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+            col("text_scrubbed")), "doc_id"),
       Some {
         s"""WITH demo AS (
           |  SELECT doc_id, text ||
@@ -2511,8 +2530,9 @@ object PipelineQueries {
       // template-dominated sf0.1 (~99.8% removed — mass removal IS the
       // honest stress of the rebuild path).
       (spark, dir) =>
-        Dedup.removeFrequentSpans(Tables.documents(spark, dir), minDocs = 5)
-          .orderBy("doc_id"),
+        sortedBarrier(
+          Dedup.removeFrequentSpans(Tables.documents(spark, dir), minDocs = 5),
+          "doc_id"),
       Some(removeFrequentSpansSql)),
 
     Entry("remove_frequent_spans_fp",
@@ -2524,9 +2544,10 @@ object PipelineQueries {
       // probe the regime verdict picks. Its sf-corpus price (fp probe +
       // per-hit string build where ~every position hits) is deliberate.
       (spark, dir) =>
-        Dedup.removeFrequentSpans(Tables.documents(spark, dir), minDocs = 5,
-            fpRewrite = Some(true))
-          .orderBy("doc_id"),
+        sortedBarrier(
+          Dedup.removeFrequentSpans(Tables.documents(spark, dir), minDocs = 5,
+            fpRewrite = Some(true)),
+          "doc_id"),
       Some(removeFrequentSpansSql)),
 
     Entry("remove_frequent_spans_join",
@@ -2539,9 +2560,10 @@ object PipelineQueries {
       // the set-placement dispatch cannot change a byte of output
       // (identical rebuild tail over identical flags).
       (spark, dir) =>
-        Dedup.removeFrequentSpans(Tables.documents(spark, dir), minDocs = 5,
-            maxLiteralSpans = 0)
-          .orderBy("doc_id"),
+        sortedBarrier(
+          Dedup.removeFrequentSpans(Tables.documents(spark, dir), minDocs = 5,
+            maxLiteralSpans = 0),
+          "doc_id"),
       Some(removeFrequentSpansSql)),
 
     Entry("token_budget_select",
