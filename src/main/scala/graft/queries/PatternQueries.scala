@@ -15,9 +15,12 @@ object PatternQueries {
 
   private def patternQ(p: graft.ta.PatternDsl.Pattern): Q = (spark, dir) => {
     implicit val w = Window.partitionBy("symbol").orderBy("ord")
-    Tables.bars(spark, dir)
-      .select(col("symbol"), col("ord"), p.column)
-      .orderBy("symbol", "ord")
+    // presentation sort behind a lineage barrier: the sort's range
+    // sampling otherwise re-executes the pattern's window stage (r18;
+    // see Present.sortedBarrier)
+    Present.sortedBarrier(Tables.bars(spark, dir)
+      .select(col("symbol"), col("ord"), p.column),
+      "symbol", "ord")
   }
 
   private def patternSql(p: graft.ta.PatternDsl.Pattern): String =
