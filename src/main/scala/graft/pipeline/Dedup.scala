@@ -1097,6 +1097,46 @@ object Dedup {
     * probes must treat as never indexed. [[dedupIndexWrite]] creates it
     * empty; an index written before tombstones existed gets one created
     * (empty, beside the other tables) on its first delete. */
+  /** Fork a persisted dedup index ([[dedupIndexWrite]] layout): copy
+    * each side table's files to a fresh location under `path` and
+    * register them under `dstPrefix` with the SAME schema and
+    * bucket/sort spec. The clone is content-identical (a file copy) and
+    * fully independent — lifecycle ops on the clone never touch the
+    * source's tables or files. This is the snapshot/fork primitive a
+    * maintenance pipeline uses to stage a compaction experiment — and
+    * what lets a derived fixture reuse an already-built index instead
+    * of re-signing the whole reference (r18). Bucket identity survives
+    * the copy because Spark encodes the bucket id in the file NAME,
+    * which the copy preserves. */
+  def dedupIndexClone(spark: org.apache.spark.sql.SparkSession,
+                      srcPrefix: String, dstPrefix: String, path: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("buckets", "shingles", "meta", "tombstones").foreach { t =>
+      val src = s"${srcPrefix}_$t"
+      if (spark.catalog.tableExists(src)) {
+        val meta = catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(src))
+        val srcLoc = new org.apache.hadoop.fs.Path(meta.location)
+        val dstLoc = new org.apache.hadoop.fs.Path(s"$path/$t")
+        val fs = srcLoc.getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(fs, srcLoc, fs, dstLoc, false, conf)
+        val bucketDdl = meta.bucketSpec.map { s =>
+          val sorted =
+            if (s.sortColumnNames.nonEmpty)
+              s" SORTED BY (${s.sortColumnNames.map(c => s"`$c`").mkString(", ")})"
+            else ""
+          s"CLUSTERED BY (${s.bucketColumnNames.map(c => s"`$c`").mkString(", ")})" +
+            s"$sorted INTO ${s.numBuckets} BUCKETS"
+        }.getOrElse("")
+        val dst = s"${dstPrefix}_$t"
+        spark.sql(s"DROP TABLE IF EXISTS `$dst`")
+        spark.sql(s"CREATE TABLE `$dst` (${meta.schema.toDDL}) USING PARQUET " +
+          s"$bucketDdl LOCATION '${dstLoc.toString}'")
+      }
+    }
+  }
+
   /** The reference-bucket scan with the tombstone mask applied — the ONE
     * definition behind [[crossCorpusNearDupIndexed]] and the streaming
     * twin: docs a [[dedupIndexDelete]] logically forgot must never

@@ -573,10 +573,16 @@ object EtlQueries {
         val sparse = Tables.bars(spark, dir)
           .select(col("symbol"), col("ord").as("date"), col("close"), col("volume"))
           .where((col("date") * 31 + length(col("symbol")) * 7) % 5 < 2)
-        Align.align(sparse, dateCol = "date")
-          .select(col("date"), col("symbol"),
-            r6(col("close")).as("close"), r6(col("volume")).as("volume"))
-          .orderBy("date", "symbol")
+        // sorted = false + one terminal barriered sort (r18): align's
+        // internal presentation sort was immediately re-sorted by this
+        // registration's own orderBy, and the sort's range sampling
+        // re-executed the grid-join + fill stage; (date, symbol) is
+        // unique, so the single sort reproduces the same total order
+        Present.sortedBarrier(
+          Align.align(sparse, dateCol = "date", sorted = false)
+            .select(col("date"), col("symbol"),
+              r6(col("close")).as("close"), r6(col("volume")).as("volume")),
+          "date", "symbol")
       },
       Some(s"""${Sql.bars}, sparse AS (
         |  SELECT symbol, ord AS date, close, volume FROM bars WHERE $keepSql
@@ -648,9 +654,11 @@ object EtlQueries {
         val sparse = Tables.bars(spark, dir)
           .select(col("symbol"), col("ord").as("date"), col("close"))
           .where((col("date") * 31 + length(col("symbol")) * 7) % 5 < 2)
-        Align.align(sparse, dateCol = "date", fillNullStrategy = "zero")
-          .select(col("date"), col("symbol"), r6(col("close")).as("close"))
-          .orderBy("date", "symbol")
+        Present.sortedBarrier(
+          Align.align(sparse, dateCol = "date", fillNullStrategy = "zero",
+              sorted = false)
+            .select(col("date"), col("symbol"), r6(col("close")).as("close")),
+          "date", "symbol")
       },
       Some(s"""${Sql.bars}, sparse AS (
         |  SELECT symbol, ord AS date, close FROM bars WHERE $keepSql
@@ -671,9 +679,11 @@ object EtlQueries {
         val sparse = Tables.bars(spark, dir)
           .select(col("symbol"), col("ord").as("date"), col("close"))
           .where((col("date") * 31 + length(col("symbol")) * 7) % 5 < 2)
-        Align.align(sparse, dateCol = "date", fillNullStrategy = "backward")
-          .select(col("date"), col("symbol"), r6(col("close")).as("close"))
-          .orderBy("date", "symbol")
+        Present.sortedBarrier(
+          Align.align(sparse, dateCol = "date", fillNullStrategy = "backward",
+              sorted = false)
+            .select(col("date"), col("symbol"), r6(col("close")).as("close")),
+          "date", "symbol")
       },
       Some(s"""${Sql.bars}, sparse AS (
         |  SELECT symbol, ord AS date, close FROM bars WHERE $keepSql

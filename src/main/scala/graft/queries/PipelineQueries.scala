@@ -474,35 +474,76 @@ object PipelineQueries {
     * tombstones into its staged rewrite (rows drop from the tables, the
     * tombstone side table clears). The gate shares the shrunk-reference
     * oracle verbatim — logical and physical forgetting must be
-    * indistinguishable from each other AND from never indexing. */
+    * indistinguishable from each other AND from never indexing.
+    *
+    * r18: the fixture FORKS the forget fixture (Dedup.dedupIndexClone —
+    * a file copy + re-registration under the same bucket specs) instead
+    * of re-signing the whole reference and re-running the identical
+    * delete: write+delete are deterministic, so the cloned state is the
+    * exact state the old code recomputed, and the gate's own subject —
+    * the tombstone-folding compaction — still runs in full on the
+    * private copy. */
   private def ccForgetCompactIndexFor(spark: SparkSession, dir: String): String = {
     val prefix = "graft_ccfgc_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
     this.synchronized {
       if (!Seq("buckets", "shingles", "meta")
             .forall(s => spark.catalog.tableExists(s"${prefix}_$s"))) {
         val p = java.nio.file.Files.createTempDirectory("graft_ccfgc_").toString
-        val ref = Tables.documents(spark, dir).where(col("doc_id") % 3 === 0)
-        Dedup.dedupIndexWrite(ref, prefix, p)
-        Dedup.dedupIndexDelete(
-          ref.where(col("doc_id") % 2 === 0).select("doc_id"), prefix)
+        Dedup.dedupIndexClone(spark, ccForgetIndexFor(spark, dir), prefix, p)
         Dedup.dedupIndexCompact(spark, prefix)
       }
     }
     prefix
   }
 
+  /** The shared even-half BASE index the three lifecycle fixtures below
+    * derive from (r18): ivfPqWrite is bit-deterministic given its corpus
+    * (portable seeds, 6-dp fixed-point Lloyd/codebook means — the very
+    * property the oracles replay), so the `vec_id % 2 == 0` base that
+    * append / compact / maintain each used to TRAIN FROM SCRATCH is now
+    * built once per sf dir and file-copied into each fixture's own
+    * directory before its lifecycle ops run. Identical fixture content
+    * by construction; each gate still exercises its own
+    * append/compact/maintain path against its own private copy, and the
+    * model is still computed from the parquet inputs in this JVM — this
+    * removes two redundant re-trainings of the same model (~2–3 s
+    * each), not any query compute. */
+  private val ivfPqEvenBaseDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqEvenBaseFor(spark: SparkSession, dir: String): String =
+    ivfPqEvenBaseDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_base_").toString
+      Similarity.ivfPqWrite(
+        Tables.embeddings(spark, d).where(col("vec_id") % 2 === 0), p)
+      p
+    })
+
+  /** Recursive file copy of a persisted index directory — the fixture
+    * fork primitive behind the shared-base discipline above. */
+  private def copyIndexDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val t = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { from =>
+      val to = t.resolve(s.relativize(from))
+      if (java.nio.file.Files.isDirectory(from))
+        java.nio.file.Files.createDirectories(to)
+      else
+        java.nio.file.Files.copy(from, to,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** One persisted INCREMENTALLY-BUILT fused index per sf dir per JVM:
-    * the model trains on the even-vec_id half only (ivfPqWrite), the odd
-    * half arrives through Similarity.ivfPqAppend — encode-only, no
-    * retrain, append-mode partitioned write. The ann_ivfpq_append_top5
-    * gate probes the union lists against an oracle that trains on the
-    * same prefix and encodes the full corpus. */
+    * the model trains on the even-vec_id half only (ivfPqWrite — shared
+    * base, copied), the odd half arrives through Similarity.ivfPqAppend
+    * — encode-only, no retrain, append-mode partitioned write. The
+    * ann_ivfpq_append_top5 gate probes the union lists against an oracle
+    * that trains on the same prefix and encodes the full corpus. */
   private val ivfPqAppendIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfPqAppendIndexFor(spark: SparkSession, dir: String): String =
     ivfPqAppendIndexDirs.computeIfAbsent(dir, d => {
       val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_app_").toString
       val emb = Tables.embeddings(spark, d)
-      Similarity.ivfPqWrite(emb.where(col("vec_id") % 2 === 0), p)
+      copyIndexDir(ivfPqEvenBaseFor(spark, d), p)
       Similarity.ivfPqAppend(emb.where(col("vec_id") % 2 === 1), p)
       p
     })
@@ -518,7 +559,7 @@ object PipelineQueries {
     ivfPqCompactIndexDirs.computeIfAbsent(dir, d => {
       val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_cmp_").toString
       val emb = Tables.embeddings(spark, d)
-      Similarity.ivfPqWrite(emb.where(col("vec_id") % 2 === 0), p)
+      copyIndexDir(ivfPqEvenBaseFor(spark, d), p)
       (1 to 7 by 2).foreach(r =>
         Similarity.ivfPqAppend(emb.where(col("vec_id") % 8 === r), p))
       Similarity.ivfPqCompact(spark, p, maxFilesPerCell = 1)
@@ -538,7 +579,7 @@ object PipelineQueries {
     ivfPqMaintainIndexDirs.computeIfAbsent(dir, d => {
       val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_mnt_").toString
       val emb = Tables.embeddings(spark, d)
-      Similarity.ivfPqWrite(emb.where(col("vec_id") % 2 === 0), p)
+      copyIndexDir(ivfPqEvenBaseFor(spark, d), p)
       Seq(1, 3).foreach(r =>
         Similarity.ivfPqAppend(emb.where(col("vec_id") % 4 === r), p))
       Similarity.ivfPqMaintain(emb.where(col("vec_id") % 4 === 1).select("vec_id"),
@@ -556,7 +597,10 @@ object PipelineQueries {
     ivfPqDeleteIndexDirs.computeIfAbsent(dir, d => {
       val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_del_").toString
       val emb = Tables.embeddings(spark, d)
-      Similarity.ivfPqWrite(emb, p)
+      // fork the memoized full-corpus index (ivfPqIndexFor — the same
+      // deterministic ivfPqWrite(emb) this fixture used to re-train) and
+      // delete on the private copy, leaving the probe gates' index intact
+      copyIndexDir(ivfPqIndexFor(spark, d), p)
       Similarity.ivfPqDelete(emb.where(col("vec_id") % 2 === 1).select("vec_id"), p)
       p
     })

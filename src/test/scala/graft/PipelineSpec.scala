@@ -2003,6 +2003,55 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "an empty tombstone set must skip the anti-join entirely")
   }
 
+  test("dedupIndexClone: fork probes identically, keeps the bucket spec, and isolates mutations") {
+    import org.apache.spark.sql.functions.col
+    val texts = (0L until 40L).map { i =>
+      if (i % 4 == 1) i -> (0 until 12).map(w => s"u${i}x$w").mkString(" ")
+      else {
+        val words = (0 until 12).map(w => s"w${(i % 7 + w) % 19}")
+        i -> (if (i % 5 == 0) words.mkString(" ")
+              else words.drop(1).mkString(" ") + s" tail$i")
+      }
+    }
+    val all = docs(texts: _*)
+    val ref = all.where(col("doc_id") % 3 === 0)
+    val batch = all.where(col("doc_id") % 3 =!= 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      r.getLong(0) -> (r.getBoolean(1),
+        Option(r.get(2)).map(v => math.round(r.getDouble(2) * 1e9)))).toMap
+    val p1 = java.nio.file.Files.createTempDirectory("didx_src").toString
+    Dedup.dedupIndexWrite(ref, "didx_src", p1, numBuckets = 4, bands = 8)
+    // tombstone some ids on the SOURCE so the clone must carry them too
+    val dead = ref.where(col("doc_id") % 2 === 0)
+    Dedup.dedupIndexDelete(dead.select("doc_id"), "didx_src")
+    val srcProbe = key(Dedup.crossCorpusNearDupIndexed(batch, "didx_src"))
+    val p2 = java.nio.file.Files.createTempDirectory("didx_cln").toString
+    Dedup.dedupIndexClone(spark, "didx_src", "didx_cln", p2)
+    // content-identical fork: probe results, tombstones, bucket spec
+    assert(key(Dedup.crossCorpusNearDupIndexed(batch, "didx_cln")) == srcProbe,
+      "the clone must probe exactly like its source")
+    assert(spark.table("didx_cln_tombstones").count() ==
+      spark.table("didx_src_tombstones").count(),
+      "the clone must carry the source's tombstones")
+    def spec(tbl: String) = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).bucketSpec
+    assert(spec("didx_cln_buckets") == spec("didx_src_buckets") &&
+      spec("didx_cln_shingles") == spec("didx_src_shingles"),
+      "the clone must keep the source's bucket/sort specs")
+    // mutation isolation: compacting the clone (folds + clears its
+    // tombstones) must leave the source's tables and tombstones intact
+    val srcShingles = spark.table("didx_src_shingles").count()
+    val srcTombs = spark.table("didx_src_tombstones").count()
+    Dedup.dedupIndexCompact(spark, "didx_cln")
+    assert(spark.table("didx_cln_tombstones").count() == 0,
+      "compact on the clone must clear the clone's tombstones")
+    assert(spark.table("didx_src_shingles").count() == srcShingles &&
+      spark.table("didx_src_tombstones").count() == srcTombs,
+      "mutating the clone must not touch the source")
+    assert(key(Dedup.crossCorpusNearDupIndexed(batch, "didx_cln")) == srcProbe,
+      "the physically-compacted clone must still probe like the source")
+  }
+
   test("Layout.zValue is monotone under coordinate dominance (exhaustive 16x16 grid)") {
     import org.apache.spark.sql.functions.col
     // the property that makes Morton footer stats selective: if a <= b
