@@ -117,11 +117,54 @@ object EtlQueries {
     * derived-pipeline posture the r15 verdict asked for). */
   private val zorderDocsDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def zorderDocsFor(spark: SparkSession, dir: String): String =
+    // forks the shared full-docs base (r18): identical data files; the
+    // base's extra underscore sidecars are invisible to the bare read
+    // this fixture serves
     zorderDocsDirs.computeIfAbsent(dir, d => {
       val p = java.nio.file.Files.createTempDirectory("graft_zorder_docs_").toString
+      Fixtures.copyDir(zorderFullBaseFor(spark, d), p)
+      p
+    })
+
+  /** The shared FULL-DOCS z-layout base the four documents-layout
+    * fixtures derive from (r18): zOrderWrite on (lang, doc_id) with
+    * precomputed stats + `_zstats` sidecar + `_manifest`. Built once per
+    * sf dir; each fixture file-copies it and applies only its own
+    * lifecycle op (delete / tombstone forget / upsert / none). Every
+    * gate over these fixtures states a content property (rollup hashes,
+    * pruning losslessness) that a file copy preserves bit-for-bit. */
+  private val zorderFullBaseDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderFullBaseFor(spark: SparkSession, dir: String): String =
+    zorderFullBaseDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_zorder_base_").toString
       val docs = Tables.documents(spark, d)
-      val st = graft.etl.Layout.zStats(docs, Seq("lang", "doc_id"))
-      graft.etl.Layout.zOrderWrite(docs, Seq("lang", "doc_id"), p, stats = Some(st))
+      val zc = Seq("lang", "doc_id")
+      val st = graft.etl.Layout.zStats(docs, zc)
+      graft.etl.Layout.zOrderWrite(docs, zc, p, stats = Some(st))
+      graft.etl.Layout.saveZStats(spark, p, zc, st)
+      graft.etl.Layout.manifestRefresh(spark, p, zc)
+      p
+    })
+
+  /** The shared SNAPSHOT+APPENDS base (quarter snapshot + sidecars +
+    * three zOrderAppend increments + manifest reconcile) behind the
+    * append / maintain / forget-fold fixtures — same discipline. */
+  private val zorderSnapAppBaseDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderSnapAppBaseFor(spark: SparkSession, dir: String): String =
+    zorderSnapAppBaseDirs.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_zorder_sab_").toString
+      val docs = Tables.documents(spark, d)
+      val zc = Seq("lang", "doc_id")
+      val snap = docs.where(col("doc_id") % 4 === 0)
+      val st = graft.etl.Layout.zStats(snap, zc)
+      graft.etl.Layout.zOrderWrite(snap, zc, p, stats = Some(st))
+      graft.etl.Layout.saveZStats(spark, p, zc, st)
+      graft.etl.Layout.manifestRefresh(spark, p, zc)
+      val (zcLoaded, stLoaded) = graft.etl.Layout.loadZStats(spark, p)
+      for (r <- 1 to 3)
+        graft.etl.Layout.zOrderAppend(docs.where(col("doc_id") % 4 === r),
+          zcLoaded, p, stLoaded)
+      graft.etl.Layout.manifestUpdate(spark, p, zcLoaded)
       p
     })
 
@@ -134,15 +177,11 @@ object EtlQueries {
     * over the UNION: append must be content-invisible. */
   private val zorderAppendDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def zorderAppendDocsFor(spark: SparkSession, dir: String): String =
+    // forks the shared snapshot+appends base (r18): identical data
+    // files, hidden sidecars invisible to this fixture's bare read
     zorderAppendDirs.computeIfAbsent(dir, d => {
       val p = java.nio.file.Files.createTempDirectory("graft_zorder_app_").toString
-      val docs = Tables.documents(spark, d)
-      val snap = docs.where(col("doc_id") % 4 === 0)
-      val st = graft.etl.Layout.zStats(snap, Seq("lang", "doc_id"))
-      graft.etl.Layout.zOrderWrite(snap, Seq("lang", "doc_id"), p, stats = Some(st))
-      for (r <- 1 to 3)
-        graft.etl.Layout.zOrderAppend(docs.where(col("doc_id") % 4 === r),
-          Seq("lang", "doc_id"), p, st)
+      Fixtures.copyDir(zorderSnapAppBaseFor(spark, d), p)
       p
     })
 
@@ -156,20 +195,12 @@ object EtlQueries {
     * manifest file pruning is lossless for range predicates. */
   private val zorderMaintDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def zorderMaintDocsFor(spark: SparkSession, dir: String): String =
+    // forks the shared snapshot+appends base (r18) and runs ONLY its own
+    // subject — the compaction + reconcile
     zorderMaintDirs.computeIfAbsent(dir, d => {
       val p = java.nio.file.Files.createTempDirectory("graft_zorder_mnt_").toString
-      val docs = Tables.documents(spark, d)
-      val zc = Seq("lang", "doc_id")
-      val snap = docs.where(col("doc_id") % 4 === 0)
-      val st = graft.etl.Layout.zStats(snap, zc)
-      graft.etl.Layout.zOrderWrite(snap, zc, p, stats = Some(st))
-      graft.etl.Layout.saveZStats(spark, p, zc, st)
-      graft.etl.Layout.manifestRefresh(spark, p, zc)
+      Fixtures.copyDir(zorderSnapAppBaseFor(spark, d), p)
       val (zcLoaded, stLoaded) = graft.etl.Layout.loadZStats(spark, p)
-      for (r <- 1 to 3)
-        graft.etl.Layout.zOrderAppend(docs.where(col("doc_id") % 4 === r),
-          zcLoaded, p, stLoaded)
-      graft.etl.Layout.manifestUpdate(spark, p, zcLoaded)
       graft.etl.Layout.zOrderMaintain(spark, p, zcLoaded, stLoaded)
       graft.etl.Layout.manifestUpdate(spark, p, zcLoaded)
       p
@@ -186,14 +217,13 @@ object EtlQueries {
     * base layout). */
   private val zorderForgetDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def zorderForgetDocsFor(spark: SparkSession, dir: String): String =
+    // forks the shared full-docs base (r18) and runs ONLY its own
+    // subject — the physical takedown + reconcile
     zorderForgetDirs.computeIfAbsent(dir, d => {
       val p = java.nio.file.Files.createTempDirectory("graft_zorder_fgt_").toString
+      Fixtures.copyDir(zorderFullBaseFor(spark, d), p)
       val docs = Tables.documents(spark, d)
-      val zc = Seq("lang", "doc_id")
-      val st = graft.etl.Layout.zStats(docs, zc)
-      graft.etl.Layout.zOrderWrite(docs, zc, p, stats = Some(st))
-      graft.etl.Layout.saveZStats(spark, p, zc, st)
-      graft.etl.Layout.manifestRefresh(spark, p, zc)
+      val (zc, st) = graft.etl.Layout.loadZStats(spark, p)
       val batch = docs.where(col("doc_id") % 97 === 13)
         .select("doc_id").collect().map(_.getLong(0)).toIndexedSeq
       graft.etl.Layout.zOrderDelete(spark, p, zc, st, "doc_id", batch)
@@ -211,14 +241,12 @@ object EtlQueries {
     * be indistinguishable from never having written the batch. */
   private val zorderForgetTombDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def zorderForgetTombDocsFor(spark: SparkSession, dir: String): String =
+    // forks the shared full-docs base (r18) and runs ONLY its own
+    // subject — the Θ(batch) tombstone write
     zorderForgetTombDirs.computeIfAbsent(dir, d => {
       val p = java.nio.file.Files.createTempDirectory("graft_zorder_ftb_").toString
+      Fixtures.copyDir(zorderFullBaseFor(spark, d), p)
       val docs = Tables.documents(spark, d)
-      val zc = Seq("lang", "doc_id")
-      val st = graft.etl.Layout.zStats(docs, zc)
-      graft.etl.Layout.zOrderWrite(docs, zc, p, stats = Some(st))
-      graft.etl.Layout.saveZStats(spark, p, zc, st)
-      graft.etl.Layout.manifestRefresh(spark, p, zc)
       val batch = docs.where(col("doc_id") % 97 === 13)
         .select("doc_id").collect().map(_.getLong(0)).toIndexedSeq
       graft.etl.Layout.zOrderForget(spark, p, "doc_id", batch)
@@ -235,19 +263,13 @@ object EtlQueries {
     * physically gone, not merely hidden. */
   private val zorderForgetFoldDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def zorderForgetFoldDocsFor(spark: SparkSession, dir: String): String =
+    // forks the shared snapshot+appends base (r18) and runs ONLY its own
+    // subject — the tombstone write + the folding maintenance pass
     zorderForgetFoldDirs.computeIfAbsent(dir, d => {
       val p = java.nio.file.Files.createTempDirectory("graft_zorder_ffd_").toString
+      Fixtures.copyDir(zorderSnapAppBaseFor(spark, d), p)
       val docs = Tables.documents(spark, d)
-      val zc = Seq("lang", "doc_id")
-      val snap = docs.where(col("doc_id") % 4 === 0)
-      val st = graft.etl.Layout.zStats(snap, zc)
-      graft.etl.Layout.zOrderWrite(snap, zc, p, stats = Some(st))
-      graft.etl.Layout.saveZStats(spark, p, zc, st)
-      graft.etl.Layout.manifestRefresh(spark, p, zc)
-      for (r <- 1 to 3)
-        graft.etl.Layout.zOrderAppend(docs.where(col("doc_id") % 4 === r),
-          zc, p, st)
-      graft.etl.Layout.manifestUpdate(spark, p, zc)
+      val (zc, st) = graft.etl.Layout.loadZStats(spark, p)
       val batch = docs.where(col("doc_id") % 97 === 13)
         .select("doc_id").collect().map(_.getLong(0)).toIndexedSeq
       graft.etl.Layout.zOrderForget(spark, p, "doc_id", batch)
@@ -265,14 +287,13 @@ object EtlQueries {
     * updated ids, union the batch) computed by DuckDB from scratch. */
   private val zorderUpsertDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def zorderUpsertDocsFor(spark: SparkSession, dir: String): String =
+    // forks the shared full-docs base (r18) and runs ONLY its own
+    // subject — the MERGE
     zorderUpsertDirs.computeIfAbsent(dir, d => {
       val p = java.nio.file.Files.createTempDirectory("graft_zorder_ups_").toString
+      Fixtures.copyDir(zorderFullBaseFor(spark, d), p)
       val docs = Tables.documents(spark, d)
-      val zc = Seq("lang", "doc_id")
-      val st = graft.etl.Layout.zStats(docs, zc)
-      graft.etl.Layout.zOrderWrite(docs, zc, p, stats = Some(st))
-      graft.etl.Layout.saveZStats(spark, p, zc, st)
-      graft.etl.Layout.manifestRefresh(spark, p, zc)
+      val (zc, st) = graft.etl.Layout.loadZStats(spark, p)
       val upd = docs.where(col("doc_id") % 89 === 7)
         .withColumn("n_chars", (col("n_chars") + 1000).cast("long"))
       val ins = docs.where(col("doc_id") % 101 === 5)

@@ -519,18 +519,8 @@ object PipelineQueries {
 
   /** Recursive file copy of a persisted index directory — the fixture
     * fork primitive behind the shared-base discipline above. */
-  private def copyIndexDir(src: String, dst: String): Unit = {
-    val s = java.nio.file.Paths.get(src)
-    val t = java.nio.file.Paths.get(dst)
-    java.nio.file.Files.walk(s).forEach { from =>
-      val to = t.resolve(s.relativize(from))
-      if (java.nio.file.Files.isDirectory(from))
-        java.nio.file.Files.createDirectories(to)
-      else
-        java.nio.file.Files.copy(from, to,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
+  private def copyIndexDir(src: String, dst: String): Unit =
+    Fixtures.copyDir(src, dst)
 
   /** One persisted INCREMENTALLY-BUILT fused index per sf dir per JVM:
     * the model trains on the even-vec_id half only (ivfPqWrite — shared
