@@ -94,11 +94,26 @@ object Repetition {
     * whose vocabulary collapses or whose n-grams loop. Thresholds follow
     * the MassiveText repetition rules, adapted to the two n-gram orders
     * computed here. */
-  def repetitionKeep(text: Column): Column = repetitionKeepOf(toks(text))
+  def repetitionKeep(text: Column): Column = repetitionKeepBound(toks(text))
 
   def repetitionKeepOf(t: Column): Column =
     distinctRatioOf(t) > MinDistinctRatio &&
       topTokenRatioOf(t) < MaxTopTokenRatio &&
       coalesce(dupNgramRatioOf(t, 2), lit(0.0)) < MaxDup2Ratio &&
       coalesce(dupNgramRatioOf(t, 3), lit(0.0)) < MaxDup3Ratio
+
+  /** [[repetitionKeepOf]] with the token-array EXPRESSION bound as a
+    * lambda variable (a single-element `transform`), so every signal
+    * reads the bound variable instead of re-evaluating the expression.
+    * This matters the moment the keep decision is used as a FILTER:
+    * predicate pushdown substitutes a tokenizing alias into each of the
+    * condition's references — measured 40 `split(trim(lower(text)))`
+    * occurrences per row in pack_filtered's pushed scan filter (r18),
+    * i.e. the corpus re-tokenized 40× inside one predicate evaluation.
+    * The bound form keeps one tokenization per row under any optimizer
+    * rewrite, with bit-identical arithmetic (same expressions over the
+    * same array value). Use THIS form in `.where(...)`; the `*Of` form
+    * stays for callers that already project the array as an attribute. */
+  def repetitionKeepBound(t: Column): Column =
+    element_at(transform(array(t), tt => repetitionKeepOf(tt)), 1)
 }

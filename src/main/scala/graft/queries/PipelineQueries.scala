@@ -2303,10 +2303,11 @@ object PipelineQueries {
       // is the README's quality-filter -> pack pipeline as a registered
       // query.
       (spark, dir) => {
+        // repetitionKeep (the BOUND form): the __toks-alias formulation
+        // let predicate pushdown inline the tokenization into every
+        // reference of the pushed filter — 40 splits per row (r18)
         val kept = Tables.documents(spark, dir)
-          .withColumn("__toks", Dedup.tokens(col("text")))
-          .where(Repetition.repetitionKeepOf(col("__toks")))
-          .drop("__toks")
+          .where(Repetition.repetitionKeep(col("text")))
         Packing.packText(kept, budget = Packing.DefaultBudget,
             shards = Packing.DefaultShards)
           .orderBy("shard", "seq_id")
