@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scratch perf isolation for round work (not part of the contract). */
@@ -20,31 +19,64 @@ object DebugPerf {
       val n = f
       println(f"[perf] $what%-48s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
-    // per-job wall listener
-    val jobT = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobT.put(js.jobId, System.nanoTime())
-      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        val t0 = jobT.remove(je.jobId)
-        if (t0 != 0L)
-          println(f"[job] ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-      }
-    })
-    val bars = Tables.bars(spark, sfDir)
-    bars.count()
-    noop(bars.limit(64).select(col("symbol")))
-    val q = SparkEntry.queries("cdlengulfing")
-    // planning cost alone
-    timed("cdlengulfing plan only") {
-      q(spark, sfDir).queryExecution.executedPlan; 0L
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.limit(1).collect()
+    noop(emb.limit(64))
+    val q = emb.where(col("vec_id") < 10)
+
+    // --- ANN res family breakdown ---
+    val resDir = java.nio.file.Files.createTempDirectory("graft_dbg_res_").toString
+    timed("ivfPqResWrite (fixture build)") {
+      graft.pipeline.Similarity.ivfPqResWrite(emb, resDir); 0L
     }
-    timed("cdlengulfing run 1")(noop(q(spark, sfDir)))
-    timed("cdlengulfing run 2")(noop(q(spark, sfDir)))
-    timed("cdlengulfing run 3")(noop(q(spark, sfDir)))
-    val q2 = SparkEntry.queries("sma_20")
-    timed("sma_20 run 1")(noop(q2(spark, sfDir)))
-    timed("sma_20 run 2")(noop(q2(spark, sfDir)))
+    timed("ivfPqResAdcTopK (ADC scan + rank)") {
+      noop(graft.pipeline.Similarity.ivfPqResAdcTopK(spark, resDir, q))
+    }
+    timed("ivfPqResQuery (ADC + exact rerank) 1") {
+      noop(graft.pipeline.Similarity.ivfPqResQuery(spark, resDir, emb, q))
+    }
+    timed("ivfPqResQuery (ADC + exact rerank) 2") {
+      noop(graft.pipeline.Similarity.ivfPqResQuery(spark, resDir, emb, q))
+    }
+    timed("bruteForceTopK 1") {
+      noop(graft.pipeline.Similarity.bruteForceTopK(emb, q))
+    }
+    timed("bruteForceTopK 2") {
+      noop(graft.pipeline.Similarity.bruteForceTopK(emb, q))
+    }
+    // the full recall assembly, as registered
+    def recallAssembly(): org.apache.spark.sql.DataFrame = {
+      val k = graft.pipeline.Similarity.DefaultTopK
+      val approx = graft.pipeline.Similarity.ivfPqResQuery(spark, resDir, emb, q)
+      val bf = graft.pipeline.Similarity.bruteForceTopK(emb, q, k = k)
+        .select(col("query_id"), col("corpus_id"))
+      val hits = approx.select(col("query_id"), col("corpus_id"))
+        .join(bf, Seq("query_id", "corpus_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("__h"))
+      q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__h"), lit(0L)) / lit(k.toDouble)).as("recall_at_k"))
+        .orderBy("query_id")
+    }
+    timed("res recall assembly 1")(noop(recallAssembly()))
+    timed("res recall assembly 2")(noop(recallAssembly()))
+    timed("res recall assembly 3")(noop(recallAssembly()))
+
+    // --- BPE breakdown ---
+    val docs = Tables.documents(spark, sfDir)
+    var model: graft.pipeline.Bpe.Model = null
+    timed("Bpe.train(20)") {
+      model = graft.pipeline.Bpe.train(docs, 20); 0L
+    }
+    timed("Bpe.encode (doc_id < 300)") {
+      noop(graft.pipeline.Bpe.encode(docs.where(col("doc_id") < 300), model.wordPieces))
+    }
+    timed("Bpe.encode again") {
+      noop(graft.pipeline.Bpe.encode(docs.where(col("doc_id") < 300), model.wordPieces))
+    }
+    timed("Bpe.train(20) mg=4096") {
+      graft.pipeline.Bpe.train(docs, 20, pairCapacity = Some(4096)); 0L
+    }
     spark.stop()
   }
 }

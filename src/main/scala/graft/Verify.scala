@@ -24,6 +24,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the dump is written; free this query's presentation-barrier
+      // blocks so a 276-query verify sweep doesn't pin every output in
+      // storage memory for the JVM's lifetime (same as Bench, r19)
+      graft.queries.Present.releaseBarriers()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -14,27 +14,14 @@ object PipelineQueries {
 
   private def r6(c: Column): Column = round(c, 6) + lit(0.0)
 
-  /** Presentation sort with a lineage barrier (r18). Every registered
-    * query orders its output for the driver's row-order-sensitive hash,
-    * but a global sort's RangePartitioning SAMPLES its child in a
-    * separate pass — and when the body lives entirely in the scan stage
-    * (per-row projection work with no shuffle between scan and sort),
-    * that sampling pass re-executes the whole body: the query computes
-    * twice (guide §2.4's "orderBy used only to make output
-    * deterministic"; measured +3.3 s of a 2.3 s body on
-    * repetition_stats at sf0.1). `localCheckpoint(eager = false)`
-    * materializes the body's partitions on first use, so the sampler
-    * and the sort shuffle read stored blocks instead of recomputing.
-    * Rows, their order (partition layout and intra-partition order are
-    * preserved, so even ties sort identically), and the
-    * noop-materialize semantics are unchanged — only the duplicated
-    * pass disappears. The 100 TB reading: one extra materialization of
-    * the OUTPUT (not the input) in exchange for not re-running the full
-    * scan+compute; applied ONLY where the body is scan-stage-heavy —
+  /** Presentation sort with a lineage barrier — the ONE shared
+    * definition lives in [[Present.sortedBarrier]] (r19, advisor item:
+    * this file carried a byte-identical private copy whose semantics
+    * could drift). Applied ONLY where the body is scan-stage-heavy —
     * window/join/agg queries already end at a shuffle boundary the
     * sampler reuses, and there the barrier would be pure overhead. */
   private def sortedBarrier(df: DataFrame, keys: String*): DataFrame =
-    df.localCheckpoint(eager = false).orderBy(keys.map(col): _*)
+    Present.sortedBarrier(df, keys: _*)
 
   final case class Entry(name: String, q: Q, oracle: Option[String])
 
