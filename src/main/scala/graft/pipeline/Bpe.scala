@@ -94,15 +94,34 @@ object Bpe {
             scratchDir: Option[String] = None): Model = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = docs.sparkSession
+    // LAZY local checkpoint (r19): each round's state materializes as a
+    // side effect of the round's own pair-count action instead of a
+    // dedicated count() job — one Spark job per merge round, not two.
+    // Identical state either way (parity-tested); the scratchDir path
+    // keeps its eager parquet staging (that IS its fault-tolerance).
     def stage(df: DataFrame, round: Int): DataFrame = scratchDir match {
-      case None => df.localCheckpoint()
+      case None => df.localCheckpoint(eager = false)
       case Some(dir) =>
         val p = s"$dir/bpe_round_$round"
         df.write.mode("overwrite").parquet(p)
         spark.read.parquet(p)
     }
+    // free a SUPERSEDED round's checkpoint blocks (the Dedup.components
+    // discipline): round r's state, once round r+1's state is
+    // materialized, is never scanned again — without this, every train
+    // call leaks numMerges vocabulary-sized block sets for the JVM
+    // lifetime of the memoized model
+    def freeStage(df: DataFrame): Unit = if (scratchDir.isEmpty)
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false): Unit
+        case _ =>
+      }
     var st = stage(wordCounts(docs, textCol)
       .select(col("word"), col("cnt"), split(col("word"), "").as("syms")), 0)
+    // the state materialized two actions ago — dead once the action
+    // after it has run (the action that materialized its SUCCESSOR)
+    var superseded: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -126,10 +145,15 @@ object Bpe {
               col("e.n_occurrences").as("n"))
             .collect()
       }
+      // this round's action just materialized `st`; whatever st's
+      // PREDECESSOR was is now unreachable by any future scan
+      superseded.foreach(freeStage)
+      superseded = None
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, a, b, n))
+        superseded = Some(st)
         st = stage(st.withColumn("syms", mergePair(col("syms"), a, b)), r)
         r += 1
       }

@@ -96,24 +96,61 @@ object Repetition {
     * computed here. */
   def repetitionKeep(text: Column): Column = repetitionKeepBound(toks(text))
 
+  /** The composed-builtins keep decision — kept as the reference the
+    * native-counts form is parity-tested against (the cosineComposed
+    * discipline). */
   def repetitionKeepOf(t: Column): Column =
     distinctRatioOf(t) > MinDistinctRatio &&
       topTokenRatioOf(t) < MaxTopTokenRatio &&
       coalesce(dupNgramRatioOf(t, 2), lit(0.0)) < MaxDup2Ratio &&
       coalesce(dupNgramRatioOf(t, 3), lit(0.0)) < MaxDup3Ratio
 
-  /** [[repetitionKeepOf]] with the token-array EXPRESSION bound as a
-    * lambda variable (a single-element `transform`), so every signal
-    * reads the bound variable instead of re-evaluating the expression.
-    * This matters the moment the keep decision is used as a FILTER:
-    * predicate pushdown substitutes a tokenizing alias into each of the
-    * condition's references — measured 40 `split(trim(lower(text)))`
-    * occurrences per row in pack_filtered's pushed scan filter (r18),
-    * i.e. the corpus re-tokenized 40× inside one predicate evaluation.
-    * The bound form keeps one tokenization per row under any optimizer
-    * rewrite, with bit-identical arithmetic (same expressions over the
-    * same array value). Use THIS form in `.where(...)`; the `*Of` form
-    * stays for callers that already project the array as an attribute. */
+  // ---- Native-counts forms (r19). The four signals above walk the
+  // ---- token array once EACH through interpreted HOF lambdas
+  // ---- (array_sort + fold; per-order slices + zip_with + concat_ws +
+  // ---- array_distinct). graft.functions.RepetitionCounts returns the
+  // ---- same integer counts in ONE fused codegen-participating pass;
+  // ---- the double ratios are rebuilt from those counts with the
+  // ---- identical IEEE operations, so every produced value is
+  // ---- bit-identical to the composed forms (parity-tested).
+
+  /** The counts struct (n, n_distinct, top, d2, d3) — see
+    * [[graft.functions.RepetitionCounts]]. */
+  def countsOf(t: Column): Column =
+    graft.functions.RepetitionCounts.repetitionCounts(t)
+
+  /** Ratios/keep from a counts-struct VALUE (an attribute or a bound
+    * lambda variable — never a repeated expression: each reference of a
+    * repeated counts expression would re-run the pass and re-tokenize,
+    * the r18 pushdown trap). Value-identical to the `*Of` forms:
+    *   distinctRatio = n_distinct / n        (double / int division)
+    *   topTokenRatio = top / n
+    *   dupNgram(k)   = 1.0 − d_k / (n−k+1), NULL when n < k
+    * (size(ngrams(t,k)) = n−k+1 exactly when n ≥ k, else the gram array
+    * is empty and the composed form yields NULL — same condition). */
+  def distinctRatioFrom(s: Column): Column =
+    s.getField("n_distinct").cast("double") / s.getField("n")
+  def topTokenRatioFrom(s: Column): Column =
+    s.getField("top").cast("double") / s.getField("n")
+  def dupNgramRatioFrom(s: Column, n: Int): Column =
+    when(s.getField("n") >= n,
+      lit(1.0) - s.getField(s"d$n").cast("double") / (s.getField("n") - lit(n - 1)))
+  def repetitionKeepFrom(s: Column): Column =
+    distinctRatioFrom(s) > MinDistinctRatio &&
+      topTokenRatioFrom(s) < MaxTopTokenRatio &&
+      coalesce(dupNgramRatioFrom(s, 2), lit(0.0)) < MaxDup2Ratio &&
+      coalesce(dupNgramRatioFrom(s, 3), lit(0.0)) < MaxDup3Ratio
+
+  /** The keep decision with the counts STRUCT bound as a lambda variable
+    * (a single-element `transform`), so every signal reads the bound
+    * value instead of re-evaluating the expression. This matters the
+    * moment the keep decision is used as a FILTER: predicate pushdown
+    * substitutes the full condition into the scan filter, and each
+    * reference of a repeated subexpression re-evaluates it — r18
+    * measured 40 `split(trim(lower(text)))` occurrences per row in
+    * pack_filtered's pushed filter under the alias formulation. The
+    * bound form keeps ONE tokenization and ONE counting pass per row
+    * under any optimizer rewrite. Use THIS form in `.where(...)`. */
   def repetitionKeepBound(t: Column): Column =
-    element_at(transform(array(t), tt => repetitionKeepOf(tt)), 1)
+    element_at(transform(array(countsOf(t)), s => repetitionKeepFrom(s)), 1)
 }

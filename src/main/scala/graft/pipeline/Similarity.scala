@@ -572,13 +572,22 @@ object Similarity {
     } else f
   }
 
+  /** `coarse`: a pre-trained coarse quantizer to reuse instead of
+    * running [[ivfBuild]] — the FAISS `IndexIVF(quantizer, …)` pattern.
+    * Index variants over the SAME corpus and coarse knobs (raw vs
+    * residual codes, different codebook budgets) share one quantizer;
+    * ivfBuild is deterministic given its inputs, so passing its result
+    * in changes nothing but the redundant re-training. The caller owns
+    * the equivalence: an oracle-gated index must receive exactly what
+    * ivfBuild(corpus, numCentroids, lloydIters, sampleMod) returns. */
   def ivfWrite(corpus: DataFrame, path: String, numCentroids: Int = DefaultNumCentroids,
                lloydIters: Int = DefaultLloydIters, idCol: String = "vec_id",
                vecCol: String = "embedding", portableSeed: Boolean = false,
-               sampleMod: Int = 1, sampleTarget: Long = 0L): Unit = {
-    val cents = timed("build")(
+               sampleMod: Int = 1, sampleTarget: Long = 0L,
+               coarse: Option[Array[Array[Double]]] = None): Unit = {
+    val cents = coarse.getOrElse(timed("build")(
       ivfBuild(corpus, numCentroids, lloydIters, sampleMod, idCol, vecCol, portableSeed,
-        sampleTarget))
+        sampleTarget)))
     val (centroids, assignments) = ivfAssign(corpus, cents, idCol, vecCol)
     timed("write")(ivfWriteParts(centroids, assignments, path))
   }
@@ -864,9 +873,12 @@ object Similarity {
                  ivfSampleMod: Int = DefaultLloydSampleMod,
                  m: Int = DefaultPqM, ksub: Int = DefaultPqK,
                  pqIters: Int = DefaultPqIters, pqSampleMod: Int = DefaultPqSampleMod,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val cents = timed("ivfpq-coarse")(ivfBuild(corpus, numCentroids, lloydIters,
-      ivfSampleMod, idCol, vecCol, portableSeed = true))
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 coarse: Option[Array[Array[Double]]] = None): Unit = {
+    // `coarse`: reuse a pre-trained quantizer (see ivfWrite) — index
+    // variants over one corpus share the coarse model, not retrain it
+    val cents = coarse.getOrElse(timed("ivfpq-coarse")(ivfBuild(corpus, numCentroids,
+      lloydIters, ivfSampleMod, idCol, vecCol, portableSeed = true)))
     val cb = timed("ivfpq-codebook")(pqTrain(corpus, m, ksub, pqIters, pqSampleMod,
       idCol, vecCol))
     val spark = corpus.sparkSession
@@ -911,9 +923,12 @@ object Similarity {
                     ivfSampleMod: Int = DefaultLloydSampleMod,
                     m: Int = DefaultPqM, ksub: Int = DefaultPqK,
                     pqIters: Int = DefaultPqIters, pqSampleMod: Int = DefaultPqSampleMod,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val cents = timed("ivfpqres-coarse")(ivfBuild(corpus, numCentroids, lloydIters,
-      ivfSampleMod, idCol, vecCol, portableSeed = true))
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    coarse: Option[Array[Array[Double]]] = None): Unit = {
+    // `coarse`: reuse a pre-trained quantizer (see ivfWrite) — the
+    // residual variant by design shares the raw variant's coarse model
+    val cents = coarse.getOrElse(timed("ivfpqres-coarse")(ivfBuild(corpus, numCentroids,
+      lloydIters, ivfSampleMod, idCol, vecCol, portableSeed = true)))
     val dim = cents(0).length
     val resid = residualFrame(corpus, cents, dim, idCol, vecCol)
     // PQ codebooks learned on the residual table (same portable seed +

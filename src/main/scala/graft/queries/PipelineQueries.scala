@@ -334,6 +334,23 @@ object PipelineQueries {
       }
     }.mkString("[", ", ", "]")
 
+  /** The shared DEFAULT-KNOB coarse quantizer, one per sf dir per JVM
+    * (r19): the ivf, fused-default, fused-hq and fused-residual indexes
+    * all train ivfBuild(full corpus, DefaultNumCentroids,
+    * DefaultLloydIters, DefaultLloydSampleMod, portable) — the SAME
+    * deterministic model, previously re-trained four times (~2.5–2.9 s
+    * each). Trained once here and passed through the writes' `coarse`
+    * parameter (the FAISS quantizer-reuse pattern); per-JVM like every
+    * fixture memo, always computed from the parquet inputs in this run.
+    * NOT used by the √n-cell (scaled) index or the even-half base —
+    * different knobs / different corpus, different model. */
+  private val coarseCents =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private def coarseCentsFor(spark: SparkSession, dir: String): Array[Array[Double]] =
+    coarseCents.computeIfAbsent(dir, d =>
+      Similarity.ivfBuild(Tables.embeddings(spark, d),
+        sampleMod = Similarity.DefaultLloydSampleMod, portableSeed = true))
+
   /** One persisted IVF index per sf dir per JVM: built on first use (a
     * fresh temp dir, so a code change can never probe a stale index),
     * probed by every later call. */
@@ -342,7 +359,8 @@ object PipelineQueries {
     ivfIndexDirs.computeIfAbsent(dir, d => {
       val p = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
       Similarity.ivfWrite(Tables.embeddings(spark, d), p, portableSeed = true,
-        sampleMod = Similarity.DefaultLloydSampleMod)
+        sampleMod = Similarity.DefaultLloydSampleMod,
+        coarse = Some(coarseCentsFor(spark, d)))
       p
     })
 
@@ -396,7 +414,8 @@ object PipelineQueries {
   private def ivfPqIndexFor(spark: SparkSession, dir: String): String =
     ivfPqIndexDirs.computeIfAbsent(dir, d => {
       val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
-      Similarity.ivfPqWrite(Tables.embeddings(spark, d), p)
+      Similarity.ivfPqWrite(Tables.embeddings(spark, d), p,
+        coarse = Some(coarseCentsFor(spark, d)))
       p
     })
 
@@ -590,7 +609,8 @@ object PipelineQueries {
   private def ivfPqHqIndexFor(spark: SparkSession, dir: String): String =
     ivfPqHqIndexDirs.computeIfAbsent(dir, d => {
       val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_hq_").toString
-      Similarity.ivfPqWrite(Tables.embeddings(spark, d), p, ksub = Similarity.HqPqK)
+      Similarity.ivfPqWrite(Tables.embeddings(spark, d), p, ksub = Similarity.HqPqK,
+        coarse = Some(coarseCentsFor(spark, d)))
       p
     })
 
@@ -659,7 +679,8 @@ object PipelineQueries {
   private def ivfPqResIndexFor(spark: SparkSession, dir: String): String =
     ivfPqResIndexDirs.computeIfAbsent(dir, d => {
       val p = java.nio.file.Files.createTempDirectory("graft_ivfpqres_").toString
-      Similarity.ivfPqResWrite(Tables.embeddings(spark, d), p)
+      Similarity.ivfPqResWrite(Tables.embeddings(spark, d), p,
+        coarse = Some(coarseCentsFor(spark, d)))
       p
     })
 
@@ -2311,18 +2332,19 @@ object PipelineQueries {
       // scan stage at any corpus size. Ratios are int/int divisions in
       // double, so the oracle's unnest-based replay is IEEE-identical.
       (spark, dir) => sortedBarrier({
-        // tokenize ONCE into an attribute, then compute each RAW signal
-        // once and derive both the rounded column and the keep flag from
-        // the raw attributes — the single-projection form evaluated every
-        // HOF signal twice (once for its column, once inside the flag)
-        val t = col("__toks")
+        // ONE native counting pass staged as an attribute (r19 —
+        // RepetitionCounts; the r18 __toks staging subsumed): each RAW
+        // signal is a couple of arithmetic ops over the counts struct,
+        // and both the rounded columns and the keep flag derive from the
+        // raw attributes, so nothing is computed twice
+        val s = col("__sig")
         Tables.documents(spark, dir)
-          .withColumn("__toks", Dedup.tokens(col("text")))
+          .withColumn("__sig", Repetition.countsOf(Dedup.tokens(col("text"))))
           .select(col("doc_id"),
-            Repetition.distinctRatioOf(t).as("rd"),
-            Repetition.topTokenRatioOf(t).as("rt"),
-            Repetition.dupNgramRatioOf(t, 2).as("r2"),
-            Repetition.dupNgramRatioOf(t, 3).as("r3"))
+            Repetition.distinctRatioFrom(s).as("rd"),
+            Repetition.topTokenRatioFrom(s).as("rt"),
+            Repetition.dupNgramRatioFrom(s, 2).as("r2"),
+            Repetition.dupNgramRatioFrom(s, 3).as("r3"))
           .select(col("doc_id"),
             r6(col("rd")).as("distinct_ratio"),
             r6(col("rt")).as("top_token_ratio"),

@@ -844,6 +844,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("corpus_id", "codes", "cid"), "lists must store codes, not raw vectors")
   }
 
+  test("ivfPqWrite with a pre-trained coarse quantizer equals the self-trained index") {
+    import org.apache.spark.sql.functions.col
+    // the r19 quantizer-reuse parameter: passing ivfBuild's own result
+    // through `coarse` must produce a byte-equivalent index (same
+    // centroids, same codebook, same code lists) — the property the
+    // shared-coarse fixtures in PipelineQueries rely on
+    val vecs = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d =>
+        (java.lang.Math.floorMod(graft.functions.TextHashes.splitmix(i * 31 + d), 1000L)
+          .toDouble / 500.0) - 1.0))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val d1 = java.nio.file.Files.createTempDirectory("ivfpq_self").toString
+    val d2 = java.nio.file.Files.createTempDirectory("ivfpq_reuse").toString
+    Similarity.ivfPqWrite(df, d1, numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 2, pqSampleMod = 2)
+    val cents = Similarity.ivfBuild(df, numCentroids = 4, lloydIters = 1,
+      sampleMod = 1, portableSeed = true)
+    Similarity.ivfPqWrite(df, d2, numCentroids = 4, lloydIters = 1, ivfSampleMod = 1,
+      m = 4, ksub = 4, pqIters = 2, pqSampleMod = 2, coarse = Some(cents))
+    def slurp(p: String) = Seq("centroids", "codebook", "lists").map(part =>
+      spark.read.parquet(s"$p/$part").collect().map(_.toString).sorted.toList)
+    assert(slurp(d1) == slurp(d2),
+      "quantizer reuse must not change a single byte of the index content")
+  }
+
   test("knnGraph equals lshTopK with the corpus as the query side") {
     import org.apache.spark.sql.functions.col
     // same candidate construction (collide in ANY table), same scoring,
@@ -2535,6 +2561,66 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L)._3.get == 0.0 && out(4L)._4.isEmpty && !out(4L)._5)
     // doc 5: single token -> both gram ratios NULL, distinct/top = 1
     assert(out(5L)._3.isEmpty && out(5L)._4.isEmpty && math.abs(out(5L)._2 - 1.0) < eps)
+  }
+
+  test("native repetition counts are bit-identical to the composed signal forms") {
+    // the r19 RepetitionCounts expression vs the composed-builtins
+    // reference (*Of forms), the cosineComposed parity discipline —
+    // adversarial shapes: empty/whitespace text (one "" token), single
+    // token, all-same, looping grams, shared prefixes, unicode, long
+    // repetitive tails, null text
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val texts = Seq(
+      "", "   ", "solo", "a a a a", "x y x y x y x y",
+      "the quick brown fox jumps over the lazy dog",
+      "a ab b a ab b a", "ab a b ab a b", "one two",
+      "über die über die straße", "末 末 来 末 来",
+      (1 to 200).map(i => s"tok${i % 7}").mkString(" "),
+      "a b c a b c d a b", null.asInstanceOf[String])
+    val d = spark.createDataFrame(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }).toDF("doc_id", "text")
+    val t = Dedup.tokens(col("text"))
+    val s = col("__sig")
+    val both = d.withColumn("__sig", Repetition.countsOf(t))
+      .select(col("doc_id"),
+        Repetition.distinctRatioOf(t).as("rd0"), Repetition.distinctRatioFrom(s).as("rd1"),
+        Repetition.topTokenRatioOf(t).as("rt0"), Repetition.topTokenRatioFrom(s).as("rt1"),
+        Repetition.dupNgramRatioOf(t, 2).as("r20"), Repetition.dupNgramRatioFrom(s, 2).as("r21"),
+        Repetition.dupNgramRatioOf(t, 3).as("r30"), Repetition.dupNgramRatioFrom(s, 3).as("r31"),
+        Repetition.repetitionKeepOf(t).as("k0"),
+        Repetition.repetitionKeepFrom(s).as("k1"),
+        Repetition.repetitionKeepBound(t).as("k2"))
+      .collect()
+    def bits(r: org.apache.spark.sql.Row, i: Int): Any =
+      if (r.isNullAt(i)) None else java.lang.Double.doubleToRawLongBits(r.getDouble(i))
+    both.foreach { r =>
+      assert(bits(r, 1) == bits(r, 2), s"distinctRatio mismatch: $r")
+      assert(bits(r, 3) == bits(r, 4), s"topTokenRatio mismatch: $r")
+      assert(bits(r, 5) == bits(r, 6), s"dup2 mismatch: $r")
+      assert(bits(r, 7) == bits(r, 8), s"dup3 mismatch: $r")
+      def b(i: Int) = if (r.isNullAt(i)) None else Some(r.getBoolean(i))
+      assert(b(9) == b(10) && b(9) == b(11), s"keep mismatch: $r")
+    }
+    // null-element arrays (never produced by the tokenizer): the
+    // fallback must replay array_distinct / sorted-run / concat_ws
+    // null semantics exactly
+    val arrDf = spark.createDataFrame(Seq(
+      (1L, Seq[String]("a", null, "a", "b")),
+      (2L, Seq[String](null, null)),
+      (3L, Seq[String]("a", null)))).toDF("doc_id", "toks")
+    val ta = col("toks")
+    val sa = col("__sig")
+    val arrBoth = arrDf.withColumn("__sig", Repetition.countsOf(ta))
+      .select(col("doc_id"),
+        Repetition.distinctRatioOf(ta).as("rd0"), Repetition.distinctRatioFrom(sa).as("rd1"),
+        Repetition.topTokenRatioOf(ta).as("rt0"), Repetition.topTokenRatioFrom(sa).as("rt1"),
+        Repetition.dupNgramRatioOf(ta, 2).as("r20"), Repetition.dupNgramRatioFrom(sa, 2).as("r21"),
+        Repetition.dupNgramRatioOf(ta, 3).as("r30"), Repetition.dupNgramRatioFrom(sa, 3).as("r31"))
+      .collect()
+    arrBoth.foreach { r =>
+      (1 to 7 by 2).foreach(i =>
+        assert(bits(r, i) == bits(r, i + 1), s"null-element parity mismatch at $i: $r"))
+    }
   }
 
   test("pii scrub: detection counts, redaction, and the IP-before-phone order") {
