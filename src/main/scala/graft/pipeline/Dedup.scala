@@ -1112,28 +1112,44 @@ object Dedup {
                       srcPrefix: String, dstPrefix: String, path: String): Unit = {
     val catalog = spark.sessionState.catalog
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq("buckets", "shingles", "meta", "tombstones").foreach { t =>
+    // two phases (r19, advisor item): copy EVERY side table's files
+    // first, register only after all copies succeeded — a failed copy
+    // can no longer leave dst tables registered over half-copied files
+    val toRegister = Seq("buckets", "shingles", "meta", "tombstones").flatMap { t =>
       val src = s"${srcPrefix}_$t"
-      if (spark.catalog.tableExists(src)) {
+      if (!spark.catalog.tableExists(src)) None
+      else {
         val meta = catalog.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(src))
         val srcLoc = new org.apache.hadoop.fs.Path(meta.location)
         val dstLoc = new org.apache.hadoop.fs.Path(s"$path/$t")
         val fs = srcLoc.getFileSystem(conf)
         org.apache.hadoop.fs.FileUtil.copy(fs, srcLoc, fs, dstLoc, false, conf)
-        val bucketDdl = meta.bucketSpec.map { s =>
-          val sorted =
-            if (s.sortColumnNames.nonEmpty)
-              s" SORTED BY (${s.sortColumnNames.map(c => s"`$c`").mkString(", ")})"
-            else ""
-          s"CLUSTERED BY (${s.bucketColumnNames.map(c => s"`$c`").mkString(", ")})" +
-            s"$sorted INTO ${s.numBuckets} BUCKETS"
-        }.getOrElse("")
-        val dst = s"${dstPrefix}_$t"
-        spark.sql(s"DROP TABLE IF EXISTS `$dst`")
-        spark.sql(s"CREATE TABLE `$dst` (${meta.schema.toDDL}) USING PARQUET " +
-          s"$bucketDdl LOCATION '${dstLoc.toString}'")
+        Some((t, meta, dstLoc))
       }
+    }
+    toRegister.foreach { case (t, meta, dstLoc) =>
+      val bucketDdl = meta.bucketSpec.map { s =>
+        val sorted =
+          if (s.sortColumnNames.nonEmpty)
+            s" SORTED BY (${s.sortColumnNames.map(c => s"`$c`").mkString(", ")})"
+          else ""
+        s"CLUSTERED BY (${s.bucketColumnNames.map(c => s"`$c`").mkString(", ")})" +
+          s"$sorted INTO ${s.numBuckets} BUCKETS"
+      }.getOrElse("")
+      val dst = s"${dstPrefix}_$t"
+      // never DROP a same-named MANAGED table: that would delete ITS
+      // data files — the clone only ever replaces external registrations
+      val dstId = org.apache.spark.sql.catalyst.TableIdentifier(dst)
+      if (spark.catalog.tableExists(dst) &&
+          catalog.getTableMetadata(dstId).tableType ==
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+        throw new IllegalStateException(
+          s"dedupIndexClone: destination table `$dst` exists and is MANAGED — " +
+          "dropping it would delete its data; use a different dstPrefix")
+      spark.sql(s"DROP TABLE IF EXISTS `$dst`")
+      spark.sql(s"CREATE TABLE `$dst` (${meta.schema.toDDL}) USING PARQUET " +
+        s"$bucketDdl LOCATION '${dstLoc.toString}'")
     }
   }
 

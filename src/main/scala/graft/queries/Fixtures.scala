@@ -12,17 +12,20 @@ package graft.queries
   * hashes, pruning losslessness) that is insensitive to file
   * boundaries, and a copy is bit-identical anyway. */
 private[queries] object Fixtures {
-  /** Recursive file copy of a fixture directory. */
+  /** Recursive file copy of a fixture directory. The walk stream is
+    * closed explicitly (it holds an open directory handle per level —
+    * leaked once per fixture fork otherwise). */
   def copyDir(src: String, dst: String): Unit = {
     val s = java.nio.file.Paths.get(src)
     val t = java.nio.file.Paths.get(dst)
-    java.nio.file.Files.walk(s).forEach { from =>
+    val walk = java.nio.file.Files.walk(s)
+    try walk.forEach { from =>
       val to = t.resolve(s.relativize(from))
       if (java.nio.file.Files.isDirectory(from))
         java.nio.file.Files.createDirectories(to)
       else
         java.nio.file.Files.copy(from, to,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally walk.close()
   }
 }

@@ -185,6 +185,49 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pii detection/redaction must be per-row regex columns, no exchange")
   }
 
+  test("repetition keep as a FILTER tokenizes once under pushdown (r18 trap pinned)") {
+    // predicate pushdown substitutes the full keep condition into the
+    // scan filter; under the r18 alias formulation that meant 40 copies
+    // of split(trim(lower(text))) per row. The r19 counts-bound form
+    // must keep ONE tokenization and ONE counting pass per row under
+    // any optimizer rewrite — pinned here because no plan-shape rule in
+    // Spark guarantees it (advisor item: a Spark upgrade could silently
+    // reintroduce the re-tokenization).
+    // a REAL parquet scan: a LocalRelation is constant-folded before the
+    // filter ever reaches a plan (ConvertToLocalRelation), and the trap
+    // being pinned lives in the scan-filter substitution
+    val dir = java.nio.file.Files.createTempDirectory("repkeep_plan").toString
+    docs(80).write.mode("overwrite").parquet(dir)
+    val plan = executedPlan(
+      spark.read.parquet(dir).where(Repetition.repetitionKeep(col("text"))))
+    def occurrences(s: String, sub: String): Int = {
+      var c = 0; var i = s.indexOf(sub)
+      while (i >= 0) { c += 1; i = s.indexOf(sub, i + 1) }
+      c
+    }
+    // the AQE plan string prints Final and Initial plans (each node can
+    // appear twice) — bound at 2, where the r18 regression read 40+
+    assert(occurrences(plan, "split(") <= 2,
+      s"keep filter must tokenize once per row, got:\n$plan")
+    assert(occurrences(plan, "repetition_counts") <= 2 &&
+      plan.contains("repetition_counts"),
+      s"keep filter must run ONE counting pass per row, got:\n$plan")
+  }
+
+  test("sortedBarrier plans as a checkpoint leaf under the presentation sort") {
+    // the r18 barrier: the sort's range sampler must read stored blocks
+    // (Scan ExistingRDD), never re-execute the body — pinned because the
+    // optimizer could legally collapse an un-checkpointed plan back
+    val df = graft.queries.Present.sortedBarrier(
+      docs(50).select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+    val plan = executedPlan(df)
+    graft.queries.Present.releaseBarriers()
+    assert(plan.contains("ExistingRDD"),
+      s"barriered sort must scan the checkpointed leaf:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"presentation sort must still be a single range sort:\n$plan")
+  }
+
   test("identical-signature collapse adds exactly one exchange, and it is reused") {
     // plain: 1 shuffle (the chunk/key repartition, reused by both join
     // sides). collapsed: + the signature window's hash exchange = 2.
