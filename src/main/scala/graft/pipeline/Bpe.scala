@@ -52,11 +52,18 @@ object Bpe {
       (x, y) => struct(x.as("a"), y.as("b")))
 
   /** Greedy left-to-right merge of adjacent (a, b) into the single
-    * symbol a+b: a running fold — the merged symbol joins the
-    * accumulator, so "aaa" under (a,a) becomes ["aa","a"], never
+    * symbol a+b: "aaa" under (a,a) becomes ["aa","a"], never
     * ["aa","aa"] — exactly the non-overlapping replace the reference
-    * BPE formulation performs. */
+    * BPE formulation performs. Native single-pass expression (r19,
+    * guide §4): the composed fold below rebuilds the accumulator array
+    * per element — O(len²) allocation per word per round, interpreted
+    * outside codegen. Parity-tested against [[mergePairComposed]]. */
   private def mergePair(syms: Column, a: String, b: String): Column =
+    graft.functions.BpeMergePair.bpeMergePair(syms, a, b)
+
+  /** The composed-builtins fold — the parity reference for the native
+    * expression (the cosineComposed discipline). */
+  private[pipeline] def mergePairComposed(syms: Column, a: String, b: String): Column =
     aggregate(syms, typedLit(Seq.empty[String]),
       (acc, s) =>
         when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),

@@ -466,6 +466,12 @@ object PipelineQueries {
       if (!Seq("buckets", "shingles", "meta")
             .forall(s => spark.catalog.tableExists(s"${prefix}_$s"))) {
         val p = java.nio.file.Files.createTempDirectory("graft_ccfgt_").toString
+        // r19 note: cloning ccIndexFor here (the forget_compact
+        // discipline one level up) was TRIED and MEASURED WORSE — the
+        // incremental write+append base costs more to build than one
+        // full write, and its extra per-bucket files inflate the
+        // downstream delete discovery and the compact fixture's rewrite
+        // (family in-sweep 13.9 → 39 s). The fresh full write stays.
         val ref = Tables.documents(spark, dir).where(col("doc_id") % 3 === 0)
         Dedup.dedupIndexWrite(ref, prefix, p)
         Dedup.dedupIndexDelete(
